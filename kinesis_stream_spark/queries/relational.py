@@ -1,0 +1,741 @@
+"""Relational operator inventory (SURVEY.md §2.3 rows: scan, projection/
+filter, joins, aggregation, window functions, sort/limit/top-k, set ops).
+
+The reference delegates all of this to the host streaming framework
+(`examples/src/main/scala/Main.scala:18-23` composes source → commit →
+map → sink); here it is the native DataFrame surface. Every query is
+declarative so Catalyst owns pushdown/pruning/join strategy; small dims
+are explicitly `broadcast()` where the stats alone wouldn't prove it.
+
+Scale notes (100 TB):
+- fact⋈fact joins (lineitem⋈orders) shuffle on the join key — at scale
+  both sides would be bucketed on orderkey to make this a co-located
+  join; AQE skew-join splits hot keys.
+- dim joins (nation/region/supplier/part) are broadcast — no shuffle.
+- top-k per group uses window + filter (one shuffle, no global sort);
+  global sort+limit uses Spark's TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_spark.queries._util import davg, dsum, sql_davg, sql_dsum
+from kinesis_stream_spark.sources.batch import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship multi-operator queries (scan → filter → join → agg → sort)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan-side filter + 8-way hash aggregate.
+
+    Plan check: filter pushed to parquet scan; partial aggregation
+    (map-side combine) before the exchange on (returnflag, linestatus).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q03_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-10.
+
+    customer(filtered) is small → broadcast into orders; orders⋈lineitem
+    shuffles on orderkey (bucket-by-orderkey co-locates it at scale).
+    Global top-10 runs as TakeOrderedAndProject, never a full sort.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q05_regional_revenue",
+    f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, facts shuffle once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_inner_orders_customer",
+    """
+    SELECT c_nationkey, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, o_orderstatus
+    ORDER BY c_nationkey, o_orderstatus
+    """,
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .orderBy("c_nationkey", "o_orderstatus")
+    )
+
+
+@_q(
+    "join_left_customer_orders",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "join_semi_customers_with_urgent",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS: no row multiplication, build side deduped."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "join_full_nation_activity",
+    """
+    WITH cust_n AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+                    FROM customer GROUP BY c_nationkey),
+         supp_n AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+                    FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cust_n.nk, supp_n.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cust_n FULL OUTER JOIN supp_n ON cust_n.nk = supp_n.nk
+    ORDER BY nationkey
+    """,
+)
+def join_full_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust_n.join(supp_n, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@_q(
+    "join_range_events_orders_window",
+    """
+    SELECT e.user_id, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN events f
+      ON e.user_id = f.user_id
+     AND f.ts > e.ts
+     AND f.ts <= e.ts + INTERVAL 10 MINUTE
+     AND e.event_type = 'click' AND f.event_type = 'purchase'
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def join_range_events_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchase within 10 min after a click by the same user.
+
+    Equi-key (user_id) carries the shuffle; the range predicate is
+    evaluated post-join — at 100 TB add time-bucketing on both sides so
+    the range condition also prunes (bucket = floor(ts/10min), join on
+    bucket ∈ {b, b+1}).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("value")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id)
+            & (purchases.p_ts > clicks.c_ts)
+            & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), dsum("value", "sum_value"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "join_asof_last_click_before_purchase",
+    """
+    WITH pairs AS (
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.event_id AS click_event_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p
+      JOIN events c ON c.user_id = p.user_id AND c.ts <= p.ts
+                    AND c.event_type = 'click'
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, purchase_ts, click_ts, click_event_id
+    FROM pairs WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent click at or before each purchase).
+
+    Spark has no native ASOF JOIN; implemented as equi-join on the key +
+    range predicate + row_number pick. At scale, replace with the
+    union-and-last-over-window formulation (single shuffle, no row
+    multiplication):  union both sides, window last(click) ignoring
+    nulls ordered by ts per user. Both forms are provided; this one is
+    the oracle-checkable default. Reference analog: per-shard ordered
+    merge (SURVEY §1.1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("click_ts"), F.desc("click_event_id"))
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user_id) & (clicks.click_ts <= purchases.purchase_ts),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "purchase_ts", "click_ts", "click_event_id")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_distinct_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate (expands to Spark's expand+two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "agg_rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@_q(
+    "agg_cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via the SQL surface (Spark parses ANSI GROUPING SETS)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_rank_suppliers",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_nationkey, rn
+    """,
+)
+def window_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("s_nationkey", "rn")
+
+
+@_q(
+    "window_lag_lead_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_sum3
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (running + sliding) with exact decimal accumulation."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    price_dec = F.col("o_totalprice").cast("decimal(27,6)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(price_dec)
+        .over(w.rowsBetween(-2, Window.currentRow))
+        .cast("double")
+        .alias("moving_sum3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@_q(
+    "topk_parts_per_brand",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part)
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: window + filter — one shuffle, no global sort."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+@_q(
+    "sort_limit_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100: Spark plans TakeOrderedAndProject (per-partition
+    heap + merge on driver), never a full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "set_union_all_keys",
+    """
+    SELECT nk, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk ORDER BY nk
+    """,
+)
+def set_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cust.unionAll(supp).groupBy("nk").agg(F.count(F.lit(1)).alias("n")).orderBy("nk")
+
+
+@_q(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    ORDER BY nk
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return cust.intersect(supp).orderBy("nk")
+
+
+@_q(
+    "set_except_nations",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nk
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    # subtract == ANSI EXCEPT (set semantics); exceptAll would keep
+    # multiplicity (bag semantics) and over-report repeated keys.
+    return cust.subtract(supp).orderBy("nk")
+
+
+# ---------------------------------------------------------------------------
+# SQL surface (subqueries through Spark's own parser)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sql_scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def sql_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via spark.sql. AVG here is a predicate threshold,
+    not an output value, so float-sum ordering can't flip results unless
+    a row sits within ~1e-9 of the cut — accepted."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@_q(
+    "sql_in_subquery_parts_in_asia_orders",
+    """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (
+      SELECT l_partkey FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND l_quantity > 45
+    )
+    ORDER BY p_partkey
+    """,
+)
+def sql_in_subquery_parts_in_asia_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (
+          SELECT l_partkey FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT' AND l_quantity > 45
+        )
+        ORDER BY p_partkey
+        """
+    )

@@ -1,0 +1,56 @@
+"""Batch parquet sources for the driver's TPC-H-ish tables.
+
+Scan discipline (100 TB): always ``spark.read.parquet`` so Catalyst owns
+predicate pushdown, column pruning and partition pruning; callers
+``select`` early so ``ReadSchema`` stays narrow. No schema inference
+cost: parquet footers carry the schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark has no nanos type, so
+        # read it as LONG (legacy conf) and truncate to micros — the same
+        # truncation DuckDB applies, keeping the oracle bit-identical.
+        # Integer `div` (not `/`): ns-since-epoch exceeds double's 53-bit
+        # mantissa, float division would corrupt low-order digits.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (enables the spark.sql surface)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,82 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs a Spark query and its DuckDB oracle SQL on the same parquet tables
+and compares row count, column-name set, and order-insensitive values —
+the same three checks the driver records in CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from kinesis_stream_spark.sources.batch import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).fetch_df()
+    finally:
+        con.close()
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy scalar or array
+        return _canon_cell(v.tolist())
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_cell(v) for v in row))
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return out
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    problems: list[str] = []
+    spdf = spark_df.toPandas()
+    if sorted(spdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"schema: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spdf)} oracle={len(oracle_pdf)}")
+    a, b = canonical_rows(spdf), canonical_rows(oracle_pdf)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y]
+        sample = diffs[:3] if diffs else [(a[:2], b[:2])]
+        problems.append(f"values differ ({len(diffs)} zipped diffs); sample: {sample}")
+    return problems
