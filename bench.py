@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the declared query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + fetch) via a count-style
+materialization that forces full evaluation without driver-side row
+transfer dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from kinesis_stream_spark.queries import all_queries
+    from kinesis_stream_spark.session import get_spark
+
+    spark = get_spark("kinesis-stream-spark-bench")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in sorted(all_queries().items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # force full evaluation of every output column (count() alone
+            # would let Catalyst prune the aggregates away)
+            df.foreach(lambda _: None)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a broken query must not hide the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    result = {
+        "metric": "query_inventory_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

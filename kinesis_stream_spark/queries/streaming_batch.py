@@ -1,4 +1,181 @@
-"""Placeholder — populated later this round."""
+"""Event-time operator inventory, batch-checkable (SURVEY.md §2.3 streaming
+rows).
+
+Structured Streaming's core contract is that the same DataFrame program runs
+on batch and stream; these queries call the EXACT functions from
+``kinesis_stream_spark.streaming.windows`` on the batch `events` table so
+the DuckDB oracle validates the very code the streaming tests execute
+(tests/test_streaming.py runs the stream side over the same data and
+asserts stream == batch).
+
+Session windows have no DuckDB builtin — the oracle is gap-and-island SQL
+(lag → new-session flag at ``diff >= gap`` → running-sum session id), per
+SURVEY §7 "hard parts (a)".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_spark.queries._util import sql_dsum
+from kinesis_stream_spark.sources.batch import load_table
+from kinesis_stream_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+    with_late_data_drop,
+)
 
 QUERIES = {}
 ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# epoch-second bucket arithmetic (not time_bucket): Spark's window() is
+# 1970-epoch aligned; explicit FLOOR(EPOCH(ts)/n)*n matches it exactly and
+# sidesteps DuckDB's 2000-based time_bucket origin.
+def _bucket(expr: str, seconds: int) -> str:
+    return f"CAST(TO_TIMESTAMP(FLOOR(EPOCH({expr})/{seconds})*{seconds}) AS TIMESTAMP)"
+
+
+@_q(
+    "stream_tumbling_window",
+    f"""
+    SELECT {_bucket('ts', 3600)}                            AS window_start,
+           {_bucket('ts', 3600)} + INTERVAL 1 HOUR          AS window_end,
+           event_type,
+           COUNT(*)                                         AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h windows (groupBy(window(ts, '1 hour')))."""
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"), duration="1 hour")
+
+
+@_q(
+    "stream_sliding_window",
+    f"""
+    WITH slid AS (
+      SELECT e.*, {_bucket('e.ts', 1800)} - k.offs * INTERVAL 30 MINUTE AS window_start
+      FROM events e CROSS JOIN (VALUES (0), (1)) AS k(offs)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*)                       AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM slid
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1 h / 30 min windows: each event lands in exactly 2 windows;
+    the oracle replicates rows against both candidate starts."""
+    return sliding_window_agg(
+        load_table(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes"
+    )
+
+
+@_q(
+    "stream_session_window",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE   AS session_end,
+           user_id,
+           COUNT(*)                       AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 10 min gap. Spark merges an event into the session
+    while ``ts < session_end`` (half-open), so the island break is
+    ``diff >= gap`` — the oracle encodes exactly that boundary."""
+    return session_window_agg(load_table(spark, sf_dir, "events"), gap="10 minutes")
+
+
+@_q(
+    "stream_watermarked_tumbling",
+    f"""
+    SELECT {_bucket('ts', 3600)}                            AS window_start,
+           {_bucket('ts', 3600)} + INTERVAL 1 HOUR          AS window_end,
+           event_type,
+           COUNT(*)                                         AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_watermarked_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg — the production streaming shape. On batch
+    input the watermark is a no-op by Spark contract (all data present ==
+    nothing is late), so the oracle equals the plain tumbling query; the
+    late-DROP behavior is asserted on a real stream in
+    tests/test_streaming.py::test_watermark_drops_late_data."""
+    ev = with_late_data_drop(load_table(spark, sf_dir, "events"), delay="1 hour")
+    return tumbling_window_agg(ev, duration="1 hour")
+
+
+@_q(
+    "stream_dedup_first_per_key",
+    """
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: first event (by event time) per key — the batch
+    twin of ``dropDuplicatesWithinWatermark`` where "first" is arrival
+    order. Plain ``dropDuplicates`` keeps an arbitrary row, so the
+    oracle-checkable form pins the winner with a window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,102 @@
+"""Consumer config + stream source (reference O1/O5/O8).
+
+`Consumer.scala:50-52` — ``source(streamName, appName)`` materializes a
+backpressured stream of Records merged across the worker's shards. The Spark
+analog is ``spark.readStream`` with the envelope schema: one source partition
+per shard, per-partition order = per-shard order, admission control
+(micro-batch rate limits) = the reference's blocking-queue backpressure
+(`RecordProcessorImpl.scala:64`).
+
+The test transport is a parquet-directory file source (the container has no
+Kinesis). The config surface mirrors `ConsumerConfig` (`Consumer.scala:55-90`)
+where it translates; AWS-client plumbing does not (non-goal per SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import enum
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.checkpoint import CheckpointConfig
+from kinesis_stream_spark.streaming.envelope import RECORD_SCHEMA
+
+
+class InitialPosition(enum.Enum):
+    """Where a NEW app starts reading (`Consumer.scala:125-143`,
+    `reference.conf:10`; default latest `Consumer.scala:63-64`)."""
+
+    LATEST = "latest"
+    TRIM_HORIZON = "trim-horizon"
+    AT_TIMESTAMP = "at-timestamp"
+
+
+@dataclass
+class ConsumerConfig:
+    """Mirror of the reference's `ConsumerConfig` (`Consumer.scala:55-90`).
+
+    ``stream_path`` is the transport location (a directory of envelope
+    parquet for the file transport; a Kinesis stream name on a real
+    connector). ``app_name`` names the checkpoint root — exactly the
+    reference's "DynamoDB table named after the application"
+    (`README.md:116-118`), except the durable store is Spark's offset +
+    commit log under ``checkpoint_root/app_name``.
+    """
+
+    stream_path: str
+    app_name: str
+    checkpoint_root: str = "/tmp/kinesis_stream_spark_checkpoints"
+    initial_position: InitialPosition = InitialPosition.LATEST
+    position_timestamp: dt.datetime | None = None
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    worker_id: str = field(default_factory=lambda: str(uuid.uuid4()))
+    max_files_per_trigger: int | None = None  # admission control (O3 backpressure)
+
+    def with_initial_position(
+        self, position: InitialPosition, at: dt.datetime | None = None
+    ) -> "ConsumerConfig":
+        """Builder parity with `withInitialStreamPosition` (`Consumer.scala:71-79`)."""
+        self.initial_position = position
+        self.position_timestamp = at
+        return self
+
+    @property
+    def checkpoint_location(self) -> str:
+        return f"{self.checkpoint_root}/{self.app_name}"
+
+
+def source(spark: SparkSession, config: ConsumerConfig, *, start_cutoff=None) -> DataFrame:
+    """Streaming source of envelope Records (reference O1).
+
+    Initial-position semantics on the file transport:
+
+    - TRIM_HORIZON: read the stream from the beginning (full directory).
+    - AT_TIMESTAMP: skip records whose arrival timestamp predates
+      ``position_timestamp`` (`Consumer.scala:79`, at-timestamp parse
+      `:135-141`).
+    - LATEST: skip records that arrived before the query started
+      (``start_cutoff``, defaulting to now) — files already in the
+      directory are "the past" for a stream that begins at latest.
+
+    Position only applies to a NEW app (no checkpoint yet); on restart
+    Spark resumes from the offset log, same as KCL resuming from DynamoDB.
+    """
+    reader = spark.readStream.schema(RECORD_SCHEMA).format("parquet")
+    if config.max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(config.max_files_per_trigger))
+    records = reader.load(config.stream_path)
+
+    if config.initial_position is InitialPosition.AT_TIMESTAMP:
+        if config.position_timestamp is None:
+            raise ValueError("AT_TIMESTAMP requires position_timestamp")
+        records = records.where(
+            F.col("approximateArrivalTimestamp") >= F.lit(config.position_timestamp)
+        )
+    elif config.initial_position is InitialPosition.LATEST:
+        cutoff = start_cutoff if start_cutoff is not None else dt.datetime.now(dt.timezone.utc)
+        records = records.where(F.col("approximateArrivalTimestamp") >= F.lit(cutoff))
+    return records

@@ -1,0 +1,132 @@
+"""Delivery semantics (reference O2 commitFlow + README.md:38-43).
+
+The reference chooses delivery semantics by WHERE the ack stage sits:
+``source → commitFlow → process`` = at-most-once (ack before work),
+``source → process → commitFlow`` = at-least-once (ack after work).
+
+Spark Structured Streaming commits a micro-batch's offsets AFTER its sink
+completes — at-least-once by construction, upgraded to effectively-once by
+an idempotent or transactional sink. At-most-once needs the inverse order
+(mark progress, then do the work); micro-batch replay makes that expressible
+per-batch, not per-record: we persist a batch marker BEFORE side effects and
+skip already-marked batches on replay. The gap vs the reference's per-record
+ack is documented honestly here: a crash mid-batch loses that whole batch
+(at-most-once allows loss), never duplicates it.
+
+``foreach_batch_commit_flow`` additionally threads the parity
+CheckpointTracker through a batch, reproducing the reference's
+track→process→checkpoint ack path per shard inside one micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.checkpoint import CheckpointTracker, SequenceNumber
+from kinesis_stream_spark.streaming.consumer import ConsumerConfig
+
+BatchFn = Callable[[DataFrame, int], None]
+
+
+def run_at_least_once(
+    records: DataFrame,
+    config: ConsumerConfig,
+    batch_fn: BatchFn,
+    *,
+    available_now: bool = True,
+):
+    """source → process → commit (`README.md:43`): offsets are committed
+    only after ``batch_fn`` returns, so a crash replays the batch.
+    Duplicates are possible, loss is not — identical to the reference's
+    commit-after-processing placement."""
+    writer = (
+        records.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", config.checkpoint_location)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_at_most_once(
+    records: DataFrame,
+    config: ConsumerConfig,
+    batch_fn: BatchFn,
+    *,
+    available_now: bool = True,
+):
+    """source → commit → process (`README.md:42`): progress is persisted
+    BEFORE side effects, so a replayed batch is skipped, not re-run. Loss
+    is possible (crash mid-batch), duplicates are not."""
+    marker_dir = config.checkpoint_location + "_committed"
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def guarded(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # replay of a batch whose work already started: drop it
+        with open(marker, "w") as f:
+            f.write("begun")  # commit intent durably, THEN process
+        batch_fn(df, batch_id)
+
+    writer = (
+        records.writeStream.foreachBatch(guarded)
+        .option("checkpointLocation", config.checkpoint_location)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_commit_flow(
+    tracker: CheckpointTracker,
+    process_fn: Callable[[DataFrame], None],
+    checkpointer: Callable[[str], Callable[[SequenceNumber], None]],
+) -> BatchFn:
+    """commitFlow parity inside a micro-batch (`CommitGraphStages.scala:16-17`).
+
+    Per shard in the batch: track the batch's sequence numbers, run the
+    user's processing, ack every record, then force a checkpoint — the
+    reference's processRecords → markProcessed → checkpointIfNeeded cycle
+    (`RecordProcessorImpl.scala:42-53`), with the micro-batch as the unit.
+    ``checkpointer(shard_id)`` supplies the per-shard durable-commit callable.
+
+    Scale note: this collects one (shard, seq-range) summary per shard to
+    the driver — O(shards), not O(records) — but per-RECORD ack tracking on
+    the driver would not scale; it exists for semantic parity. The durable
+    commit at scale is Spark's offset log (run_at_least_once).
+    """
+
+    def run(df: DataFrame, batch_id: int) -> None:
+        # numeric (not lexicographic) sort: "10" < "9" as strings would
+        # corrupt the tracker's contiguous-prefix arithmetic
+        seq_num = F.col("sequenceNumber").cast("decimal(38,0)")
+        shard_seqs = (
+            df.groupBy("shardId")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(seq_num.alias("seq"), F.col("subSequenceNumber").alias("sub")))
+                ).alias("seqs")
+            )
+            .collect()
+        )
+
+        def seqs_of(row) -> list[SequenceNumber]:
+            return [SequenceNumber(int(s["seq"]), int(s["sub"])) for s in row["seqs"]]
+
+        for row in shard_seqs:
+            tracker.start_shard(row["shardId"])
+            tracker.track(row["shardId"], seqs_of(row))
+        process_fn(df)
+        for row in shard_seqs:
+            for s in seqs_of(row):
+                tracker.process(row["shardId"], s)
+            tracker.checkpoint_if_needed(row["shardId"], checkpointer(row["shardId"]), force=True)
+
+    return run

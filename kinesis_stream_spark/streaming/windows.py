@@ -1,0 +1,130 @@
+"""Event-time operators: tumbling / sliding / session windows, watermark
+late-data handling, stateful dedup.
+
+These generalize the reference's only event-time behavior — the late-ack
+guard (`ShardCheckpointTrackerActor.scala:35`: an ack below the checkpointed
+prefix is dropped) — into Spark's watermark model: state below the watermark
+is finalized, later-arriving data for it is dropped.
+
+Every function takes and returns a plain DataFrame and works on BOTH batch
+and streaming inputs (Structured Streaming's core contract), so the batch
+path is DuckDB-oracle-checkable while the stream path runs the identical
+code. Window starts/ends are emitted as explicit columns, aggregates in
+exact DECIMAL (see queries/_util.py) so results are partition-order free.
+
+Scale notes (100 TB): all of these shuffle once on (key, window); session
+windows additionally require a per-key sort inside the state store. Skewed
+keys (one user with millions of events) are the hazard — AQE skew handling
+covers the batch path; for streams, salt the key and merge sessions in a
+second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.queries._util import dsum
+
+
+def _finish(df: DataFrame, win: Column, keys: list[str], order_cols: list[str]) -> DataFrame:
+    return (
+        df.groupBy(win.alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", *order_cols)
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, *, ts_col: str = "ts", duration: str = "1 hour"
+) -> DataFrame:
+    """Non-overlapping fixed windows: count + exact sum per (window, type)."""
+    return _finish(
+        events,
+        F.window(F.col(ts_col), duration),
+        ["event_type"],
+        ["event_type"],
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping windows — each row lands in duration/slide windows."""
+    return _finish(
+        events,
+        F.window(F.col(ts_col), duration, slide),
+        ["event_type"],
+        ["event_type"],
+    )
+
+
+def session_window_agg(
+    events: DataFrame, *, ts_col: str = "ts", gap: str = "10 minutes"
+) -> DataFrame:
+    """Per-user sessions: a session extends while successive events arrive
+    within ``gap``; ``session_end = last_event + gap`` (Spark semantics).
+
+    Uses ``F.session_window``, which works on batch AND streaming input; the
+    DuckDB oracle emulates it with gap-and-island SQL (lag → new-session
+    flag → running sum as session id), see queries/streaming_batch.py.
+    """
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def with_late_data_drop(
+    events: DataFrame, *, ts_col: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Watermark: tolerate ``delay`` of out-of-orderness, then finalize.
+
+    Streaming: bounds state and drops late rows (the engine-level
+    generalization of the reference's late-ack guard). Batch: watermark is
+    a no-op by Spark contract (all data is present), so the same pipeline
+    is exact — which is what makes the batch oracle valid.
+    """
+    return events.withWatermark(ts_col, delay)
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stateful dedup: first record per key wins; state expires with the
+    watermark so it stays bounded on infinite streams.
+
+    At-least-once delivery (SURVEY §2.1 delivery semantics) makes duplicate
+    *deliveries* possible after crash-before-checkpoint; this operator is
+    the downstream exactly-once repair for idempotent keys.
+    """
+    if streaming:
+        return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

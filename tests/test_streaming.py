@@ -1,0 +1,257 @@
+"""Structured Streaming runtime tests (reference O1–O7 semantics).
+
+Strategy: feed the envelope through a file-transport stream (parquet files
+appended to a directory), run with ``availableNow`` triggers, and assert
+stream results equal the batch run of the SAME transformation — plus the
+semantics Spark must preserve from the reference: initial position,
+commit-log no-replay (at-least-once), pre-commit skip (at-most-once),
+watermark late-data drop, and the commitFlow ack cycle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.checkpoint import CheckpointTracker, SequenceNumber
+from kinesis_stream_spark.sources.batch import load_table
+from kinesis_stream_spark.streaming import (
+    ConsumerConfig,
+    InitialPosition,
+    decode_json_payload,
+    events_to_envelope,
+    source,
+)
+from kinesis_stream_spark.streaming.delivery import (
+    foreach_batch_commit_flow,
+    run_at_least_once,
+    run_at_most_once,
+)
+from kinesis_stream_spark.streaming.windows import tumbling_window_agg
+
+EPOCH = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Envelope records written as the stream input directory."""
+    out = str(tmp_path_factory.mktemp("stream_in"))
+    events = load_table(spark, sf_dir, "events")
+    events_to_envelope(events).repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _config(stream_dir: str, tmp_path, position=InitialPosition.TRIM_HORIZON) -> ConsumerConfig:
+    return ConsumerConfig(
+        stream_path=stream_dir,
+        app_name=f"app-{uuid.uuid4().hex[:8]}",
+        checkpoint_root=str(tmp_path),
+        initial_position=position,
+    )
+
+
+def test_envelope_roundtrip(spark, sf_dir, stream_dir, tmp_path):
+    """Source emits the reference Record schema; payload decodes back to
+    the original business columns (Record.scala:13-23 + Main.scala:22)."""
+    cfg = _config(stream_dir, tmp_path)
+    records = source(spark, cfg)
+    assert records.isStreaming
+    assert [f.name for f in records.schema.fields] == [
+        "partitionKey",
+        "data",
+        "sequenceNumber",
+        "subSequenceNumber",
+        "shardId",
+        "approximateArrivalTimestamp",
+    ]
+    got: list = []
+    q = run_at_least_once(
+        decode_json_payload(records),
+        cfg,
+        lambda df, bid: got.extend(df.collect()),
+    )
+    q.awaitTermination(120)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(got) == n_events
+    row = next(r for r in got if r.event_type == "purchase")
+    assert row.value is not None and row.partitionKey is not None
+
+
+def test_initial_position_trim_horizon_vs_latest(spark, stream_dir, tmp_path):
+    """O5: trim-horizon reads history; latest skips records that arrived
+    before the query start (Consumer.scala:125-143)."""
+    counts = {}
+    for pos in (InitialPosition.TRIM_HORIZON, InitialPosition.LATEST):
+        cfg = _config(stream_dir, tmp_path, pos)
+        n = []
+        q = run_at_least_once(source(spark, cfg), cfg, lambda df, bid: n.append(df.count()))
+        q.awaitTermination(120)
+        counts[pos] = sum(n)
+    assert counts[InitialPosition.TRIM_HORIZON] > 0
+    assert counts[InitialPosition.LATEST] == 0  # 2024 data is all "the past"
+
+
+def test_initial_position_at_timestamp(spark, sf_dir, stream_dir, tmp_path):
+    """O5: at-timestamp starts mid-stream (Consumer.scala:135-141)."""
+    cut = dt.datetime(2024, 1, 10)
+    cfg = _config(stream_dir, tmp_path).with_initial_position(
+        InitialPosition.AT_TIMESTAMP, at=cut
+    )
+    n = []
+    q = run_at_least_once(source(spark, cfg), cfg, lambda df, bid: n.append(df.count()))
+    q.awaitTermination(120)
+    expected = load_table(spark, sf_dir, "events").where(F.col("ts") >= F.lit(cut)).count()
+    assert sum(n) == expected > 0
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """The same windows.py code on stream input == batch input (complete
+    output after the stream drains)."""
+    cfg = _config(stream_dir, tmp_path)
+    records = source(spark, cfg).select(
+        F.col("approximateArrivalTimestamp").alias("ts"),
+        F.get_json_object(F.col("data").cast("string"), "$.event_type").alias("event_type"),
+        F.get_json_object(F.col("data").cast("string"), "$.value").cast("double").alias("value"),
+    )
+    agg = records.withWatermark("ts", "1 hour").transform(
+        lambda df: tumbling_window_agg(df, duration="1 hour")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .option("checkpointLocation", cfg.checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("tumbling_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(
+            load_table(spark, sf_dir, "events"), duration="1 hour"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The watermark generalizes the reference's late-ack guard
+    (ShardCheckpointTrackerActor.scala:35): once event time has advanced
+    past delay, data older than the watermark is dropped from the agg."""
+    in_dir = str(tmp_path / "late_in")
+    os.makedirs(in_dir)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write_file(name: str, rows: list[tuple]) -> None:
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        _ = name
+
+    # file 1: events at 12:00 and 14:00 → watermark advances to 13:50
+    write_file("f1", [(base, "click", 1.0), (base + dt.timedelta(hours=2), "click", 1.0)])
+
+    agg = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(in_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def drain(sink: list):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        return (
+            agg.writeStream.foreachBatch(lambda df, bid: sink.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    first: list = []
+    drain(first).awaitTermination(120)
+    assert any(r.event_type == "click" for r in first)
+
+    # file 2: one on-time event (14:10) and one LATE event (12:30, far below
+    # the 13:50 watermark) — the late one must be dropped
+    write_file("f2", [(base + dt.timedelta(hours=2, minutes=10), "click", 1.0),
+                      (base + dt.timedelta(minutes=30), "late", 9.9)])
+    second: list = []
+    drain(second).awaitTermination(120)
+    assert any(r.event_type == "click" for r in second)  # on-time row landed
+    assert all(r.event_type != "late" for r in second), second
+
+
+def test_at_least_once_no_replay_after_restart(spark, stream_dir, tmp_path):
+    """O2/at-least-once: committed batches are not reprocessed on restart
+    (Spark's commit log ≙ KCL resuming from the DynamoDB checkpoint)."""
+    cfg = _config(stream_dir, tmp_path)
+    first, second = [], []
+    q = run_at_least_once(source(spark, cfg), cfg, lambda df, bid: first.append(df.count()))
+    q.awaitTermination(120)
+    q2 = run_at_least_once(source(spark, cfg), cfg, lambda df, bid: second.append(df.count()))
+    q2.awaitTermination(120)
+    assert sum(first) > 0
+    assert sum(second) == 0  # nothing new → nothing replayed
+
+
+def test_at_most_once_skips_begun_batch(spark, stream_dir, tmp_path):
+    """O2/at-most-once: a batch whose marker exists is skipped on replay —
+    commit-before-process placement (README.md:42)."""
+    cfg = _config(stream_dir, tmp_path)
+    seen: list[int] = []
+
+    class Boom(Exception):
+        pass
+
+    def explode(df, bid):
+        seen.append(df.count())
+        raise Boom()  # crash AFTER the marker was persisted, BEFORE "work"
+
+    q = run_at_most_once(source(spark, cfg), cfg, explode)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    # restart: the begun batch replays at the engine level but the guard
+    # must skip it — at-most-once loses it rather than duplicating
+    redone: list[int] = []
+    q2 = run_at_most_once(source(spark, cfg), cfg, lambda df, bid: redone.append(df.count()))
+    q2.awaitTermination(120)
+    assert sum(seen) > 0
+    assert sum(redone) == 0
+
+
+def test_foreach_batch_commit_flow_acks_every_shard(spark, stream_dir, tmp_path):
+    """commitFlow parity (CommitGraphStages.scala:16-17): every shard in the
+    batch is tracked, processed, and checkpointed at its highest sequence."""
+    cfg = _config(stream_dir, tmp_path)
+    tracker = CheckpointTracker(cfg.worker_id, cfg.checkpoint)
+    committed: dict[str, SequenceNumber] = {}
+
+    def checkpointer(shard_id: str):
+        def commit(seq: SequenceNumber) -> None:
+            committed[shard_id] = seq
+
+        return commit
+
+    processed_counts: list[int] = []
+    batch_fn = foreach_batch_commit_flow(
+        tracker, lambda df: processed_counts.append(df.count()), checkpointer
+    )
+    q = run_at_least_once(source(spark, cfg), cfg, batch_fn)
+    q.awaitTermination(120)
+
+    assert len(committed) == 4  # n_shards in the fixture
+    for shard, seq in committed.items():
+        t = tracker.start_shard(shard)
+        assert t.last_checkpoint == seq  # checkpoint recorded
+        assert t.is_complete  # fully drained (O6)
