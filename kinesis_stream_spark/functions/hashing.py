@@ -1,0 +1,67 @@
+"""Deterministic cross-engine hashing, tokenization, shingling.
+
+Spark's native ``xxhash64``/``hash`` have no DuckDB equivalent, so every
+hash that must be oracle-checkable derives from **md5** (bit-identical in
+both engines): take the first 15 hex chars (60 bits — stays positive and
+inside BIGINT), parse as an integer. Seeding = prefixing the input with the
+seed, which is how multiple independent minhash permutations are built.
+
+At 100 TB this stays a pure map-side JVM expression (md5 + conv are
+codegen'd); no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_int64(col: Column, seed: int | None = None) -> Column:
+    """60-bit non-negative integer hash of a string column (seeded)."""
+    s = col if seed is None else F.concat(F.lit(f"{seed}|"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_md5_int64(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of :func:`md5_int64`."""
+    s = expr if seed is None else f"('{seed}|' || ({expr}))"
+    return f"CAST(('0x' || SUBSTR(MD5({s}), 1, 15)) AS BIGINT)"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (documents are space-joined token soup)."""
+    return F.split(col, r"\s+")
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB twin of :func:`tokens`."""
+    return f"REGEXP_SPLIT_TO_ARRAY({expr}, '\\s+')"
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (distinct, order-free set).
+
+    ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(toks, i, n)))``
+    — pure JVM array ops, no explode until the caller wants one.
+    """
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def sql_shingles(expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (list comprehension over ranges)."""
+    toks = sql_tokens(expr)
+    return (
+        f"LIST_DISTINCT(CASE WHEN LEN({toks}) >= {n} THEN "
+        f"[ARRAY_TO_STRING({toks}[i:i+{n - 1}], ' ') "
+        f"FOR i IN RANGE(1, LEN({toks}) - {n - 2})] "
+        f"ELSE [ARRAY_TO_STRING({toks}, ' ')] END)"
+    )

@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, in increasing scale:
+
+- **cosine_pairs** — all-pairs within a blocking key (dedup-style).
+- **brute-force top-k** — Q query vectors × N corpus: broadcast the
+  (small) query side, score map-side with exact-decimal cosine, take k per
+  query with a window. At 100 TB the corpus scan is embarrassingly
+  parallel; cost is Q·N scoring, fine for Q in the thousands.
+- **hyperplane LSH / IVF** — the scale paths. LSH: deterministic
+  pseudo-random ±1 hyperplanes (md5-derived, so oracle-replayable) give an
+  r-bit signature; candidates share the signature bucket, exact cosine
+  re-ranks. IVF: a coarse quantizer (label centroids here — at scale,
+  k-means run offline) routes each query to its nprobe nearest partitions;
+  only those partitions are scanned. Both convert all-pairs scoring into
+  an equi-join on a bucket key — the same shuffle shape as LSH dedup.
+
+All JVM-side; the only floats crossing engines go through the decimal-exact
+primitives in functions/vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_spark.functions.hashing import md5_int64
+from kinesis_stream_spark.functions.vectors import cosine_similarity, dot_decimal
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    *,
+    group_cols: list[str],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold within blocking groups."""
+    base = emb.select(*group_cols, F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    x, y = base.alias("x"), base.alias("y")
+    cond = F.col("x.id") < F.col("y.id")
+    for c in group_cols:
+        cond = cond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+    return (
+        x.join(y, cond)
+        .select(
+            *[F.col(f"x.{c}").alias(c) for c in group_cols],
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cosine_similarity(F.col("x.v"), F.col("y.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine.
+
+    ``broadcast(queries)`` makes the scoring a map-side nested loop over
+    the corpus (no shuffle for the join); the per-query top-k window is
+    the single shuffle, on the (small-cardinality) query id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity(F.col("qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec, *, num_planes: int = 8, dim: int = 64, seed: str = "hp"
+):
+    """r-bit LSH signature string: bit_p = sign(<v, plane_p>) with ±1
+    plane components derived from md5 parity — fully deterministic and
+    engine-replayable (no RNG, no stored plane matrix).
+
+    sign component i of plane p = +1 if md5_int64("{seed}|p_i") is even.
+    The dot with a ±1 plane is an exact float sum in double (each term a
+    float promoted exactly), folded sequentially like functions/vectors.
+    """
+    bits = []
+    for p in range(num_planes):
+        acc = F.lit(0.0)
+        for i in range(dim):
+            sign = 1.0 if _plane_sign(seed, p, i) else -1.0
+            acc = acc + F.element_at(vec, i + 1).cast("double") * F.lit(sign)
+        bits.append(F.when(acc >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+import hashlib  # noqa: E402
+
+
+def _plane_sign(seed: str, p: int, i: int) -> bool:
+    """Python-side mirror of md5-parity plane components (used to build
+    both the Spark expression and the DuckDB oracle)."""
+    h = hashlib.md5(f"{seed}|{p}_{i}".encode()).hexdigest()
+    return int(h[:15], 16) % 2 == 0
+
+
+def plane_signs(seed: str = "hp", num_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    return [
+        [1.0 if _plane_sign(seed, p, i) else -1.0 for i in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the full hyperplane-signature
+    bucket; exact cosine re-ranks inside the bucket.
+
+    Scale shape: corpus signatures are map-side; the candidate join is an
+    equi-join on an 8-bit bucket (≈1/256 of all pairs scored). Recall is
+    tunable via fewer planes / multi-probe; this is the documented
+    accuracy/cost dial vs topk_bruteforce.
+    """
+    sig = lambda c: hyperplane_signature(c, num_planes=num_planes, dim=dim)  # noqa: E731
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig(F.col(vec_col)).alias("bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig(F.col(vec_col)).alias("bucket")
+    )
+    scored = corp.join(F.broadcast(q), ["bucket"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def label_centroids(emb: DataFrame, *, dim: int = 64) -> DataFrame:
+    """IVF coarse quantizer: per-label mean vector with exact-decimal
+    element sums (order-independent). At scale: k-means offline, stored as
+    a broadcastable table partitioning the corpus."""
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double").cast("decimal(27,12)"))
+            .alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid = F.array(
+        *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
+    )
+    return sums.select("label", centroid.alias("centroid"))
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: route each query to its ``nprobe`` nearest label
+    centroids (by dot product), scan only those partitions, exact cosine
+    re-rank. Partition pruning is the 100 TB win: nprobe/nlist of the
+    corpus is read instead of all of it."""
+    cents = label_centroids(corpus, dim=dim)
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    routed = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "label", dot_decimal(F.col("qv"), F.col("centroid")).alias("score")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("label"))
+    probes = routed.withColumn("pr", F.row_number().over(wr)).where(F.col("pr") <= nprobe)
+    scored = corpus.join(
+        F.broadcast(probes.select("query_id", "qv", "label")), ["label"]
+    ).where(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity(F.col("qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

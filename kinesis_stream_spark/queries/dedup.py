@@ -1,4 +1,249 @@
-"""Placeholder — populated later this round."""
+"""Dedup query inventory (SURVEY.md §2.3 extension rows; north-star ops).
+
+Oracle strategy: every hash in operators/dedup.py is md5-derived
+(functions/hashing.py), so the DuckDB oracle REPLAYS THE SAME ALGORITHM —
+signatures, banding, candidate join, verification — rather than checking
+row counts. Parity covers the whole pipeline, including which candidate
+pairs LSH does and doesn't surface.
+
+Near-dup inputs are constructed inside the query (documents ∪ copies with
+offset ids: exact copies for J=1 recall, tail-truncated copies for J<1),
+identically on both sides — the base table has no duplicates by
+construction (synthetic unique token soup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.hashing import (
+    sql_md5_int64,
+    sql_shingles,
+    sql_tokens,
+)
+from kinesis_stream_spark.functions.vectors import sql_cosine
+from kinesis_stream_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    exact_dedup,
+    near_duplicates_minhash,
+    near_duplicates_simhash,
+    ngram_jaccard_pairs,
+)
+from kinesis_stream_spark.operators.similarity import cosine_pairs
+from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
 ORACLE = {}
+
+COPY_OFFSET = 100_000
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _with_exact_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ byte-identical copies (ids offset): J=1.0 ground truth."""
+    return docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
+    )
+
+
+def _with_truncated_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ tail-truncated copies (last 3 tokens dropped): J<1 —
+    exercises the near-dup (not identical) path of MinHash-LSH."""
+    toks = F.split(F.col("text"), r"\s+")
+    trunc = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ")
+    return docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), trunc.alias("text"))
+    )
+
+
+SQL_EXACT_COPIES = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, text FROM documents
+"""
+
+_SQL_TOKS = sql_tokens("text")
+SQL_TRUNCATED_COPIES = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id,
+         ARRAY_TO_STRING({_SQL_TOKS}[1:GREATEST(LEN({_SQL_TOKS}) - 3, 1)], ' ') AS text
+  FROM documents
+"""
+
+
+def _sql_minhash_pipeline(input_cte: str, threshold: float) -> str:
+    """DuckDB replay of near_duplicates_minhash (same hashes, same bands)."""
+    n, bands = DEFAULT_NUM_HASHES, DEFAULT_BANDS
+    rows = n // bands
+    sig_elems = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(sh, s -> {sql_md5_int64('s', j)}))" for j in range(n)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_id,
+            {sql_md5_int64(
+                "ARRAY_TO_STRING(LIST_TRANSFORM("
+                f"sig[{b * rows + 1}:{b * rows + rows}], x -> CAST(x AS VARCHAR)), ',')"
+            )} AS band_hash FROM sig"""
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs AS ({input_cte}),
+    sh AS (SELECT doc_id, {sql_shingles('text', 3)} AS sh FROM docs),
+    sig AS (SELECT doc_id, sh, [{sig_elems}] AS sig FROM sh),
+    bands AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           LEN(LIST_INTERSECT(a.sh, b.sh)) / LEN(LIST_DISTINCT(a.sh || b.sh)) AS jaccard
+    FROM cands c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) / LEN(LIST_DISTINCT(a.sh || b.sh)) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@_q(
+    "dedup_exact_hash",
+    """
+    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents)
+    GROUP BY 1
+    ORDER BY kept_id
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ exact copies: every group has exactly
+    2 members and keeps the original id. One hash shuffle, no sort."""
+    docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(docs).orderBy("kept_id")
+
+
+@_q("dedup_minhash_lsh_exact_copies", _sql_minhash_pipeline(SQL_EXACT_COPIES, 0.9))
+def dedup_minhash_lsh_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH on documents ∪ identical copies. Identical shingle sets
+    ⇒ identical signatures ⇒ every band collides ⇒ recall is exactly 1.0
+    for the (d, d+offset) pairs; the Jaccard verify strips random band
+    collisions. Oracle replays the identical pipeline."""
+    docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
+    return near_duplicates_minhash(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@_q("dedup_minhash_lsh_near_copies", _sql_minhash_pipeline(SQL_TRUNCATED_COPIES, 0.5))
+def dedup_minhash_lsh_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH where the copies are tail-truncated (J<1): exercises
+    probabilistic banding on genuinely-near documents. The oracle replays
+    the same algorithm, so even LSH *misses* must match exactly."""
+    docs = _with_truncated_copies(load_table(spark, sf_dir, "documents"))
+    return near_duplicates_minhash(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _sql_simhash_pipeline(max_hamming: int = 3, blocks: int = 4) -> str:
+    bits, width = 32, 32 // blocks
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    bit_chars = ", ".join(
+        f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(bits - 1, -1, -1)
+    )
+    block_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS block_id, "
+        f"SUBSTR(simhash, {b * width + 1}, {width}) AS block_bits FROM sims"
+        for b in range(blocks)
+    )
+    return f"""
+    WITH docs AS ({SQL_EXACT_COPIES}),
+    tok AS (SELECT doc_id AS id, {sql_md5_int64('t.tok')} AS h
+            FROM docs, UNNEST({sql_tokens('text')}) AS t(tok)),
+    bit_sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+    sims AS (SELECT id, CONCAT({bit_chars}) AS simhash FROM bit_sums),
+    blocked AS ({block_rows}),
+    cands AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+             x.simhash AS sim_a, y.simhash AS sim_b
+      FROM blocked x JOIN blocked y
+        ON x.block_id = y.block_id AND x.block_bits = y.block_bits
+       AND x.id < y.id
+    )
+    SELECT id_a, id_b,
+           LEN(LIST_FILTER(RANGE(1, 33), i -> SUBSTR(sim_a, i, 1) != SUBSTR(sim_b, i, 1)))
+             AS hamming
+    FROM cands
+    WHERE LEN(LIST_FILTER(RANGE(1, 33), i -> SUBSTR(sim_a, i, 1) != SUBSTR(sim_b, i, 1)))
+          <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@_q("dedup_simhash_blocks", _sql_simhash_pipeline())
+def dedup_simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with 8-bit-block pigeonhole blocking + exact
+    Hamming verify (≤3). Oracle replays the identical fingerprint and
+    blocking computation."""
+    docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
+    return near_duplicates_simhash(docs, max_hamming=3, blocks=4).orderBy("id_a", "id_b")
+
+
+@_q(
+    "dedup_ngram_jaccard_grouped",
+    f"""
+    WITH base AS (
+      SELECT lang, source, doc_id AS id, LIST_DISTINCT({sql_tokens('text')}) AS toks
+      FROM documents
+    )
+    SELECT x.lang, x.source, x.id AS id_a, y.id AS id_b,
+           LEN(LIST_INTERSECT(x.toks, y.toks)) / LEN(LIST_DISTINCT(x.toks || y.toks))
+             AS jaccard
+    FROM base x JOIN base y
+      ON x.lang = y.lang AND x.source = y.source AND x.id < y.id
+    WHERE LEN(LIST_INTERSECT(x.toks, y.toks)) / LEN(LIST_DISTINCT(x.toks || y.toks)) >= 0.5
+    ORDER BY x.lang, x.source, id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard all-pairs within (lang, source) blocks — the
+    blocking key bounds the quadratic term; group sizes stay O(10) here
+    and would be salted/size-capped at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.5).orderBy(
+        "lang", "source", "id_a", "id_b"
+    )
+
+
+@_q(
+    "dedup_embedding_cosine_pairs",
+    f"""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+    ORDER BY a.label, id_a, id_b
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: exact-decimal cosine ≥ 0.3 within label blocks
+    (label ≙ the coarse bucket an ANN index would give at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, group_cols=["label"], threshold=0.3).orderBy(
+        "label", "id_a", "id_b"
+    )

@@ -1,4 +1,175 @@
-"""Placeholder — populated later this round."""
+"""Similarity-search query inventory (embeddings table, 64-dim float).
+
+Query vectors are the corpus rows with ``vec_id < 5`` (deterministic, no
+external fixtures). Oracles replay the identical algorithm in DuckDB —
+including the LSH signatures and IVF routing, possible because planes and
+centroids are derived deterministically (md5 parity / exact-decimal means),
+never from an RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.vectors import sql_cosine, sql_dot
+from kinesis_stream_spark.operators.similarity import (
+    plane_signs,
+    topk_bruteforce,
+    topk_ivf,
+    topk_lsh,
+)
+from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
 ORACLE = {}
+
+DIM = 64
+N_QUERIES = 5
+K = 10
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@_q(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {sql_cosine('q.qv', 'e.embedding')} AS cosine
+      FROM embeddings e JOIN q ON e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast queries × corpus scan, window top-k.
+    The 100 TB plan: map-side scoring (no shuffle for the join), one
+    shuffle on query_id for the k-selection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_bruteforce(emb, _queries_df(emb), k=K).orderBy("query_id", "rank")
+
+
+def _sql_signature(vec_expr: str, *, num_planes: int = 8) -> str:
+    """DuckDB replay of hyperplane_signature: left-assoc ±1 dot folds."""
+    signs = plane_signs("hp", num_planes, DIM)
+    bits = []
+    for p in range(num_planes):
+        terms = " + ".join(
+            f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * {signs[p][i]:.1f}" for i in range(DIM)
+        )
+        bits.append(f"CASE WHEN (0.0 + {terms}) >= 0 THEN '1' ELSE '0' END")
+    return "CONCAT(" + ", ".join(bits) + ")"
+
+
+@_q(
+    "similarity_topk_lsh",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_sql_signature('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, s.vec_id AS neighbor_id,
+             {sql_cosine('q.qv', 's.embedding')} AS cosine
+      FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: candidates share an 8-bit signature bucket
+    (≈1/256 of pairs scored), exact cosine re-ranks. The oracle replays
+    the same deterministic planes, so approximation error matches exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_lsh(emb, _queries_df(emb), k=K, num_planes=8, dim=DIM).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _sql_centroids() -> str:
+    sums = ", ".join(
+        f"SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(27,12))) AS s{i}"
+        for i in range(DIM)
+    )
+    elems = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(DIM))
+    return f"""
+      SELECT label, [{elems}] AS centroid
+      FROM (SELECT label, COUNT(*) AS n, {sums} FROM embeddings GROUP BY label)
+    """
+
+
+@_q(
+    "similarity_topk_ivf",
+    f"""
+    WITH cents AS ({_sql_centroids()}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    routed AS (
+      SELECT q.query_id, q.qv, c.label,
+             {sql_dot('q.qv', 'c.centroid')} AS score
+      FROM q CROSS JOIN cents c
+    ),
+    probes AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, label) AS pr
+        FROM routed
+      ) WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {sql_cosine('p.qv', 'e.embedding')} AS cosine
+      FROM embeddings e JOIN probes p ON e.label = p.label
+      WHERE e.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label centroids (exact-decimal means) as the coarse
+    quantizer; each query probes its 2 best partitions and scans only
+    those — the partition-pruning scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_ivf(emb, _queries_df(emb), k=K, nprobe=2, dim=DIM).orderBy(
+        "query_id", "rank"
+    )
