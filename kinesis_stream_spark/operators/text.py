@@ -1,0 +1,231 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting, tf top-terms.
+
+These are the text half of the LLM-training-pipeline surface (the dedup
+half lives in operators/dedup.py). Reference scope note: the reference
+(`500px/kinesis-stream`) ships no text processing at all — payloads are
+opaque bytes decoded user-side (`Record.scala:15`,
+`examples/src/main/scala/Main.scala:22`); these operators are the
+north-star extension surface the driver contract asks for.
+
+Scale design (100 TB):
+
+- Everything per-row is a pure JVM expression (regexp/array higher-order
+  fns inside whole-stage codegen): the per-document feature path is
+  map-only — no shuffle, no Python, survives any partitioning.
+- The only shuffles are the analytical aggregates (tf/df term stats),
+  which hash-partition on (lang, token) — high-cardinality keys, no skew
+  hazard beyond stopwords, which the min-df/max-df band trims anyway.
+- Fingerprints are bounded-magnitude modular arithmetic (fits BIGINT;
+  no overflow at any scale) and derive from md5 (functions/hashing.py) so
+  the DuckDB oracle replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_spark.functions.hashing import md5_int64, sql_md5_int64, sql_tokens, tokens
+
+# --- language ID -------------------------------------------------------------
+
+# Tiny deterministic marker profiles (common function words per language).
+# Real lang-ID would use char-n-gram models; the *operator shape* — per-row
+# score vector + argmax, no shuffle — is identical, which is what matters
+# for the engine. Keep lists sorted; ties break on language code.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("das", "der", "die", "ist", "nicht", "und"),
+    "en": ("a", "and", "is", "of", "the", "to"),
+    "es": ("de", "el", "es", "la", "no", "y"),
+    "fr": ("est", "et", "la", "le", "ne", "un"),
+    "zh": ("de5", "le5", "shi4", "wo3", "zai4", "you3"),
+}
+
+# Stopword set for quality scoring = union of all profiles (deterministic).
+STOPWORDS: tuple[str, ...] = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+# BPE-ish subword pattern: runs of letters, runs of digits, or a single
+# other non-space char — a deterministic stand-in for a real BPE vocab.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+FP_MOD = 2_147_483_648  # 2^31: keeps 31*h + t < 2^63 (no BIGINT overflow)
+FP_TOKEN_MOD = 1_048_576  # 2^20 per-token hash contribution
+
+
+def _count_in_set(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token accounting: whitespace tokens, BPE-ish subword
+    count, distinct tokens, chars-per-token. Map-only."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)).alias("n_subwords"),
+        F.length(text_col).alias("n_chars"),
+        (F.length(text_col).cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+def quality_features(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality signals + composite score in [0, 1].
+
+    All components are single IEEE divisions of integer counts (engine-
+    independent); the composite is a fixed-weight sum of four ratios.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = _count_in_set(toks, STOPWORDS).cast("double") / n
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("double")
+        / F.length(text_col)
+    )
+    # length factor: 1 at >=100 tokens, proportional below (min(n,100)/100)
+    length_factor = F.least(n, F.lit(100)).cast("double") / 100.0
+    score = (
+        distinct_ratio * 0.3 + (1.0 - stop_ratio) * 0.2 + alpha_ratio * 0.2 + length_factor * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        length_factor.alias("length_factor"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: per-language hit counts + argmax label
+    (ties break on language code — deterministic). Map-only."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        _count_in_set(toks, markers).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select(F.col(id_col), F.col("lang").alias("true_lang"), *scores)
+    # argmax via greatest + first-match chain (stable tiebreak by code)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def rolling_fingerprint(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive whole-document fingerprint: left fold
+    ``h = (h*31 + md5(token) % 2^20) % 2^31`` over the token sequence.
+    Unlike the shingle/minhash set signatures this is position-aware —
+    permuted documents get different fingerprints."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: md5_int64(t) % FP_TOKEN_MOD)
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def winnowed_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS-style): hash every k-token gram, take the min hash
+    of each sliding window of `window` grams, emit the distinct sorted
+    mins. Robust to local edits; the standard plagiarism/near-dup
+    fingerprint. Map-only; output is array<bigint> per doc."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: md5_int64(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return docs.select(
+        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fingerprints")
+    )
+
+
+def term_stats_topk(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    top_k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-group top-k terms by collection frequency, with document
+    frequency. Integer counts only (no idf-log — cross-engine exact).
+
+    Scale: explode → two-level aggregate; Catalyst plans partial counts
+    map-side so the (group, token) shuffle carries pre-combined rows.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    stats = tok.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("id").alias("df"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        stats.where(F.col("df") >= min_df)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("grp").alias(group_col), "token", "tf", "df", "rank")
+    )
+
+
+# --- DuckDB twins ------------------------------------------------------------
+
+
+def sql_count_in_set(toks_expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"LEN(LIST_FILTER({toks_expr}, t -> t IN ({lst})))"
+
+
+def sql_rolling_fingerprint(text_expr: str) -> str:
+    """DuckDB twin of :func:`rolling_fingerprint` (fold with explicit
+    init via a prepended zero — LIST_REDUCE seeds from the first
+    element)."""
+    hashes = f"LIST_TRANSFORM({sql_tokens(text_expr)}, t -> {sql_md5_int64('t')} % {FP_TOKEN_MOD})"
+    return f"LIST_REDUCE([CAST(0 AS BIGINT)] || {hashes}, (acc, x) -> (acc * 31 + x) % {FP_MOD})"
+
+
+def sql_winnowed_fingerprints(text_expr: str, *, k: int = 3, window: int = 4) -> str:
+    """DuckDB twin of :func:`winnowed_fingerprints`."""
+    toks = sql_tokens(text_expr)
+    gram_hash = sql_md5_int64(f"ARRAY_TO_STRING(({toks})[i:i+{k - 1}], ' ')")
+    grams = (
+        f"[{gram_hash} "
+        f"FOR i IN RANGE(1, GREATEST(LEN({toks}) - {k - 1}, 1) + 1)]"
+    )
+    mins = (
+        f"[LIST_MIN(g[j:j+{window - 1}]) "
+        f"FOR j IN RANGE(1, GREATEST(LEN(g) - {window - 1}, 1) + 1)]"
+    )
+    return f"(SELECT LIST_SORT(LIST_DISTINCT({mins})) FROM (SELECT {grams} AS g) _w)"

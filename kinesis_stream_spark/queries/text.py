@@ -1,4 +1,185 @@
-"""Placeholder — populated later this round."""
+"""Text-analysis query inventory (documents table; SURVEY.md §2.3
+extension row "text analysis").
+
+Every query is the *operator* from operators/text.py applied to the
+documents table, with a DuckDB oracle that replays the identical
+algorithm (same regexes, same marker sets, same modular fingerprint
+arithmetic) — parity validates the computation, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.operators.text import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS,
+    language_id,
+    quality_features,
+    rolling_fingerprint,
+    sql_count_in_set,
+    sql_rolling_fingerprint,
+    sql_winnowed_fingerprints,
+    term_stats_topk,
+    token_stats,
+    winnowed_fingerprints,
+)
+from kinesis_stream_spark.functions.hashing import sql_tokens
+from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
 ORACLE = {}
+
+_TOKS = sql_tokens("text")
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           LEN({_TOKS}) AS n_tokens,
+           LEN(LIST_DISTINCT({_TOKS})) AS n_distinct,
+           LEN(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}')) AS n_subwords,
+           LENGTH(text) AS n_chars,
+           CAST(LENGTH(text) AS DOUBLE) / LEN({_TOKS}) AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish subwords, distinct
+    tokens, chars/token. Pure map — no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).orderBy("doc_id")
+
+
+def _sql_quality() -> str:
+    n = f"LEN({_TOKS})"
+    distinct_ratio = f"(CAST(LEN(LIST_DISTINCT({_TOKS})) AS DOUBLE) / {n})"
+    stop_ratio = f"(CAST({sql_count_in_set(_TOKS, STOPWORDS)} AS DOUBLE) / {n})"
+    alpha_ratio = (
+        "(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+        " / LENGTH(text))"
+    )
+    length_factor = f"(CAST(LEAST({n}, 100) AS DOUBLE) / 100.0)"
+    score = (
+        f"{distinct_ratio} * 0.3 + (1.0 - {stop_ratio}) * 0.2 + "
+        f"{alpha_ratio} * 0.2 + {length_factor} * 0.3"
+    )
+    return f"""
+    SELECT doc_id, {n} AS n_tokens,
+           {distinct_ratio} AS distinct_ratio,
+           {stop_ratio} AS stopword_ratio,
+           {alpha_ratio} AS alpha_ratio,
+           {length_factor} AS length_factor,
+           {score} AS quality_score
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@_q("text_quality_score", _sql_quality())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: distinct/stopword/alpha ratios + length factor →
+    fixed-weight composite in [0,1]. The filter stage of a training-data
+    pipeline (`WHERE quality_score >= θ` downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).orderBy("doc_id")
+
+
+def _sql_language_id() -> str:
+    scores = ", ".join(
+        f"{sql_count_in_set(_TOKS, m)} AS score_{lang}"
+        for lang, m in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang, {scores} FROM documents
+    )
+    SELECT *, {pred} AS pred_lang FROM scored
+    ORDER BY doc_id
+    """
+
+
+@_q("text_language_id", _sql_language_id())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word profiles: per-language hit counts and a
+    deterministic argmax (ties → lexicographically first code)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).orderBy("doc_id")
+
+
+@_q(
+    "text_fingerprint_rolling",
+    f"""
+    SELECT doc_id, {sql_rolling_fingerprint('text')} AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware rolling-hash fingerprint (modular Horner fold over
+    the token sequence) — the cheap exact-ish dup signal that, unlike
+    minhash sets, distinguishes permuted documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs).orderBy("doc_id")
+
+
+@_q(
+    "text_fingerprint_winnowed",
+    f"""
+    SELECT doc_id, {sql_winnowed_fingerprints('text')} AS fingerprints
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (min-hash per sliding window of 3-gram
+    hashes, distinct + sorted): MOSS-style local-edit-robust signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_fingerprints(docs).orderBy("doc_id")
+
+
+@_q(
+    "text_top_terms_per_lang",
+    f"""
+    WITH tok AS (
+      SELECT lang AS grp, doc_id AS id, t.token
+      FROM documents, UNNEST({_TOKS}) AS t(token)
+    ),
+    stats AS (
+      SELECT grp, token, COUNT(*) AS tf, COUNT(DISTINCT id) AS df
+      FROM tok GROUP BY grp, token
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                                   ORDER BY tf DESC, token) AS rank
+      FROM stats WHERE df >= 2
+    )
+    SELECT grp AS lang, token, tf, df, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-frequency top-5 terms per language with document
+    frequency (integer-only tf/df — no idf log, so cross-engine exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return term_stats_topk(docs, group_col="lang", top_k=5, min_df=2).orderBy("lang", "rank")
