@@ -1,0 +1,183 @@
+"""Multimodal column conventions: opaque ``binary`` payloads + typed
+metadata structs, with decode / feature-extract / frame-sample operators.
+
+Reference scope note: the reference's payload model is exactly this —
+opaque bytes the consumer interprets (`Record.scala:15` `data: ByteString`;
+the example decodes with `r.data.utf8String`,
+`examples/src/main/scala/Main.scala:22`). These operators generalize that
+to image/audio/video payloads for the training-data-pipeline surface.
+
+Schema convention (the contract every source/sink of media rows uses)::
+
+    media_id BIGINT,
+    kind     STRING  ('image' | 'audio' | 'video'),
+    payload  BINARY          -- opaque encoded bytes
+    meta     STRUCT<width INT, height INT,        -- image
+                    sample_rate INT, n_samples INT,  -- audio
+                    fps INT, n_frames INT>           -- video (unused → NULL)
+
+Scale design (100 TB):
+
+- Payloads stay opaque bytes end-to-end; nothing decodes until an
+  explicit decode operator runs, and that operator is ``mapInPandas``
+  (Arrow batches, bounded memory via batch size) — the only sane shape
+  for multi-MB blobs: no JVM<->Python per-row chatter, no collect.
+- Metadata predicates (kind/dims/duration) prune BEFORE decode —
+  filter pushdown on the scalar/struct columns means the parquet scan
+  never materializes payloads of skipped rows (parquet column chunks).
+- Real codecs (PIL/librosa/av) are not in this container: ``decode_*``
+  raise ``NotImplementedError`` when asked for real decoding and provide
+  a deterministic fake (payload-byte interpretation) so the Spark-side
+  plumbing — schema, batching, partitioning — is fully exercised and
+  oracle-checked.
+
+The test media table is derived deterministically from ``documents``
+(payload = md5-chain bytes of the text), so the DuckDB oracle can rebuild
+byte-identical inputs.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark import cloudpickle
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from `documents`: payload = unhex of a
+    md5 chain over the text (48 bytes), kind = doc_id mod 3, metadata
+    derived from n_chars. Every byte reproducible in any engine."""
+    kind = F.element_at(F.array(*[F.lit(k) for k in MEDIA_KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    payload_hex = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.lit("1|"), F.col("text"))),
+        F.md5(F.concat(F.lit("2|"), F.col("text"))),
+    )
+    n = F.col("n_chars").cast("int")
+    meta = F.struct(
+        F.when(kind == "image", (n % 56) + 8).alias("width"),
+        F.when(kind == "image", ((n * 7) % 56) + 8).alias("height"),
+        F.when(kind == "audio", ((n % 3) + 1) * 8000).alias("sample_rate"),
+        F.when(kind == "audio", n * 100).alias("n_samples"),
+        F.when(kind == "video", (n % 2 + 1) * 12).alias("fps"),
+        F.when(kind == "video", (n % 240) + 24).alias("n_frames"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.unhex(payload_hex).alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def payload_bytes(payload: Column) -> Column:
+    """``array<int>`` of byte values of a binary column — JVM-side only
+    (hex → 2-char slices → base-16 conv). Lets byte-level features stay
+    inside codegen instead of round-tripping to Python."""
+    h = F.hex(payload)
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+        lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10).cast("int"),
+    )
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """Per-media byte statistics (the JVM fast path for cheap features:
+    integer sums → one final division, engine-exact)."""
+    b = payload_bytes(F.col("payload"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.aggregate(b, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("byte_sum"),
+        F.array_min(b).alias("byte_min"),
+        F.array_max(b).alias("byte_max"),
+        (
+            F.aggregate(b, F.lit(0).cast("bigint"), lambda a, x: a + x).cast("double")
+            / F.octet_length("payload")
+        ).alias("byte_mean"),
+    )
+
+
+def frame_sample(media: DataFrame, *, stride: int = 10) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled
+    frame index (0, stride, 2*stride, …) with its timestamp. Pure JVM
+    sequence+explode — the downstream decode operator receives
+    (media_id, frame_idx) work units, which is what distributes frame
+    extraction at scale."""
+    v = media.where(F.col("kind") == "video")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(stride))
+    ).alias("frame_idx")
+    return v.select("media_id", F.col("meta.fps").alias("fps"), F.col("meta.n_frames").alias("n_frames"), idx).select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        (F.col("frame_idx").cast("double") / F.col("fps")).alias("frame_ts_sec"),
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_units", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("feature_sig", StringType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame, *, real_decode: bool = False, batch_size: int = 256) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow-batched).
+
+    ``real_decode=True`` is the production path (PIL/soundfile/av) —
+    STUBBED: raises ``NotImplementedError`` in this container. The
+    default deterministic fake treats payload bytes as the decoded
+    samples/pixels (n_units = byte count, mean_value = byte mean,
+    feature_sig = hex of the 4 leading bytes), so schema, batch shape,
+    and partition behavior are real and oracle-checkable.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real codecs (PIL/soundfile/av) are not available in this "
+            "environment; use the deterministic fake decode"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_units": payloads.map(len).astype("int64"),
+                    # exact: integer byte sum / count in float64 — one IEEE divide
+                    "mean_value": payloads.map(lambda b: sum(b)) / payloads.map(len),
+                    "feature_sig": payloads.map(lambda b: bytes(b[:4]).hex()),
+                }
+            )
+            yield out
+
+    src = media.select("media_id", "kind", "payload").repartition("kind")
+    return src.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+# Ship function bodies by value — executors must not need this package
+# importable (see functions/udfs.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])

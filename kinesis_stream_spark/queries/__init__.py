@@ -35,6 +35,7 @@ def _modules():
         similarity,
         streaming_batch,
         text,
+        udf,
     )
 
-    return (relational, scalar, streaming_batch, dedup, similarity, text, multimodal)
+    return (relational, scalar, streaming_batch, dedup, similarity, text, multimodal, udf)
