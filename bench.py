@@ -38,9 +38,10 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            # force full evaluation of every output column (count() alone
-            # would let Catalyst prune the aggregates away)
-            df.foreach(lambda _: None)
+            # force full evaluation of every output column JVM-side
+            # (count() would let Catalyst prune aggregates; a Python
+            # foreach would benchmark row serialization, not the query)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # a broken query must not hide the rest
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]

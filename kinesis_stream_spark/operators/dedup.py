@@ -53,20 +53,54 @@ def exact_dedup(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def minhash_signature(
-    text: Column, *, num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3
-) -> Column:
-    """MinHash signature as array<bigint>: sig[j] = min over shingles of
-    h_j(shingle), h_j = seeded md5 hash. Map-side only."""
-    sh = shingles(text, shingle_n)
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (prime): a*h + b < 2^62, no overflow
 
-    def hasher(j: int):
-        # One-parameter lambda per seed: a `lambda s, j=j` default arg would
-        # make pyspark treat it as a 2-arg (element, index) lambda and bind
-        # the *index column* to j, silently corrupting the seed.
-        return lambda s: md5_int64(s, j)
 
-    return F.array(*[F.array_min(F.transform(sh, hasher(j))) for j in range(num_hashes)])
+def minhash_perm_coeffs(num_hashes: int = DEFAULT_NUM_HASHES) -> list[tuple[int, int]]:
+    """(a_j, b_j) for the j-th minhash permutation h_j(x) = (a_j*x + b_j)
+    mod P — md5-derived Python ints, so they are plain literals in both
+    the Spark plan and the DuckDB oracle."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h(f"mh_a|{j}") % (MINHASH_MOD - 1) + 1, h(f"mh_b|{j}") % MINHASH_MOD)
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>): sig[j] = min over shingles of
+    (a_j * md5(shingle) + b_j) mod P.
+
+    Shape matters at scale: explode → ONE md5 per shingle occurrence →
+    16 cheap linear permutations as MIN aggregates (partial map-side).
+    The naive per-seed-md5 formulation costs 16 md5s per shingle and,
+    composed under Catalyst's project collapsing, recomputes the whole
+    shingle pipeline per signature element — measured 50× slower.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select("id", (md5_int64(F.col("s")) % MINHASH_MOD).alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"m{j}")
+        for j, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig"))
+    )
 
 
 def lsh_band_hashes(sig: Column, *, bands: int = DEFAULT_BANDS, rows: int | None = None) -> Column:
@@ -100,10 +134,14 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band."""
-    sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n)
-    banded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(lsh_band_hashes(sig, bands=bands, rows=num_hashes // bands)).alias("b"),
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            lsh_band_hashes(F.col("sig"), bands=bands, rows=num_hashes // bands)
+        ).alias("b"),
     ).select("id", "b.band_id", "b.band_hash")
     left = banded.alias("x")
     right = banded.alias("y")
@@ -167,11 +205,13 @@ SIMHASH_BITS = 32
 
 
 def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 32-bit SimHash as a '0'/'1' string (MSB first).
+    """Per-doc 32-bit SimHash as a BIGINT (bit i = sign of the i-th
+    signed bit-count).
 
-    Explode tokens → 60-bit md5 hash each → per-bit signed counts → sign.
-    String form keeps the oracle comparison type-exact and makes the
-    per-block substring join below trivial.
+    Explode tokens → one 60-bit md5 hash each → per-bit signed counts →
+    integer fingerprint. Integer form makes block extraction a
+    shift-and-mask and the Hamming verify a single xor+bit_count —
+    constant work per candidate pair instead of 32 string allocations.
     """
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -184,22 +224,19 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
             for i in range(SIMHASH_BITS)
         ]
     )
-    bit_chars = [
-        F.when(F.col(f"b{i}") > 0, "1").otherwise("0")
-        for i in range(SIMHASH_BITS - 1, -1, -1)  # MSB first
-    ]
-    return bit_sums.select(F.col("id"), F.concat(*bit_chars).alias("simhash"))
-
-
-def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Hamming distance between two equal-length bit strings."""
-    return F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda i: F.substring(a, 1, bits).substr(i, F.lit(1))
-            != F.substring(b, 1, bits).substr(i, F.lit(1)),
-        )
+    fingerprint = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            for i in range(SIMHASH_BITS)
+        ],
+        start=F.lit(0).cast("bigint"),
     )
+    return bit_sums.select(F.col("id"), fingerprint.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer fingerprints: popcount(a^b)."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def near_duplicates_simhash(
@@ -213,9 +250,19 @@ def near_duplicates_simhash(
     """SimHash near-dup: block-equality blocking (pigeonhole: hamming ≤ k
     with blocks > k ⇒ at least one of the blocks is identical), then exact
     Hamming verify. Join key is (block_id, block_bits) — same scale shape
-    as MinHash-LSH banding."""
+    as MinHash-LSH banding.
+
+    Candidate volume is the hazard: low-entropy corpora (shared
+    vocabulary) collapse fingerprints into few block values, making the
+    block join quadratic in the hot buckets. Mitigations, in order: the
+    xor+bit_count verify keeps per-pair cost O(1); the hamming filter
+    runs BEFORE the pair-dedup shuffle so only survivors get shuffled;
+    at 100 TB additionally cap/salt hot buckets (non-discriminative
+    blocks carry no recall worth their cost).
+    """
     assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
     width = SIMHASH_BITS // blocks
+    mask = (1 << width) - 1
     sims = simhash(docs, text_col=text_col, id_col=id_col)
     blocked = sims.select(
         "id",
@@ -225,7 +272,9 @@ def near_duplicates_simhash(
                 *[
                     F.struct(
                         F.lit(b).alias("block_id"),
-                        F.substring("simhash", b * width + 1, width).alias("block_bits"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_bits"),
                     )
                     for b in range(blocks)
                 ]
@@ -233,7 +282,7 @@ def near_duplicates_simhash(
         ).alias("blk"),
     ).select("id", "simhash", "blk.block_id", "blk.block_bits")
     x, y = blocked.alias("x"), blocked.alias("y")
-    cands = (
+    return (
         x.join(
             y,
             (F.col("x.block_id") == F.col("y.block_id"))
@@ -243,14 +292,11 @@ def near_duplicates_simhash(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sim_a"),
-            F.col("y.simhash").alias("sim_b"),
+            hamming_distance(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)  # filter BEFORE the dedup shuffle
         .distinct()
     )
-    return cands.withColumn(
-        "hamming", hamming_distance(F.col("sim_a"), F.col("sim_b"))
-    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
 # --- n-gram Jaccard within bounded groups -------------------------------------

@@ -84,11 +84,15 @@ SQL_TRUNCATED_COPIES = f"""
 
 
 def _sql_minhash_pipeline(input_cte: str, threshold: float) -> str:
-    """DuckDB replay of near_duplicates_minhash (same hashes, same bands)."""
+    """DuckDB replay of near_duplicates_minhash (same base hash, same
+    linear permutations, same bands)."""
+    from kinesis_stream_spark.operators.dedup import MINHASH_MOD, minhash_perm_coeffs
+
     n, bands = DEFAULT_NUM_HASHES, DEFAULT_BANDS
     rows = n // bands
     sig_elems = ", ".join(
-        f"LIST_MIN(LIST_TRANSFORM(sh, s -> {sql_md5_int64('s', j)}))" for j in range(n)
+        f"MIN((h * {a} + {b}) % {MINHASH_MOD})"
+        for a, b in minhash_perm_coeffs(n)
     )
     band_rows = " UNION ALL ".join(
         f"""SELECT doc_id, {b} AS band_id,
@@ -101,7 +105,9 @@ def _sql_minhash_pipeline(input_cte: str, threshold: float) -> str:
     return f"""
     WITH docs AS ({input_cte}),
     sh AS (SELECT doc_id, {sql_shingles('text', 3)} AS sh FROM docs),
-    sig AS (SELECT doc_id, sh, [{sig_elems}] AS sig FROM sh),
+    shh AS (SELECT doc_id, {sql_md5_int64('t.s')} % {MINHASH_MOD} AS h
+            FROM sh, UNNEST(sh) AS t(s)),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM shh GROUP BY doc_id),
     bands AS ({band_rows}),
     cands AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -159,15 +165,17 @@ def dedup_minhash_lsh_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _sql_simhash_pipeline(max_hamming: int = 3, blocks: int = 4) -> str:
     bits, width = 32, 32 // blocks
+    mask = (1 << width) - 1
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
     )
-    bit_chars = ", ".join(
-        f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(bits - 1, -1, -1)
+    fingerprint = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
     )
     block_rows = " UNION ALL ".join(
         f"SELECT id, simhash, {b} AS block_id, "
-        f"SUBSTR(simhash, {b * width + 1}, {width}) AS block_bits FROM sims"
+        f"(simhash >> {b * width}) & {mask} AS block_bits FROM sims"
         for b in range(blocks)
     )
     return f"""
@@ -175,21 +183,14 @@ def _sql_simhash_pipeline(max_hamming: int = 3, blocks: int = 4) -> str:
     tok AS (SELECT doc_id AS id, {sql_md5_int64('t.tok')} AS h
             FROM docs, UNNEST({sql_tokens('text')}) AS t(tok)),
     bit_sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
-    sims AS (SELECT id, CONCAT({bit_chars}) AS simhash FROM bit_sums),
-    blocked AS ({block_rows}),
-    cands AS (
-      SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-             x.simhash AS sim_a, y.simhash AS sim_b
-      FROM blocked x JOIN blocked y
-        ON x.block_id = y.block_id AND x.block_bits = y.block_bits
-       AND x.id < y.id
-    )
-    SELECT id_a, id_b,
-           LEN(LIST_FILTER(RANGE(1, 33), i -> SUBSTR(sim_a, i, 1) != SUBSTR(sim_b, i, 1)))
-             AS hamming
-    FROM cands
-    WHERE LEN(LIST_FILTER(RANGE(1, 33), i -> SUBSTR(sim_a, i, 1) != SUBSTR(sim_b, i, 1)))
-          <= {max_hamming}
+    sims AS (SELECT id, {fingerprint} AS simhash FROM bit_sums),
+    blocked AS ({block_rows})
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           BIT_COUNT(XOR(x.simhash, y.simhash)) AS hamming
+    FROM blocked x JOIN blocked y
+      ON x.block_id = y.block_id AND x.block_bits = y.block_bits
+     AND x.id < y.id
+    WHERE BIT_COUNT(XOR(x.simhash, y.simhash)) <= {max_hamming}
     ORDER BY id_a, id_b
     """
 
