@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_stream_spark.functions.hashing import md5_int64
-from kinesis_stream_spark.functions.vectors import cosine_similarity, dot_decimal
+from kinesis_stream_spark.functions.vectors import dot_decimal, norm_decimal
 
 
 def cosine_pairs(
@@ -37,8 +37,19 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold within blocking groups."""
-    base = emb.select(*group_cols, F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    """All-pairs cosine ≥ threshold within blocking groups.
+
+    Norms are computed map-side BEFORE the join (N rows, not P pairs):
+    at scale the pair side dominates, so each pair should cost one dot
+    product, not one dot plus two norms. cosine = dot/(na*nb) runs the
+    identical IEEE ops as cosine_similarity — bit-identical results.
+    """
+    base = emb.select(
+        *group_cols,
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_decimal(F.col(vec_col)).alias("nv"),
+    )
     x, y = base.alias("x"), base.alias("y")
     cond = F.col("x.id") < F.col("y.id")
     for c in group_cols:
@@ -49,7 +60,10 @@ def cosine_pairs(
             *[F.col(f"x.{c}").alias(c) for c in group_cols],
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            cosine_similarity(F.col("x.v"), F.col("y.v")).alias("cosine"),
+            (
+                dot_decimal(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nv") * F.col("y.nv"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -71,12 +85,18 @@ def topk_bruteforce(
     the single shuffle, on the (small-cardinality) query id.
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_decimal(F.col(vec_col)).alias("nq"),
     )
-    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
-        "query_id",
+    scored = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity(F.col("qv"), F.col(vec_col)).alias("cosine"),
+        F.col(vec_col).alias("cv"),
+        norm_decimal(F.col(vec_col)).alias("nc"),
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot_decimal(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -96,13 +116,17 @@ def hyperplane_signature(
     sign component i of plane p = +1 if md5_int64("{seed}|p_i") is even.
     The dot with a ±1 plane is an exact float sum in double (each term a
     float promoted exactly), folded sequentially like functions/vectors.
+
+    Implementation: plane = one array<double> literal, dot = zip_with +
+    sequential aggregate. The fold order (((0+t0)+t1)+...) is identical
+    to a chained-add expression, but the plan is num_planes small nodes
+    instead of num_planes*dim chained Adds — the chained form blew past
+    codegen method limits and fell back to interpreted projection.
     """
     bits = []
-    for p in range(num_planes):
-        acc = F.lit(0.0)
-        for i in range(dim):
-            sign = 1.0 if _plane_sign(seed, p, i) else -1.0
-            acc = acc + F.element_at(vec, i + 1).cast("double") * F.lit(sign)
+    for p, signs in enumerate(plane_signs(seed, num_planes, dim)):
+        prods = F.zip_with(vec, F.lit(signs), lambda x, s: x.cast("double") * s)
+        acc = F.aggregate(prods, F.lit(0.0), lambda a, t: a + t)
         bits.append(F.when(acc >= 0, "1").otherwise("0"))
     return F.concat(*bits)
 
@@ -145,17 +169,23 @@ def topk_lsh(
     """
     sig = lambda c: hyperplane_signature(c, num_planes=num_planes, dim=dim)  # noqa: E731
     corp = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_decimal(F.col(vec_col)).alias("nc"),
+        sig(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig(F.col(vec_col)).alias("bucket")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_decimal(F.col(vec_col)).alias("nq"),
+        sig(F.col(vec_col)).alias("bucket"),
     )
     scored = corp.join(F.broadcast(q), ["bucket"]).where(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        (dot_decimal(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -205,12 +235,15 @@ def topk_ivf(
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("label"))
     probes = routed.withColumn("pr", F.row_number().over(wr)).where(F.col("pr") <= nprobe)
-    scored = corpus.join(
-        F.broadcast(probes.select("query_id", "qv", "label")), ["label"]
+    scored = corpus.withColumn("nc", norm_decimal(F.col(vec_col))).join(
+        F.broadcast(
+            probes.select("query_id", "qv", F.col("label"), norm_decimal(F.col("qv")).alias("nq"))
+        ),
+        ["label"],
     ).where(F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity(F.col("qv"), F.col(vec_col)).alias("cosine"),
+        (dot_decimal(F.col("qv"), F.col(vec_col)) / (F.col("nq") * F.col("nc"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
