@@ -170,6 +170,272 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q04_priority_late_items",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q04_priority_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: late = shipped >60 days after order date —
+    this schema has no commit/receipt dates): correlated EXISTS with an
+    inequality → left-semi join with an equi key plus a non-equi residual.
+    The semi join never multiplies rows, so the agg input stays at
+    orders-cardinality regardless of lineitems per order.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q06_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.06
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no joins, no groups.
+
+    Plan check: all four predicates reach the parquet scan as
+    PushedFilters; the global agg is partial map-side then a single-row
+    exchange — the minimal possible shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_q(
+    "q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-items revenue per customer, top 20.
+    Fact⋈fact shuffles on orderkey; customer and nation broadcast; the
+    final top-20 is TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q11_top_suppliers",
+    f"""
+    WITH revs AS (
+      SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, revenue
+    FROM revs JOIN supplier ON l_suppkey = s_suppkey
+    WHERE revenue > (SELECT {sql_davg('revenue', 'a')} FROM revs) * 1.1
+    ORDER BY revenue DESC, s_suppkey
+    """,
+)
+def q11_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11/Q15 shape: aggregate, then filter against a scalar
+    aggregate of that same aggregate (suppliers above 1.1× mean revenue).
+    The scalar lands as a single-row broadcast — no shuffle added."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revs = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    thresh = revs.agg(davg("revenue", "a"))
+    return (
+        revs.join(F.broadcast(thresh))
+        .where(F.col("revenue") > F.col("a") * 1.1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    f"""
+    SELECT 100.0 * promo / total AS promo_pct, promo AS promo_revenue
+    FROM (
+      SELECT
+        {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo')},
+        {sql_dsum('l_extendedprice * (1 - l_discount)', 'total')}
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a dim join.
+    part broadcasts; both sums accumulate exact decimal so the final
+    single IEEE divide is cross-engine deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)), "promo"),
+            dsum(disc_price, "total"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_pct"),
+            F.col("promo").alias("promo_revenue"),
+        )
+    )
+
+
+@_q(
+    "q18_large_quantity_orders",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery → left-semi
+    join on the aggregated keys; both lineitem passes shuffle on
+    orderkey, so at scale bucketing lineitem by orderkey makes the
+    second pass co-located."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
+        .where(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.big_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common single-side conjuncts (brand IN (...), quantity
+    range) below the join, so the scan prunes before pairing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return j.where(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join family
 # ---------------------------------------------------------------------------
