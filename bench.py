@@ -31,6 +31,13 @@ def main() -> None:
 
     spark = get_spark("kinesis-stream-spark-bench")
 
+    # Warm the session before timing: JVM/codegen/parquet-reader init and
+    # the noop-sink committer otherwise land entirely on whichever query
+    # happens to sort first (~5s attributed to a 0.5s query).
+    from kinesis_stream_spark.sources.batch import load_table
+
+    load_table(spark, sf_dir, "region").write.format("noop").mode("overwrite").save()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -15,7 +15,7 @@ Scale design (100 TB):
   AQE split stragglers. Verification (exact Jaccard) runs only on candidate
   pairs.
 - **SimHash**: per-token hashes aggregated into per-bit majorities — one
-  explode + one groupBy(doc); near-dup blocking joins on equal 8-bit blocks
+  explode + one groupBy(doc); near-dup blocking joins on equal 15-bit blocks
   (Hamming ≤ k ⇒ some block equal when blocks > k).
 - **Embedding cosine**: pairs bounded by an equi-key (label/bucket) before
   the exact-decimal cosine (functions/vectors.py); unbounded all-pairs
@@ -201,11 +201,15 @@ def near_duplicates_minhash(
 
 # --- SimHash -----------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60 bits (all of md5_int64's width): with 4 blocks the blocking key is
+# 15 bits, so random block collisions are ~1/32768 per block — a 32-bit
+# fingerprint's 8-bit blocks collided at ~1/256 and produced ~10^7
+# candidate pairs at sf0.1 (measured), almost all of them noise.
+SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 32-bit SimHash as a BIGINT (bit i = sign of the i-th
+    """Per-doc 60-bit SimHash as a BIGINT (bit i = sign of the i-th
     signed bit-count).
 
     Explode tokens → one 60-bit md5 hash each → per-bit signed counts →
@@ -311,25 +315,49 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """All-pairs token-set Jaccard, bounded to pairs sharing ``group_cols``
-    (the blocking key that keeps this from being a cross join at scale)."""
+    (the blocking key that keeps this from being a cross join at scale).
+
+    Sparse-join shape: instead of pairing whole documents and
+    intersecting token arrays per pair (quadratic in group size AND
+    linear in document length per pair), explode distinct tokens and
+    equi-join on (group, token) — only pairs that actually share a token
+    are ever materialized, the intersection size falls out of a count
+    aggregate, and |union| = |A| + |B| - |A∩B| from per-doc sizes. Same
+    integers, same single IEEE division, identical results. At 100 TB
+    add a document-frequency cap on join tokens (stopword-ish tokens
+    generate pairs without ever pushing Jaccard over threshold).
+    """
     base = docs.select(
         *group_cols,
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     )
-    x, y = base.alias("x"), base.alias("y")
-    cond = (F.col("x.id") < F.col("y.id"))
+    sizes = base.select(*group_cols, "id", F.size("toks").alias("sz"))
+    tok = base.select(*group_cols, "id", F.explode("toks").alias("t"))
+    x, y = tok.alias("x"), tok.alias("y")
+    cond = (F.col("x.id") < F.col("y.id")) & (F.col("x.t") == F.col("y.t"))
     for c in group_cols:
         cond = cond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
-    return (
+    inter = (
         x.join(y, cond)
-        .select(
+        .groupBy(
             *[F.col(f"x.{c}").alias(c) for c in group_cols],
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .select(
+            *group_cols,
+            "id_a",
+            "id_b",
             (
-                F.size(F.array_intersect("x.toks", "y.toks"))
-                / F.size(F.array_union("x.toks", "y.toks"))
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

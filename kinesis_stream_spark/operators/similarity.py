@@ -50,7 +50,12 @@ def cosine_pairs(
         F.col(vec_col).alias("v"),
         norm_decimal(F.col(vec_col)).alias("nv"),
     )
-    x, y = base.alias("x"), base.alias("y")
+    # The pair expansion multiplies work by group size, so parallelism of
+    # the PROBE side must not be inherited from the (possibly single-
+    # partition) input scan: a small-table scan in one task would score
+    # every pair serially. Hash-spread rows by id first — an exchange of
+    # N rows ahead of O(N·group) scoring is noise.
+    x, y = base.repartition(F.col("id")).alias("x"), base.alias("y")
     cond = F.col("x.id") < F.col("y.id")
     for c in group_cols:
         cond = cond & (F.col(f"x.{c}") == F.col(f"y.{c}"))

@@ -164,7 +164,9 @@ def dedup_minhash_lsh_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _sql_simhash_pipeline(max_hamming: int = 3, blocks: int = 4) -> str:
-    bits, width = 32, 32 // blocks
+    from kinesis_stream_spark.operators.dedup import SIMHASH_BITS
+
+    bits, width = SIMHASH_BITS, SIMHASH_BITS // blocks
     mask = (1 << width) - 1
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
@@ -197,7 +199,7 @@ def _sql_simhash_pipeline(max_hamming: int = 3, blocks: int = 4) -> str:
 
 @_q("dedup_simhash_blocks", _sql_simhash_pipeline())
 def dedup_simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup with 8-bit-block pigeonhole blocking + exact
+    """SimHash near-dup with 15-bit-block pigeonhole blocking + exact
     Hamming verify (≤3). Oracle replays the identical fingerprint and
     blocking computation."""
     docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
