@@ -1005,3 +1005,171 @@ def sql_in_subquery_parts_in_asia_orders(spark: SparkSession, sf_dir: str) -> Da
         ORDER BY p_partkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping + distribution + remaining join/set variants
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(27,6)) END) AS DOUBLE) AS f_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(27,6)) END) AS DOUBLE) AS o_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'P'
+                    THEN CAST(l_quantity AS DECIMAL(27,6)) END) AS DOUBLE) AS p_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit values (no extra distinct-values
+    job — at scale, always pass the pivot domain) ≡ conditional
+    aggregation; the oracle states that equivalence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("f_qty"),
+        F.col("O").alias("o_qty"),
+        F.col("P").alias("p_qty"),
+    ).orderBy("l_returnflag")
+
+
+@_q(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (array-typed aggregate result).
+
+    Cross-engine exactness: l_quantity values are small whole numbers and
+    the quantile fractions are exact binaries (.25/.5/.75), so the linear
+    interpolation is IEEE-exact under either lo+(hi-lo)*f or
+    lo*(1-f)+hi*f — engine formula differences can't surface. At scale
+    exact percentile is a sort-based aggregate; approx_percentile is the
+    100 TB tool (not oracle-checkable: sketch internals differ).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("qty_quartiles"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "window_ntile_nth_value",
+    """
+    SELECT s_suppkey, s_acctbal,
+           NTILE(4) OVER w AS quartile,
+           NTH_VALUE(s_suppkey, 2) OVER
+             (PARTITION BY s_nationkey % 5 ORDER BY s_acctbal DESC, s_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best,
+           FIRST_VALUE(s_suppkey) OVER w AS best
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey % 5 ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_ntile_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / nth_value / first_value with a deterministic tiebreaker
+    (unique key in the ORDER BY — mandatory for cross-engine equality)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy(F.col("s_nationkey") % 5).orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("s_suppkey", 2)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("second_best"),
+        F.first("s_suppkey").over(w).alias("best"),
+    ).orderBy("s_suppkey")
+
+
+@_q(
+    "join_right_lineitem_part",
+    """
+    SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_lineitems
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 48) l
+    RIGHT JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_brand
+    ORDER BY p_partkey
+    """,
+)
+def join_right_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving parts with no matching lineitems
+    (COUNT of a nullable key counts only real matches)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 48)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right")
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "set_bag_semantics",
+    """
+    SELECT nk, cnt FROM (
+      SELECT nk, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 8000
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 0
+      ) GROUP BY nk
+      UNION ALL
+      SELECT nk + 1000 AS nk, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 8000
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 0
+      ) GROUP BY nk
+    )
+    ORDER BY nk
+    """,
+)
+def set_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (multiplicity-preserving set ops) —
+    the bag-semantics complement of the distinct set-op queries."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 8000)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 0)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    inter = cust.intersectAll(supp).groupBy("nk").agg(F.count(F.lit(1)).alias("cnt"))
+    exc = (
+        cust.exceptAll(supp)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select((F.col("nk") + 1000).alias("nk"), "cnt")
+    )
+    return inter.unionAll(exc).orderBy("nk")
