@@ -1173,3 +1173,59 @@ def set_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("nk") + 1000).alias("nk"), "cnt")
     )
     return inter.unionAll(exc).orderBy("nk")
+
+
+# ---------------------------------------------------------------------------
+# Sampling + sketches (the 100 TB estimation surface)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sample_hash_deterministic",
+    """
+    SELECT COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sampled_price,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem
+    WHERE CAST(('0x' || SUBSTR(MD5(CONCAT_WS('|', l_orderkey, l_linenumber)), 1, 15))
+               AS BIGINT) % 100 < 10
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample by key hash — the scale-correct sampling
+    primitive: reproducible across engines, runs, partitionings, and
+    retries (df.sample's RNG is none of those), stable under appends,
+    and a pure map-side filter. This is how a 100 TB pipeline takes
+    auditable subsets for eval sets or quality probes."""
+    from kinesis_stream_spark.functions.hashing import md5_int64
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = md5_int64(F.concat_ws("|", "l_orderkey", "l_linenumber")) % 100
+    return li.where(bucket < 10).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("l_extendedprice", "sampled_price"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@_q("agg_approx_sketches")  # rows-only: sketch internals are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts and quantile sketches per return
+    flag — the single-pass, fixed-memory estimators that replace their
+    exact twins (agg_distinct_counts, agg_exact_percentiles) at 100 TB,
+    where exact distinct shuffles every key and exact percentiles sort.
+    No DuckDB oracle on purpose: sketch merge internals differ between
+    engines; the exact twins are the correctness anchor, and the test
+    here is rows-only plus a sanity bound against the exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
+            ).alias("approx_price_p50_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
