@@ -1229,3 +1229,230 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes II (Q7/Q8/Q13/Q17/Q22 adapted to this schema)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q07_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             YEAR(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair filter across two
+    different dimension paths of the same fact row, grouped by year.
+    The OR across (supplier-nation, customer-nation) can't be pushed to
+    either scan alone — Catalyst keeps it above both broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_q(
+    "q08_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                    THEN CAST(volume AS DECIMAL(27,6)) ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT YEAR(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly revenue —
+    conditional-sum / total-sum ratio per group, both sums exact decimal
+    so the single final divide is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec_vol = F.col("volume").cast("decimal(27,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_rkey") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", dec_vol).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(dec_vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregate building a histogram of
+    per-customer order counts; the join predicate lives in the OUTER
+    join's ON clause (filtering there, not WHERE, preserves zero-order
+    customers)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice', 'total_price')}, COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS avg_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity)
+                   AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON p_partkey = avg_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into a
+    self-aggregate join — each lineitem compares against its part's mean
+    quantity. The aggregate side shrinks to one row per part, so it
+    broadcasts; at scale both lineitem passes bucket on partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    avgs = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avgs), F.col("p_partkey") == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(dsum("l_extendedprice", "total_price"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@_q(
+    "q22_global_sales_opportunity",
+    f"""
+    SELECT seg, COUNT(*) AS numcust, {sql_dsum('c_acctbal', 'totacctbal')}
+    FROM (
+      SELECT SUBSTR(c_name, 1, 11) AS seg, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT {sql_davg('c_acctbal', 'a')} FROM customer
+                         WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    )
+    GROUP BY seg
+    ORDER BY seg
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join,
+    grouped by a name prefix (stands in for the phone country code)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thresh = cust.where(F.col("c_acctbal") > 0).agg(davg("c_acctbal", "a"))
+    return (
+        cust.join(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.substring("c_name", 1, 11).alias("seg"), "c_acctbal")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .orderBy("seg")
+    )
