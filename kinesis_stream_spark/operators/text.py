@@ -72,10 +72,10 @@ def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def quality_features(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document quality signals + composite score in [0, 1].
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """The per-document quality signals as named Column expressions —
+    shared by :func:`quality_features` and any composite pipeline that
+    wants the signals fused into its own single map stage.
 
     All components are single IEEE divisions of integer counts (engine-
     independent); the composite is a fixed-weight sum of four ratios.
@@ -93,14 +93,37 @@ def quality_features(
     score = (
         distinct_ratio * 0.3 + (1.0 - stop_ratio) * 0.2 + alpha_ratio * 0.2 + length_factor * 0.3
     )
+    return {
+        "n_tokens": n,
+        "distinct_ratio": distinct_ratio,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "length_factor": length_factor,
+        "quality_score": score,
+    }
+
+
+def quality_features(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality signals + composite score in [0, 1]."""
+    cols = quality_columns(text_col)
     return docs.select(
-        F.col(id_col),
-        n.alias("n_tokens"),
-        distinct_ratio.alias("distinct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        length_factor.alias("length_factor"),
-        score.alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def pred_lang_col(text_col: str = "text") -> Column:
+    """Marker-word language argmax as a single Column expression (ties
+    break on language code — deterministic)."""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: _count_in_set(toks, markers)
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    return F.coalesce(
+        *[F.when(score == best, F.lit(lang)) for lang, score in scores.items()]
     )
 
 

@@ -183,3 +183,95 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (integer-only tf/df — no idf log, so cross-engine exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return term_stats_topk(docs, group_col="lang", top_k=5, min_df=2).orderBy("lang", "rank")
+
+
+def _sql_curation_pipeline(threshold: float = 0.65) -> str:
+    """Composite pipeline oracle: quality CTE + lang-ID CTE + exact-dedup
+    CTE + final per-language aggregate, reusing the same SQL fragments as
+    the standalone stage oracles."""
+    n = f"LEN({_TOKS})"
+    distinct_ratio = f"(CAST(LEN(LIST_DISTINCT({_TOKS})) AS DOUBLE) / {n})"
+    stop_ratio = f"(CAST({sql_count_in_set(_TOKS, STOPWORDS)} AS DOUBLE) / {n})"
+    alpha_ratio = (
+        "(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+        " / LENGTH(text))"
+    )
+    length_factor = f"(CAST(LEAST({n}, 100) AS DOUBLE) / 100.0)"
+    score = (
+        f"{distinct_ratio} * 0.3 + (1.0 - {stop_ratio}) * 0.2 + "
+        f"{alpha_ratio} * 0.2 + {length_factor} * 0.3"
+    )
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{sql_count_in_set(_TOKS, m)} AS score_{lang}"
+        for lang, m in sorted(LANG_MARKERS.items())
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH featured AS (
+      SELECT doc_id, text, {n} AS n_tokens, {score} AS quality_score, {scores}
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, n_tokens, quality_score, {pred} AS pred_lang
+      FROM featured
+      WHERE quality_score >= {threshold}
+    ),
+    deduped AS (
+      SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS h,
+             MIN(doc_id) AS kept_id
+      FROM kept GROUP BY 1
+    )
+    SELECT pred_lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(CAST(quality_score AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+             AS avg_quality
+    FROM kept JOIN deduped ON doc_id = kept_id
+    GROUP BY pred_lang
+    ORDER BY pred_lang
+    """
+
+
+@_q("text_curation_pipeline", _sql_curation_pipeline())
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation composite: quality-score →
+    filter → language-ID → exact-dedup (keep lowest id per normalized
+    content) → per-language corpus stats. One declarative plan: the
+    per-document feature stages are column expressions in a single
+    projection (no joins, no materialization between 'stages'), so the
+    shuffles are exactly the dedup groupBy, the winners join-back, and
+    the final per-language aggregate — the shape a 100 TB curation run
+    wants."""
+    from kinesis_stream_spark.operators.dedup import normalized_text
+    from kinesis_stream_spark.operators.text import pred_lang_col, quality_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    kept = docs.select(
+        "doc_id",
+        "text",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        pred_lang_col("text").alias("pred_lang"),
+    ).where(F.col("quality_score") >= 0.65)
+    deduped = (
+        kept.groupBy(F.md5(normalized_text(F.col("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("kept_id"))
+        .select(F.col("kept_id").alias("doc_id"))
+    )
+    return (
+        kept.join(deduped, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+        .orderBy("pred_lang")
+    )
