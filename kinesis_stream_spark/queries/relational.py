@@ -1456,3 +1456,275 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes III (Q2/Q9/Q12/Q15/Q16/Q21 adapted: no partsupp /
+# commitdate / shipmode in the synthetic schema, so lineitem stands in
+# as the part-supplier relation and "late" = shipped long after order)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q02_min_cost_supplier",
+    """
+    SELECT s_acctbal, s_name, p_partkey, p_name
+    FROM (
+      SELECT DISTINCT s_acctbal, s_name, p_partkey, p_name
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN (SELECT l_partkey AS mk, MIN(l_extendedprice / l_quantity) AS min_unit
+            FROM lineitem GROUP BY l_partkey) m
+        ON p_partkey = mk
+      WHERE p_size = 15 AND l_extendedprice / l_quantity = min_unit
+    )
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery (cheapest unit price per
+    part) decorrelated into a per-part aggregate joined back against the
+    detail rows. The aggregate side is one row per part → broadcast; at
+    scale both lineitem passes bucket on partkey so neither shuffles.
+    Unit price is a single IEEE division, identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    mins = li.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(mins), F.col("p_partkey") == F.col("mk"))
+        .where(unit == F.col("min_unit"))
+        .select("s_acctbal", "s_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+    )
+
+
+@_q(
+    "q09_product_type_profit",
+    f"""
+    SELECT n_name AS nation, o_year, {sql_dsum('amount', 'sum_profit')}
+    FROM (
+      SELECT n_name, YEAR(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity
+               AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    )
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: five-way join with a LIKE filter on the part
+    name, profit per supplier-nation per year. p_retailprice * 0.1
+    stands in for ps_supplycost (no partsupp table). The part filter
+    prunes before the join; dims broadcast; the only shuffle is
+    lineitem⋈orders plus the final (nation, year) aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.1) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@_q(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way count split by order
+    priority over late shipments (shipped >60 days after order date —
+    the synthetic schema has no commit/receipt dates or shipmode).
+    Integer counts — no float determinism concerns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q15_REVENUE = f"""
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1995-04-01'
+      GROUP BY l_suppkey
+"""
+
+
+@_q(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS ({_Q15_REVENUE})
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) hitting the global MAX — a scalar subquery over an
+    aggregate, decorrelated into a 1-row broadcast cross join. Revenue
+    is decimal-exact per supplier, so MAX and the equality compare are
+    bitwise stable across engines and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("best_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "q16_supplier_part_types",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type <> 'SMALL'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) with
+    a NOT IN exclusion subquery (negative-balance suppliers ≙ the
+    complaint filter). lineitem stands in for partsupp. NOT IN over a
+    non-null key column = left anti join; the exclusion list is tiny →
+    broadcast anti join, no shuffle for it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@_q(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier in a multi-supplier
+    finished order. EXISTS → left semi self-join, NOT EXISTS → left
+    anti self-join, both on (orderkey, suppkey≠). "Late" = shipped >90
+    days after order date (no receipt/commit dates in this schema).
+
+    Scale: the three lineitem passes all hash on l_orderkey — one
+    co-partitioning serves the self-joins and the orders join, so AQE
+    can reuse the exchange; at 100 TB bucket lineitem by orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    other = lambda a, b: (
+        (F.col(f"{a}.l_orderkey") == F.col(f"{b}.l_orderkey"))
+        & (F.col(f"{a}.l_suppkey") != F.col(f"{b}.l_suppkey"))
+    )
+    return (
+        l1.join(l2, other("l1", "l2"), "left_semi")
+        .join(l3, other("l1", "l3"), "left_anti")
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
