@@ -6,7 +6,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is timed end-to-end (plan + execute + fetch) via a count-style
+The final stdout line is kept compact (round 1's full 88-query map was
+~3.5 KB and got truncated by the driver's tail capture → "parsed": null);
+`queries` on the stdout line holds only the slowest 10, and the complete
+per-query map is written to BENCH_DETAIL.json next to this script.
+
+Each query is timed end-to-end (plan + execute + fetch) via a noop-sink
 materialization that forces full evaluation without driver-side row
 transfer dominating the measurement.
 """
@@ -53,16 +58,32 @@ def main() -> None:
         except Exception as exc:  # a broken query must not hide the rest
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    result = {
+    detail = {
         "metric": "query_inventory_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
     }
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result))
+        detail["failures"] = failures
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=2, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "query_inventory_runtime",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

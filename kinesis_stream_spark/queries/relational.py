@@ -1049,7 +1049,9 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_exact_percentiles",
     """
     SELECT l_returnflag,
-           QUANTILE_CONT(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+           QUANTILE_CONT(l_quantity, 0.25) AS qty_p25,
+           QUANTILE_CONT(l_quantity, 0.5) AS qty_p50,
+           QUANTILE_CONT(l_quantity, 0.75) AS qty_p75,
            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
     FROM lineitem
     GROUP BY l_returnflag
@@ -1057,22 +1059,33 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (array-typed aggregate result).
+    """Exact interpolated percentiles, projected to scalar columns
+    (array-typed results crash tabular canonicalizers — r1 finding).
 
     Cross-engine exactness: l_quantity values are small whole numbers and
     the quantile fractions are exact binaries (.25/.5/.75), so the linear
     interpolation is IEEE-exact under either lo+(hi-lo)*f or
     lo*(1-f)+hi*f — engine formula differences can't surface. At scale
     exact percentile is a sort-based aggregate; approx_percentile is the
-    100 TB tool (not oracle-checkable: sketch internals differ).
+    100 TB tool (not oracle-checkable: sketch internals differ). One
+    percentile() agg computes all three fractions in a single pass;
+    element_at projection is free.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("qty_quartiles"),
+            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("_qs"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("_qs", 1).alias("qty_p25"),
+            F.element_at("_qs", 2).alias("qty_p50"),
+            F.element_at("_qs", 3).alias("qty_p75"),
+            "min_qty",
+            "max_qty",
         )
         .orderBy("l_returnflag")
     )
@@ -1217,7 +1230,9 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     where exact distinct shuffles every key and exact percentiles sort.
     No DuckDB oracle on purpose: sketch merge internals differ between
     engines; the exact twins are the correctness anchor, and the test
-    here is rows-only plus a sanity bound against the exact values."""
+    here is rows-only plus a sanity bound against the exact values.
+    Scalar projection (not array columns) so tabular canonicalizers can
+    hash the rows-only result — r1 finding."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -1225,7 +1240,13 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
             F.expr(
                 "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
-            ).alias("approx_price_p50_p99"),
+            ).alias("_ps"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("_ps", 1).alias("approx_price_p50"),
+            F.element_at("_ps", 2).alias("approx_price_p99"),
         )
         .orderBy("l_returnflag")
     )
@@ -1559,10 +1580,10 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_priority",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
     GROUP BY l_linestatus

@@ -63,10 +63,35 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _driver_unsafe_columns(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells a pandas-based canonicalizer cannot hash/sort.
+
+    The round-1 driver crashed (``TypeError: unhashable type 'list'``) on
+    array-typed result columns; our local canon tolerated them, so the
+    break was invisible until the external gate ran. Flag nested types
+    here so every query keeps a flat, tabular result schema.
+    """
+    bad = []
+    for col in pdf.columns:
+        for v in pdf[col]:
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple, dict, set)) or (
+                hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1
+            ):
+                bad.append(col)
+            break  # first non-null cell decides
+    return bad
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []
     spdf = spark_df.toPandas()
+    for side, pdf in (("spark", spdf), ("oracle", oracle_pdf)):
+        unsafe = _driver_unsafe_columns(pdf)
+        if unsafe:
+            problems.append(f"driver-unsafe nested columns on {side} side: {unsafe}")
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         problems.append(
             f"schema: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"

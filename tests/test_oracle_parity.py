@@ -27,5 +27,10 @@ def test_parity(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only(spark, sf_dir, name):
+    from kinesis_stream_spark.testing import _driver_unsafe_columns
+
     df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
+    # rows-only queries still pass through the driver's canonicalizer
+    assert not _driver_unsafe_columns(pdf)

@@ -44,7 +44,7 @@ def test_approx_percentile_within_envelope(spark, sf_dir):
     }
     for r in rows:
         e = exact[r["l_returnflag"]]
-        p50, p99 = r["approx_price_p50_p99"]
+        p50, p99 = r["approx_price_p50"], r["approx_price_p99"]
         assert e["lo"] <= p50 <= e["hi"] and e["lo"] <= p99 <= e["hi"]
         # accuracy 10000 → rank error ≤ n/10000; generous value tolerance
         assert abs(p50 - e["p"][0]) / max(e["p"][0], 1.0) < 0.05
