@@ -72,6 +72,10 @@ class CheckpointConfig:
     max_buffer_size: int = 10_000
     max_duration_s: float = 60.0
     completion_timeout_s: float = 30.0
+    # ask-timeout for a single checkpoint call (`reference.conf:16`
+    # checkpoint.timeout, default 20s); exceeding it is FATAL per the O7
+    # taxonomy (streaming/errors.py: CheckpointTimeoutError → FAIL)
+    timeout_s: float = 20.0
 
 
 class ShardCheckpointTracker:

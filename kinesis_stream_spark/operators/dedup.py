@@ -28,7 +28,7 @@ the pipeline end-to-end, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.functions.hashing import md5_int64, shingles, tokens
@@ -313,6 +313,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs token-set Jaccard, bounded to pairs sharing ``group_cols``
     (the blocking key that keeps this from being a cross join at scale).
@@ -323,9 +324,21 @@ def ngram_jaccard_pairs(
     equi-join on (group, token) — only pairs that actually share a token
     are ever materialized, the intersection size falls out of a count
     aggregate, and |union| = |A| + |B| - |A∩B| from per-doc sizes. Same
-    integers, same single IEEE division, identical results. At 100 TB
-    add a document-frequency cap on join tokens (stopword-ish tokens
-    generate pairs without ever pushing Jaccard over threshold).
+    integers, same single IEEE division, identical results.
+
+    ``max_df`` is the 100 TB knob: tokens appearing in more than
+    ``max_df`` documents of a group (stopword-ish tokens, the join-skew
+    generators) are dropped from the *join* side before pairing. They
+    still count toward |A| / |B| (sizes come from the unfiltered token
+    sets), so capped Jaccard is a strict underestimate — it can only
+    drop borderline pairs, never invent one. ``None`` (default) keeps
+    the exact semantics for oracle parity; production near-dedup at
+    scale should set it (df>10k tokens produce >10^8 pairs each and
+    pure skew).
+
+    The per-doc size joins are plain shuffle joins on id — at small SF
+    AQE broadcasts them anyway, and at 100 TB the sizes table is
+    O(n_docs) and must NOT be a driver-side broadcast (r1 finding).
     """
     base = docs.select(
         *group_cols,
@@ -334,6 +347,13 @@ def ngram_jaccard_pairs(
     )
     sizes = base.select(*group_cols, "id", F.size("toks").alias("sz"))
     tok = base.select(*group_cols, "id", F.explode("toks").alias("t"))
+    if max_df is not None:
+        # one extra shuffle on (group, token) — cheap next to the
+        # quadratic pair blowup the cap prevents
+        w_df = Window.partitionBy(*group_cols, "t")
+        tok = tok.withColumn("_df", F.count(F.lit(1)).over(w_df)).where(
+            F.col("_df") <= max_df
+        ).drop("_df")
     x, y = tok.alias("x"), tok.alias("y")
     cond = (F.col("x.id") < F.col("y.id")) & (F.col("x.t") == F.col("y.t"))
     for c in group_cols:
@@ -350,8 +370,8 @@ def ngram_jaccard_pairs(
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .select(
             *group_cols,
             "id_a",

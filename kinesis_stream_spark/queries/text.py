@@ -145,16 +145,42 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "text_fingerprint_winnowed",
     f"""
-    SELECT doc_id, {sql_winnowed_fingerprints('text')} AS fingerprints
-    FROM documents
+    WITH fp AS (
+      SELECT doc_id, {sql_winnowed_fingerprints('text')} AS fps FROM documents
+    )
+    SELECT doc_id,
+           LEN(fps) AS n_fps,
+           fps[1] AS fp_first,
+           fps[-1] AS fp_last,
+           MD5(ARRAY_TO_STRING(fps, ',')) AS fp_md5
+    FROM fp
     ORDER BY doc_id
     """,
 )
 def text_fingerprint_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (min-hash per sliding window of 3-gram
-    hashes, distinct + sorted): MOSS-style local-edit-robust signatures."""
+    hashes, distinct + sorted): MOSS-style local-edit-robust signatures.
+
+    The operator emits array<bigint> per doc; this query projects a flat
+    summary (count, first/last, md5 of the comma-joined sorted array) so
+    the result stays tabular for hash-based correctness gates — the md5
+    checksum is bit-sensitive to the full fingerprint set, so parity here
+    is parity on every element."""
     docs = load_table(spark, sf_dir, "documents")
-    return winnowed_fingerprints(docs).orderBy("doc_id")
+    fps = F.col("fingerprints")
+    return (
+        winnowed_fingerprints(docs)
+        .select(
+            "doc_id",
+            F.size(fps).alias("n_fps"),
+            F.try_element_at(fps, F.lit(1)).alias("fp_first"),
+            F.try_element_at(fps, F.lit(-1)).alias("fp_last"),
+            F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))).alias(
+                "fp_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @_q(

@@ -68,6 +68,90 @@ class ConsumerConfig:
     def checkpoint_location(self) -> str:
         return f"{self.checkpoint_root}/{self.app_name}"
 
+    @classmethod
+    def from_config(cls, config: dict) -> "ConsumerConfig":
+        """`ConsumerConfig.fromConfig` parity (`Consumer.scala:113-187`).
+
+        Accepts the reference's key names and defaults
+        (`reference.conf:1-21`), as a nested dict (the HOCON shape) or
+        flat dotted keys::
+
+            ConsumerConfig.from_config({
+                "stream-name": "/data/stream_in",
+                "application-name": "my-app",
+                "position": {"initial": "at-timestamp",
+                             "time": "2024-01-10T00:00:00"},
+                "checkpoint": {"completion-timeout": "30s",
+                               "timeout": "20s",
+                               "max-buffer-size": 10000,
+                               "max-duration": "60s"},
+            })
+
+        Durations accept the HOCON forms the reference file uses
+        ("30s", "500ms", "2m") or bare numbers (seconds). Missing keys
+        take the reference defaults: position latest
+        (`Consumer.scala:63-64`), completion-timeout 30s, timeout 20s,
+        max-buffer-size 10000, max-duration 60s (`Consumer.scala:146-166`).
+        """
+        cfg = _flatten(config)
+
+        def need(key: str):
+            if key not in cfg:
+                raise KeyError(f"missing required config key: {key!r}")
+            return cfg[key]
+
+        position = InitialPosition(str(cfg.get("position.initial", "latest")))
+        at = None
+        if position is InitialPosition.AT_TIMESTAMP:
+            raw = cfg.get("position.time") or ""
+            if not str(raw).strip():
+                raise ValueError("position.initial=at-timestamp requires position.time")
+            at = raw if isinstance(raw, dt.datetime) else dt.datetime.fromisoformat(str(raw))
+
+        checkpoint = CheckpointConfig(
+            completion_timeout_s=_duration_s(cfg.get("checkpoint.completion-timeout", 30.0)),
+            timeout_s=_duration_s(cfg.get("checkpoint.timeout", 20.0)),
+            max_buffer_size=int(cfg.get("checkpoint.max-buffer-size", 10_000)),
+            max_duration_s=_duration_s(cfg.get("checkpoint.max-duration", 60.0)),
+        )
+        out = cls(
+            stream_path=str(need("stream-name")),
+            app_name=str(need("application-name")),
+            checkpoint=checkpoint,
+        )
+        if "checkpoint-root" in cfg:  # Spark-side extension, not in reference.conf
+            out.checkpoint_root = str(cfg["checkpoint-root"])
+        if "max-files-per-trigger" in cfg:  # O3 admission control knob
+            out.max_files_per_trigger = int(cfg["max-files-per-trigger"])
+        return out.with_initial_position(position, at)
+
+
+def _flatten(config: dict, prefix: str = "") -> dict:
+    """Nested dicts → dotted keys (HOCON `a { b = 1 }` ≡ `a.b = 1`)."""
+    flat: dict = {}
+    for k, v in config.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten(v, f"{key}."))
+        else:
+            flat[key] = v
+    return flat
+
+
+_DURATION_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def _duration_s(value) -> float:
+    """"30s" / "500ms" / "2m" / 45 → seconds (HOCON duration subset the
+    reference config file actually uses)."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    text = str(value).strip()
+    for suffix in ("ms", "s", "m", "h"):  # "ms" first: it ends with "s" too
+        if text.endswith(suffix):
+            return float(text[: -len(suffix)]) * _DURATION_UNITS[suffix]
+    return float(text)
+
 
 def source(spark: SparkSession, config: ConsumerConfig, *, start_cutoff=None) -> DataFrame:
     """Streaming source of envelope Records (reference O1).

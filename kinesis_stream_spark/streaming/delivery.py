@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from kinesis_stream_spark.checkpoint import CheckpointTracker, SequenceNumber
 from kinesis_stream_spark.streaming.consumer import ConsumerConfig
+from kinesis_stream_spark.streaming.errors import checkpoint_with_taxonomy
 
 BatchFn = Callable[[DataFrame, int], None]
 
@@ -101,6 +102,12 @@ def foreach_batch_commit_flow(
     the driver — O(shards), not O(records) — but per-RECORD ack tracking on
     the driver would not scale; it exists for semantic parity. The durable
     commit at scale is Spark's offset log (run_at_least_once).
+
+    Checkpoint failures go through the O7 taxonomy
+    (`RecordProcessorImpl.scala:126-148` via streaming/errors.py):
+    transient → log + continue, lease lost → stop tracking that shard
+    (others continue), fatal → raise out of foreachBatch, failing the
+    micro-batch and hence the query (the kill-switch path).
     """
 
     def run(df: DataFrame, batch_id: int) -> None:
@@ -125,8 +132,15 @@ def foreach_batch_commit_flow(
             tracker.track(row["shardId"], seqs_of(row))
         process_fn(df)
         for row in shard_seqs:
+            shard = row["shardId"]
             for s in seqs_of(row):
-                tracker.process(row["shardId"], s)
-            tracker.checkpoint_if_needed(row["shardId"], checkpointer(row["shardId"]), force=True)
+                tracker.process(shard, s)
+            checkpoint_with_taxonomy(
+                lambda sh=shard: tracker.checkpoint_if_needed(
+                    sh, checkpointer(sh), force=True
+                ),
+                shard,
+                on_stop_shard=tracker.shutdown_shard,
+            )
 
     return run

@@ -28,7 +28,7 @@ from kinesis_stream_spark.queries._util import dsum
 
 
 def _finish(df: DataFrame, win: Column, keys: list[str], order_cols: list[str]) -> DataFrame:
-    return (
+    out = (
         df.groupBy(win.alias("win"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -41,8 +41,14 @@ def _finish(df: DataFrame, win: Column, keys: list[str], order_cols: list[str]) 
             "n_events",
             "sum_value",
         )
-        .orderBy("window_start", *order_cols)
     )
+    # Sorting a streaming aggregate is only legal in complete output
+    # mode; in the append/update + watermark shape this module documents
+    # it raises AnalysisException. Order is a batch/oracle-presentation
+    # concern only — streams stay unsorted.
+    if not out.isStreaming:
+        out = out.orderBy("window_start", *order_cols)
+    return out
 
 
 def tumbling_window_agg(
@@ -83,7 +89,7 @@ def session_window_agg(
     DuckDB oracle emulates it with gap-and-island SQL (lag → new-session
     flag → running sum as session id), see queries/streaming_batch.py.
     """
-    return (
+    out = (
         events.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .select(
@@ -93,8 +99,10 @@ def session_window_agg(
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
     )
+    if not out.isStreaming:  # sort is illegal in append/update streaming mode
+        out = out.orderBy("user_id", "session_start")
+    return out
 
 
 def with_late_data_drop(

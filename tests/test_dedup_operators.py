@@ -1,0 +1,65 @@
+"""Operator-level tests for the dedup family (the oracle-parity suite
+covers the query wrappers; these exercise the knobs the wrappers don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_ngram_jaccard_max_df_drops_stopword_pairs(spark):
+    # "the" appears in every doc (df=4 > max_df=3) and is the ONLY
+    # shared token between docs 3 and 4 — with the cap their pair must
+    # disappear; docs 1/2 share real content tokens and must survive.
+    rows = [
+        (1, "en", "the quick brown fox"),
+        (2, "en", "the quick brown dog"),
+        (3, "en", "the alpha beta gamma"),
+        (4, "en", "the delta epsilon zeta"),
+    ]
+    docs = _docs(spark, rows)
+    uncapped = ngram_jaccard_pairs(docs, ["lang"], threshold=0.0)
+    capped = ngram_jaccard_pairs(docs, ["lang"], threshold=0.0, max_df=3)
+
+    un_pairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (3, 4) in un_pairs
+    assert (3, 4) not in cap_pairs
+    assert (1, 2) in cap_pairs
+
+
+def test_ngram_jaccard_max_df_is_strict_underestimate(spark):
+    rows = [
+        (1, "en", "the quick brown fox"),
+        (2, "en", "the quick brown dog"),
+        (3, "en", "the alpha beta gamma"),
+        (4, "en", "the delta epsilon zeta"),
+    ]
+    docs = _docs(spark, rows)
+    un = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, ["lang"], threshold=0.0).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, ["lang"], threshold=0.0, max_df=3).collect()
+    }
+    # capped scores never exceed uncapped, and no new pairs appear
+    assert set(cap) <= set(un)
+    for pair, j in cap.items():
+        assert j <= un[pair] + 1e-12
+
+
+def test_ngram_jaccard_sizes_join_not_hinted_broadcast(spark):
+    # the per-doc sizes table is O(n_docs); the operator must not pin a
+    # driver-side broadcast hint on it (AQE may still choose broadcast
+    # at tiny SF — that's fine; the *hint* is the 100 TB hazard)
+    docs = _docs(spark, [(1, "en", "a b"), (2, "en", "a c")])
+    plan = ngram_jaccard_pairs(docs, ["lang"])._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint broadcast" not in plan

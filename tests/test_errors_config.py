@@ -1,0 +1,199 @@
+"""O7 error taxonomy + O8 config parsing (reference
+`RecordProcessorImpl.scala:126-148,214-221`, `Consumer.scala:113-187`,
+`reference.conf:1-21`)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from kinesis_stream_spark.checkpoint import CheckpointConfig
+from kinesis_stream_spark.streaming.consumer import ConsumerConfig, InitialPosition
+from kinesis_stream_spark.streaming.errors import (
+    CheckpointTimeoutError,
+    Disposition,
+    KillSwitch,
+    ShardShutdownError,
+    ThrottlingError,
+    abort_stream_on_error,
+    checkpoint_with_taxonomy,
+    classify,
+)
+
+# --- taxonomy ----------------------------------------------------------------
+
+
+def test_classify_mirrors_reference_catch_block():
+    assert classify(CheckpointTimeoutError("slow")) is Disposition.FAIL
+    assert classify(ThrottlingError()) is Disposition.CONTINUE
+    assert classify(ShardShutdownError()) is Disposition.STOP_SHARD
+    assert classify(ValueError("anything else")) is Disposition.FAIL
+
+
+def test_classify_foreign_exceptions_by_name():
+    # SDK exception types classify by class name without importing the SDK
+    ThrottlingException = type("ThrottlingException", (Exception,), {})
+    ShutdownException = type("ShutdownException", (Exception,), {})
+    KCLDep = type("KinesisClientLibDependencyException", (Exception,), {})
+    assert classify(ThrottlingException()) is Disposition.CONTINUE
+    assert classify(KCLDep()) is Disposition.CONTINUE
+    assert classify(ShutdownException()) is Disposition.STOP_SHARD
+
+
+def test_transient_logs_and_continues():
+    # `RecordProcessorImpl.scala:135-139`: throttle/dependency swallow
+    def boom():
+        raise ThrottlingError("rate limited")
+
+    assert checkpoint_with_taxonomy(boom, "shard-1") is True
+
+
+def test_transient_retry_then_success():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ThrottlingError()
+
+    ok = checkpoint_with_taxonomy(
+        flaky, "shard-1", max_transient_retries=5, backoff_s=0.01, sleep=lambda s: None
+    )
+    assert ok is True and calls["n"] == 3
+
+
+def test_shutdown_stops_shard_only():
+    # `RecordProcessorImpl.scala:141-143`: lease lost → stop THIS shard
+    stopped = []
+
+    def boom():
+        raise ShardShutdownError("lease lost")
+
+    keep = checkpoint_with_taxonomy(boom, "shard-7", on_stop_shard=stopped.append)
+    assert keep is False and stopped == ["shard-7"]
+
+
+def test_timeout_and_unknown_are_fatal():
+    # `RecordProcessorImpl.scala:131-133,146-147`: rethrow
+    with pytest.raises(CheckpointTimeoutError):
+        checkpoint_with_taxonomy(
+            lambda: (_ for _ in ()).throw(CheckpointTimeoutError()), "s"
+        )
+    with pytest.raises(RuntimeError):
+        checkpoint_with_taxonomy(
+            lambda: (_ for _ in ()).throw(RuntimeError("corrupt")), "s"
+        )
+
+
+def test_abort_stream_on_error_swallows_and_trips_killswitch():
+    # `abortStreamOnError` (`RecordProcessorImpl.scala:214-221`)
+    class FakeQuery:
+        stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery()
+    ks = KillSwitch(q)
+    abort_stream_on_error("checkpointForShardEnd", ks, lambda: (_ for _ in ()).throw(ValueError("x")))
+    assert ks.aborted and q.stopped
+    first = ks.cause
+    # idempotent: a second abort keeps the FIRST cause
+    abort_stream_on_error("again", ks, lambda: (_ for _ in ()).throw(KeyError("y")))
+    assert ks.cause is first
+
+
+def test_termination_listener_reports_exception(spark, tmp_path):
+    """StreamingQueryListener analog (`StreamScheduler.scala:29-44`): a
+    failing query's terminating exception reaches the watch callback."""
+    import time
+
+    from kinesis_stream_spark.streaming.errors import make_termination_listener
+
+    seen: list = []
+    listener = make_termination_listener(seen.append)
+    spark.streams.addListener(listener)
+    try:
+        df = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+
+        def explode(batch_df, bid):
+            raise RuntimeError("fatal-batch-error")
+
+        q = (
+            df.writeStream.foreachBatch(explode)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination(60)
+        for _ in range(100):  # listener events deliver async
+            if seen:
+                break
+            time.sleep(0.1)
+        assert seen and "fatal-batch-error" in str(seen[0])
+    finally:
+        spark.streams.removeListener(listener)
+
+
+# --- from_config -------------------------------------------------------------
+
+
+def test_from_config_reference_keys_roundtrip():
+    cfg = ConsumerConfig.from_config(
+        {
+            "stream-name": "/tmp/stream_in",
+            "application-name": "test-app",
+            "position": {"initial": "at-timestamp", "time": "2024-01-10T00:00:00"},
+            "checkpoint": {
+                "completion-timeout": "45s",
+                "timeout": "10s",
+                "max-buffer-size": 500,
+                "max-duration": "2m",
+            },
+        }
+    )
+    assert cfg.stream_path == "/tmp/stream_in"
+    assert cfg.app_name == "test-app"
+    assert cfg.initial_position is InitialPosition.AT_TIMESTAMP
+    assert cfg.position_timestamp == dt.datetime(2024, 1, 10)
+    assert cfg.checkpoint == CheckpointConfig(
+        max_buffer_size=500, max_duration_s=120.0, completion_timeout_s=45.0, timeout_s=10.0
+    )
+
+
+def test_from_config_defaults_match_reference():
+    # `Consumer.scala:63-64,146-166` + `reference.conf` defaults
+    cfg = ConsumerConfig.from_config(
+        {"stream-name": "s", "application-name": "a"}
+    )
+    assert cfg.initial_position is InitialPosition.LATEST
+    assert cfg.position_timestamp is None
+    assert cfg.checkpoint == CheckpointConfig()
+    assert cfg.checkpoint.completion_timeout_s == 30.0
+    assert cfg.checkpoint.timeout_s == 20.0
+    assert cfg.checkpoint.max_buffer_size == 10_000
+    assert cfg.checkpoint.max_duration_s == 60.0
+
+
+def test_from_config_flat_dotted_keys_and_ms_durations():
+    cfg = ConsumerConfig.from_config(
+        {
+            "stream-name": "s",
+            "application-name": "a",
+            "position.initial": "trim-horizon",
+            "checkpoint.timeout": "1500ms",
+        }
+    )
+    assert cfg.initial_position is InitialPosition.TRIM_HORIZON
+    assert cfg.checkpoint.timeout_s == 1.5
+
+
+def test_from_config_missing_required_and_bad_position():
+    with pytest.raises(KeyError):
+        ConsumerConfig.from_config({"application-name": "a"})
+    with pytest.raises(ValueError):
+        ConsumerConfig.from_config(
+            {"stream-name": "s", "application-name": "a",
+             "position": {"initial": "at-timestamp", "time": ""}}
+        )

@@ -142,6 +142,36 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, stream_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_windowed_agg_runs_in_append_mode(spark, stream_dir, tmp_path):
+    """The shared window-agg path must not embed a sort: sorting a
+    streaming aggregate is only legal in complete mode, and the
+    production shape is append + watermark. Regression for the round-1
+    advisory on windows.py."""
+    from kinesis_stream_spark.streaming.windows import session_window_agg
+
+    cfg = _config(stream_dir, tmp_path)
+    records = source(spark, cfg).select(
+        F.col("approximateArrivalTimestamp").alias("ts"),
+        F.get_json_object(F.col("data").cast("string"), "$.user_id").alias("user_id"),
+        F.get_json_object(F.col("data").cast("string"), "$.value").cast("double").alias("value"),
+        F.get_json_object(F.col("data").cast("string"), "$.event_type").alias("event_type"),
+    )
+    got: list = []
+    for make in (
+        lambda df: tumbling_window_agg(df, duration="1 hour"),
+        lambda df: session_window_agg(df, gap="10 minutes"),
+    ):
+        agg = make(records.withWatermark("ts", "1 hour"))
+        q = (
+            agg.writeStream.foreachBatch(lambda df, bid: got.append(df.count()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"append_ckpt_{len(got)}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)  # raises AnalysisException if a sort leaked in
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """The watermark generalizes the reference's late-ack guard
     (ShardCheckpointTrackerActor.scala:35): once event time has advanced
@@ -255,3 +285,51 @@ def test_foreach_batch_commit_flow_acks_every_shard(spark, stream_dir, tmp_path)
         t = tracker.start_shard(shard)
         assert t.last_checkpoint == seq  # checkpoint recorded
         assert t.is_complete  # fully drained (O6)
+
+
+def test_commit_flow_lease_lost_stops_only_that_shard(spark, stream_dir, tmp_path):
+    """O7: a lease-lost (ShutdownException-class) checkpoint failure stops
+    THAT shard's tracking and lets the batch — and every other shard —
+    complete (`RecordProcessorImpl.scala:141-143`)."""
+    from kinesis_stream_spark.streaming.errors import ShardShutdownError
+
+    cfg = _config(stream_dir, tmp_path)
+    tracker = CheckpointTracker(cfg.worker_id, cfg.checkpoint)
+    committed: dict[str, SequenceNumber] = {}
+    lost_shard: list[str] = []
+
+    def checkpointer(shard_id: str):
+        def commit(seq: SequenceNumber) -> None:
+            if not lost_shard:  # first shard to checkpoint loses its lease
+                lost_shard.append(shard_id)
+                raise ShardShutdownError("lease lost")
+            committed[shard_id] = seq
+
+        return commit
+
+    batch_fn = foreach_batch_commit_flow(tracker, lambda df: None, checkpointer)
+    q = run_at_least_once(source(spark, cfg), cfg, batch_fn)
+    q.awaitTermination(120)  # must NOT raise: lease loss is benign
+
+    assert len(lost_shard) == 1
+    assert len(committed) == 3  # the other shards checkpointed normally
+    assert lost_shard[0] not in committed
+
+
+def test_commit_flow_fatal_checkpoint_fails_query(spark, stream_dir, tmp_path):
+    """O7: an unclassified checkpoint failure is fatal — it escapes
+    foreachBatch and fails the StreamingQuery (kill-switch path,
+    `RecordProcessorImpl.scala:146-147`)."""
+    cfg = _config(stream_dir, tmp_path)
+    tracker = CheckpointTracker(cfg.worker_id, cfg.checkpoint)
+
+    def checkpointer(shard_id: str):
+        def commit(seq: SequenceNumber) -> None:
+            raise RuntimeError("durable store corrupt")
+
+        return commit
+
+    batch_fn = foreach_batch_commit_flow(tracker, lambda df: None, checkpointer)
+    q = run_at_least_once(source(spark, cfg), cfg, batch_fn)
+    with pytest.raises(Exception, match="durable store corrupt"):
+        q.awaitTermination(120)
