@@ -303,6 +303,88 @@ def near_duplicates_simhash(
     )
 
 
+# --- duplicate-cluster resolution (connected components) ----------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into clusters: each vertex gets
+    the MINIMUM vertex id reachable from it (the canonical document).
+
+    Pair-emitting dedup (MinHash / SimHash / Jaccard) is only half the
+    job — "A~B, B~C" must collapse into ONE keep-decision even when A~C
+    was never emitted. This is iterative min-label propagation:
+    each round every vertex takes min(own label, neighbors' labels), so
+    the minimum id of a component spreads one hop per round and the loop
+    converges in O(graph diameter) rounds — duplicate clusters are
+    shallow (near-clique), so typically 2–4.
+
+    Scale shape: each round is one shuffle join on vertex id over the
+    EDGE list (never materializes components as rows-per-pair);
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow with iterations (at 100 TB use a checkpoint dir on
+    durable storage instead). Convergence check is a driver-side count
+    of changed labels — one scalar per round, not a collect.
+
+    Returns (v, component) — component = min id of the vertex's cluster.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .select(
+                "v",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()  # truncate lineage: plan must not grow per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Cluster summary over :func:`connected_components`: one row per
+    duplicate cluster — (canonical_id = min id, cluster_size, max_id).
+    The keep-list is the canonical ids; everything else is droppable."""
+    comp = connected_components(edges, src_col=src_col, dst_col=dst_col)
+    return comp.groupBy("comp").agg(
+        F.min("v").alias("canonical_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("v").alias("max_id"),
+    ).select("canonical_id", "cluster_size", "max_id")
+
+
 # --- n-gram Jaccard within bounded groups -------------------------------------
 
 

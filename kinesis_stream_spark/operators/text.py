@@ -256,6 +256,125 @@ def term_stats_topk(
     )
 
 
+# --- training-set curation: decontamination / mixing / packing ---------------
+
+
+def decontaminate_ngram_overlap(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct n-grams that appear in ANY probe (eval-set) document.
+
+    The standard pre-training hygiene op: drop or flag training docs that
+    contain eval-set n-grams. Shape: probe n-grams are a DISTINCT set —
+    small by construction (eval sets are) — so the join is a broadcast
+    semi-join against the exploded corpus grams; the corpus side stays
+    map-only until one groupBy(doc). No O(corpus²) anywhere, and the
+    corpus is never collected or broadcast.
+
+    Returns (doc_id, n_grams, n_contaminated, contamination) — callers
+    filter on ``contamination`` to taste.
+    """
+    from kinesis_stream_spark.functions.hashing import shingles
+
+    probe_grams = (
+        probe.select(F.explode(shingles(F.col(text_col), n)).alias("g")).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),  # already distinct
+    )
+    hit = F.broadcast(probe_grams.withColumn("hit", F.lit(1)))
+    return (
+        corpus_grams.join(hit, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive
+    (e.g. upweight rare languages, downsample boilerplate sources).
+
+    Keep rule: md5(id) mod buckets < rate[stratum] * buckets. Pure
+    map-side filter: reproducible across engines/runs/partitionings,
+    stable under appends (a doc's fate never changes when others arrive),
+    and auditable (the keep-set is recomputable from the rule alone) —
+    everything df.sample's RNG is not. Rates quantize to 1/buckets.
+    """
+    bucket = md5_int64(F.col(id_col).cast("string")) % buckets
+    keep = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        keep = F.when(
+            F.col(stratum_col) == stratum, bucket < int(rate * buckets)
+        ).otherwise(keep)
+    keep = F.coalesce(keep, bucket < int(default_rate * buckets))
+    return docs.where(keep)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-capacity training chunks (context-window
+    packing): concatenate docs in id order within each partition stream
+    and cut every ``capacity`` tokens — chunk_id = floor(cum_tokens_before
+    / capacity), offset = cum_tokens_before mod capacity.
+
+    This is sequential packing (how most pre-training pipelines pack),
+    not bin-packing: deterministic, one running-sum window per
+    partition-stream. Partitioning by ``partition_col`` keeps the window
+    distributed — a GLOBAL orderBy window would serialize 100 TB through
+    one task; packing within a shard/source is the scale-correct unit
+    (and what a sharded dataset loader does anyway). Integer-only
+    arithmetic — exact on any engine.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_toks = F.size(tokens(F.col(text_col)))
+    return docs.select(
+        partition_col,
+        id_col,
+        n_toks.alias("n_toks"),
+        F.coalesce(F.sum(n_toks).over(w), F.lit(0)).alias("cum_before"),
+    ).select(
+        partition_col,
+        id_col,
+        "n_toks",
+        F.expr(f"cum_before DIV {capacity}").alias("chunk_id"),  # exact int div
+        (F.col("cum_before") % capacity).alias("chunk_offset"),
+    )
+
+
 # --- DuckDB twins ------------------------------------------------------------
 
 

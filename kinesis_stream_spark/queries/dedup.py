@@ -26,6 +26,7 @@ from kinesis_stream_spark.functions.vectors import sql_cosine
 from kinesis_stream_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
+    duplicate_clusters,
     exact_dedup,
     near_duplicates_minhash,
     near_duplicates_simhash,
@@ -230,6 +231,69 @@ def dedup_ngram_jaccard_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.5).orderBy(
         "lang", "source", "id_a", "id_b"
     )
+
+
+_SQL_CHAIN_COPIES = f"""
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, lang, source,
+         ARRAY_TO_STRING({_SQL_TOKS}[1:GREATEST(LEN({_SQL_TOKS}) - 3, 1)], ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * COPY_OFFSET} AS doc_id, lang, source,
+         ARRAY_TO_STRING({_SQL_TOKS}[1:GREATEST(LEN({_SQL_TOKS}) - 6, 1)], ' ') AS text
+  FROM documents
+"""
+
+
+@_q(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE docs3 AS ({_SQL_CHAIN_COPIES}),
+    base AS (SELECT lang, source, doc_id AS id, LIST_DISTINCT({_SQL_TOKS}) AS t
+             FROM docs3),
+    edges AS (
+      SELECT x.id AS a, y.id AS b
+      FROM base x JOIN base y
+        ON x.lang = y.lang AND x.source = y.source AND x.id < y.id
+      WHERE LEN(LIST_INTERSECT(x.t, y.t)) / LEN(LIST_DISTINCT(x.t || y.t)) >= 0.9
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+    walk(v, l) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, w.l FROM walk w JOIN sym s ON s.src = w.v
+    ),
+    comp AS (SELECT v, MIN(l) AS comp FROM walk GROUP BY v)
+    SELECT comp AS canonical_id, COUNT(*) AS cluster_size, MAX(v) AS max_id
+    FROM comp GROUP BY comp
+    ORDER BY canonical_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs (token Jaccard ≥ 0.9
+    over doc ∪ trunc-3 ∪ trunc-6 chain copies) collapsed into connected
+    components via iterative min-label propagation, one row per cluster
+    with its canonical (minimum) id. The chain construction means A~B
+    and B~C edges exist where A~C may not — exactly the transitive case
+    pairwise dedup alone gets wrong. The DuckDB oracle computes the same
+    components with a recursive CTE, so cluster membership — not just
+    counts — must agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+
+    def trunc(n: int) -> DataFrame:
+        cut = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - n, F.lit(1))), " ")
+        return docs.select(
+            (F.col("doc_id") + n // 3 * COPY_OFFSET).alias("doc_id"),
+            "lang",
+            "source",
+            cut.alias("text"),
+        )
+
+    docs3 = docs.select("doc_id", "lang", "source", "text").unionAll(trunc(3)).unionAll(trunc(6))
+    edges = ngram_jaccard_pairs(docs3, ["lang", "source"], threshold=0.9)
+    return duplicate_clusters(edges).orderBy("canonical_id")
 
 
 @_q(

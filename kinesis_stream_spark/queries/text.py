@@ -16,17 +16,20 @@ from kinesis_stream_spark.operators.text import (
     BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    decontaminate_ngram_overlap,
     language_id,
+    pack_sequences,
     quality_features,
     rolling_fingerprint,
     sql_count_in_set,
     sql_rolling_fingerprint,
     sql_winnowed_fingerprints,
+    stratified_sample,
     term_stats_topk,
     token_stats,
     winnowed_fingerprints,
 )
-from kinesis_stream_spark.functions.hashing import sql_tokens
+from kinesis_stream_spark.functions.hashing import sql_md5_int64, sql_shingles, sql_tokens
 from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
@@ -301,3 +304,122 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred_lang")
     )
+
+
+# --- training-set curation: decontamination / mixing / packing ---------------
+
+_PROBE_MAX_ID = 20  # doc_id < 20 plays the benchmark/eval set
+_SHINGLES5 = sql_shingles("text", 5)
+
+
+@_q(
+    "text_decontaminate_overlap",
+    f"""
+    WITH probe AS (
+      SELECT DISTINCT t.g FROM documents, UNNEST({_SHINGLES5}) AS t(g)
+      WHERE doc_id < {_PROBE_MAX_ID}
+    ),
+    corpus AS (
+      SELECT doc_id, t.g
+      FROM (SELECT doc_id, {_SHINGLES5} AS sh FROM documents
+            WHERE doc_id >= {_PROBE_MAX_ID}), UNNEST(sh) AS t(g)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN g IN (SELECT g FROM probe) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN g IN (SELECT g FROM probe) THEN 1 ELSE 0 END)
+                AS BIGINT) / COUNT(*) AS contamination
+    FROM corpus
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct 5-grams that occur in the eval set (docs with id < 20 play
+    the benchmark). Broadcast semi-join of the small probe-gram set
+    against map-side exploded corpus grams — no quadratic term, corpus
+    never collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") < _PROBE_MAX_ID)
+    corpus = docs.where(F.col("doc_id") >= _PROBE_MAX_ID)
+    return decontaminate_ngram_overlap(corpus, probe, n=5).orderBy("doc_id")
+
+
+_MIX_RATES = {"de": 0.25, "en": 0.5, "es": 0.1, "fr": 0.75, "zh": 1.0}
+
+
+def _sql_mix_keep() -> str:
+    bucket = f"({sql_md5_int64('CAST(doc_id AS VARCHAR)')} % 1000)"
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {bucket} < {int(rate * 1000)}"
+        for lang, rate in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {cases} ELSE {bucket} < 1000 END"
+
+
+@_q(
+    "text_stratified_sample",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(doc_id) AS min_kept,
+           MAX(doc_id) AS max_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE {_sql_mix_keep()}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-language deterministic hash sampling (md5 bucket
+    rule, not RNG) at per-stratum rates — upweight rare languages,
+    downsample dominant ones. Reproducible across engines, runs, and
+    appends; summarized per language for the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, _MIX_RATES, stratum_col="lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_kept"),
+            F.max("doc_id").alias("max_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PACK_CAPACITY = 512
+
+
+@_q(
+    "text_pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT source, doc_id, LEN({_TOKS}) AS n_toks FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM sized
+    )
+    SELECT source, doc_id, n_toks,
+           cum_before // {_PACK_CAPACITY} AS chunk_id,
+           cum_before % {_PACK_CAPACITY} AS chunk_offset
+    FROM packed
+    ORDER BY source, doc_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: docs concatenated in id order within each
+    source stream, cut every {cap} tokens — chunk id + offset per doc via
+    one distributed running-sum window (partitioned by source, never a
+    global sort). Integer-only arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=_PACK_CAPACITY).orderBy("source", "doc_id")

@@ -89,6 +89,8 @@ def foreach_batch_commit_flow(
     tracker: CheckpointTracker,
     process_fn: Callable[[DataFrame], None],
     checkpointer: Callable[[str], Callable[[SequenceNumber], None]],
+    *,
+    parallelism: int = 1,
 ) -> BatchFn:
     """commitFlow parity inside a micro-batch (`CommitGraphStages.scala:16-17`).
 
@@ -108,6 +110,14 @@ def foreach_batch_commit_flow(
     transient → log + continue, lease lost → stop tracking that shard
     (others continue), fatal → raise out of foreachBatch, failing the
     micro-batch and hence the query (the kill-switch path).
+
+    ``parallelism`` is the commitFlow knob (`CommitGraphStages.scala:16`:
+    ``mapAsync(parallelism)`` over acks, default 1): the per-shard
+    ack+checkpoint cycles run on a bounded thread pool of that size.
+    The tracker is lock-guarded, each shard's cycle is independent, and
+    the taxonomy is applied per shard — a fatal error in any shard's
+    cycle propagates after all cycles settle (first fatal wins,
+    matching the kill-switch's first-cause semantics).
     """
 
     def run(df: DataFrame, batch_id: int) -> None:
@@ -131,16 +141,28 @@ def foreach_batch_commit_flow(
             tracker.start_shard(row["shardId"])
             tracker.track(row["shardId"], seqs_of(row))
         process_fn(df)
-        for row in shard_seqs:
+
+        def ack_cycle(row) -> None:
             shard = row["shardId"]
             for s in seqs_of(row):
                 tracker.process(shard, s)
             checkpoint_with_taxonomy(
-                lambda sh=shard: tracker.checkpoint_if_needed(
-                    sh, checkpointer(sh), force=True
-                ),
+                lambda: tracker.checkpoint_if_needed(shard, checkpointer(shard), force=True),
                 shard,
                 on_stop_shard=tracker.shutdown_shard,
             )
+
+        if parallelism <= 1:
+            for row in shard_seqs:
+                ack_cycle(row)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                futures = [pool.submit(ack_cycle, row) for row in shard_seqs]
+                errors = [f.exception() for f in futures]
+            for err in errors:
+                if err is not None:
+                    raise err
 
     return run

@@ -63,3 +63,35 @@ def test_ngram_jaccard_sizes_join_not_hinted_broadcast(spark):
     docs = _docs(spark, [(1, "en", "a b"), (2, "en", "a c")])
     plan = ngram_jaccard_pairs(docs, ["lang"])._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint broadcast" not in plan
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3 plus isolated pair 10-11: labels must propagate
+    # transitively (1,2,3 → comp 1) without merging the other component
+    from kinesis_stream_spark.operators.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.v: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    clusters = {
+        r.canonical_id: (r.cluster_size, r.max_id)
+        for r in duplicate_clusters(edges).collect()
+    }
+    assert clusters == {1: (3, 3), 10: (2, 11)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-vertex path needs ~diameter rounds — exercises the iteration
+    # loop and the convergence check, not just one propagation step
+    from kinesis_stream_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    comp = {r.v: r.comp for r in connected_components(edges).collect()}
+    assert comp == {v: 1 for v in range(1, 13)}

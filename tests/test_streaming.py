@@ -287,6 +287,26 @@ def test_foreach_batch_commit_flow_acks_every_shard(spark, stream_dir, tmp_path)
         assert t.is_complete  # fully drained (O6)
 
 
+def test_commit_flow_parallel_acks_every_shard(spark, stream_dir, tmp_path):
+    """commitFlow `parallelism` knob (`CommitGraphStages.scala:16`): the
+    bounded-parallel ack path commits every shard, same as serial."""
+    cfg = _config(stream_dir, tmp_path)
+    tracker = CheckpointTracker(cfg.worker_id, cfg.checkpoint)
+    committed: dict[str, SequenceNumber] = {}
+
+    def checkpointer(shard_id: str):
+        return lambda seq: committed.__setitem__(shard_id, seq)
+
+    batch_fn = foreach_batch_commit_flow(
+        tracker, lambda df: None, checkpointer, parallelism=4
+    )
+    q = run_at_least_once(source(spark, cfg), cfg, batch_fn)
+    q.awaitTermination(120)
+    assert len(committed) == 4
+    for shard in committed:
+        assert tracker.start_shard(shard).is_complete
+
+
 def test_commit_flow_lease_lost_stops_only_that_shard(spark, stream_dir, tmp_path):
     """O7: a lease-lost (ShutdownException-class) checkpoint failure stops
     THAT shard's tracking and lets the batch — and every other shard —
