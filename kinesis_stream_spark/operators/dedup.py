@@ -333,9 +333,14 @@ def connected_components(
 
     Returns (v, component) — component = min id of the vertex's cluster.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # Materialize the edge list ONCE. Each round joins against `sym`;
+    # without this the (possibly very expensive) upstream pair pipeline
+    # re-executes every iteration — measured 64s → ~8s at sf0.1.
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()

