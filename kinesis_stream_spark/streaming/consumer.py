@@ -125,6 +125,21 @@ class ConsumerConfig:
             out.max_files_per_trigger = int(cfg["max-files-per-trigger"])
         return out.with_initial_position(position, at)
 
+    @classmethod
+    def from_file(cls, path: str) -> "ConsumerConfig":
+        """Load :meth:`from_config` input from a JSON or TOML file (the
+        Spark-ecosystem stand-ins for the reference's HOCON file; same
+        keys, same defaults — quote the dashed keys in TOML)."""
+        if path.endswith(".toml"):
+            import tomllib
+
+            with open(path, "rb") as fh:
+                return cls.from_config(tomllib.load(fh))
+        import json
+
+        with open(path) as fh:
+            return cls.from_config(json.load(fh))
+
 
 def _flatten(config: dict, prefix: str = "") -> dict:
     """Nested dicts → dotted keys (HOCON `a { b = 1 }` ≡ `a.b = 1`)."""

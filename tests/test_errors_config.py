@@ -189,6 +189,27 @@ def test_from_config_flat_dotted_keys_and_ms_durations():
     assert cfg.checkpoint.timeout_s == 1.5
 
 
+def test_from_file_toml_and_json(tmp_path):
+    toml = tmp_path / "consumer.toml"
+    toml.write_text(
+        '"stream-name" = "/tmp/s"\n"application-name" = "app-t"\n'
+        '[position]\ninitial = "trim-horizon"\n'
+        '[checkpoint]\n"max-buffer-size" = 7\n'
+    )
+    cfg = ConsumerConfig.from_file(str(toml))
+    assert cfg.app_name == "app-t"
+    assert cfg.initial_position is InitialPosition.TRIM_HORIZON
+    assert cfg.checkpoint.max_buffer_size == 7
+
+    js = tmp_path / "consumer.json"
+    js.write_text(
+        '{"stream-name": "/tmp/s", "application-name": "app-j",'
+        ' "checkpoint": {"timeout": "5s"}}'
+    )
+    cfg = ConsumerConfig.from_file(str(js))
+    assert cfg.app_name == "app-j" and cfg.checkpoint.timeout_s == 5.0
+
+
 def test_from_config_missing_required_and_bad_position():
     with pytest.raises(KeyError):
         ConsumerConfig.from_config({"application-name": "a"})
