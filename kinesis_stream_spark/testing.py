@@ -84,6 +84,29 @@ def _driver_unsafe_columns(pdf: pd.DataFrame) -> list[str]:
     return bad
 
 
+def _dtype_kind_mismatches(spdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtype *kind* differs between the two engines.
+
+    Round 1's q12 failed the driver's hash gate with identical values:
+    DuckDB SUM(INTEGER) yields HUGEINT, which ``fetch_df`` widens to
+    float64, while Spark's BIGINT sum stays int64 — a driver-visible
+    type mismatch our value-level canon coerced away. Compare dtype
+    kinds (int vs float vs object ...) so those surface locally.
+    """
+    bad = []
+    for col in spdf.columns:
+        if col not in oracle_pdf.columns:
+            continue
+        a, b = spdf[col].dtype.kind, oracle_pdf[col].dtype.kind
+        # treat signed/unsigned int as one kind; object-vs-anything is
+        # ambiguous when a column is all-null on one side
+        norm = {"u": "i"}
+        a, b = norm.get(a, a), norm.get(b, b)
+        if a != b and not (spdf[col].isna().all() or oracle_pdf[col].isna().all()):
+            bad.append(f"{col}: spark={spdf[col].dtype} oracle={oracle_pdf[col].dtype}")
+    return bad
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []
@@ -92,6 +115,8 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         unsafe = _driver_unsafe_columns(pdf)
         if unsafe:
             problems.append(f"driver-unsafe nested columns on {side} side: {unsafe}")
+    for m in _dtype_kind_mismatches(spdf, oracle_pdf):
+        problems.append(f"dtype kind mismatch: {m}")
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         problems.append(
             f"schema: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
