@@ -62,7 +62,7 @@ SQL_BYTES = (
     f"""
     WITH media AS ({SQL_MEDIA})
     SELECT kind, COUNT(*) AS n_media,
-           SUM(OCTET_LENGTH(payload)) AS total_bytes,
+           CAST(SUM(OCTET_LENGTH(payload)) AS BIGINT) AS total_bytes,
            {sql_davg('COALESCE(width, sample_rate, fps)', 'avg_primary_dim')},
            MIN(media_id) AS first_id, MAX(media_id) AS last_id
     FROM media
@@ -102,7 +102,7 @@ def multimodal_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH media AS ({SQL_MEDIA}),
     b AS (SELECT media_id, kind, payload, {SQL_BYTES} AS bytes FROM media)
     SELECT media_id, kind, OCTET_LENGTH(payload) AS n_bytes,
-           LIST_SUM(bytes) AS byte_sum,
+           CAST(LIST_SUM(bytes) AS BIGINT) AS byte_sum,
            LIST_MIN(bytes) AS byte_min,
            LIST_MAX(bytes) AS byte_max,
            CAST(LIST_SUM(bytes) AS DOUBLE) / OCTET_LENGTH(payload) AS byte_mean

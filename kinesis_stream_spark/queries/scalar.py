@@ -148,7 +148,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                            AS price_ln,
            POWER(l_quantity, 2)                            AS qty_sq,
            MOD(CAST(l_orderkey AS BIGINT), 7)              AS key_mod7,
-           ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS price_round2,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price_round2,
            CAST(SIGN(l_discount - 0.05) AS INTEGER)        AS disc_sign,
            GREATEST(l_tax, l_discount)                     AS max_rate,
            LEAST(l_tax, l_discount)                        AS min_rate
@@ -176,7 +176,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_ln"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
-        F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 2).alias("price_round2"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("price_round2"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),

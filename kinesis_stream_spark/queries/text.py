@@ -255,7 +255,7 @@ def _sql_curation_pipeline(threshold: float = 0.65) -> str:
       FROM kept GROUP BY 1
     )
     SELECT pred_lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(quality_score AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
              AS avg_quality
     FROM kept JOIN deduped ON doc_id = kept_id
