@@ -1222,31 +1222,69 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("agg_approx_sketches")  # rows-only: sketch internals are engine-specific
+@_q(
+    "agg_approx_sketches",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           ROUND(approx_count_distinct(l_orderkey)
+                 / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 1) AS orders_ratio,
+           ROUND(approx_quantile(l_extendedprice, 0.5)
+                 / QUANTILE_CONT(l_extendedprice, 0.5), 1) AS p50_ratio,
+           ROUND(approx_quantile(l_extendedprice, 0.99)
+                 / QUANTILE_CONT(l_extendedprice, 0.99), 1) AS p99_ratio
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts and quantile sketches per return
     flag — the single-pass, fixed-memory estimators that replace their
     exact twins (agg_distinct_counts, agg_exact_percentiles) at 100 TB,
     where exact distinct shuffles every key and exact percentiles sort.
-    No DuckDB oracle on purpose: sketch merge internals differ between
-    engines; the exact twins are the correctness anchor, and the test
-    here is rows-only plus a sanity bound against the exact values.
-    Scalar projection (not array columns) so tabular canonicalizers can
-    hash the rows-only result — r1 finding."""
+
+    Sketch *internals* are engine-specific (Spark HLL++/Greenwald-Khanna
+    vs DuckDB HLL/t-digest), so raw estimates can never hash-match.
+    What IS checkable cross-engine is the accuracy bound: both
+    estimators are deterministic and well inside ±5% at these
+    cardinalities, so ``round(approx/exact, 1)`` is 1.0 in both engines
+    — the exact twins are computed inside the same query on each side.
+    That turns the sketch row into a real accuracy-bound oracle instead
+    of a rows-only check (r2 verdict item #1).
+
+    Exact and approx run as two separate single-pass aggregates over
+    the scan, joined on the 3-row result: mixing a distinct aggregate
+    (expand ×2) with sort-based percentile and the sketches in ONE
+    aggregate forces everything through the expanded ObjectHashAggregate
+    path — measured 23.2 s vs 2.9 s for the split at sf0.1. The 3-row
+    join is broadcast; the scan runs twice, which at 100 TB is still
+    the right trade (each pass stays in whole-stage codegen)."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("_eps"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").alias(
+            "_aps"
+        ),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
-            ).alias("_ps"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
-            "approx_orders",
-            F.element_at("_ps", 1).alias("approx_price_p50"),
-            F.element_at("_ps", 2).alias("approx_price_p99"),
+            "exact_orders",
+            F.round(
+                F.col("_approx_orders") / F.col("exact_orders").cast("double"), 1
+            ).alias("orders_ratio"),
+            F.round(F.element_at("_aps", 1) / F.element_at("_eps", 1), 1).alias(
+                "p50_ratio"
+            ),
+            F.round(F.element_at("_aps", 2) / F.element_at("_eps", 2), 1).alias(
+                "p99_ratio"
+            ),
         )
         .orderBy("l_returnflag")
     )
