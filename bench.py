@@ -18,6 +18,7 @@ transfer dominating the measurement.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -44,19 +45,35 @@ def main() -> None:
     load_table(spark, sf_dir, "region").write.format("noop").mode("overwrite").save()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # reps>1 (opt-in, SPARK_GRAFT_BENCH_REPS) times each query as the min
+    # over reps runs — isolates per-query cost from session-wide drift
+    # when investigating regressions; the driver default stays 1 rep.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in sorted(all_queries().items()):
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # force full evaluation of every output column JVM-side
-            # (count() would let Catalyst prune aggregates; a Python
-            # foreach would benchmark row serialization, not the query)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a broken query must not hide the rest
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # force full evaluation of every output column JVM-side
+                # (count() would let Catalyst prune aggregates; a Python
+                # foreach would benchmark row serialization, not the query)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # a broken query must not hide the rest
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                best = None
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            timings[name] = round(best, 3)
+        # Drop py4j refs from the finished query so the JVM ContextCleaner
+        # can reap dead RDD/broadcast blocks *between* queries instead of
+        # letting session-wide state accumulate into later measurements
+        # (suspected source of round-2's uniform ~13% drift).
+        gc.collect()
 
     detail = {
         "metric": "query_inventory_runtime",

@@ -95,3 +95,44 @@ def test_connected_components_long_chain_converges(spark):
     )
     comp = {r.v: r.comp for r in connected_components(edges).collect()}
     assert comp == {v: 1 for v in range(1, 13)}
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    # every intermediate localCheckpoint except the returned labels must
+    # be unpersisted — at scale a leaked per-round label copy holds
+    # O(iterations × |V|) block-manager storage for the session
+    from kinesis_stream_spark.operators.dedup import (
+        _release_local_checkpoint,
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges)
+    labels.collect()  # result must stay usable after the internal releases
+    leaked = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()} - before
+    # only the returned labels' own checkpoint may remain resident
+    assert len(leaked) <= 1, leaked
+    _release_local_checkpoint(labels)
+    remaining = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()} - before
+    assert not remaining, remaining
+
+
+def test_convergence_interval_one_matches_default(spark):
+    from kinesis_stream_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    every = {
+        r.v: r.comp
+        for r in connected_components(edges, convergence_check_interval=1).collect()
+    }
+    sparse = {
+        r.v: r.comp
+        for r in connected_components(edges, convergence_check_interval=3).collect()
+    }
+    assert every == sparse == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
