@@ -94,6 +94,17 @@ class ConsumerConfig:
         max-buffer-size 10000, max-duration 60s (`Consumer.scala:146-166`).
         """
         cfg = _flatten(config)
+        # Re-root a wrapped config (the reference ships its keys under an
+        # `example.consumer { … }` block): if the required keys are not at
+        # the top level but live under exactly one nested prefix, descend.
+        if "stream-name" not in cfg:
+            suffix = ".stream-name"
+            prefixes = {k[: -len(suffix)] for k in cfg if k.endswith(suffix)}
+            if len(prefixes) == 1:
+                prefix = prefixes.pop() + "."
+                cfg = {
+                    k[len(prefix):]: v for k, v in cfg.items() if k.startswith(prefix)
+                }
 
         def need(key: str):
             if key not in cfg:
@@ -127,18 +138,137 @@ class ConsumerConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "ConsumerConfig":
-        """Load :meth:`from_config` input from a JSON or TOML file (the
-        Spark-ecosystem stand-ins for the reference's HOCON file; same
-        keys, same defaults — quote the dashed keys in TOML)."""
+        """Load :meth:`from_config` input from a HOCON (``.conf``), TOML
+        (``.toml``), or JSON (anything else) file — same keys, same
+        defaults in every carrier (quote the dashed keys in TOML).
+
+        The HOCON support covers exactly the subset the reference's own
+        config file exercises (`reference.conf:1-21`): nested blocks,
+        ``key = value`` with quoted strings / numbers / durations, and
+        comments — so the reference's reference.conf loads verbatim.
+        Includes/substitutions/arrays are out of scope; use JSON/TOML
+        for anything richer."""
         if path.endswith(".toml"):
             import tomllib
 
             with open(path, "rb") as fh:
                 return cls.from_config(tomllib.load(fh))
+        if path.endswith(".conf"):
+            with open(path) as fh:
+                return cls.from_config(_parse_hocon(fh.read()))
         import json
 
         with open(path) as fh:
             return cls.from_config(json.load(fh))
+
+
+def _parse_hocon(text: str) -> dict:
+    """Parse the HOCON subset the reference's `reference.conf:1-21`
+    uses: nested ``name { … }`` blocks (dotted block names allowed),
+    ``key = value`` / ``key: value`` with quoted strings, bare numbers,
+    booleans, and duration strings, plus ``#``/``//`` comments. NOT
+    general HOCON — no includes, substitutions, arrays, concatenation,
+    or multiline strings (JSON/TOML are the carriers for those)."""
+    root: dict = {}
+    stack: list[dict] = [root]
+
+    def assign(stmt: str, lineno: int) -> None:
+        key, sep, value = stmt.partition("=")
+        if not sep:
+            key, sep, value = stmt.partition(":")
+        if not sep:
+            raise ValueError(f"line {lineno}: unparseable HOCON statement {stmt!r}")
+        node = stack[-1]
+        parts = key.strip().strip('"').split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = _hocon_value(value.strip())
+
+    for lineno, raw in enumerate(text.splitlines(), 1):
+        # split the comment-stripped line into brace tokens and statement
+        # text (braces never appear inside this subset's quoted values,
+        # which hold names/durations/timestamps)
+        for token in _hocon_tokens(_strip_hocon_comment(raw)):
+            if token == "{":
+                raise ValueError(f"line {lineno}: block without a name")
+            if token == "}":
+                if len(stack) == 1:
+                    raise ValueError(f"line {lineno}: unbalanced '}}'")
+                stack.pop()
+            elif token.endswith("{"):
+                node = stack[-1]
+                for part in token[:-1].strip().strip('"').split("."):
+                    nxt = node.setdefault(part, {})
+                    if not isinstance(nxt, dict):
+                        raise ValueError(
+                            f"line {lineno}: {part!r} is both value and block"
+                        )
+                    node = nxt
+                stack.append(node)
+            else:
+                assign(token, lineno)
+    if len(stack) != 1:
+        raise ValueError("unbalanced '{' at end of HOCON input")
+    return root
+
+
+def _hocon_tokens(line: str):
+    """Split one comment-free line into statements and brace tokens:
+    ``'position { initial = "x" }'`` → ``['position {', 'initial = "x"',
+    '}']``. A ``{`` binds to the preceding name; ``}`` stands alone."""
+    out: list[str] = []
+    buf = ""
+    in_quote = False
+    for c in line:
+        if c == '"':
+            in_quote = not in_quote
+            buf += c
+        elif c == "{" and not in_quote:
+            out.append(buf.strip() + " {" if buf.strip() else "{")
+            buf = ""
+        elif c == "}" and not in_quote:
+            if buf.strip():
+                out.append(buf.strip())
+            out.append("}")
+            buf = ""
+        else:
+            buf += c
+    if buf.strip():
+        out.append(buf.strip())
+    return out
+
+
+def _strip_hocon_comment(line: str) -> str:
+    """Cut ``#`` / ``//`` comments, respecting double-quoted spans."""
+    in_quote = False
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if c == '"':
+            in_quote = not in_quote
+        elif not in_quote and (c == "#" or line[i : i + 2] == "//"):
+            return line[:i]
+        i += 1
+    return line
+
+
+def _hocon_value(token: str):
+    if len(token) >= 2 and token[0] == '"' and token[-1] == '"':
+        return token[1:-1]
+    low = token.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    try:
+        return int(token)
+    except ValueError:
+        pass
+    try:
+        return float(token)
+    except ValueError:
+        pass
+    return token  # bare string (durations like 30s land here)
 
 
 def _flatten(config: dict, prefix: str = "") -> dict:

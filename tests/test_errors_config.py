@@ -218,3 +218,89 @@ def test_from_config_missing_required_and_bad_position():
             {"stream-name": "s", "application-name": "a",
              "position": {"initial": "at-timestamp", "time": ""}}
         )
+
+
+# --- HOCON (.conf) carrier ----------------------------------------------------
+
+REFERENCE_CONF = '''
+######################################
+# Kinesis Stream Reference Config File #
+######################################
+
+example.consumer {
+  application-name = "test-app" # name of the application (consumer group)
+  stream-name = "test-stream" # name of the stream to connect to
+
+  position {
+    initial = "latest" # (latest, trim-horizon, at-timestamp). defaults to latest
+    time = "" # Only set if position is at-timestamp.
+  }
+
+  checkpoint {
+    completion-timeout = "30s" # wait for in-flight messages on shutdown
+    timeout = "20s" # timeout for checkpoints to complete
+    max-buffer-size = 10000 # records to process before checkpointing
+    max-duration = "60s" # Max duration to wait between checkpoint calls
+  }
+}
+'''
+
+
+def test_from_file_hocon_reference_conf_roundtrip(tmp_path):
+    """The reference's own reference.conf (same keys, values, comments,
+    and `example.consumer` wrapper block — reference.conf:1-21) must
+    load through from_file verbatim."""
+    conf = tmp_path / "application.conf"
+    conf.write_text(REFERENCE_CONF)
+    cfg = ConsumerConfig.from_file(str(conf))
+    assert cfg.app_name == "test-app"
+    assert cfg.stream_path == "test-stream"
+    assert cfg.initial_position is InitialPosition.LATEST
+    assert cfg.checkpoint.completion_timeout_s == 30.0
+    assert cfg.checkpoint.timeout_s == 20.0
+    assert cfg.checkpoint.max_buffer_size == 10000
+    assert cfg.checkpoint.max_duration_s == 60.0
+
+
+def test_from_file_hocon_actual_reference_file():
+    """If the reference checkout is present, its real config file parses
+    (guards against inline-copy drift)."""
+    import os
+
+    path = "/root/reference/src/main/resources/reference.conf"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    cfg = ConsumerConfig.from_file(path)
+    assert cfg.app_name == "test-app"
+    assert cfg.stream_path == "test-stream"
+
+
+def test_hocon_subset_features(tmp_path):
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        '// line comment\n'
+        'stream-name: "s#1"  # hash inside quotes survives\n'
+        'application-name = app\n'
+        'position { initial = "at-timestamp"\n'
+        '  time = "2024-01-10T00:00:00" }\n'
+        'checkpoint.max-buffer-size = 42\n'
+        'max-files-per-trigger = 7\n'
+    )
+    cfg = ConsumerConfig.from_file(str(conf))
+    assert cfg.stream_path == "s#1"
+    assert cfg.app_name == "app"
+    assert cfg.initial_position is InitialPosition.AT_TIMESTAMP
+    assert cfg.position_timestamp is not None
+    assert cfg.checkpoint.max_buffer_size == 42
+    assert cfg.max_files_per_trigger == 7
+
+
+def test_hocon_unbalanced_braces_raise(tmp_path):
+    import pytest
+
+    conf = tmp_path / "bad.conf"
+    conf.write_text("a {\n b = 1\n")
+    with pytest.raises(ValueError):
+        ConsumerConfig.from_file(str(conf))
