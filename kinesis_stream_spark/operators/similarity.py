@@ -37,6 +37,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    max_group_vectorized: int = 100_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold within blocking groups.
 
@@ -59,20 +60,58 @@ def cosine_pairs(
 
     Scale note (both paths): work is proportional to sum of group-size²;
     the blocking key bounds it. The vectorized path additionally needs
-    one group's vectors to fit one worker's memory (fine for blocking
-    groups; NOT for an unblocked corpus — use LSH/IVF then).
+    one group's vectors to fit one worker's memory, so it is guarded:
+    groups above ``max_group_vectorized`` vectors are routed to the
+    spill-safe JVM join path instead (an unexpectedly hot blocking key
+    must degrade to a slower plan, not OOM an executor). The group
+    sizes come from a window count over the same hash partitioning the
+    kernel needs anyway — no extra shuffle, and the split never changes
+    results, only which engine scores a group.
 
     Norms are computed once per vector, not per pair. cosine =
     dot/(na*nb) with single-IEEE-op tails — bit-identical everywhere.
     """
     if vectorized:
+        base = emb.select(*group_cols, id_col, vec_col).repartition(*group_cols)
+        gn = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        tagged = base.withColumn("_gn", gn)
+        small = tagged.where(F.col("_gn") <= max_group_vectorized).drop("_gn")
+        big = tagged.where(F.col("_gn") > max_group_vectorized).drop("_gn")
         return _cosine_pairs_vectorized(
-            emb,
+            small,
             group_cols=group_cols,
             threshold=threshold,
             id_col=id_col,
             vec_col=vec_col,
+        ).unionByName(
+            _cosine_pairs_jvm(
+                big,
+                group_cols=group_cols,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
         )
+    return _cosine_pairs_jvm(
+        emb,
+        group_cols=group_cols,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _cosine_pairs_jvm(
+    emb: DataFrame,
+    *,
+    group_cols: list[str],
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Pure-JVM self-join + fixed-point higher-order fns behind
+    :func:`cosine_pairs` — streaming pair expansion, spill-safe for
+    groups too large for the numpy kernel's in-memory materialization."""
     base = emb.select(
         *group_cols,
         F.col(id_col).alias("id"),
@@ -152,12 +191,9 @@ def _cosine_pairs_vectorized(
             return pd.DataFrame(columns=[*group_cols, "id_a", "id_b", "cosine"])
         return pd.concat(frames, ignore_index=True)
 
-    return (
-        emb.select(*in_cols)
-        .repartition(*group_cols)
-        .groupBy(*group_cols)
-        .applyInPandas(pairs, out_schema)
-    )
+    # caller (cosine_pairs) already hash-partitioned by group_cols; the
+    # groupBy reuses that distribution rather than re-exchanging
+    return emb.select(*in_cols).groupBy(*group_cols).applyInPandas(pairs, out_schema)
 
 
 def topk_bruteforce(
