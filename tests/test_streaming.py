@@ -353,3 +353,90 @@ def test_commit_flow_fatal_checkpoint_fails_query(spark, stream_dir, tmp_path):
     q = run_at_least_once(source(spark, cfg), cfg, batch_fn)
     with pytest.raises(Exception, match="durable store corrupt"):
         q.awaitTermination(120)
+
+
+def test_stream_session_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Session windows through an ACTUAL StreamingQuery (availableNow
+    trigger + checkpointLocation) equal the batch run of the same
+    session_window_agg code — the real-trigger counterpart of the
+    batch-emulation oracle (stream_session_window)."""
+    from kinesis_stream_spark.streaming.windows import session_window_agg
+
+    cfg = _config(stream_dir, tmp_path)
+    records = source(spark, cfg).select(
+        F.col("approximateArrivalTimestamp").alias("ts"),
+        # user_id rides as the partition key (events_to_envelope), not in
+        # the JSON payload
+        F.col("partitionKey").cast("long").alias("user_id"),
+        F.get_json_object(F.col("data").cast("string"), "$.value")
+        .cast("double")
+        .alias("value"),
+    )
+    agg = session_window_agg(records, gap="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .option("checkpointLocation", cfg.checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.sum_value)
+        for r in spark.table("session_out").collect()
+    }
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    want = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.sum_value)
+        for r in session_window_agg(events, gap="10 minutes").collect()
+    }
+    assert got == want and len(got) > 0
+    # the query really ran through the durable checkpoint machinery
+    assert os.path.exists(os.path.join(cfg.checkpoint_location, "commits"))
+
+
+def test_stream_watermarked_tumbling_append_finalizes_watermarked_windows(
+    spark, sf_dir, stream_dir, tmp_path
+):
+    """Watermarked tumbling windows in APPEND mode through a real
+    StreamingQuery: windows fully below the final watermark are emitted
+    exactly once with batch-equal aggregates; windows the watermark has
+    not passed stay in state (so append output is a prefix of batch)."""
+    cfg = _config(stream_dir, tmp_path)
+    records = source(spark, cfg).select(
+        F.col("approximateArrivalTimestamp").alias("ts"),
+        F.get_json_object(F.col("data").cast("string"), "$.event_type").alias(
+            "event_type"
+        ),
+        F.get_json_object(F.col("data").cast("string"), "$.value")
+        .cast("double")
+        .alias("value"),
+    )
+    agg = tumbling_window_agg(
+        records.withWatermark("ts", "1 hour"), duration="1 hour"
+    )
+    emitted: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value) for r in emitted
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(
+            load_table(spark, sf_dir, "events"), duration="1 hour"
+        ).collect()
+    }
+    assert len(got) > 0
+    assert set(got) <= set(batch)
+    for key, val in got.items():
+        assert val == batch[key], key
+    # append emitted no duplicates across micro-batches
+    assert len(emitted) == len(got)
