@@ -256,6 +256,138 @@ def term_stats_topk(
     )
 
 
+# --- repetition filtering (Gopher-style quality rules) ------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token, the fraction of
+    token occurrences that are duplicates (count ≥ 2), and the same two
+    ratios over word bigrams. The standard "repetitious document" filter
+    in pre-training pipelines (drop when top-2-gram fraction is high).
+
+    Shape: explode (doc, gram) → per-(doc, gram) counts → per-doc
+    max/sum — two hash aggregations per gram order, both keyed on the
+    high-cardinality (doc, gram) then doc. Map-side partial aggregation
+    applies; nothing is quadratic and no gram list is held per-row, so
+    arbitrarily long documents stream through. Bigrams come from a
+    lead() window inside the same per-doc partitioning the counts need
+    anyway. Integer counts + one IEEE divide — cross-engine exact.
+    """
+    toks = tokens(F.col(text_col))
+    uni = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("g"))
+    uni_stats = _gram_repetition(uni, "uni")
+    order = Window.partitionBy("id").orderBy("pos")
+    whole = Window.partitionBy("id")
+    bi = (
+        docs.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "t"))
+        .select(
+            "id",
+            "pos",
+            F.concat_ws(" ", "t", F.lead("t", 1).over(order)).alias("g"),
+            F.count(F.lit(1)).over(whole).alias("n_toks"),
+        )
+        .where(F.col("pos") < F.col("n_toks") - 1)
+        .select("id", "g")
+    )
+    bi_stats = _gram_repetition(bi, "bi")
+    return (
+        uni_stats.join(bi_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("uni_total").alias("n_tokens"),
+            (F.col("uni_top").cast("double") / F.col("uni_total")).alias(
+                "top_token_fraction"
+            ),
+            (F.col("uni_dup").cast("double") / F.col("uni_total")).alias(
+                "dup_token_fraction"
+            ),
+            F.coalesce("bi_total", F.lit(0).cast("long")).alias("n_bigrams"),
+            (F.col("bi_top").cast("double") / F.col("bi_total")).alias(
+                "top_bigram_fraction"
+            ),
+            (F.col("bi_dup").cast("double") / F.col("bi_total")).alias(
+                "dup_bigram_fraction"
+            ),
+        )
+    )
+
+
+def _gram_repetition(exploded: DataFrame, prefix: str) -> DataFrame:
+    counts = exploded.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("id").agg(
+        F.sum("c").alias(f"{prefix}_total"),
+        F.max("c").alias(f"{prefix}_top"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            f"{prefix}_dup"
+        ),
+    )
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+#: Deliberately dialect-portable patterns: no backreferences, no lazy
+#: quantifiers, no lookaround — every construct means the same thing to
+#: Java regex (Spark) and RE2 (DuckDB), including \b word boundaries.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3} [0-9]{3} [0-9]{3,4}",
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] = PII_PATTERNS,
+) -> DataFrame:
+    """Detect-and-mask PII spans: per document, the match count for each
+    pattern plus the scrubbed text (every match replaced by a
+    ``<KIND>`` tag), summarized as md5 + length so the output stays
+    tabular. Pure map — regexp count/replace in whole-stage codegen, no
+    shuffle at any scale; the redaction pass every compliance-minded
+    training pipeline runs before tokenization.
+
+    Replacements apply in sorted(pattern-name) order — part of the
+    contract, since one pattern's replacement can destroy another's
+    match (emails are scrubbed before their digit runs could look like
+    phone numbers).
+    """
+    out_cols = [F.col(id_col)]
+    scrubbed = F.col(text_col)
+    for name, pat in sorted(patterns.items()):
+        out_cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return docs.select(
+        *out_cols,
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def sql_pii_scrub_columns(
+    text_expr: str, patterns: dict[str, str] = PII_PATTERNS
+) -> tuple[str, str]:
+    """DuckDB twins of :func:`pii_scrub`'s count columns and scrubbed
+    expression (same patterns, same sorted replacement order)."""
+    counts = ", ".join(
+        f"LEN(REGEXP_EXTRACT_ALL({text_expr}, '{pat}')) AS n_{name}"
+        for name, pat in sorted(patterns.items())
+    )
+    scrubbed = text_expr
+    for name, pat in sorted(patterns.items()):
+        scrubbed = f"REGEXP_REPLACE({scrubbed}, '{pat}', '<{name.upper()}>', 'g')"
+    return counts, scrubbed
+
+
 # --- training-set curation: decontamination / mixing / packing ---------------
 
 

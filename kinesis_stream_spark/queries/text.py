@@ -423,3 +423,99 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort). Integer-only arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, capacity=_PACK_CAPACITY).orderBy("source", "doc_id")
+
+
+# --- repetition filtering / PII scrubbing ------------------------------------
+
+
+@_q(
+    "text_repetition_stats",
+    f"""
+    WITH uni AS (
+      SELECT doc_id AS id, t.g FROM documents, UNNEST({_TOKS}) AS t(g)
+    ),
+    uc AS (SELECT id, g, COUNT(*) AS c FROM uni GROUP BY id, g),
+    ua AS (SELECT id, CAST(SUM(c) AS BIGINT) AS uni_total, MAX(c) AS uni_top,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS uni_dup
+           FROM uc GROUP BY id),
+    bt AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    bi AS (
+      SELECT id, u.g
+      FROM (SELECT id, CASE WHEN LEN(toks) >= 2
+                   THEN [ARRAY_TO_STRING(toks[i:i+1], ' ') FOR i IN RANGE(1, LEN(toks))]
+                   ELSE [] END AS bgs FROM bt), UNNEST(bgs) AS u(g)
+    ),
+    bc AS (SELECT id, g, COUNT(*) AS c FROM bi GROUP BY id, g),
+    ba AS (SELECT id, CAST(SUM(c) AS BIGINT) AS bi_total, MAX(c) AS bi_top,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS bi_dup
+           FROM bc GROUP BY id)
+    SELECT ua.id AS doc_id,
+           uni_total AS n_tokens,
+           CAST(uni_top AS DOUBLE) / uni_total AS top_token_fraction,
+           CAST(uni_dup AS DOUBLE) / uni_total AS dup_token_fraction,
+           COALESCE(bi_total, 0) AS n_bigrams,
+           CAST(bi_top AS DOUBLE) / bi_total AS top_bigram_fraction,
+           CAST(bi_dup AS DOUBLE) / bi_total AS dup_bigram_fraction
+    FROM ua LEFT JOIN ba ON ua.id = ba.id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-token / duplicate-token
+    fractions and the same over word bigrams — the standard
+    "repetitious document" drop rules in pre-training curation. Two
+    hash aggregations per gram order, map-side combined; nothing held
+    per-row, so document length is unbounded."""
+    from kinesis_stream_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+# Deterministic PII injection: the synthetic corpus contains no PII, so
+# the query plants one email / IPv4 / phone per document (derived from
+# doc_id — reproducible on both engines) and the operator must find and
+# scrub exactly those.
+_PII_TEXT_SQL = (
+    "(text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call +12 345 ' || CAST(1000 + doc_id % 9000 AS VARCHAR))"
+)
+
+
+def _sql_pii_scrub() -> str:
+    from kinesis_stream_spark.operators.text import sql_pii_scrub_columns
+
+    counts, scrubbed = sql_pii_scrub_columns(_PII_TEXT_SQL)
+    return f"""
+    SELECT doc_id, {counts},
+           LENGTH({scrubbed}) AS scrubbed_len,
+           MD5({scrubbed}) AS scrubbed_md5
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@_q("text_pii_scrub", _sql_pii_scrub())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-mask (emails, IPv4s, phone numbers): per-doc match
+    counts plus md5+length of the scrubbed text. Patterns restricted to
+    the regex subset Java and RE2 interpret identically; replacement
+    order is part of the operator contract. Pure map stage — the
+    redaction pass before tokenization in a compliance-bound pipeline."""
+    from kinesis_stream_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +12 345 "),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    )
+    return pii_scrub(injected).orderBy("doc_id")

@@ -1,0 +1,71 @@
+"""Operator-level tests for repetition stats, PII scrubbing, and ANN
+recall (oracle parity covers the query wrappers; these pin hand-checked
+values and contract edges)."""
+
+from __future__ import annotations
+
+from kinesis_stream_spark.operators.similarity import ann_recall
+from kinesis_stream_spark.operators.text import pii_scrub, repetition_stats
+
+
+def test_repetition_stats_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x"), (3, "c c c c")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]  # tokens a,a,b; bigrams "a a","a b"
+    assert r1.n_tokens == 3
+    assert abs(r1.top_token_fraction - 2 / 3) < 1e-12
+    assert abs(r1.dup_token_fraction - 2 / 3) < 1e-12
+    assert r1.n_bigrams == 2
+    assert r1.top_bigram_fraction == 0.5
+    assert r1.dup_bigram_fraction == 0.0
+    r2 = rows[2]  # single token: no bigrams, fractions null
+    assert r2.n_tokens == 1 and r2.n_bigrams == 0
+    assert r2.top_bigram_fraction is None and r2.dup_bigram_fraction is None
+    assert r2.top_token_fraction == 1.0 and r2.dup_token_fraction == 0.0
+    r3 = rows[3]  # c×4: bigrams "c c"×3, all duplicates
+    assert r3.top_token_fraction == 1.0 and r3.dup_token_fraction == 1.0
+    assert r3.n_bigrams == 3
+    assert r3.top_bigram_fraction == 1.0 and r3.dup_bigram_fraction == 1.0
+
+
+def test_pii_scrub_counts_and_masking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-7.org and 192.168.0.1 call +49 123 4567 done"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.co one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 1, 1)
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (2, 1, 0)
+    # unscathed doc: scrubbed text is the original
+    import hashlib
+
+    assert rows[2].scrubbed_md5 == hashlib.md5(b"no pii here").hexdigest()
+    assert rows[2].scrubbed_len == len("no pii here")
+    # masked doc: tags replace the spans
+    scrubbed_1 = "mail <EMAIL> and <IPV4> call <PHONE> done"
+    assert rows[1].scrubbed_md5 == hashlib.md5(scrubbed_1.encode()).hexdigest()
+    assert rows[1].scrubbed_len == len(scrubbed_1)
+
+
+def test_ann_recall_hand_checked(spark):
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2), (2, 30, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 99, 2), (1, 21, 1), (1, 20, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    rows = {r.query_id: r for r in ann_recall(approx, exact, k=10).collect()}
+    assert rows[0].n_hits == 1 and rows[0].n_exact == 2 and rows[0].recall == 0.5
+    assert rows[1].n_hits == 2 and rows[1].recall == 1.0
+    # query 2: approx found nothing — recall 0, not a missing row
+    assert rows[2].n_hits == 0 and rows[2].recall == 0.0
