@@ -378,3 +378,31 @@ def topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, *, k: int = 10) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    per query, |approx ∩ exact| / |exact| over neighbor ids.
+
+    The quality gauge for any ANN deployment (LSH bits, IVF nprobe are
+    recall/cost knobs — this measures what a setting buys). Both inputs
+    are (query_id, neighbor_id, rank) shapes from the topk_* operators.
+    Scale: both sides are already reduced to k rows per query, so the
+    intersection join and the per-query aggregate are O(k·Q) — noise
+    next to producing the inputs.
+    """
+    a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = a.join(e, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return totals.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        "n_exact",
+        (
+            F.coalesce("n_hits", F.lit(0).cast("long")).cast("double")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )

@@ -173,3 +173,36 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, _queries_df(emb), k=K, nprobe=2, dim=DIM).orderBy(
         "query_id", "rank"
     )
+
+
+_RECALL_SQL = f"""
+    WITH exact AS (SELECT query_id, neighbor_id
+                   FROM ({ORACLE["similarity_topk_bruteforce"]})),
+         approx AS (SELECT query_id, neighbor_id
+                    FROM ({ORACLE["similarity_topk_lsh"]})),
+         hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                  FROM approx JOIN exact USING (query_id, neighbor_id)
+                  GROUP BY query_id),
+         totals AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                    FROM exact GROUP BY query_id)
+    SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_exact AS recall
+    FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+    ORDER BY t.query_id
+"""
+
+
+@_q("similarity_ann_recall", _RECALL_SQL)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH path against the exact brute-force baseline —
+    the quality gauge for the ANN knobs (signature bits here; nprobe for
+    IVF). Both rankings are deterministic on both engines, so the oracle
+    replays the *measurement*, not just the inputs. The recall join
+    itself is O(k·Q) — noise next to producing the rankings."""
+    from kinesis_stream_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    exact = topk_bruteforce(emb, q, k=K)
+    approx = topk_lsh(emb, q, k=K, num_planes=8, dim=DIM)
+    return ann_recall(approx, exact, k=K).orderBy("query_id")
