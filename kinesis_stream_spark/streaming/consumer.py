@@ -55,6 +55,17 @@ class ConsumerConfig:
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
     worker_id: str = field(default_factory=lambda: str(uuid.uuid4()))
     max_files_per_trigger: int | None = None  # admission control (O3 backpressure)
+    # KCL sub-config parity (`Consumer.scala:65-68,81-90`): the reference
+    # carries optional coordinator / lease-management / metrics / retrieval
+    # configs through to the scheduler untouched. Here they are opaque
+    # dicts a real-connector adapter maps onto its options (e.g.
+    # spark-sql-kinesis or Kafka reader configs); the file transport
+    # ignores them, exactly as the reference ignores them until KCL
+    # consumes them.
+    coordinator_config: dict | None = None
+    lease_management_config: dict | None = None
+    metrics_config: dict | None = None
+    retrieval_config: dict | None = None
 
     def with_initial_position(
         self, position: InitialPosition, at: dt.datetime | None = None
@@ -62,6 +73,26 @@ class ConsumerConfig:
         """Builder parity with `withInitialStreamPosition` (`Consumer.scala:71-79`)."""
         self.initial_position = position
         self.position_timestamp = at
+        return self
+
+    def with_coordinator_config(self, config: dict) -> "ConsumerConfig":
+        """`withCoordinatorConfig` parity (`Consumer.scala:81-82`)."""
+        self.coordinator_config = config
+        return self
+
+    def with_lease_management_config(self, config: dict) -> "ConsumerConfig":
+        """`withLeaseManagementConfig` parity (`Consumer.scala:84-85`)."""
+        self.lease_management_config = config
+        return self
+
+    def with_metrics_config(self, config: dict) -> "ConsumerConfig":
+        """`withMetricsConfig` parity (`Consumer.scala:87`)."""
+        self.metrics_config = config
+        return self
+
+    def with_retrieval_config(self, config: dict) -> "ConsumerConfig":
+        """`withRetrievalConfig` parity (`Consumer.scala:89`)."""
+        self.retrieval_config = config
         return self
 
     @property
@@ -134,6 +165,21 @@ class ConsumerConfig:
             out.checkpoint_root = str(cfg["checkpoint-root"])
         if "max-files-per-trigger" in cfg:  # O3 admission control knob
             out.max_files_per_trigger = int(cfg["max-files-per-trigger"])
+        # optional KCL sub-config sections, retained opaquely
+        # (`Consumer.scala:65-68`; names follow the case-class fields)
+        for section, attr in (
+            ("coordinator", "coordinator_config"),
+            ("lease-management", "lease_management_config"),
+            ("metrics", "metrics_config"),
+            ("retrieval", "retrieval_config"),
+        ):
+            sub = {
+                k[len(section) + 1 :]: v
+                for k, v in cfg.items()
+                if k.startswith(section + ".")
+            }
+            if sub:
+                setattr(out, attr, sub)
         return out.with_initial_position(position, at)
 
     @classmethod

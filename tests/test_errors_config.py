@@ -304,3 +304,34 @@ def test_hocon_unbalanced_braces_raise(tmp_path):
     conf.write_text("a {\n b = 1\n")
     with pytest.raises(ValueError):
         ConsumerConfig.from_file(str(conf))
+
+
+# --- KCL sub-config parity ----------------------------------------------------
+
+
+def test_subconfig_builders_chain():
+    cfg = (
+        ConsumerConfig(stream_path="/s", app_name="a")
+        .with_coordinator_config({"parent-shard-poll-interval": "1s"})
+        .with_lease_management_config({"max-leases": 10})
+        .with_metrics_config({"namespace": "app"})
+        .with_retrieval_config({"mode": "polling"})
+    )
+    assert cfg.coordinator_config == {"parent-shard-poll-interval": "1s"}
+    assert cfg.lease_management_config == {"max-leases": 10}
+    assert cfg.metrics_config == {"namespace": "app"}
+    assert cfg.retrieval_config == {"mode": "polling"}
+
+
+def test_from_file_hocon_subconfig_sections(tmp_path):
+    conf = tmp_path / "kcl.conf"
+    conf.write_text(
+        'stream-name = "s"\n'
+        'application-name = "a"\n'
+        "retrieval { mode = polling\n  max-records = 500 }\n"
+        "lease-management { max-leases = 20 }\n"
+    )
+    cfg = ConsumerConfig.from_file(str(conf))
+    assert cfg.retrieval_config == {"mode": "polling", "max-records": 500}
+    assert cfg.lease_management_config == {"max-leases": 20}
+    assert cfg.coordinator_config is None and cfg.metrics_config is None
