@@ -93,3 +93,60 @@ def test_whole_stage_codegen_covers_scan_filter_agg(spark, sf_dir):
     assert spans, f"no whole-stage-codegen spans in:\n{executed[:500]}"
     # scan→filter→partial-agg must fuse into ONE span, final agg another
     assert "*(1) Filter" in executed and "*(1) HashAggregate" in executed
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    from kinesis_stream_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(pii_scrub(docs))
+    # regexp count + chained replace is a pure projection — no exchange
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_no_cartesian_and_partial_agg(spark, sf_dir):
+    from kinesis_stream_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(repetition_stats(docs))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # (doc, gram) counts must pre-combine map-side before the exchange
+    assert "partial_count" in plan
+
+
+def test_sketch_split_joins_broadcast(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    # exact + approx aggregates meet in a 3-row join: must broadcast,
+    # never shuffle either aggregate's output
+    plan = _explain(QUERIES["agg_approx_sketches"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_recall_reuses_topk_outputs_without_global_sort(spark, sf_dir):
+    from kinesis_stream_spark.queries.similarity import QUERIES
+
+    plan = _explain(QUERIES["similarity_ann_recall"](spark, sf_dir))
+    # the k-per-query selection is a window + filter; a global sort of
+    # the scored corpus would appear as a non-window global Sort node
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan  # presentation order-by only
+    assert "CartesianProduct" not in plan
+
+
+def test_distinct_aggregate_shuffles_on_key_and_value(spark, sf_dir):
+    """COUNT(DISTINCT x) GROUP BY hot_key: the FIRST exchange must be
+    keyed on (key, x) so a hot group spreads across reducers — Spark
+    plans the two-phase rewrite itself; this pins it, because silently
+    regressing to a key-only first shuffle would be the classic hot-key
+    scale bug (one reducer receives a whole group's rows)."""
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    )
+    plan = _explain(df)
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any(
+        "l_returnflag" in l and "l_suppkey" in l for l in exchanges
+    ), exchanges
