@@ -85,6 +85,38 @@ def run_at_most_once(
     return writer.start()
 
 
+def run_to_parquet(
+    records: DataFrame,
+    config: ConsumerConfig,
+    output_dir: str,
+    *,
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+):
+    """source → exactly-once parquet file sink — the delivery tier above
+    the reference's at-least-once (`README.md:38-43` stops at
+    "effectively once with idempotent consumers"; Spark's file sink
+    provides it natively). Each micro-batch's files are recorded in the
+    sink's ``_spark_metadata`` transaction log keyed by batch id; a
+    replayed batch overwrites its own entry, so a reader of
+    ``output_dir`` observes every record exactly once even across
+    crash-replay. At scale this is the standard stream→lake landing
+    path; ``partition_by`` (e.g. event date) keeps downstream scans
+    partition-pruned.
+    """
+    writer = (
+        records.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", config.checkpoint_location)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def foreach_batch_commit_flow(
     tracker: CheckpointTracker,
     process_fn: Callable[[DataFrame], None],

@@ -440,3 +440,29 @@ def test_stream_watermarked_tumbling_append_finalizes_watermarked_windows(
         assert val == batch[key], key
     # append emitted no duplicates across micro-batches
     assert len(emitted) == len(got)
+
+
+def test_parquet_sink_exactly_once(spark, sf_dir, stream_dir, tmp_path):
+    """File-sink exactly-once: the _spark_metadata transaction log makes
+    a restarted query idempotent — the reader sees each record once, and
+    a restart appends nothing new."""
+    from kinesis_stream_spark.streaming.delivery import run_to_parquet
+
+    cfg = _config(stream_dir, tmp_path)
+    out = str(tmp_path / "landed")
+    records = source(spark, cfg)
+    q = run_to_parquet(records, cfg, out)
+    q.awaitTermination(120)
+    n_events = load_table(spark, sf_dir, "events").count()
+    landed = spark.read.parquet(out)
+    assert landed.count() == n_events
+    assert "sequenceNumber" in landed.columns
+    # restart with the same checkpoint: no new data -> no new rows, no dupes
+    q2 = run_to_parquet(source(spark, cfg), cfg, out)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_events
+    # distinct (shard, seq) pairs == rows: nothing landed twice
+    assert (
+        spark.read.parquet(out).select("shardId", "sequenceNumber").distinct().count()
+        == n_events
+    )
