@@ -335,3 +335,54 @@ def test_from_file_hocon_subconfig_sections(tmp_path):
     assert cfg.retrieval_config == {"mode": "polling", "max-records": 500}
     assert cfg.lease_management_config == {"max-leases": 20}
     assert cfg.coordinator_config is None and cfg.metrics_config is None
+
+
+def test_hocon_roundtrip_property():
+    """Property: rendering an arbitrary nested config as HOCON and
+    parsing it back is the identity (over the supported value types)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_spark.streaming.consumer import _parse_hocon
+
+    keys = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz-", min_size=1, max_size=12
+    ).filter(lambda s: "--" not in s and not s.startswith("-") and not s.endswith("-"))
+    scalars = st.one_of(
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.booleans(),
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .:@+_/#",
+            max_size=20,
+        ),
+    )
+    configs = st.recursive(
+        st.dictionaries(keys, scalars, min_size=1, max_size=4),
+        lambda inner: st.dictionaries(
+            keys, st.one_of(scalars, inner), min_size=1, max_size=4
+        ),
+        max_leaves=12,
+    )
+
+    def render(d: dict, indent: int = 0) -> str:
+        out = []
+        pad = "  " * indent
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.append(f"{pad}{k} {{")
+                out.append(render(v, indent + 1))
+                out.append(pad + "}")
+            elif isinstance(v, bool):
+                out.append(f"{pad}{k} = {'true' if v else 'false'}")
+            elif isinstance(v, int):
+                out.append(f"{pad}{k} = {v}")
+            else:
+                out.append(f'{pad}{k} = "{v}"')
+        return "\n".join(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(configs)
+    def roundtrip(cfg):
+        assert _parse_hocon(render(cfg)) == cfg
+
+    roundtrip()
