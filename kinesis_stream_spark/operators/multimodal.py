@@ -114,6 +114,30 @@ def byte_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def exact_dedup_assets(
+    media: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Content-addressed exact dedup of binary assets: group by a hash
+    of the payload bytes, one row per distinct content with copy count
+    and the canonical (minimum) id — the FIRST dedup pass of any
+    multimodal pipeline, run before any decode (hashing is cheap,
+    decoding is not).
+
+    The content key is md5 over the hex encoding of the bytes (not the
+    raw bytes) because that is the form both engines hash identically —
+    DuckDB's md5 is VARCHAR-only; hex is injective so the key is still
+    content-addressed. Scale shape: single hash shuffle on the digest
+    (uniform by construction — no skew possible), map-side partial agg;
+    payload bytes never shuffle, only their 32-char digests do.
+    """
+    key = F.md5(F.hex(F.col(payload_col)))
+    return media.groupBy(key.alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(id_col).alias("canonical_id"),
+        F.max(id_col).alias("max_id"),
+    )
+
+
 def frame_sample(media: DataFrame, *, stride: int = 10) -> DataFrame:
     """Frame sampling plan for video rows: one output row per sampled
     frame index (0, stride, 2*stride, …) with its timestamp. Pure JVM

@@ -156,3 +156,41 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     would."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return decode_features(media).orderBy("media_id")
+
+
+_DUP_OFFSET = 1_000_000
+
+
+@_q(
+    "multimodal_exact_dedup",
+    f"""
+    WITH media AS ({SQL_MEDIA}),
+    catalog AS (
+      SELECT media_id, payload FROM media
+      UNION ALL
+      SELECT media_id + {_DUP_OFFSET}, payload FROM media
+    )
+    SELECT MD5(HEX(payload)) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(media_id) AS canonical_id,
+           MAX(media_id) AS max_id
+    FROM catalog
+    GROUP BY 1
+    ORDER BY canonical_id
+    """,
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed asset dedup: the catalog is the media table
+    unioned with a re-ingested copy (shifted ids — the standard
+    double-ingest scenario), so every content hash has exactly two
+    copies and the canonical-id choice is exercised. Only 32-char
+    digests shuffle; payloads never leave their scan tasks."""
+    from kinesis_stream_spark.operators.multimodal import exact_dedup_assets
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents")).select(
+        "media_id", "payload"
+    )
+    copy = media.select(
+        (F.col("media_id") + _DUP_OFFSET).alias("media_id"), "payload"
+    )
+    return exact_dedup_assets(media.unionAll(copy)).orderBy("canonical_id")
