@@ -78,12 +78,17 @@ def zscore_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas body: population z-score of quantity within the
     group. Sorts by (orderkey, linenumber) first so nothing depends on
     arrival order; sums of integral quantities are float64-exact."""
+    import math
+
     pdf = pdf.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
     q = pdf["l_quantity"]
     n = len(q)
     mean = float(q.sum()) / n
     var = float((q * q).sum()) / n - mean * mean
-    std = var**0.5
+    # math.sqrt, NOT var**0.5: ** goes through libm pow, which is not
+    # correctly rounded — one ulp off sqrt in ~1/500 groups (caught by
+    # the sf0.1 parity sweep); IEEE sqrt is exact-rounded everywhere
+    std = math.sqrt(var) if var > 0 else 0.0
     pdf["zscore"] = (q - mean) / std if std > 0 else q * 0.0
     return pdf[["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "zscore"]]
 

@@ -8,13 +8,24 @@ engines and across partition orderings. Strategy:
   expression tree in both engines) — no rounding needed.
 - SUM/AVG over doubles is NOT (summation order differs per partitioning),
   so every double aggregate goes through exact DECIMAL arithmetic:
-  cast each addend to DECIMAL(27,6) (exact decimal rounding of the
-  double — identical in both engines), sum exactly (integer arithmetic,
+  cast each addend to DECIMAL(27,6), sum exactly (integer arithmetic,
   order-independent), cast the final sum back to double (deterministic
   nearest-double). AVG = exact-sum / count.
 
 This also matters at 100 TB: it makes results independent of the number
-of partitions, AQE coalescing decisions, and speculative re-execution.
+of partitions, AQE coalescing decisions, and speculative re-execution —
+the per-row cast is partition-independent, so that production property
+holds unconditionally.
+
+Known cross-ENGINE nuance (oracle-side only): the double→DECIMAL cast
+itself can round differently between engines when the value lands on a
+tie of the scaled product — Spark rounds the double's exact decimal
+expansion, DuckDB rounds the IEEE ``value * 10^scale`` product. For
+price-like data (2-decimal intent) ties are vanishingly rare (all dsum
+queries hash-match DuckDB at sf0.001/0.01/0.1); for DENSE doubles
+(scores, ratios) use floor-based fixed point instead —
+``floor(x * 10^scale)`` has no tie semantics — as text_curation_pipeline
+does (divergence caught by the sf0.1 parity sweep).
 """
 
 from __future__ import annotations

@@ -256,8 +256,8 @@ def _sql_curation_pipeline(threshold: float = 0.65) -> str:
     )
     SELECT pred_lang, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(CAST(quality_score AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
-             AS avg_quality
+           (CAST(SUM(CAST(FLOOR(quality_score * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0) / COUNT(*) AS avg_quality
     FROM kept JOIN deduped ON doc_id = kept_id
     GROUP BY pred_lang
     ORDER BY pred_lang
@@ -297,8 +297,17 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            # fixed-point accumulation via floor(score*1e6), NOT a
+            # DECIMAL cast: casting an arbitrary double to DECIMAL
+            # rounds ties differently across engines (Spark rounds the
+            # exact BigDecimal expansion, DuckDB rounds the IEEE
+            # product — caught by the sf0.1 parity sweep); floor of the
+            # identical multiply has no tie semantics to disagree on
             (
-                F.sum(F.col("quality_score").cast("decimal(27,6)")).cast("double")
+                F.sum(F.floor(F.col("quality_score") * 1000000.0).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
                 / F.count(F.lit(1))
             ).alias("avg_quality"),
         )
