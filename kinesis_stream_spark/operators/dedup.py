@@ -303,6 +303,45 @@ def near_duplicates_simhash(
     )
 
 
+def seen_hashes(corpus: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Hash index of an ingested corpus: one row per distinct normalized
+    content hash. At scale this table is maintained incrementally —
+    append each ingest round's surviving hashes — never re-derived from
+    the full corpus."""
+    return corpus.select(
+        F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    ).distinct()
+
+
+def exact_dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep only batch documents whose
+    normalized content hash is NEW — first (minimum id) within the batch
+    AND absent from the already-ingested corpus's hash index.
+
+    This is the ingest-loop dedup shape: each round joins the new slice
+    against the hash index of everything before it instead of
+    re-deduplicating the whole corpus (O(batch), not O(corpus), per
+    round). The anti-join keys on the md5 digest — uniform by
+    construction, so no skew — and AQE broadcasts whichever side is
+    small. Only digests shuffle; text never leaves the scan.
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    batch_winners = (
+        batch.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return batch_winners.join(
+        seen.select("content_hash"), "content_hash", "left_anti"
+    )
+
+
 # --- duplicate-cluster resolution (connected components) ----------------------
 
 

@@ -312,3 +312,56 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, group_cols=["label"], threshold=0.3).orderBy(
         "label", "id_a", "id_b"
     )
+
+
+_NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
+
+
+@_q(
+    "dedup_exact_incremental",
+    f"""
+    WITH seen AS (
+      SELECT DISTINCT {_NORM_HASH} AS content_hash
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + {COPY_OFFSET}, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + {2 * COPY_OFFSET}, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    winners AS (
+      SELECT {_NORM_HASH} AS content_hash, MIN(doc_id) AS doc_id
+      FROM batch GROUP BY 1
+    )
+    SELECT content_hash, doc_id FROM winners
+    WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-loop dedup: even-id docs play the already-ingested corpus
+    (as a hash index), the batch is the odd-id docs plus re-deliveries
+    of the ingested evens (must drop: seen before) plus shifted copies
+    of the odds (must drop: in-batch duplicate, min id wins). Survivors
+    are exactly the original odd ids — O(batch) work per round, the
+    historical corpus is touched only through its digest index."""
+    from kinesis_stream_spark.operators.dedup import (
+        exact_dedup_incremental,
+        seen_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    batch = (
+        odd.select("doc_id", "text")
+        .unionAll(
+            even.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
+        )
+        .unionAll(
+            odd.select((F.col("doc_id") + 2 * COPY_OFFSET).alias("doc_id"), "text")
+        )
+    )
+    return exact_dedup_incremental(batch, seen_hashes(even)).orderBy("doc_id")

@@ -136,3 +136,31 @@ def test_convergence_interval_one_matches_default(spark):
         for r in connected_components(edges, convergence_check_interval=3).collect()
     }
     assert every == sparse == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_exact_dedup_incremental_edges(spark):
+    from kinesis_stream_spark.operators.dedup import (
+        exact_dedup_incremental,
+        seen_hashes,
+    )
+
+    corpus = _docs(spark, [(1, "en", "seen doc one"), (2, "en", "seen doc two")])
+    seen = seen_hashes(corpus)
+    # batch: one genuinely new doc, one re-delivery of a seen doc (other
+    # id), one in-batch duplicate pair (min id must win), one
+    # normalization-equivalent re-delivery (case/whitespace)
+    batch = _docs(
+        spark,
+        [
+            (10, "en", "brand new doc"),
+            (11, "en", "seen doc one"),
+            (12, "en", "dup in batch"),
+            (13, "en", "dup in batch"),
+            (14, "en", "  SEEN   DOC TWO "),
+        ],
+    )
+    out = {r.doc_id for r in exact_dedup_incremental(batch, seen).collect()}
+    assert out == {10, 12}
+    # all-duplicates batch -> empty survivors
+    redeliver = _docs(spark, [(20, "en", "seen doc one")])
+    assert exact_dedup_incremental(redeliver, seen).count() == 0
