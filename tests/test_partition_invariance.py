@@ -1,0 +1,41 @@
+"""Partition-count invariance: the float-sensitive queries must produce
+BIT-IDENTICAL results under different shuffle partitioning — the
+property that makes results stable under AQE coalescing, cluster
+resizes, and speculative re-execution at 100 TB (see queries/_util.py).
+These queries aggregate doubles (the order-sensitive operation); if any
+accumulation leaked out of the exact-decimal / fixed-point paths, a
+partition-count change would flip low bits and this test would catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_stream_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+SENSITIVE = [
+    "q01_pricing_summary",  # 8-way double aggregate
+    "text_curation_pipeline",  # fixed-point avg_quality
+    "udf_apply_in_pandas_zscore",  # Python kernel over grouped doubles
+    "dedup_embedding_cosine_pairs",  # fixed-point vector math
+    "agg_approx_sketches",  # sketch merges across partitions
+]
+
+
+def _rows(spark, sf_dir, name):
+    return sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_results_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _rows(spark, sf_dir, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        narrow = _rows(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert wide == narrow, f"{name} depends on shuffle partitioning"
