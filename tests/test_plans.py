@@ -150,3 +150,41 @@ def test_distinct_aggregate_shuffles_on_key_and_value(spark, sf_dir):
     assert any(
         "l_returnflag" in l and "l_suppkey" in l for l in exchanges
     ), exchanges
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling, demonstrated live: one hot key holding
+    ~83% of the build side must be split at runtime (SortMergeJoin
+    marked skew=true, AQEShuffleRead skewed) instead of serializing on
+    one reducer — the runtime half of this engine's skew story (the
+    other half being salting/bucket caps in the dedup operators).
+    Thresholds are scaled down to local-mode shuffle sizes; the payload
+    is md5-derived so shuffle compression can't hide the imbalance."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "262144",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        payload = F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5((F.col("id") + 1).cast("string")),
+        )
+        big = spark.range(300_000).select(
+            F.when(F.col("id") < 250_000, 0)
+            .otherwise((F.col("id") % 50) + 1)
+            .alias("k"),
+            payload.alias("payload"),
+        )
+        right = spark.range(51).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+        joined = big.join(right, "k")
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
