@@ -326,6 +326,54 @@ def _gram_repetition(exploded: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+def boilerplate_fraction(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    df_threshold: int = 5,
+) -> DataFrame:
+    """Corpus-level boilerplate measurement: per document, the fraction
+    of its distinct n-gram shingles that are HIGH-document-frequency
+    across the whole corpus (df ≥ threshold). High fractions flag
+    template/boilerplate-dominated documents — the cross-document
+    complement of the within-document repetition filters, and the
+    measurement behind "remove documents that are mostly site chrome".
+
+    Shape: explode distinct shingles → df count on the gram key (one
+    row per (doc, gram), so a plain COUNT — no distinct aggregate) →
+    join df back → per-doc aggregate. Both shuffles key on the
+    md5-derived gram hash: uniform, skew-free at any corpus size; no
+    side is ever collected or broadcast (the gram-df table is
+    corpus-sized).
+    """
+    from kinesis_stream_spark.functions.hashing import shingles
+
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )  # shingles() emits the distinct set per doc
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(gram_df, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= df_threshold, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+            (F.col("n_boilerplate").cast("double") / F.col("n_grams")).alias(
+                "boilerplate_fraction"
+            ),
+        )
+    )
+
+
 # --- PII scrubbing ------------------------------------------------------------
 
 #: Deliberately dialect-portable patterns: no backreferences, no lazy

@@ -528,3 +528,35 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pii_scrub(injected).orderBy("doc_id")
+
+
+_SHINGLES3 = sql_shingles("text", 3)
+
+
+@_q(
+    "text_boilerplate_fraction",
+    f"""
+    WITH g AS (
+      SELECT doc_id, t.g FROM documents, UNNEST({_SHINGLES3}) AS t(g)
+    ),
+    gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS boilerplate_fraction
+    FROM g JOIN gdf USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: per doc, the fraction of its distinct
+    3-gram shingles whose corpus document-frequency is >= 5 — flags
+    template-dominated documents (the complement of the within-doc
+    repetition filters). Gram-keyed shuffles only; nothing broadcast."""
+    from kinesis_stream_spark.operators.text import boilerplate_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_fraction(docs, n=3, df_threshold=5).orderBy("doc_id")
