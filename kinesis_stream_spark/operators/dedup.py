@@ -5,15 +5,17 @@ Scale design (100 TB):
 
 - **Exact**: one shuffle on the content hash (map-side partial aggregation
   first); never a sort, never a driver collect.
-- **MinHash+LSH**: signatures are pure map-side array math (no explode —
-  ``transform``/``array_min`` lambdas over the shingle array); only the
-  *bands* explode (``num_bands`` rows per doc, not per shingle). Candidate
-  generation is an equi-join on (band_id, band_hash) — the LSH point is
-  precisely that this replaces the O(n²) cross-join with a shuffle join on
-  a high-selectivity key. Band buckets with a hot hash (boilerplate docs)
+- **MinHash+LSH**: shingles explode to ONE md5 each, then the 16
+  permutations are cheap linear MIN aggregates with map-side partial
+  aggregation (the per-seed-md5 array-lambda formulation measured 50×
+  slower — see ``minhash_signatures``). Candidate generation is an
+  equi-join on (band_id, band_hash) — the LSH point is precisely that
+  this replaces the O(n²) cross-join with a shuffle join on a
+  high-selectivity key. Band buckets with a hot hash (boilerplate docs)
   skew the join: cap bucket width (``max_bucket`` guard) or salt, and let
   AQE split stragglers. Verification (exact Jaccard) runs only on candidate
-  pairs.
+  pairs. Expansion stages ``spread()`` under-partitioned scans so the
+  per-shingle hashing never serializes on a single-row-group input.
 - **SimHash**: per-token hashes aggregated into per-bit majorities — one
   explode + one groupBy(doc); near-dup blocking joins on equal 15-bit blocks
   (Hamming ≤ k ⇒ some block equal when blocks > k).
@@ -32,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.functions.hashing import md5_int64, shingles, tokens
+from kinesis_stream_spark.sources.batch import spread
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
@@ -88,8 +91,10 @@ def minhash_signatures(
     composed under Catalyst's project collapsing, recomputes the whole
     shingle pipeline per signature element — measured 50× slower.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
+    # spread: the shingle explode + per-shingle md5 is the expensive map
+    # stage; a single-row-group scan would run it all in one task
+    sh = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id",
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     ).select("id", (md5_int64(F.col("s")) % MINHASH_MOD).alias("h"))
     aggs = [
@@ -163,8 +168,8 @@ def jaccard_on_shingles(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (integer set sizes →
     one double division: engine-independent)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    sh = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", shingles(F.col(text_col), shingle_n).alias("sh")
     )
     return (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -217,8 +222,8 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     shift-and-mask and the Hamming verify a single xor+bit_count —
     constant work per candidate pair instead of 32 string allocations.
     """
-    tok = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    tok = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", md5_int64(F.col("tok")))
     bit_sums = tok.groupBy("id").agg(
         *[
@@ -504,9 +509,11 @@ def ngram_jaccard_pairs(
     AQE broadcasts them anyway, and at 100 TB the sizes table is
     O(n_docs) and must NOT be a driver-side broadcast (r1 finding).
     """
-    base = docs.select(
+    base = spread(
+        docs.select(*group_cols, F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
         *group_cols,
-        F.col(id_col).alias("id"),
+        "id",
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     )
     sizes = base.select(*group_cols, "id", F.size("toks").alias("sz"))

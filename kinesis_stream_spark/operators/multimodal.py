@@ -198,7 +198,12 @@ def decode_features(media: DataFrame, *, real_decode: bool = False, batch_size: 
             )
             yield out
 
-    src = media.select("media_id", "kind", "payload").repartition("kind")
+    # spread on media_id, NOT repartition("kind"): 3 kinds → at most 3
+    # busy tasks would decode the whole corpus regardless of cluster
+    # size; decode units must distribute by asset
+    from kinesis_stream_spark.sources.batch import spread
+
+    src = spread(media.select("media_id", "kind", "payload"), "media_id")
     return src.mapInPandas(decode, schema=_DECODE_SCHEMA)
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_stream_spark.functions.hashing import md5_int64, sql_md5_int64, sql_tokens, tokens
+from kinesis_stream_spark.sources.batch import spread
 
 # --- language ID -------------------------------------------------------------
 
@@ -189,8 +190,8 @@ def winnowed_fingerprints(
     """
     order = Window.partitionBy("id").orderBy("pos")
     whole = Window.partitionBy("id")
-    tok = docs.select(
-        F.col(id_col).alias("id"),
+    tok = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id",
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
     # gram at pos p = hash of tokens p..p+k-1 (short tail rows filtered:
@@ -277,12 +278,13 @@ def repetition_stats(
     anyway. Integer counts + one IEEE divide — cross-engine exact.
     """
     toks = tokens(F.col(text_col))
-    uni = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("g"))
+    base = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    uni = base.select("id", F.explode(toks).alias("g"))
     uni_stats = _gram_repetition(uni, "uni")
     order = Window.partitionBy("id").orderBy("pos")
     whole = Window.partitionBy("id")
     bi = (
-        docs.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "t"))
+        base.select("id", F.posexplode(toks).alias("pos", "t"))
         .select(
             "id",
             "pos",
@@ -350,7 +352,7 @@ def boilerplate_fraction(
     """
     from kinesis_stream_spark.functions.hashing import shingles
 
-    grams = docs.select(
+    grams = spread(docs.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
     )  # shingles() emits the distinct set per doc
     gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))

@@ -44,6 +44,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, key_col: str | None = None, *, min_partitions: int | None = None) -> DataFrame:
+    """Raise scan parallelism for under-partitioned inputs.
+
+    A single-row-group parquet file scans as ONE task, and everything
+    between the scan and the first exchange — shingling, per-gram md5,
+    signature folds, decode kernels — then serializes on one core.
+    When the input has fewer partitions than ``min_partitions`` (default
+    ``sparkContext.defaultParallelism``), hash-repartition (on
+    ``key_col`` when given) so the expansion work spreads across the
+    cluster; when the scan is already parallel — the normal case at
+    real scale, where inputs have many files/row groups — this is a
+    NO-OP, so well-partitioned pipelines never pay the extra exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_col is not None:
+        return df.repartition(target, F.col(key_col))
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
