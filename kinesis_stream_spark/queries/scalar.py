@@ -327,3 +327,50 @@ def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_elems"),
         F.array_max("embedding").cast("double").alias("max_elem"),
     ).orderBy("vec_id")
+
+
+@_q(
+    "scalar_map_funcs",
+    """
+    WITH m AS (
+      SELECT p_partkey,
+             MAP {'brand': p_brand, 'type': p_type, 'name': p_name} AS meta
+      FROM part
+    )
+    SELECT p_partkey,
+           meta['brand'][1] AS brand_val,
+           CAST(CARDINALITY(meta) AS BIGINT) AS n_entries,
+           ARRAY_TO_STRING(MAP_KEYS(meta), ',') AS keys_joined,
+           ARRAY_TO_STRING(MAP_VALUES(meta), ',') AS vals_joined,
+           LIST_CONTAINS(MAP_KEYS(meta), 'type') AS has_type,
+           meta['size'][1] AS missing_val
+    FROM m
+    ORDER BY p_partkey
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: construction (create_map), lookup (present and
+    missing keys — try_element_at, since ANSI element_at throws on
+    misses), cardinality, key/value extraction, membership. Map columns
+    themselves never cross the oracle boundary (engines render map
+    values differently) — every output is projected to scalars/strings,
+    insertion order preserved identically by both engines."""
+    part = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+        F.lit("name"), F.col("p_name"),
+    )
+    return (
+        part.select("p_partkey", m.alias("meta"))
+        .select(
+            "p_partkey",
+            F.try_element_at("meta", F.lit("brand")).alias("brand_val"),
+            F.size("meta").cast("long").alias("n_entries"),
+            F.concat_ws(",", F.map_keys("meta")).alias("keys_joined"),
+            F.concat_ws(",", F.map_values("meta")).alias("vals_joined"),
+            F.array_contains(F.map_keys("meta"), "type").alias("has_type"),
+            F.try_element_at("meta", F.lit("size")).alias("missing_val"),
+        )
+        .orderBy("p_partkey")
+    )
