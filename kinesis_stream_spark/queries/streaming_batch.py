@@ -179,3 +179,47 @@ def stream_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@_q(
+    "stream_interval_join",
+    """
+    SELECT c.user_id, c.ts AS click_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    ORDER BY c.user_id, click_ts, purchase_ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-checked: every click paired
+    with same-user purchases within the following 10 minutes — the
+    attribution-join shape. On a stream both sides shuffle on user_id
+    and the time bound + watermark evicts join state (an unbounded
+    stream join would grow state forever); the batch plan is the same
+    join minus state, which is what the oracle checks. The equi-key
+    carries the shuffle; the range predicate evaluates post-join."""
+    from kinesis_stream_spark.streaming.windows import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    return (
+        interval_join(clicks, purchases, upper="10 minutes")
+        .select(
+            F.col("l_user").alias("user_id"),
+            F.col("l_ts").alias("click_ts"),
+            F.col("r_ts").alias("purchase_ts"),
+            F.col("r_value").alias("purchase_value"),
+        )
+        .orderBy("user_id", "click_ts", "purchase_ts")
+    )

@@ -136,3 +136,35 @@ def dedup_within_watermark(
     if streaming:
         return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str = "l_user",
+    right_key: str = "r_user",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    upper: str = "10 minutes",
+) -> DataFrame:
+    """Event-time interval join: pair each left row with right rows for
+    the same key whose timestamp falls in ``[left_ts, left_ts + upper]``.
+    Inputs must use disjoint column names; the joined frame keeps all of
+    them.
+
+    Works on batch AND streaming inputs (the module contract). On
+    streams this is Spark's stream-stream join: both sides shuffle on
+    the equi-key, and the time bound plus each side's watermark is what
+    lets the state store EVICT — an unbounded-condition stream join
+    would accumulate state forever, so the bound is correctness, not
+    optimization (callers must ``withWatermark`` both inputs). Batch
+    runs the identical plan minus state, which is what makes the DuckDB
+    range-join oracle valid.
+    """
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond)

@@ -466,3 +466,52 @@ def test_parquet_sink_exactly_once(spark, sf_dir, stream_dir, tmp_path):
         spark.read.parquet(out).select("shardId", "sequenceNumber").distinct().count()
         == n_events
     )
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join through an actual StreamingQuery:
+    clicks and purchases arrive as two independent file streams, join
+    state is bounded by the watermark + time-range condition, and the
+    joined output equals the batch run of the same interval_join code."""
+    from kinesis_stream_spark.streaming.windows import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_dir = str(tmp_path / "clicks_in")
+    purchases_dir = str(tmp_path / "purchases_in")
+    clicks_b = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    purchases_b = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    clicks_b.write.mode("overwrite").parquet(clicks_dir)
+    purchases_b.write.mode("overwrite").parquet(purchases_dir)
+
+    clicks_s = (
+        spark.readStream.schema("l_user bigint, l_ts timestamp")
+        .parquet(clicks_dir)
+        .withWatermark("l_ts", "1 hour")
+    )
+    purchases_s = (
+        spark.readStream.schema("r_user bigint, r_ts timestamp, r_value double")
+        .parquet(purchases_dir)
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = interval_join(clicks_s, purchases_s, upper="10 minutes")
+    got: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    want = {
+        (r.l_user, r.l_ts, r.r_ts, r.r_value)
+        for r in interval_join(clicks_b, purchases_b, upper="10 minutes").collect()
+    }
+    assert {(r.l_user, r.l_ts, r.r_ts, r.r_value) for r in got} == want
+    assert len(got) == len(want) > 0  # no duplicate emissions either
