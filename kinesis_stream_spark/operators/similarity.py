@@ -406,3 +406,87 @@ def ann_recall(approx: DataFrame, exact: DataFrame, *, k: int = 10) -> DataFrame
             / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    *,
+    k: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means — the offline training step for the
+    IVF coarse quantizer (topk_ivf routes against label centroids at
+    test SF; a real deployment trains these on a corpus sample, which is
+    exactly this operator).
+
+    Everything an RNG would normally decide is md5-derived so the run is
+    reproducible AND replayable by the SQL oracle:
+
+    - init: the k vectors with the smallest md5(id) (deterministic,
+      uniformly spread over the corpus);
+    - assignment: argmin distance via argmax of ``2·v·c − c·c`` (the
+      ``v·v`` term is constant per vector) — dot products in exact
+      fixed-point (functions/vectors.py), ties broken by centroid id;
+    - update: per-dimension exact-DECIMAL means.
+
+    Fixed ``iterations`` (no convergence check) keeps the computation a
+    finite unrollable expression on both engines. Scale shape: per
+    round, one broadcast of k centroids, map-side scoring, one shuffle
+    for the per-vector argmax window, one aggregation for the means —
+    at 100 TB run it on a hash-sample (stratified_sample) as the
+    runbook prescribes, not the full corpus. Empty clusters drop out
+    (k shrinks), identically on both engines.
+
+    Returns (cid, n_members, centroid) from the final iteration.
+    """
+    # top-k by md5 via orderBy+limit (TakeOrderedAndProject — never a
+    # global sort); the cid-assigning window then runs over k rows only
+    seeds = (
+        emb.select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).alias("centroid"),
+            md5_int64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "sid")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(Window.orderBy("_h", "sid")) - 1)
+        .select("cid", "centroid")
+    )
+    v = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = seeds
+    stats = None
+    for _ in range(iterations):
+        scored = v.join(F.broadcast(cents)).select(
+            "vid",
+            "v",
+            "cid",
+            (
+                2 * dot_decimal(F.col("v"), F.col("centroid"))
+                - dot_decimal(F.col("centroid"), F.col("centroid"))
+            ).alias("score"),
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("score"), F.asc("cid"))
+        assigned = scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        )
+        stats = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.element_at("v", i + 1).cast("double").cast("decimal(27,12)")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        cents = stats.select(
+            "cid",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
+            ).alias("centroid"),
+        )
+    return stats.join(cents, "cid").select(
+        "cid", F.col("n").alias("n_members"), "centroid"
+    )

@@ -206,3 +206,90 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = topk_bruteforce(emb, q, k=K)
     approx = topk_lsh(emb, q, k=K, num_planes=8, dim=DIM)
     return ann_recall(approx, exact, k=K).orderBy("query_id")
+
+
+def _sql_kmeans(k: int = 4, iterations: int = 2) -> str:
+    """DuckDB replay of kmeans_fit: md5-seeded init, then `iterations`
+    unrolled Lloyd rounds (fixed-point dots for assignment, exact
+    DECIMAL means for the update), same tie-breaks."""
+    from kinesis_stream_spark.functions.hashing import sql_md5_int64
+
+    md5i = sql_md5_int64("CAST(vec_id AS VARCHAR)")
+    sums = ", ".join(
+        f"SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(27,12))) AS s{i}"
+        for i in range(DIM)
+    )
+    means = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(DIM))
+    score = (
+        f"(2 * {sql_dot('e.embedding', 'c.centroid')}"
+        f" - {sql_dot('c.centroid', 'c.centroid')})"
+    )
+    ctes = [
+        f"""seeds AS (
+          SELECT embedding AS centroid, {md5i} AS h, vec_id
+          FROM embeddings ORDER BY h, vec_id LIMIT {k}
+        )""",
+        f"""c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, centroid
+          FROM seeds
+        )""",
+    ]
+    for it in range(iterations):
+        ctes.append(
+            f"""a{it} AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {score} DESC, c.cid) AS rn
+              FROM embeddings e CROSS JOIN c{it} c
+            )"""
+        )
+        ctes.append(
+            f"""m{it} AS (
+              SELECT cid, COUNT(*) AS n, {sums}
+              FROM (SELECT cid, embedding FROM a{it} WHERE rn = 1)
+              GROUP BY cid
+            )"""
+        )
+        ctes.append(f"c{it + 1} AS (SELECT cid, [{means}] AS centroid FROM m{it})")
+    last = f"m{iterations - 1}"
+    checksum = ", ".join(
+        f"CAST(FLOOR((CAST(s{i} AS DOUBLE) / n) * 1048576) AS BIGINT)"
+        for i in range(DIM)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT cid, CAST(n AS BIGINT) AS n_members,
+           CAST(FLOOR((CAST(s0 AS DOUBLE) / n) * 1048576) AS BIGINT) AS c_first,
+           MD5(CONCAT_WS(',', {checksum})) AS centroid_md5
+    FROM {last}
+    ORDER BY cid
+    """
+
+
+@_q("similarity_kmeans_fit", _sql_kmeans())
+def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline coarse-quantizer training for IVF: deterministic
+    (md5-seeded) Lloyd's k-means, 2 fixed rounds, k=4. The oracle
+    replays the whole algorithm — seeding, fixed-point assignment with
+    tie-breaks, exact-decimal means — so parity covers the training
+    computation, not just shapes. Centroids are summarized as
+    fixed-point checksums (floor(dim * 2^20): identical IEEE multiply +
+    floor on both engines)."""
+    from kinesis_stream_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fitted = kmeans_fit(emb, k=4, dim=DIM, iterations=2)
+    fixed = F.transform(
+        F.col("centroid"), lambda x: F.floor(x * 1048576).cast("long")
+    )
+    return (
+        fitted.select(
+            "cid",
+            "n_members",
+            F.element_at(fixed, 1).alias("c_first"),
+            F.md5(
+                F.concat_ws(",", F.transform(fixed, lambda x: x.cast("string")))
+            ).alias("centroid_md5"),
+        )
+        .orderBy("cid")
+    )
