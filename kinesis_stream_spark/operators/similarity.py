@@ -490,3 +490,80 @@ def kmeans_fit(
     return stats.join(cents, "cid").select(
         "cid", F.col("n").alias("n_members"), "centroid"
     )
+
+
+def topk_ivf_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    kclusters: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search over a TRAINED index: k-means centroids from
+    :func:`kmeans_fit` replace the label partitions of :func:`topk_ivf`
+    — the full train → assign → route → scan loop of a real deployment.
+
+    The corpus is assigned to its nearest trained centroid (same
+    fixed-point argmax rule as training, so the index is exactly the
+    clustering the final Lloyd round produced); each query routes to
+    its ``nprobe`` best centroids by the same metric and scans only
+    those inverted lists. At 100 TB the assignment is written once
+    (partition the corpus by cid) and only this search path runs per
+    query batch.
+    """
+    cents = kmeans_fit(
+        corpus,
+        k=kclusters,
+        dim=dim,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("cid", "centroid")
+    score = (
+        2 * dot_decimal(F.col("v"), F.col("centroid"))
+        - dot_decimal(F.col("centroid"), F.col("centroid"))
+    ).alias("score")
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("score"), F.asc("cid"))
+    assigned = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cents))
+        .select("vid", "v", "cid", score)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vid", "v", "cid")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v")
+    )
+    w_route = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(F.col("query_id"), F.col("v").alias("qv"), "cid", score)
+        .withColumn("pr", F.row_number().over(w_route))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cid", norm_decimal(F.col("qv")).alias("nq"))
+    )
+    scored = (
+        assigned.withColumn("nc", norm_decimal(F.col("v")))
+        .join(F.broadcast(probes), ["cid"])
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (
+                dot_decimal(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nc"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

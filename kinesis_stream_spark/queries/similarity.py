@@ -208,10 +208,12 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(approx, exact, k=K).orderBy("query_id")
 
 
-def _sql_kmeans(k: int = 4, iterations: int = 2) -> str:
-    """DuckDB replay of kmeans_fit: md5-seeded init, then `iterations`
-    unrolled Lloyd rounds (fixed-point dots for assignment, exact
-    DECIMAL means for the update), same tie-breaks."""
+def _kmeans_ctes(k: int = 4, iterations: int = 2) -> list[str]:
+    """Shared CTE chain replaying kmeans_fit in DuckDB: md5-seeded init,
+    then `iterations` unrolled Lloyd rounds (fixed-point dots for
+    assignment, exact DECIMAL means for the update), same tie-breaks.
+    Ends with ``c{iterations}`` (final centroids) and ``m{iterations-1}``
+    (final members + sums)."""
     from kinesis_stream_spark.functions.hashing import sql_md5_int64
 
     md5i = sql_md5_int64("CAST(vec_id AS VARCHAR)")
@@ -251,6 +253,11 @@ def _sql_kmeans(k: int = 4, iterations: int = 2) -> str:
             )"""
         )
         ctes.append(f"c{it + 1} AS (SELECT cid, [{means}] AS centroid FROM m{it})")
+    return ctes
+
+
+def _sql_kmeans(k: int = 4, iterations: int = 2) -> str:
+    ctes = _kmeans_ctes(k, iterations)
     last = f"m{iterations - 1}"
     checksum = ", ".join(
         f"CAST(FLOOR((CAST(s{i} AS DOUBLE) / n) * 1048576) AS BIGINT)"
@@ -293,3 +300,71 @@ def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+def _sql_ivf_trained(k_clusters: int = 4, iterations: int = 2, nprobe: int = 2) -> str:
+    ctes = _kmeans_ctes(k_clusters, iterations)
+    cfinal = f"c{iterations}"
+    score = (
+        f"(2 * {sql_dot('e.embedding', 'c.centroid')}"
+        f" - {sql_dot('c.centroid', 'c.centroid')})"
+    )
+    qscore = (
+        f"(2 * {sql_dot('q.qv', 'c.centroid')}"
+        f" - {sql_dot('c.centroid', 'c.centroid')})"
+    )
+    ctes.extend(
+        [
+            f"""assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {score} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN {cfinal} c)
+          WHERE rn = 1
+        )""",
+            f"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES})""",
+            f"""probes AS (
+          SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {qscore} DESC, c.cid) AS pr
+            FROM q CROSS JOIN {cfinal} c)
+          WHERE pr <= {nprobe}
+        )""",
+            f"""scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 {sql_cosine('p.qv', 'a.embedding')} AS cosine
+          FROM assigned a JOIN probes p
+            ON a.cid = p.cid AND a.vec_id != p.query_id
+        )""",
+            """ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )""",
+        ]
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """
+
+
+@_q("similarity_topk_ivf_trained", _sql_ivf_trained())
+def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF loop over a TRAINED index: deterministic k-means
+    centroids (similarity_kmeans_fit) partition the corpus, queries
+    route to their nprobe best clusters by the training metric, and
+    only those inverted lists are scanned. The oracle replays training,
+    assignment, routing, and ranking end-to-end — the complete
+    train → index → search path a production ANN deployment runs."""
+    from kinesis_stream_spark.operators.similarity import topk_ivf_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_ivf_trained(
+        emb, _queries_df(emb), k=K, nprobe=2, kclusters=4, iterations=2, dim=DIM
+    ).orderBy("query_id", "rank")
