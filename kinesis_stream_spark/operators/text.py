@@ -85,9 +85,13 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     n = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
     stop_ratio = _count_in_set(toks, STOPWORDS).cast("double") / n
+    # GREATEST(len, 1): empty documents exist in real corpora, and a bare
+    # length divisor is an ANSI DIVIDE_BY_ZERO crash on them (caught by
+    # the fuzz-parity suite); an empty doc scores alpha_ratio 0. The
+    # token-count divisors are safe — split("") yields [""], so n >= 1.
     alpha_ratio = (
         F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("double")
-        / F.length(text_col)
+        / F.greatest(F.length(text_col), F.lit(1))
     )
     # length factor: 1 at >=100 tokens, proportional below (min(n,100)/100)
     length_factor = F.least(n, F.lit(100)).cast("double") / 100.0

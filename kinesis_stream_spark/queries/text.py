@@ -74,7 +74,7 @@ def _sql_quality() -> str:
     stop_ratio = f"(CAST({sql_count_in_set(_TOKS, STOPWORDS)} AS DOUBLE) / {n})"
     alpha_ratio = (
         "(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
-        " / LENGTH(text))"
+        " / GREATEST(LENGTH(text), 1))"
     )
     length_factor = f"(CAST(LEAST({n}, 100) AS DOUBLE) / 100.0)"
     score = (
@@ -223,7 +223,7 @@ def _sql_curation_pipeline(threshold: float = 0.65) -> str:
     stop_ratio = f"(CAST({sql_count_in_set(_TOKS, STOPWORDS)} AS DOUBLE) / {n})"
     alpha_ratio = (
         "(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
-        " / LENGTH(text))"
+        " / GREATEST(LENGTH(text), 1))"
     )
     length_factor = f"(CAST(LEAST({n}, 100) AS DOUBLE) / 100.0)"
     score = (

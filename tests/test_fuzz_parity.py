@@ -1,0 +1,93 @@
+"""Fuzz-parity: the text-family queries and their DuckDB oracles must
+agree on ADVERSARIAL text the synthetic corpus never exercises — empty
+documents, pure-whitespace documents, tabs/newlines, unicode, dense
+punctuation. Deterministic (seeded) corpus, exact value comparison.
+
+This suite exists because it caught a real crash: the quality scorer's
+``alpha_ratio`` divided by ``LENGTH(text)``, an ANSI DIVIDE_BY_ZERO on
+empty documents.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kinesis_stream_spark.queries.text import ORACLE, QUERIES
+
+FUZZ_QUERIES = [
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint_rolling",
+    "text_fingerprint_winnowed",
+    "text_repetition_stats",
+    "text_boilerplate_fraction",
+    "text_curation_pipeline",
+    "text_pack_sequences",
+]
+
+
+def _corpus() -> pd.DataFrame:
+    rng = random.Random(42)
+    alphabet = list(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n.,;:!?#@%&*()[]{}'\"-_/\\+=<>|~^"
+    ) + list("äöüßéèñçλπ中文日本")
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(150)
+    ]
+    texts += ["", " ", "   ", "\t\t", "\n", "a", " a ", "a  b", "ä ö", "中 文"]
+    return pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en", "de", "es", "fr", "zh"] * (len(texts) // 5),
+            "source": "fuzz",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("fuzz_sf"))
+    _corpus().to_parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def fuzz_con(fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fuzz_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_fuzz_parity(spark, fuzz_dir, fuzz_con, name):
+    s = QUERIES[name](spark, fuzz_dir).toPandas()
+    o = fuzz_con.execute(ORACLE[name]).fetchdf()
+    assert sorted(s.columns) == sorted(o.columns)
+    assert len(s) == len(o)
+    key = [c for c in ("doc_id", "lang", "source", "pred_lang") if c in s.columns]
+    s = s.sort_values(key or list(s.columns)).reset_index(drop=True)
+    o = o.sort_values(key or list(o.columns)).reset_index(drop=True)
+    for col in s.columns:
+        for i in range(len(s)):
+            sv, ov = s[col][i], o[col][i]
+            assert (sv == ov) or (pd.isna(sv) and pd.isna(ov)), (
+                name,
+                col,
+                i,
+                sv,
+                ov,
+            )
