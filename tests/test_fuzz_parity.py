@@ -91,3 +91,51 @@ def test_fuzz_parity(spark, fuzz_dir, fuzz_con, name):
                 sv,
                 ov,
             )
+
+
+DEDUP_FUZZ = [
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_near_copies",
+    "dedup_simhash_blocks",
+    "dedup_ngram_jaccard_grouped",
+    "dedup_exact_incremental",
+]
+
+
+@pytest.mark.parametrize("name", ["text_pii_scrub", "text_decontaminate_overlap"])
+def test_fuzz_parity_regex_families(spark, fuzz_dir, fuzz_con, name):
+    """PII regexes and shingle pipelines over adversarial punctuation —
+    the surface where a Java-vs-RE2 dialect difference would live."""
+    _assert_query_matches(spark, fuzz_dir, fuzz_con, name)
+
+
+@pytest.mark.parametrize("name", DEDUP_FUZZ)
+def test_fuzz_parity_dedup_family(spark, fuzz_dir, fuzz_con, name):
+    """The md5-replay dedup oracles must reproduce Spark's hashes over
+    unicode / whitespace-degenerate documents, not just the ascii
+    token-soup corpus."""
+    from kinesis_stream_spark.queries.dedup import ORACLE as DORACLE
+    from kinesis_stream_spark.queries.dedup import QUERIES as DQUERIES
+
+    s = DQUERIES[name](spark, fuzz_dir).toPandas()
+    o = fuzz_con.execute(DORACLE[name]).fetchdf()
+    _compare_frames(name, s, o)
+
+
+def _assert_query_matches(spark, fuzz_dir, fuzz_con, name):
+    s = QUERIES[name](spark, fuzz_dir).toPandas()
+    o = fuzz_con.execute(ORACLE[name]).fetchdf()
+    _compare_frames(name, s, o)
+
+
+def _compare_frames(name, s, o):
+    assert sorted(s.columns) == sorted(o.columns), name
+    assert len(s) == len(o), name
+    cols = sorted(s.columns)
+    sc = s[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    oc = o[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    if not sc.equals(oc):
+        diff = (sc != oc).any(axis=1)
+        i = diff[diff].index[0]
+        bad = {c: (sc[c][i], oc[c][i]) for c in cols if sc[c][i] != oc[c][i]}
+        raise AssertionError(f"{name} row {i}: {bad}")
