@@ -37,7 +37,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
-    max_group_vectorized: int = 100_000,
+    max_group_vectorized: int | None = 100_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold within blocking groups.
 
@@ -66,13 +66,26 @@ def cosine_pairs(
     must degrade to a slower plan, not OOM an executor). The group
     sizes come from a window count over the same hash partitioning the
     kernel needs anyway — no extra shuffle, and the split never changes
-    results, only which engine scores a group.
+    results, only which engine scores a group. Pass
+    ``max_group_vectorized=None`` when the caller can BOUND group sizes
+    from corpus statistics (e.g. a uniform blocking key): the window
+    count is skipped entirely and the plan is just partition → kernel —
+    the guard is insurance, and known-small groups shouldn't pay its
+    ~20% window cost.
 
     Norms are computed once per vector, not per pair. cosine =
     dot/(na*nb) with single-IEEE-op tails — bit-identical everywhere.
     """
     if vectorized:
         base = emb.select(*group_cols, id_col, vec_col).repartition(*group_cols)
+        if max_group_vectorized is None:
+            return _cosine_pairs_vectorized(
+                base,
+                group_cols=group_cols,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
         gn = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
         tagged = base.withColumn("_gn", gn)
         small = tagged.where(F.col("_gn") <= max_group_vectorized).drop("_gn")
@@ -322,21 +335,42 @@ def topk_lsh(
     )
 
 
+#: Fixed-point scale for centroid-sum accumulation: floor(x * 10^12) has
+#: no tie-breaking semantics to diverge on (a double→DECIMAL cast rounds
+#: HALF_UP over the double's exact binary expansion in Spark but over the
+#: IEEE value in DuckDB — any x landing on a scale-12 tie, e.g. odd
+#: multiples of 2^-13, would split the engines). 1e12 is a power of ten
+#: exactly representable in double, so x * CENTROID_SCALE is one IEEE op
+#: on both engines. Sums accumulate as DECIMAL(38,0) integers: exact,
+#: order-independent, with headroom for ~1e26 unit-scale rows per group.
+CENTROID_SCALE = 10**12
+
+
+def _centroid_sums(i: int, vec_col: str = "embedding"):
+    """floor-fixed-point element sum expression (see CENTROID_SCALE)."""
+    return F.sum(
+        F.floor(
+            F.element_at(vec_col, i + 1).cast("double") * F.lit(float(CENTROID_SCALE))
+        ).cast("decimal(38,0)")
+    ).alias(f"s{i}")
+
+
+def _centroid_mean(i: int):
+    """mean element from a fixed-point sum: cast (correctly rounded on
+    both engines), then two sequential IEEE divides."""
+    return F.col(f"s{i}").cast("double") / F.lit(float(CENTROID_SCALE)) / F.col("n")
+
+
 def label_centroids(emb: DataFrame, *, dim: int = 64) -> DataFrame:
-    """IVF coarse quantizer: per-label mean vector with exact-decimal
-    element sums (order-independent). At scale: k-means offline, stored as
-    a broadcastable table partitioning the corpus."""
+    """IVF coarse quantizer: per-label mean vector with exact fixed-point
+    element sums (order-independent, tie-free; see CENTROID_SCALE). At
+    scale: k-means offline, stored as a broadcastable table partitioning
+    the corpus."""
     sums = emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("embedding", i + 1).cast("double").cast("decimal(27,12)"))
-            .alias(f"s{i}")
-            for i in range(dim)
-        ],
+        *[_centroid_sums(i) for i in range(dim)],
     )
-    centroid = F.array(
-        *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
-    )
+    centroid = F.array(*[_centroid_mean(i) for i in range(dim)])
     return sums.select("label", centroid.alias("centroid"))
 
 
@@ -408,6 +442,63 @@ def ann_recall(approx: DataFrame, exact: DataFrame, *, k: int = 10) -> DataFrame
     )
 
 
+def ivf_recall_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k of IVF search as a function of ``nprobe`` — one row per
+    setting: (nprobe, n_hits, n_exact, recall), micro-averaged over the
+    query batch (exact integer hit counts, ONE final IEEE divide — a
+    per-query AVG of double recalls would be accumulation-order
+    sensitive and engine-divergent).
+
+    This is the operator an IVF deployment actually runs at tuning
+    time: the cost axis is nprobe/nlist of the corpus scanned per
+    query, the quality axis is this curve, and the knee is the setting
+    you ship. Scale: each sweep point is one topk_ivf run (partition-
+    pruned); the recall joins are O(k·Q) — noise next to producing the
+    rankings.
+    """
+    exact = topk_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    ).select("query_id", "neighbor_id")
+    parts = []
+    for nprobe in nprobes:
+        approx = topk_ivf(
+            corpus,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        parts.append(
+            hits.crossJoin(totals).select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "n_hits",
+                "n_exact",
+                (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def kmeans_fit(
     emb: DataFrame,
     *,
@@ -430,7 +521,8 @@ def kmeans_fit(
     - assignment: argmin distance via argmax of ``2·v·c − c·c`` (the
       ``v·v`` term is constant per vector) — dot products in exact
       fixed-point (functions/vectors.py), ties broken by centroid id;
-    - update: per-dimension exact-DECIMAL means.
+    - update: per-dimension means from exact floor-fixed-point sums
+      (CENTROID_SCALE — tie-free, unlike a double→DECIMAL cast).
 
     Fixed ``iterations`` (no convergence check) keeps the computation a
     finite unrollable expression on both engines. Scale shape: per
@@ -443,7 +535,11 @@ def kmeans_fit(
     Returns (cid, n_members, centroid) from the final iteration.
     """
     # top-k by md5 via orderBy+limit (TakeOrderedAndProject — never a
-    # global sort); the cid-assigning window then runs over k rows only
+    # global sort); the cid-assigning window then runs over k rows only.
+    # partitionBy(lit(0)) is semantically the unpartitioned window the
+    # ranking needs, stated explicitly so WindowExec doesn't warn about
+    # an accidental single-partition plan — it's deliberate: the frame
+    # is ≤ k rows post-limit.
     seeds = (
         emb.select(
             F.col(id_col).alias("sid"),
@@ -452,7 +548,10 @@ def kmeans_fit(
         )
         .orderBy("_h", "sid")
         .limit(k)
-        .withColumn("cid", F.row_number().over(Window.orderBy("_h", "sid")) - 1)
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_h", "sid")) - 1,
+        )
         .select("cid", "centroid")
     )
     v = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
@@ -474,18 +573,11 @@ def kmeans_fit(
         )
         stats = assigned.groupBy("cid").agg(
             F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(
-                    F.element_at("v", i + 1).cast("double").cast("decimal(27,12)")
-                ).alias(f"s{i}")
-                for i in range(dim)
-            ],
+            *[_centroid_sums(i, "v") for i in range(dim)],
         )
         cents = stats.select(
             "cid",
-            F.array(
-                *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
-            ).alias("centroid"),
+            F.array(*[_centroid_mean(i) for i in range(dim)]).alias("centroid"),
         )
     return stats.join(cents, "cid").select(
         "cid", F.col("n").alias("n_members"), "centroid"

@@ -409,13 +409,16 @@ def pii_scrub(
     Replacements apply in sorted(pattern-name) order — part of the
     contract, since one pattern's replacement can destroy another's
     match (emails are scrubbed before their digit runs could look like
-    phone numbers).
+    phone numbers). Each ``n_<kind>`` counts matches in the SAME value
+    its replacement runs on (the progressively scrubbed text), so a
+    span consumed by an earlier pattern is never double-counted and
+    counts always agree with what the scrub actually replaced.
     """
     out_cols = [F.col(id_col)]
     scrubbed = F.col(text_col)
     for name, pat in sorted(patterns.items()):
         out_cols.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))).alias(
                 f"n_{name}"
             )
         )
@@ -431,15 +434,14 @@ def sql_pii_scrub_columns(
     text_expr: str, patterns: dict[str, str] = PII_PATTERNS
 ) -> tuple[str, str]:
     """DuckDB twins of :func:`pii_scrub`'s count columns and scrubbed
-    expression (same patterns, same sorted replacement order)."""
-    counts = ", ".join(
-        f"LEN(REGEXP_EXTRACT_ALL({text_expr}, '{pat}')) AS n_{name}"
-        for name, pat in sorted(patterns.items())
-    )
+    expression (same patterns, same sorted replacement order, counts
+    against the same progressively scrubbed value)."""
+    count_cols = []
     scrubbed = text_expr
     for name, pat in sorted(patterns.items()):
+        count_cols.append(f"LEN(REGEXP_EXTRACT_ALL({scrubbed}, '{pat}')) AS n_{name}")
         scrubbed = f"REGEXP_REPLACE({scrubbed}, '{pat}', '<{name.upper()}>', 'g')"
-    return counts, scrubbed
+    return ", ".join(count_cols), scrubbed
 
 
 # --- training-set curation: decontamination / mixing / packing ---------------

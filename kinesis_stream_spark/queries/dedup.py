@@ -307,11 +307,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: exact-decimal cosine ≥ 0.3 within label blocks
-    (label ≙ the coarse bucket an ANN index would give at scale)."""
+    (label ≙ the coarse bucket an ANN index would give at scale).
+
+    ``max_group_vectorized=None``: the label key is a uniform 10-way
+    quantizer bucket on this corpus (~N/10 vectors per group, far under
+    one worker's memory at every test SF), so the hot-group guard's
+    window count is skipped — a caller with unknown key skew would pass
+    a bound instead (tests/test_similarity_guard.py covers that path)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, group_cols=["label"], threshold=0.3).orderBy(
-        "label", "id_a", "id_b"
-    )
+    return cosine_pairs(
+        emb, group_cols=["label"], threshold=0.3, max_group_vectorized=None
+    ).orderBy("label", "id_a", "id_b")
 
 
 _NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
@@ -335,8 +341,12 @@ _NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
       SELECT {_NORM_HASH} AS content_hash, MIN(doc_id) AS doc_id
       FROM batch GROUP BY 1
     )
-    SELECT content_hash, doc_id FROM winners
-    WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+    SELECT content_hash, doc_id FROM winners w
+    -- NOT EXISTS, not NOT IN: the Spark side is a left_anti join, whose
+    -- null-key semantics (keep batch rows whose hash is NULL; a NULL in
+    -- seen matches nothing) NOT IN would invert on corpora with NULL
+    -- documents.
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = w.content_hash)
     ORDER BY doc_id
     """,
 )

@@ -1228,11 +1228,11 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_orderkey) AS exact_orders,
            ROUND(approx_count_distinct(l_orderkey)
-                 / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 1) AS orders_ratio,
+                 / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) * 2) / 2 AS orders_ratio,
            ROUND(approx_quantile(l_extendedprice, 0.5)
-                 / QUANTILE_CONT(l_extendedprice, 0.5), 1) AS p50_ratio,
+                 / QUANTILE_CONT(l_extendedprice, 0.5) * 2) / 2 AS p50_ratio,
            ROUND(approx_quantile(l_extendedprice, 0.99)
-                 / QUANTILE_CONT(l_extendedprice, 0.99), 1) AS p99_ratio
+                 / QUANTILE_CONT(l_extendedprice, 0.99) * 2) / 2 AS p99_ratio
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -1248,10 +1248,15 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs DuckDB HLL/t-digest), so raw estimates can never hash-match.
     What IS checkable cross-engine is the accuracy bound: both
     estimators are deterministic and well inside ±5% at these
-    cardinalities, so ``round(approx/exact, 1)`` is 1.0 in both engines
-    — the exact twins are computed inside the same query on each side.
-    That turns the sketch row into a real accuracy-bound oracle instead
-    of a rows-only check (r2 verdict item #1).
+    cardinalities, so ``round(approx/exact * 2) / 2`` is 1.0 in both
+    engines — the exact twins are computed inside the same query on
+    each side. That turns the sketch row into a real accuracy-bound
+    oracle instead of a rows-only check (r2 verdict item #1). The
+    half-unit bucket (boundaries at 0.75/1.25, not 0.95/1.05) leaves
+    slack for DuckDB's t-digest, whose merge under parallel aggregation
+    is not guaranteed run-deterministic — a p99 estimate drifting a few
+    ulps near a 0.05 boundary must not flake the hash-match, while a
+    genuinely broken sketch (>25% off) still fails.
 
     Exact and approx run as two separate single-pass aggregates over
     the scan, joined on the 3-row result: mixing a distinct aggregate
@@ -1276,13 +1281,16 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "exact_orders",
-            F.round(
-                F.col("_approx_orders") / F.col("exact_orders").cast("double"), 1
+            (
+                F.round(
+                    F.col("_approx_orders") / F.col("exact_orders").cast("double") * 2
+                )
+                / 2
             ).alias("orders_ratio"),
-            F.round(F.element_at("_aps", 1) / F.element_at("_eps", 1), 1).alias(
+            (F.round(F.element_at("_aps", 1) / F.element_at("_eps", 1) * 2) / 2).alias(
                 "p50_ratio"
             ),
-            F.round(F.element_at("_aps", 2) / F.element_at("_eps", 2), 1).alias(
+            (F.round(F.element_at("_aps", 2) / F.element_at("_eps", 2) * 2) / 2).alias(
                 "p99_ratio"
             ),
         )

@@ -119,21 +119,39 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_centroids() -> str:
-    sums = ", ".join(
-        f"SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(27,12))) AS s{i}"
+# DuckDB twins of operators/similarity.py's CENTROID_SCALE fixed point:
+# floor(x * 1e12) summed as exact integers (DuckDB SUM(BIGINT) widens to
+# HUGEINT; Spark accumulates DECIMAL(38,0) — both exact, and both casts
+# to DOUBLE are correctly rounded from the same integer), then the same
+# two sequential IEEE divides for the mean.
+_CSCALE = "1000000000000.0"
+
+
+def _sql_centroid_sums(vec_expr: str = "embedding") -> str:
+    return ", ".join(
+        f"SUM(CAST(FLOOR(CAST({vec_expr}[{i + 1}] AS DOUBLE) * {_CSCALE}) AS BIGINT))"
+        f" AS s{i}"
         for i in range(DIM)
     )
-    elems = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(DIM))
+
+
+def _sql_centroid_mean(i: int) -> str:
+    return f"CAST(s{i} AS DOUBLE) / {_CSCALE} / n"
+
+
+def _sql_centroids() -> str:
+    elems = ", ".join(_sql_centroid_mean(i) for i in range(DIM))
     return f"""
       SELECT label, [{elems}] AS centroid
-      FROM (SELECT label, COUNT(*) AS n, {sums} FROM embeddings GROUP BY label)
+      FROM (SELECT label, COUNT(*) AS n, {_sql_centroid_sums()}
+            FROM embeddings GROUP BY label)
     """
 
 
-@_q(
-    "similarity_topk_ivf",
-    f"""
+def _sql_ivf_topk(nprobe: int) -> str:
+    """DuckDB replay of topk_ivf at a given nprobe (label centroids as
+    the coarse quantizer)."""
+    return f"""
     WITH cents AS ({_sql_centroids()}),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
           WHERE vec_id < {N_QUERIES}),
@@ -147,7 +165,7 @@ def _sql_centroids() -> str:
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, label) AS pr
         FROM routed
-      ) WHERE pr <= 2
+      ) WHERE pr <= {nprobe}
     ),
     scored AS (
       SELECT p.query_id, e.vec_id AS neighbor_id,
@@ -163,8 +181,10 @@ def _sql_centroids() -> str:
     SELECT query_id, neighbor_id, cosine, rank
     FROM ranked WHERE rank <= {K}
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@_q("similarity_topk_ivf", _sql_ivf_topk(2))
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: per-label centroids (exact-decimal means) as the coarse
     quantizer; each query probes its 2 best partitions and scans only
@@ -211,17 +231,14 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_ctes(k: int = 4, iterations: int = 2) -> list[str]:
     """Shared CTE chain replaying kmeans_fit in DuckDB: md5-seeded init,
     then `iterations` unrolled Lloyd rounds (fixed-point dots for
-    assignment, exact DECIMAL means for the update), same tie-breaks.
+    assignment, floor-fixed-point means for the update), same tie-breaks.
     Ends with ``c{iterations}`` (final centroids) and ``m{iterations-1}``
     (final members + sums)."""
     from kinesis_stream_spark.functions.hashing import sql_md5_int64
 
     md5i = sql_md5_int64("CAST(vec_id AS VARCHAR)")
-    sums = ", ".join(
-        f"SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(27,12))) AS s{i}"
-        for i in range(DIM)
-    )
-    means = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(DIM))
+    sums = _sql_centroid_sums()
+    means = ", ".join(_sql_centroid_mean(i) for i in range(DIM))
     score = (
         f"(2 * {sql_dot('e.embedding', 'c.centroid')}"
         f" - {sql_dot('c.centroid', 'c.centroid')})"
@@ -260,13 +277,13 @@ def _sql_kmeans(k: int = 4, iterations: int = 2) -> str:
     ctes = _kmeans_ctes(k, iterations)
     last = f"m{iterations - 1}"
     checksum = ", ".join(
-        f"CAST(FLOOR((CAST(s{i} AS DOUBLE) / n) * 1048576) AS BIGINT)"
+        f"CAST(FLOOR(({_sql_centroid_mean(i)}) * 1048576) AS BIGINT)"
         for i in range(DIM)
     )
     return f"""
     WITH {", ".join(ctes)}
     SELECT cid, CAST(n AS BIGINT) AS n_members,
-           CAST(FLOOR((CAST(s0 AS DOUBLE) / n) * 1048576) AS BIGINT) AS c_first,
+           CAST(FLOOR(({_sql_centroid_mean(0)}) * 1048576) AS BIGINT) AS c_first,
            MD5(CONCAT_WS(',', {checksum})) AS centroid_md5
     FROM {last}
     ORDER BY cid
@@ -352,6 +369,50 @@ def _sql_ivf_trained(k_clusters: int = 4, iterations: int = 2, nprobe: int = 2) 
     FROM ranked WHERE rank <= {K}
     ORDER BY query_id, rank
     """
+
+
+_SWEEP_NPROBES = (1, 2, 4)
+
+
+def _sql_nprobe_sweep() -> str:
+    approx_ctes = ", ".join(
+        f"a{n} AS (SELECT query_id, neighbor_id FROM ({_sql_ivf_topk(n)}))"
+        for n in _SWEEP_NPROBES
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {n} AS nprobe,
+               (SELECT COUNT(*) FROM a{n}
+                JOIN exact USING (query_id, neighbor_id)) AS n_hits,
+               (SELECT COUNT(*) FROM exact) AS n_exact"""
+        for n in _SWEEP_NPROBES
+    )
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id
+                   FROM ({ORACLE["similarity_topk_bruteforce"]})),
+    {approx_ctes},
+    u AS ({rows})
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_hits AS DOUBLE) / n_exact AS recall
+    FROM u ORDER BY nprobe
+    """
+
+
+@_q("similarity_ivf_nprobe_sweep", _sql_nprobe_sweep())
+def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k vs nprobe (1, 2, 4), one row per
+    setting, micro-averaged over the query batch with exact integer hit
+    counts. This is what the nprobe knob is FOR — at deployment time you
+    sweep it, read the cost/recall knee, and pin the setting; the oracle
+    replays the whole measurement (centroids, routing, ranking, recall
+    join), so even IVF's misses at each nprobe must match exactly."""
+    from kinesis_stream_spark.operators.similarity import ivf_recall_sweep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_recall_sweep(
+        emb, _queries_df(emb), nprobes=_SWEEP_NPROBES, k=K, dim=DIM
+    ).orderBy("nprobe")
 
 
 @_q("similarity_topk_ivf_trained", _sql_ivf_trained())

@@ -44,6 +44,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _scan_partition_estimate(df: DataFrame) -> int | None:
+    """Estimate the partition count a file-backed scan will produce,
+    WITHOUT forcing physical planning (``df.rdd`` plans + converts the
+    whole query per call — wasteful when every expansion operator asks).
+
+    Mirrors ``FilePartition.maxSplitBytes``: each file contributes
+    ``openCostInBytes``-padded bytes, packed into splits of
+    ``min(maxPartitionBytes, max(openCost, totalPadded/parallelism))``.
+    The estimate only feeds a direction decision (is the scan parallel
+    enough?), so pack-boundary error is irrelevant. Returns None for
+    non-file-backed plans (in-memory test frames)."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        total += path.getFileSystem(hconf).getFileStatus(path).getLen()
+    as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    open_cost = as_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    max_pb = as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    padded = total + len(files) * open_cost
+    max_split = min(max_pb, max(open_cost, padded // parallelism))
+    return max(1, -(-padded // max(max_split, 1)))
+
+
 def spread(df: DataFrame, key_col: str | None = None, *, min_partitions: int | None = None) -> DataFrame:
     """Raise scan parallelism for under-partitioned inputs.
 
@@ -56,10 +86,21 @@ def spread(df: DataFrame, key_col: str | None = None, *, min_partitions: int | N
     cluster; when the scan is already parallel — the normal case at
     real scale, where inputs have many files/row groups — this is a
     NO-OP, so well-partitioned pipelines never pay the extra exchange.
+
+    The partition count comes from a lazy file-size estimate
+    (:func:`_scan_partition_estimate`), falling back to
+    ``df.rdd.getNumPartitions()`` only for non-file-backed frames.
+    Streaming DataFrames pass through untouched: micro-batch planning
+    owns their parallelism, and ``.rdd`` would throw.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    current = _scan_partition_estimate(df)
+    if current is None:
+        current = df.rdd.getNumPartitions()
+    if current >= target:
         return df
     if key_col is not None:
         return df.repartition(target, F.col(key_col))

@@ -164,3 +164,36 @@ def test_exact_dedup_incremental_edges(spark):
     # all-duplicates batch -> empty survivors
     redeliver = _docs(spark, [(20, "en", "seen doc one")])
     assert exact_dedup_incremental(redeliver, seen).count() == 0
+
+
+def test_exact_dedup_incremental_maintained_index_loop(spark):
+    """The maintained-index contract the docstring promises: each
+    round's survivors APPEND to the seen index (never re-derived from
+    the corpus), so a duplicate of a round-N survivor arriving in round
+    N+2 is dropped by the index alone."""
+    from kinesis_stream_spark.operators.dedup import (
+        exact_dedup_incremental,
+        seen_hashes,
+    )
+
+    rounds = [
+        _docs(spark, [(1, "en", "alpha doc"), (2, "en", "beta doc")]),
+        _docs(spark, [(10, "en", "gamma doc")]),
+        # round 3: re-deliveries of a round-1 and a round-2 survivor
+        # (different ids, one normalization-variant) + one new doc
+        _docs(
+            spark,
+            [(20, "en", "  ALPHA   doc"), (21, "en", "gamma doc"), (22, "en", "delta doc")],
+        ),
+    ]
+    seen = seen_hashes(_docs(spark, []).select("doc_id", "lang", "text"))
+    survivors_by_round = []
+    for batch in rounds:
+        kept = exact_dedup_incremental(batch, seen)
+        survivors_by_round.append({r.doc_id for r in kept.collect()})
+        # append THIS round's surviving hashes to the index — O(round),
+        # the corpus itself is never rescanned
+        seen = seen.unionByName(kept.select("content_hash")).distinct()
+    assert survivors_by_round == [{1, 2}, {10}, {22}]
+    # the index holds exactly the 4 distinct surviving hashes
+    assert seen.count() == 4

@@ -48,3 +48,18 @@ def test_guard_zero_routes_everything_to_jvm(spark):
     )
     jvm = cosine_pairs(emb, group_cols=["grp"], threshold=0.1, vectorized=False)
     assert _collect(guarded) == _collect(jvm)
+
+
+def test_guard_none_skips_window_and_matches(spark):
+    """max_group_vectorized=None: same results, and the plan is just
+    partition → kernel — no window count, no JVM-branch union."""
+    emb = _emb(spark)
+    ungated = cosine_pairs(
+        emb, group_cols=["grp"], threshold=0.1, max_group_vectorized=None
+    )
+    assert _collect(ungated) == _collect(
+        cosine_pairs(emb, group_cols=["grp"], threshold=0.1)
+    )
+    plan = ungated._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Union" not in plan

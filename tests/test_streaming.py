@@ -515,3 +515,73 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     }
     assert {(r.l_user, r.l_ts, r.r_ts, r.r_value) for r in got} == want
     assert len(got) == len(want) > 0  # no duplicate emissions either
+
+
+def test_interval_join_watermark_evicts_state(spark, tmp_path):
+    """The correctness property interval_join's docstring claims: the
+    watermark + time bound lets the state store EVICT, so a left row
+    arriving after the global watermark has passed its join window must
+    NOT join — even though its matching right row was seen earlier and a
+    batch run of the identical code does pair them."""
+    from kinesis_stream_spark.streaming.windows import interval_join
+
+    clicks_dir = str(tmp_path / "ev_clicks")
+    purchases_dir = str(tmp_path / "ev_purch")
+    os.makedirs(clicks_dir)
+    os.makedirs(purchases_dir)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    late_click = (1, base + dt.timedelta(minutes=-2))  # 11:58, joins 12:00 in batch
+    sentinel = base + dt.timedelta(hours=8)  # 20:00 — drives watermarks to 19:50
+
+    def write(rows, schema, path):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    # round 1: the purchase at 12:00 enters join state; sentinel rows on
+    # BOTH sides push both watermarks (and so the global one) to 19:50,
+    # far past the purchase's last joinable left timestamp (12:00)
+    write([(99, sentinel)], "l_user bigint, l_ts timestamp", clicks_dir)
+    write(
+        [(1, base, 5.0), (99, sentinel, 1.0)],
+        "r_user bigint, r_ts timestamp, r_value double",
+        purchases_dir,
+    )
+
+    def drain(sink: list):
+        clicks_s = (
+            spark.readStream.schema("l_user bigint, l_ts timestamp")
+            .parquet(clicks_dir)
+            .withWatermark("l_ts", "10 minutes")
+        )
+        purchases_s = (
+            spark.readStream.schema("r_user bigint, r_ts timestamp, r_value double")
+            .parquet(purchases_dir)
+            .withWatermark("r_ts", "10 minutes")
+        )
+        return (
+            interval_join(clicks_s, purchases_s, upper="10 minutes")
+            .writeStream.foreachBatch(lambda df, bid: sink.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    first: list = []
+    drain(first).awaitTermination(180)
+    assert {(r.l_user, r.r_user) for r in first} == {(99, 99)}  # positive control
+
+    # round 2: the matching click arrives LATE (11:58 ≪ watermark 19:50).
+    # Its purchase partner either left the state store already or the
+    # below-watermark filter drops the row — both surface as: no join.
+    write([late_click], "l_user bigint, l_ts timestamp", clicks_dir)
+    second: list = []
+    drain(second).awaitTermination(180)
+    assert all(r.l_user != 1 for r in second), second
+
+    # the batch run of the identical code DOES pair them — proving the
+    # stream's empty result is watermark eviction, not a missing match
+    clicks_b = spark.createDataFrame([late_click], "l_user bigint, l_ts timestamp")
+    purchases_b = spark.createDataFrame(
+        [(1, base, 5.0)], "r_user bigint, r_ts timestamp, r_value double"
+    )
+    assert interval_join(clicks_b, purchases_b, upper="10 minutes").count() == 1
