@@ -1,0 +1,65 @@
+"""Column-level data profiling: the "what is actually in this table"
+pass every large-scale ingestion runs before trusting a new drop —
+null counts and distinct cardinalities per column, one output row per
+column.
+
+Scale shape: ONE scan. All per-column aggregates run in a single
+``agg`` (null counts are plain conditional sums; exact distincts share
+one Expand — Spark plans N distinct aggregates over one pass with an
+N-way expand, not N scans), then the single result row unpivots with
+``stack``. At 100 TB switch ``exact=False``: HyperLogLog++ distinct
+estimates drop the expand entirely and the whole profile is one
+codegen'd aggregate — the exact path exists because the test oracle
+needs replayable integers.
+
+No reference-file citation applies: the reference (500px/kinesis-stream)
+delegates all data processing to its host framework; profiling is part
+of the SURVEY §2.3 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
+    """Per-column profile: (column_name, n_nulls, n_distinct).
+
+    ``exact=True`` uses COUNT(DISTINCT) (oracle-replayable);
+    ``exact=False`` uses approx_count_distinct (the 100 TB setting —
+    same output schema, ±2% cardinalities, no Expand in the plan).
+    NULL does not count toward n_distinct on either engine.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_n_{c}")
+        )
+        distinct = (
+            F.countDistinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(c, rsd=0.02)
+        )
+        aggs.append(distinct.alias(f"_d_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', _n_{c}, _d_{c}" for c in cols)
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+def sql_profile_columns(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`profile_columns` (exact path)."""
+    selects = [
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(selects)

@@ -536,10 +536,10 @@ def kmeans_fit(
     """
     # top-k by md5 via orderBy+limit (TakeOrderedAndProject — never a
     # global sort); the cid-assigning window then runs over k rows only.
-    # partitionBy(lit(0)) is semantically the unpartitioned window the
-    # ranking needs, stated explicitly so WindowExec doesn't warn about
-    # an accidental single-partition plan — it's deliberate: the frame
-    # is ≤ k rows post-limit.
+    # pmod(_h, 1) is a constant-0 partition key the optimizer cannot
+    # fold away (a bare/literal partitionBy is eliminated and WindowExec
+    # then warns about an accidental global window) — the single
+    # partition is deliberate: ≤ k rows post-limit.
     seeds = (
         emb.select(
             F.col(id_col).alias("sid"),
@@ -550,7 +550,10 @@ def kmeans_fit(
         .limit(k)
         .withColumn(
             "cid",
-            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_h", "sid")) - 1,
+            F.row_number().over(
+                Window.partitionBy(F.pmod(F.col("_h"), F.lit(1))).orderBy("_h", "sid")
+            )
+            - 1,
         )
         .select("cid", "centroid")
     )

@@ -380,6 +380,58 @@ def boilerplate_fraction(
     )
 
 
+def token_rarity(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document rarity score from corpus token statistics: rank every
+    token by global frequency (1 = most common, ties by token string),
+    then score each document by the mean rank of its token occurrences.
+    High mean rank = rare/specialist vocabulary, low = common-word soup —
+    the RNG-free, log-free stand-in for unigram-LM quality scoring
+    (log-prob scoring needs libm ``log``, whose last-ulp rounding is not
+    guaranteed identical across engines; ranks are integers, so the only
+    float op is the final mean divide).
+
+    Shape: explode tokens → vocab count (gram-keyed, skew-free) → rank
+    window over the POST-AGGREGATION vocabulary (tiny next to the
+    corpus) → join ranks back (broadcastable: vocab ≪ corpus) → per-doc
+    integer aggregate. At web scale (vocab ~10^8) replace the
+    single-partition rank window with range-partitioned cumulative
+    counts, or put a min-count floor on the vocabulary first — the rank
+    join and per-doc agg shapes don't change.
+    """
+    tok = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # deliberate single-partition window over the POST-AGG vocabulary —
+    # pmod(length, 1) is a constant 0 the optimizer cannot fold away
+    # (a literal, or x*0 on a non-nullable column, is eliminated and
+    # WindowExec then warns about an accidental global window; this one
+    # is intentional)
+    w = Window.partitionBy(F.pmod(F.length("tok"), F.lit(1))).orderBy(
+        F.desc("tf"), F.asc("tok")
+    )
+    ranked = vocab.withColumn("rank", F.row_number().over(w)).select("tok", "rank")
+    return (
+        tok.join(ranked, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rank").alias("rank_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.col("rank_sum").cast("long").alias("rank_sum"),
+            (F.col("rank_sum").cast("double") / F.col("n_tokens")).alias("mean_rank"),
+        )
+    )
+
+
 # --- PII scrubbing ------------------------------------------------------------
 
 #: Deliberately dialect-portable patterns: no backreferences, no lazy

@@ -43,6 +43,10 @@ _PRIORITY = (
     "similarity_ann_recall",
     # new this round
     "similarity_ivf_nprobe_sweep",
+    "stream_static_enrich",
+    "agg_histogram_price",
+    "profile_orders_columns",
+    "text_token_rarity",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -1222,6 +1222,71 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _sql_profile_orders() -> str:
+    from kinesis_stream_spark.operators.profile import sql_profile_columns
+
+    return (
+        "SELECT * FROM ("
+        + sql_profile_columns("orders", _PROFILE_COLS)
+        + ") ORDER BY column_name"
+    )
+
+
+@_q("profile_orders_columns", _sql_profile_orders())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the orders table (null count + exact
+    distinct cardinality per column) — the trust-but-verify pass an
+    ingestion pipeline runs on every new data drop. One scan, one
+    aggregate (the N exact distincts share a single Expand), stack
+    unpivot; the 100 TB variant flips to HLL estimates
+    (operators/profile.py, ``exact=False``)."""
+    from kinesis_stream_spark.operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, _PROFILE_COLS).orderBy("column_name")
+
+
+@_q(
+    "agg_histogram_price",
+    f"""
+    SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice', 'bucket_price')}
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over l_extendedprice (10k-wide buckets) —
+    the distribution-profiling primitive behind range partitioning
+    choices, skew detection, and dashboard density plots. Bucketing is
+    one IEEE divide + floor (deterministic on both engines), then a
+    plain hash aggregate: map-side partial combine, ~tens of groups, no
+    sort — at 100 TB this is a single scan with a trivial shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "bucket_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @_q(
     "agg_approx_sketches",
     """

@@ -182,6 +182,34 @@ def stream_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_static_enrich",
+    f"""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 'sum_value')}
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY segment, event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events left-joined to the customer
+    dimension (broadcast — the static side never shuffles the stream),
+    aggregated per (market segment, event_type) with unmatched users
+    kept as 'UNKNOWN'. The reference's users do exactly this downstream
+    of the Kinesis source (enrich each record with reference data); on a
+    stream Spark re-reads the dim per micro-batch, so dim updates are
+    picked up without restarting the query."""
+    from kinesis_stream_spark.streaming.windows import static_enrich_agg
+
+    return static_enrich_agg(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@_q(
     "stream_interval_join",
     """
     SELECT c.user_id, c.ts AS click_ts,

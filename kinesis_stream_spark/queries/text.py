@@ -560,3 +560,34 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_fraction(docs, n=3, df_threshold=5).orderBy("doc_id")
+
+
+@_q(
+    "text_token_rarity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, t.tok FROM documents, UNNEST({_TOKS}) AS t(tok)
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank FROM vocab
+    )
+    SELECT id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(rank) AS BIGINT) AS rank_sum,
+           CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+    FROM tok JOIN ranked USING (tok)
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics rarity score: global frequency rank per token
+    (most common = 1, ties by token string), mean rank per document —
+    the deterministic stand-in for unigram-LM quality scoring (integer
+    ranks avoid libm log, whose last-ulp rounding differs across
+    engines). The oracle replays ranking and scoring end-to-end."""
+    from kinesis_stream_spark.operators.text import token_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity(docs).orderBy("doc_id")

@@ -138,6 +138,42 @@ def dedup_within_watermark(
     return events.dropDuplicates(keys)
 
 
+def static_enrich_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+    unknown: str = "UNKNOWN",
+) -> DataFrame:
+    """Stream-static enrichment: left-join the event stream to a
+    broadcast dimension table, then aggregate per (dim attribute,
+    event_type) — the canonical "enrich the stream with reference data"
+    shape (user → segment, device → model, ...).
+
+    The dim side is static, so Spark re-plans it per micro-batch and the
+    broadcast join never shuffles the stream; unmatched events keep
+    flowing with ``unknown`` (a stream must not silently drop rows
+    because reference data is incomplete — at 100 TB/day the unmatched
+    count IS the data-quality metric). Works on batch and streaming
+    input (module contract): the batch run is the DuckDB-oracle-checked
+    twin, the stream run is asserted equal in tests/test_streaming.py.
+    """
+    d = dim.select(F.col(dim_key).alias(key), F.col(dim_attr).alias("_attr"))
+    enriched = events.join(F.broadcast(d), key, "left")
+    out = (
+        enriched.groupBy(
+            F.coalesce(F.col("_attr"), F.lit(unknown)).alias("segment"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+    if not out.isStreaming:
+        out = out.orderBy("segment", "event_type")
+    return out
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

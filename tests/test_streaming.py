@@ -517,6 +517,52 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(want) > 0  # no duplicate emissions either
 
 
+def test_stream_static_enrich_equals_batch(spark, sf_dir, tmp_path):
+    """static_enrich_agg on a real event stream (broadcast customer dim
+    re-planned per micro-batch) drains to the same per-(segment, type)
+    aggregate the batch run produces."""
+    from kinesis_stream_spark.streaming.windows import static_enrich_agg
+
+    events_b = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        # every fixture user may have a customer row; add one guaranteed
+        # orphan so the unmatched → 'UNKNOWN' path is actually exercised
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "click", 1.5)], "user_id bigint, event_type string, value double"
+            )
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    in_dir = str(tmp_path / "enrich_in")
+    events_b.write.mode("overwrite").parquet(in_dir)
+
+    events_s = spark.readStream.schema(
+        "user_id bigint, event_type string, value double"
+    ).parquet(in_dir)
+    q = (
+        static_enrich_agg(events_s, cust)
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.segment, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("enrich_out").collect()
+    }
+    want = {
+        (r.segment, r.event_type): (r.n_events, r.sum_value)
+        for r in static_enrich_agg(events_b, cust).collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(seg == "UNKNOWN" for seg, _ in got)  # unmatched users kept
+
+
 def test_interval_join_watermark_evicts_state(spark, tmp_path):
     """The correctness property interval_join's docstring claims: the
     watermark + time bound lets the state store EVICT, so a left row
