@@ -553,3 +553,63 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    group_cols: list[str],
+    *,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup: |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)
+    over n-gram shingle sets, within blocking groups. This is the
+    substring-duplication detector Jaccard systematically misses: a
+    document wholly contained in a longer one (quote + commentary, page
+    + boilerplate wrapper, truncated re-crawl) has containment ≈ 1 but
+    Jaccard ≈ |A|/|B| — far below any Jaccard threshold when sizes
+    differ. Deduplication guides pair this with MinHash: Jaccard for
+    same-length near-copies, containment for subset relations.
+
+    Same sparse-join shape as :func:`ngram_jaccard_pairs` (explode
+    shingles, equi-join on (group, gram), intersection from a count,
+    sizes joined back): only gram-sharing pairs materialize, and the one
+    float op is the final divide by an integer min. Scale knobs carry
+    over — block on group_cols, cap gram df if a corpus has hot
+    boilerplate shingles.
+    """
+    from kinesis_stream_spark.functions.hashing import shingles
+
+    base = spread(
+        docs.select(*group_cols, F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(*group_cols, "id", shingles(F.col(text_col), n).alias("sh"))
+    sizes = base.select(*group_cols, "id", F.size("sh").alias("sz"))
+    gram = base.select(*group_cols, "id", F.explode("sh").alias("g"))
+    x, y = gram.alias("x"), gram.alias("y")
+    cond = (F.col("x.id") < F.col("y.id")) & (F.col("x.g") == F.col("y.g"))
+    for c in group_cols:
+        cond = cond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+    inter = (
+        x.join(y, cond)
+        .groupBy(
+            *[F.col(f"x.{c}").alias(c) for c in group_cols],
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            *group_cols,
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.least("sz_a", "sz_b")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

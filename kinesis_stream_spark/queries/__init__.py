@@ -47,6 +47,10 @@ _PRIORITY = (
     "agg_histogram_price",
     "profile_orders_columns",
     "text_token_rarity",
+    "dedup_containment_prefix_copies",
+    "agg_equidepth_price",
+    "stream_session_funnel",
+    "stream_rate_anomaly",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",
@@ -90,7 +94,8 @@ _PRIORITY = (
     "text_decontaminate_overlap",
     "text_stratified_sample",
     "text_pack_sequences",
-    # positions 51+: stable, untouched, r2-green (local backstop)
+    # beyond position 50 (driver window cut): stable, untouched,
+    # r2-green text queries relying on the local sf0.001 backstop
     "text_fingerprint_rolling",
     "text_fingerprint_winnowed",
     "text_top_terms_per_lang",

@@ -320,6 +320,61 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "id_a", "id_b")
 
 
+@_q(
+    "dedup_containment_prefix_copies",
+    f"""
+    WITH docs AS (
+      SELECT lang, source, doc_id, text FROM documents
+      UNION ALL
+      SELECT lang, source, doc_id + {COPY_OFFSET} AS doc_id,
+             ARRAY_TO_STRING(
+               {_SQL_TOKS}[1:CAST(FLOOR((LEN({_SQL_TOKS}) + 1) / 2) AS INT)], ' '
+             ) AS text
+      FROM documents
+    ),
+    sh AS (SELECT lang, source, doc_id AS id, {sql_shingles('text', 3)} AS sh
+           FROM docs),
+    g AS (SELECT lang, source, id, t.g FROM sh, UNNEST(sh) AS t(g)),
+    inter AS (
+      SELECT x.lang, x.source, x.id AS id_a, y.id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g x JOIN g y
+        ON x.lang = y.lang AND x.source = y.source
+       AND x.g = y.g AND x.id < y.id
+      GROUP BY 1, 2, 3, 4
+    ),
+    sz AS (SELECT id, LEN(sh) AS sz FROM sh)
+    SELECT i.lang, i.source, i.id_a, i.id_b,
+           i.inter / LEAST(a.sz, b.sz) AS containment
+    FROM inter i JOIN sz a ON a.id = i.id_a JOIN sz b ON b.id = i.id_b
+    WHERE i.inter / LEAST(a.sz, b.sz) >= 0.9
+    ORDER BY i.lang, i.source, id_a, id_b
+    """,
+)
+def dedup_containment_prefix_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment dedup over documents ∪ front-half copies: the
+    half-doc's shingles are all present in its original, so containment
+    is exactly 1.0 while Jaccard sits near 0.5 — the subset-duplication
+    case (quote-in-page, truncated re-crawl) a Jaccard threshold never
+    fires on. Blocked on (lang, source); same sparse gram join as the
+    Jaccard operator, oracle replays the identical pipeline."""
+    from kinesis_stream_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    half_len = F.floor((F.size(toks) + 1) / 2).cast("int")
+    half = docs.select(
+        "lang",
+        "source",
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, half_len), " ").alias("text"),
+    )
+    both = docs.select("lang", "source", "doc_id", "text").unionAll(half)
+    return containment_pairs(
+        both, ["lang", "source"], threshold=0.9, n=3
+    ).orderBy("lang", "source", "id_a", "id_b")
+
+
 _NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
 
 

@@ -1287,6 +1287,66 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def _sql_equidepth() -> str:
+    bs = ", ".join(f"quantile_disc(l_extendedprice, {p})" for p in _DECILES)
+    return f"""
+    WITH bounds AS (SELECT [{bs}] AS bs FROM lineitem)
+    SELECT CAST(LEN(LIST_FILTER(b.bs, v -> l.l_extendedprice > v)) AS INT) AS bucket,
+           COUNT(*) AS n_items,
+           MIN(l.l_extendedprice) AS min_price,
+           MAX(l.l_extendedprice) AS max_price
+    FROM lineitem l CROSS JOIN bounds b
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
+@_q("agg_equidepth_price", _sql_equidepth())
+def agg_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram over l_extendedprice — the
+    boundary structure engines keep as column statistics and range
+    partitioners split on, complementing the fixed-width histogram.
+
+    Two passes, no global sort: pass 1 computes the 9 decile boundaries
+    with ``percentile_disc`` (an ACTUAL data value — no interpolation,
+    so no lo+(hi-lo)*f vs lo*(1-f)+hi*f last-ulp ambiguity between
+    engines; Spark and DuckDB agree bit-for-bit on the "smallest value
+    with cumulative fraction ≥ p" rule, verified at sf0.01/0.1); pass 2
+    broadcasts the 1-row boundary array and assigns each row its bucket
+    as the count of boundaries strictly below it — a map-side
+    higher-order filter, then a ~10-group aggregate. At 100 TB pass 1
+    becomes approx_percentile and the shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bexprs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias(f"_b{i}")
+        for i, p in enumerate(_DECILES)
+    ]
+    bounds = li.agg(*bexprs).select(
+        F.array(*[f"_b{i}" for i in range(len(_DECILES))]).alias("bs")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter("bs", lambda v: F.col("l_extendedprice") > v)
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @_q(
     "agg_approx_sketches",
     """

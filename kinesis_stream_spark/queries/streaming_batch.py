@@ -182,6 +182,86 @@ def stream_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_session_funnel",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_to,
+           CAST(CASE WHEN MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                       >= MIN(CASE WHEN event_type = 'click' THEN ts END)
+                THEN 1 ELSE 0 END AS INT) AS converted
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion funnel: per user session (10 min gap),
+    click and purchase counts plus a converted flag (purchase at-or-
+    after the session's first click). The attribution measure computed
+    on session state — one shuffle, stream-legal — instead of the
+    quadratic click×purchase self-join. Oracle replays sessionization
+    (gap-and-island) and the conditional aggregates."""
+    from kinesis_stream_spark.streaming.windows import session_funnel_agg
+
+    return session_funnel_agg(load_table(spark, sf_dir, "events"), gap="10 minutes")
+
+
+@_q(
+    "stream_rate_anomaly",
+    f"""
+    WITH counts AS (
+      SELECT {_bucket('ts', 3600)} AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    trailed AS (
+      SELECT window_start, event_type, n_events,
+             COALESCE(SUM(n_events) OVER w, 0) AS sum_prev,
+             COUNT(*) OVER w AS n_prev
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start, event_type, n_events,
+           CAST(sum_prev AS BIGINT) AS sum_prev,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           CAST(CASE WHEN n_prev > 0 AND n_events * n_prev > 2 * sum_prev
+                THEN 1 ELSE 0 END AS INT) AS spike
+    FROM trailed
+    ORDER BY event_type, window_start
+    """,
+)
+def stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike detection over hourly event counts: flag windows whose
+    count exceeds 2× the trailing-3-window mean, with the comparison in
+    pure integers (n·n_prev > 2·sum_prev) so no float mean/stddev can
+    diverge between engines. The batch-side monitoring pass over a
+    streaming count sink."""
+    from kinesis_stream_spark.streaming.windows import rate_anomaly
+
+    return rate_anomaly(
+        load_table(spark, sf_dir, "events"), duration="1 hour", lookback=3, factor=2
+    )
+
+
+@_q(
     "stream_static_enrich",
     f"""
     SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_stream_spark.queries._util import dsum
 
@@ -136,6 +137,96 @@ def dedup_within_watermark(
     if streaming:
         return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def session_funnel_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    from_type: str = "click",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Per-session conversion funnel: within each user session (gap
+    semantics of :func:`session_window_agg`), count ``from_type`` and
+    ``to_type`` events and flag the session converted when a ``to``
+    event occurs at-or-after the first ``from`` event — the
+    click→purchase attribution measure computed where it belongs, on
+    session state, not with a self-join. Conditional aggregates ride the
+    same single (user, session) shuffle the session window needs anyway;
+    runs on batch and streaming input (session_window + aggregates are
+    stream-legal)."""
+    is_from = F.col("event_type") == from_type
+    is_to = F.col("event_type") == to_type
+    out = (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), "user_id")
+        .agg(
+            F.sum(F.when(is_from, 1).otherwise(0)).cast("long").alias("n_from"),
+            F.sum(F.when(is_to, 1).otherwise(0)).cast("long").alias("n_to"),
+            F.min(F.when(is_from, F.col(ts_col))).alias("_first_from"),
+            F.max(F.when(is_to, F.col(ts_col))).alias("_last_to"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            "user_id",
+            "n_from",
+            "n_to",
+            F.when(F.col("_last_to") >= F.col("_first_from"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("converted"),
+        )
+    )
+    if not out.isStreaming:
+        out = out.orderBy("user_id", "session_start")
+    return out
+
+
+def rate_anomaly(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lookback: int = 3,
+    factor: int = 2,
+) -> DataFrame:
+    """Event-rate spike detection: per (window, event_type) counts, each
+    compared against the trailing ``lookback`` windows — flagged when
+    ``n_events · n_prev > factor · sum_prev`` (i.e. the count exceeds
+    ``factor`` × the trailing mean, expressed entirely in integers so
+    both engines agree without a float mean or stddev). This is the
+    monitoring pass over a streaming pipeline's windowed-count sink: the
+    stream materializes per-window counts (tumbling_window_agg); this
+    analytic runs batch-side on that table (an ordered window over an
+    aggregate is not stream-legal, and doesn't need to be — late windows
+    are finalized by then). Scale: per-type time series after a ~10²-row
+    windowed agg — the window shuffle is on event_type, trivially small
+    next to producing the counts."""
+    counts = (
+        events.groupBy(F.window(F.col(ts_col), duration).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-lookback, -1)
+    )
+    return (
+        counts.withColumn("sum_prev", F.coalesce(F.sum("n_events").over(w), F.lit(0)))
+        .withColumn("n_prev", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "spike",
+            F.when(
+                (F.col("n_prev") > 0)
+                & (F.col("n_events") * F.col("n_prev") > factor * F.col("sum_prev")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("event_type", "window_start")
+    )
 
 
 def static_enrich_agg(

@@ -517,6 +517,39 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(want) > 0  # no duplicate emissions either
 
 
+def test_stream_session_funnel_equals_batch(spark, sf_dir, tmp_path):
+    """session_funnel_agg through a real StreamingQuery (session window +
+    conditional aggregates are stream-legal) drains to the same
+    per-session funnel rows as the batch run."""
+    from kinesis_stream_spark.streaming.windows import session_funnel_agg
+
+    events_b = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    in_dir = str(tmp_path / "funnel_in")
+    events_b.write.mode("overwrite").parquet(in_dir)
+    events_s = (
+        spark.readStream.schema("ts timestamp, user_id bigint, event_type string")
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        session_funnel_agg(events_s, gap="10 minutes")
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = lambda r: (r.user_id, r.session_start, r.n_from, r.n_to, r.converted)  # noqa: E731
+    got = {key(r) for r in spark.table("funnel_out").collect()}
+    want = {key(r) for r in session_funnel_agg(events_b, gap="10 minutes").collect()}
+    assert got == want and len(got) > 0
+    assert any(r[4] == 1 for r in got)  # at least one converted session
+
+
 def test_stream_static_enrich_equals_batch(spark, sf_dir, tmp_path):
     """static_enrich_agg on a real event stream (broadcast customer dim
     re-planned per micro-batch) drains to the same per-(segment, type)
