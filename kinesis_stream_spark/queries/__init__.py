@@ -51,6 +51,7 @@ _PRIORITY = (
     "agg_equidepth_price",
     "stream_session_funnel",
     "stream_rate_anomaly",
+    "multimodal_payload_near_dup",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",
@@ -94,8 +95,10 @@ _PRIORITY = (
     "text_decontaminate_overlap",
     "text_stratified_sample",
     "text_pack_sequences",
-    # beyond position 50 (driver window cut): stable, untouched,
-    # r2-green text queries relying on the local sf0.001 backstop
+    # beyond position 50 (driver window cut): stable r2-green queries on
+    # untouched code paths (similarity bruteforce/LSH, the r2 text
+    # family, relational) relying on the local sf0.001 backstop — all
+    # also re-verified at sf0.01 by this round's full driver_sim sweep
     "text_fingerprint_rolling",
     "text_fingerprint_winnowed",
     "text_top_terms_per_lang",

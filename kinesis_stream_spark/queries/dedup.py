@@ -164,8 +164,15 @@ def dedup_minhash_lsh_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame
     return near_duplicates_minhash(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
-def _sql_simhash_pipeline(max_hamming: int = 3, blocks: int = 4) -> str:
+def _sql_simhash_pipeline(
+    max_hamming: int = 3, blocks: int = 4, input_cte: str | None = None
+) -> str:
+    """DuckDB replay of near_duplicates_simhash over any (doc_id, text)
+    CTE (defaults to documents ∪ exact copies)."""
     from kinesis_stream_spark.operators.dedup import SIMHASH_BITS
+
+    if input_cte is None:
+        input_cte = SQL_EXACT_COPIES
 
     bits, width = SIMHASH_BITS, SIMHASH_BITS // blocks
     mask = (1 << width) - 1
@@ -182,7 +189,7 @@ def _sql_simhash_pipeline(max_hamming: int = 3, blocks: int = 4) -> str:
         for b in range(blocks)
     )
     return f"""
-    WITH docs AS ({SQL_EXACT_COPIES}),
+    WITH docs AS ({input_cte}),
     tok AS (SELECT doc_id AS id, {sql_md5_int64('t.tok')} AS h
             FROM docs, UNNEST({sql_tokens('text')}) AS t(tok)),
     bit_sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),

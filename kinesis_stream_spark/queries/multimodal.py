@@ -194,3 +194,51 @@ def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("media_id") + _DUP_OFFSET).alias("media_id"), "payload"
     )
     return exact_dedup_assets(media.unionAll(copy)).orderBy("canonical_id")
+
+
+def _sql_hex_shingle_text(hex_expr: str, n_bytes: int = 4) -> str:
+    """DuckDB twin of operators.multimodal.hex_shingle_text."""
+    width = n_bytes * 2
+    return (
+        f"ARRAY_TO_STRING([SUBSTR({hex_expr}, i * 2 - 1, {width}) "
+        f"FOR i IN RANGE(1, CAST(LENGTH({hex_expr}) / 2 AS INT) - {n_bytes - 1} + 1)]"
+        ", ' ')"
+    )
+
+
+def _sql_payload_near_dup() -> str:
+    from kinesis_stream_spark.queries.dedup import _sql_simhash_pipeline
+
+    orig = _sql_hex_shingle_text("HEX(payload)")
+    corr = _sql_hex_shingle_text("('00' || SUBSTR(HEX(payload), 3))")
+    docs_cte = f"""
+      SELECT media_id AS doc_id, {orig} AS text FROM ({SQL_MEDIA})
+      UNION ALL
+      SELECT media_id + {_DUP_OFFSET} AS doc_id, {corr} AS text FROM ({SQL_MEDIA})
+    """
+    return _sql_simhash_pipeline(max_hamming=3, blocks=4, input_cte=docs_cte)
+
+
+@_q("multimodal_payload_near_dup", _sql_payload_near_dup())
+def multimodal_payload_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset NEAR-dup, codec-free: the catalog is the media table
+    plus single-byte-corrupted re-uploads (first byte zeroed, shifted
+    ids) — the copies exact content-hashing can never link. SimHash over
+    sliding 4-byte shingles of the raw payload + 15-bit block candidates
+    + Hamming verify finds them without decoding anything; the oracle
+    replays shingling, fingerprints, blocking, and the verify, so even
+    the fingerprint pairs the blocking misses must match exactly."""
+    from kinesis_stream_spark.operators.multimodal import payload_near_duplicates
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents")).select(
+        "media_id", "payload"
+    )
+    corrupted = media.select(
+        (F.col("media_id") + _DUP_OFFSET).alias("media_id"),
+        F.unhex(
+            F.concat(F.lit("00"), F.expr("substr(hex(payload), 3)"))
+        ).alias("payload"),
+    )
+    return payload_near_duplicates(
+        media.unionAll(corrupted), max_hamming=3, blocks=4, n_bytes=4
+    ).orderBy("id_a", "id_b")
