@@ -88,10 +88,19 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def payload_bytes(payload: Column) -> Column:
     """``array<int>`` of byte values of a binary column — JVM-side only
     (hex → 2-char slices → base-16 conv). Lets byte-level features stay
-    inside codegen instead of round-tripping to Python."""
+    inside codegen instead of round-tripping to Python.
+
+    The index range is guarded for empty payloads: Spark's
+    ``sequence(1, 0)`` counts DOWN (yielding [1, 0], which would fake
+    two zero bytes), while the DuckDB twin's RANGE(1, 1) is empty — the
+    guard pins both to the empty array."""
     h = F.hex(payload)
+    n = (F.length(h) / 2).cast("int")
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
-        F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+        idx,
         lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10).cast("int"),
     )
 
@@ -146,10 +155,13 @@ def hex_shingle_text(hex_col: Column, *, n_bytes: int = 4) -> Column:
     no Python, no byte array materialization)."""
     width = n_bytes * 2
     count = (F.length(hex_col) / 2).cast("int") - (n_bytes - 1)
-    sh = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: hex_col.substr((i * 2 - 1).cast("int"), F.lit(width)),
+    # payloads shorter than n_bytes produce NO shingles (empty text) —
+    # guarded explicitly because Spark's sequence(1, count<=0) counts
+    # DOWN, while the DuckDB twin's RANGE is empty
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
     )
+    sh = F.transform(idx, lambda i: hex_col.substr((i * 2 - 1).cast("int"), F.lit(width)))
     return F.array_join(sh, " ")
 
 

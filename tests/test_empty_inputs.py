@@ -59,3 +59,52 @@ def test_text_family_empty(spark, empties):
     assert text.pack_sequences(docs, capacity=10, partition_col="source").count() == 0
     assert text.stratified_sample(docs, {"en": 0.5}).count() == 0
     assert text.decontaminate_ngram_overlap(docs, docs).count() == 0
+
+
+def test_round4_operators_empty(spark, empties):
+    from kinesis_stream_spark.operators import dedup, profile, text
+    from kinesis_stream_spark.streaming import windows
+
+    docs = empties["docs"]
+    assert dedup.containment_pairs(docs, ["lang"]).count() == 0
+    assert text.token_rarity(docs).count() == 0
+    assert profile.profile_columns(docs, ["doc_id", "lang"]).count() == 2  # 1 row/col
+    events = spark.createDataFrame(
+        [], "ts timestamp, user_id bigint, event_type string, value double"
+    )
+    dim = spark.createDataFrame([], "c_custkey bigint, c_mktsegment string")
+    assert windows.static_enrich_agg(events, dim).count() == 0
+    assert windows.session_funnel_agg(events).count() == 0
+    assert windows.rate_anomaly(events).count() == 0
+
+
+def test_payload_bytes_empty_and_short(spark):
+    """Spark's sequence(1, n<=0) counts DOWN — the byte/shingle index
+    guards must yield EMPTY arrays (matching DuckDB RANGE), not fake
+    [1, 0] indexes, for payloads shorter than the window."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.operators.multimodal import (
+        hex_shingle_text,
+        payload_bytes,
+        payload_near_duplicates,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytes()), (2, b"\x01"), (3, b"\x01\x02\x03\x04\x05")],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: (r.b, r.sh)
+        for r in media.select(
+            "media_id",
+            payload_bytes(F.col("payload")).alias("b"),
+            hex_shingle_text(F.hex(F.col("payload"))).alias("sh"),
+        ).collect()
+    }
+    assert rows[1] == ([], "")
+    assert rows[2] == ([1], "")  # 1 byte: no 4-byte shingle
+    assert rows[3][0] == [1, 2, 3, 4, 5]
+    assert rows[3][1] == "01020304 02030405"  # two sliding 4-byte shingles
+    # near-dup over degenerate payloads must not crash
+    assert payload_near_duplicates(media).count() >= 0

@@ -188,3 +188,57 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_equidepth_bounds_broadcast_and_bucket_map_side(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["agg_equidepth_price"](spark, sf_dir))
+    # the 1-row boundary array broadcasts; bucket assignment must never
+    # shuffle the fact side before the ~10-group aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_static_enrich_dim_broadcasts(spark, sf_dir):
+    from kinesis_stream_spark.queries.streaming_batch import QUERIES
+
+    plan = _explain(QUERIES["stream_static_enrich"](spark, sf_dir))
+    # the customer dim is the build side; the event stream never shuffles
+    # for the join (only the final segment aggregate exchanges)
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+
+
+def test_profile_single_scan_single_expand(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["profile_orders_columns"](spark, sf_dir))
+    # one parquet scan feeds all per-column aggregates; the N exact
+    # distincts share ONE Expand, not one scan per column. The formatted
+    # explain lists each node once in the tree and once in the detail
+    # section, so one physical node = exactly one ") <Name>" header.
+    assert plan.count(") Scan parquet") == 1
+    assert plan.count(") Expand") == 1
+
+
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    from kinesis_stream_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(containment_pairs(docs, ["lang", "source"]))
+    # the sparse gram join is an equi-join on (group, gram) — a plan
+    # regression to a cartesian/theta join is the 100 TB killer here
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_rarity_rank_join_broadcasts_vocab(spark, sf_dir):
+    from kinesis_stream_spark.operators.text import token_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(token_rarity(docs))
+    # the ranked vocabulary (post-agg, corpus-small) is the build side
+    # of the rank join-back; the exploded token stream is never built
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
