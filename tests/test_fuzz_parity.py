@@ -29,6 +29,9 @@ FUZZ_QUERIES = [
     "text_boilerplate_fraction",
     "text_curation_pipeline",
     "text_pack_sequences",
+    # unicode rank tie-breaks: Spark string ordering vs DuckDB binary
+    # collation must agree on the vocabulary ranking
+    "text_token_rarity",
 ]
 
 
@@ -99,6 +102,7 @@ DEDUP_FUZZ = [
     "dedup_simhash_blocks",
     "dedup_ngram_jaccard_grouped",
     "dedup_exact_incremental",
+    "dedup_containment_prefix_copies",
 ]
 
 
