@@ -384,12 +384,16 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: route each query to its ``nprobe`` nearest label
     centroids (by dot product), scan only those partitions, exact cosine
     re-rank. Partition pruning is the 100 TB win: nprobe/nlist of the
-    corpus is read instead of all of it."""
-    cents = label_centroids(corpus, dim=dim)
+    corpus is read instead of all of it. Pass ``centroids`` (a
+    (label, centroid) frame) to reuse a quantizer across calls — a
+    deployment computes it once, and the nprobe sweep would otherwise
+    re-aggregate it per setting."""
+    cents = label_centroids(corpus, dim=dim) if centroids is None else centroids
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     routed = q.join(F.broadcast(cents)).select(
         "query_id", "qv", "label", dot_decimal(F.col("qv"), F.col("centroid")).alias("score")
@@ -469,6 +473,9 @@ def ivf_recall_sweep(
     exact = topk_bruteforce(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     ).select("query_id", "neighbor_id")
+    # the quantizer is sweep-invariant: aggregate it once and let every
+    # probe setting broadcast the same ~nlist-row frame
+    cents = label_centroids(corpus, dim=dim)
     parts = []
     for nprobe in nprobes:
         approx = topk_ivf(
@@ -480,6 +487,7 @@ def ivf_recall_sweep(
             id_col=id_col,
             vec_col=vec_col,
             query_id_col=query_id_col,
+            centroids=cents,
         ).select("query_id", "neighbor_id")
         hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).alias("n_hits")
