@@ -52,6 +52,7 @@ _PRIORITY = (
     "stream_session_funnel",
     "stream_rate_anomaly",
     "multimodal_payload_near_dup",
+    "integrity_table_checksum",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -1287,6 +1287,85 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_checksum() -> str:
+    from kinesis_stream_spark.functions.hashing import sql_md5_int64
+
+    okey = (
+        "CONCAT_WS('|', o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT), "
+        "EPOCH_US(o_orderdate), o_orderpriority)"
+    )
+    lkey = (
+        "CONCAT_WS('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+        "CAST(FLOOR(l_extendedprice * 100) AS BIGINT), l_returnflag, "
+        "EPOCH_US(l_shipdate))"
+    )
+    return f"""
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(CAST({sql_md5_int64(okey)} AS DECIMAL(38,0))) AS VARCHAR)
+             AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*),
+           CAST(SUM(CAST({sql_md5_int64(lkey)} AS DECIMAL(38,0))) AS VARCHAR)
+    FROM lineitem
+    ORDER BY table_name
+    """
+
+
+@_q("integrity_table_checksum", _sql_checksum())
+def integrity_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints: per-row 60-bit md5 hash of
+    a canonical key string, summed exactly as DECIMAL(38,0) — the
+    cross-engine / cross-run integrity check a pipeline runs after a
+    migration, backfill, or engine swap (one number answers "is the
+    copy byte-equivalent?"). The canonical key avoids every formatting
+    trap: only integers and stable strings are concatenated — doubles
+    go through floor(x·100) fixed point and timestamps through epoch
+    micros, because float/timestamp→string rendering differs across
+    engines. Map-side hash + partial sums, no shuffle beyond the final
+    1-row aggregate per table; checksum returned as a string (a 38-digit
+    decimal overflows int64 consumers). At 100 TB this is the cheapest
+    full-table verification that exists — one scan, a few bytes out."""
+    from kinesis_stream_spark.functions.hashing import md5_int64
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    okey = F.concat_ws(
+        "|",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+        # parquet NTZ → session-TZ timestamp is identity under the
+        # pinned-UTC session; unix_micros only accepts TIMESTAMP
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+        "o_orderpriority",
+    )
+    lkey = F.concat_ws(
+        "|",
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint"),
+        "l_returnflag",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")),
+    )
+
+    def cks(df, key, name):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(md5_int64(key).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    return cks(orders, okey, "orders").unionByName(cks(li, lkey, "lineitem")).orderBy(
+        "table_name"
+    )
+
+
 _DECILE_NUMS = list(range(1, 10))  # p = k/10
 
 
