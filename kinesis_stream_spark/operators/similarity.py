@@ -595,6 +595,83 @@ def kmeans_fit(
     )
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    cents: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by the training
+    metric (argmax of ``2·v·c − c·c``, fixed-point dots, ties to the
+    lower cid) — the shared step between IVF indexing and semantic
+    dedup. Returns (vid, v, cid). One broadcast of the k-row centroid
+    frame, one per-vector argmax window."""
+    score = (
+        2 * dot_decimal(F.col("v"), F.col("centroid"))
+        - dot_decimal(F.col("centroid"), F.col("centroid"))
+    ).alias("score")
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cents))
+        .select("vid", "v", "cid", score)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vid", "v", "cid")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    kclusters: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with deterministic k-means, score cosine
+    pairs ONLY within clusters, collapse the pair graph into connected
+    components, and mark every non-canonical member droppable. Returns
+    (vec_id, canonical_id) — the drop list; survivors are everything
+    else.
+
+    This is the composition the paper runs at corpus scale and each
+    piece is this module's existing operator: the clustering bounds the
+    quadratic term exactly like a blocking key (no all-pairs scoring
+    across the corpus), the per-cluster kernel is the guarded
+    cosine_pairs path, and the transitive A~B~C case resolves through
+    the same min-label propagation text dedup uses. At 100 TB: train on
+    a sample, write the assignment once (partition by cid), and the
+    per-cluster pair scan parallelizes per inverted list.
+    """
+    from kinesis_stream_spark.operators.dedup import connected_components
+
+    cents = kmeans_fit(
+        emb, k=kclusters, dim=dim, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).select("cid", "centroid")
+    assigned = assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
+    # guard window skipped: k-means clusters are size-bounded by
+    # construction (~N/k); a deployment with pathological cluster skew
+    # re-trains with larger k before dedup anyway
+    pairs = cosine_pairs(
+        assigned,
+        group_cols=["cid"],
+        threshold=threshold,
+        id_col="vid",
+        vec_col="v",
+        max_group_vectorized=None,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        comp.where(F.col("v") != F.col("comp"))
+        .select(F.col("v").alias(id_col), F.col("comp").alias("canonical_id"))
+    )
+
+
 def topk_ivf_trained(
     corpus: DataFrame,
     queries: DataFrame,
@@ -632,15 +709,7 @@ def topk_ivf_trained(
         2 * dot_decimal(F.col("v"), F.col("centroid"))
         - dot_decimal(F.col("centroid"), F.col("centroid"))
     ).alias("score")
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("score"), F.asc("cid"))
-    assigned = (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(cents))
-        .select("vid", "v", "cid", score)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vid", "v", "cid")
-    )
+    assigned = assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v")
     )

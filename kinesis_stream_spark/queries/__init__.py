@@ -53,6 +53,7 @@ _PRIORITY = (
     "stream_rate_anomaly",
     "multimodal_payload_near_dup",
     "integrity_table_checksum",
+    "similarity_semantic_dedup",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

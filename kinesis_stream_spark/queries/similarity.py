@@ -319,27 +319,32 @@ def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_trained(k_clusters: int = 4, iterations: int = 2, nprobe: int = 2) -> str:
-    ctes = _kmeans_ctes(k_clusters, iterations)
-    cfinal = f"c{iterations}"
+def _sql_assigned_cte(cfinal: str) -> str:
+    """DuckDB twin of assign_to_centroids over the ``cfinal`` centroids."""
     score = (
         f"(2 * {sql_dot('e.embedding', 'c.centroid')}"
         f" - {sql_dot('c.centroid', 'c.centroid')})"
     )
+    return f"""assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {score} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cfinal} c)
+      WHERE rn = 1
+    )"""
+
+
+def _sql_ivf_trained(k_clusters: int = 4, iterations: int = 2, nprobe: int = 2) -> str:
+    ctes = _kmeans_ctes(k_clusters, iterations)
+    cfinal = f"c{iterations}"
     qscore = (
         f"(2 * {sql_dot('q.qv', 'c.centroid')}"
         f" - {sql_dot('c.centroid', 'c.centroid')})"
     )
     ctes.extend(
         [
-            f"""assigned AS (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {score} DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN {cfinal} c)
-          WHERE rn = 1
-        )""",
+            _sql_assigned_cte(cfinal),
             f"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                WHERE vec_id < {N_QUERIES})""",
             f"""probes AS (
@@ -413,6 +418,54 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_sweep(
         emb, _queries_df(emb), nprobes=_SWEEP_NPROBES, k=K, dim=DIM
     ).orderBy("nprobe")
+
+
+def _sql_semantic_dedup(
+    k_clusters: int = 4, iterations: int = 2, threshold: float = 0.4
+) -> str:
+    ctes = _kmeans_ctes(k_clusters, iterations)
+    ctes.append(_sql_assigned_cte(f"c{iterations}"))
+    ctes.extend(
+        [
+            f"""pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {threshold}
+        )""",
+            """sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs)""",
+            """walk(v, l) AS (
+          SELECT DISTINCT src, src FROM sym
+          UNION
+          SELECT s.dst, w.l FROM walk w JOIN sym s ON s.src = w.v
+        )""",
+            "comp AS (SELECT v, MIN(l) AS comp FROM walk GROUP BY v)",
+        ]
+    )
+    return f"""
+    WITH RECURSIVE {", ".join(ctes)}
+    SELECT v AS vec_id, comp AS canonical_id
+    FROM comp WHERE v != comp
+    ORDER BY vec_id
+    """
+
+
+@_q("similarity_semantic_dedup", _sql_semantic_dedup())
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication end-to-end: deterministic
+    k-means clusters bound the pair scoring (no corpus-wide all-pairs),
+    within-cluster cosine ≥ 0.4 edges collapse through min-label
+    connected components, and the drop list (member → canonical) comes
+    out. The oracle replays training, assignment, pair scoring, AND the
+    transitive closure — the complete published-pipeline composition,
+    every stage an operator this module already verifies in isolation."""
+    from kinesis_stream_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, kclusters=4, iterations=2, threshold=0.4, dim=DIM
+    ).orderBy("vec_id")
 
 
 @_q("similarity_topk_ivf_trained", _sql_ivf_trained())
