@@ -21,6 +21,11 @@ SENSITIVE = [
     "udf_apply_in_pandas_zscore",  # Python kernel over grouped doubles
     "dedup_embedding_cosine_pairs",  # fixed-point vector math
     "agg_approx_sketches",  # sketch merges across partitions
+    "agg_equidepth_price",  # cumulative-window boundary selection
+    "text_token_rarity",  # global rank window + mean divide
+    "dedup_containment_prefix_copies",  # sparse-join counts + min divide
+    "similarity_semantic_dedup",  # kmeans -> cosine -> components chain
+    "integrity_table_checksum",  # order-independent decimal hash sums
 ]
 
 
