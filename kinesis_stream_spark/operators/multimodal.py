@@ -93,11 +93,12 @@ def payload_bytes(payload: Column) -> Column:
     The index range is guarded for empty payloads: Spark's
     ``sequence(1, 0)`` counts DOWN (yielding [1, 0], which would fake
     two zero bytes), while the DuckDB twin's RANGE(1, 1) is empty — the
-    guard pins both to the empty array."""
+    guard pins both to the empty array. NULL payloads stay NULL (the
+    when-chain has no otherwise), matching RANGE over NULL."""
     h = F.hex(payload)
     n = (F.length(h) / 2).cast("int")
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).when(
+        n.isNotNull(), F.array().cast("array<int>")
     )
     return F.transform(
         idx,
@@ -157,9 +158,10 @@ def hex_shingle_text(hex_col: Column, *, n_bytes: int = 4) -> Column:
     count = (F.length(hex_col) / 2).cast("int") - (n_bytes - 1)
     # payloads shorter than n_bytes produce NO shingles (empty text) —
     # guarded explicitly because Spark's sequence(1, count<=0) counts
-    # DOWN, while the DuckDB twin's RANGE is empty
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
+    # DOWN, while the DuckDB twin's RANGE is empty; NULL input stays
+    # NULL (no otherwise-branch), matching SQL semantics
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).when(
+        count.isNotNull(), F.array().cast("array<int>")
     )
     sh = F.transform(idx, lambda i: hex_col.substr((i * 2 - 1).cast("int"), F.lit(width)))
     return F.array_join(sh, " ")
@@ -192,7 +194,13 @@ def payload_near_duplicates(
     docs_like = media.select(
         F.col(id_col).alias("doc_id"),
         hex_shingle_text(F.hex(F.col(payload_col)), n_bytes=n_bytes).alias("text"),
-    )
+    # payloads too short to shingle (or NULL) are excluded BEFORE
+    # fingerprinting: their empty text would tokenize to a single ''
+    # token, giving every tiny asset the SAME SimHash and an O(n²)
+    # false-duplicate blowup — a 1-byte icon is not a near-dup of a
+    # 3-byte separator. Exact dedup (exact_dedup_assets) still links
+    # identical tiny payloads.
+    ).where(F.length("text") > 0)
     return near_duplicates_simhash(
         docs_like, max_hamming=max_hamming, blocks=blocks
     )

@@ -34,7 +34,10 @@ def profile_columns(df: DataFrame, cols: list[str], *, exact: bool = True) -> Da
     aggs = []
     for c in cols:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            # coalesce: SUM over ZERO rows is NULL, but the DuckDB twin's
+            # COUNT(*) - COUNT(c) is 0 — an empty table must profile as
+            # (0 nulls, 0 distinct) on both engines
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias(f"_n_{c}")
         )

@@ -473,9 +473,10 @@ def ivf_recall_sweep(
     exact = topk_bruteforce(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     ).select("query_id", "neighbor_id")
-    # the quantizer is sweep-invariant: aggregate it once and let every
-    # probe setting broadcast the same ~nlist-row frame
+    # the quantizer AND the exact-total aggregate are sweep-invariant:
+    # build each once; every probe setting reuses the same frames
     cents = label_centroids(corpus, dim=dim)
+    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     parts = []
     for nprobe in nprobes:
         approx = topk_ivf(
@@ -492,7 +493,6 @@ def ivf_recall_sweep(
         hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).alias("n_hits")
         )
-        totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
         parts.append(
             hits.crossJoin(totals).select(
                 F.lit(nprobe).cast("int").alias("nprobe"),

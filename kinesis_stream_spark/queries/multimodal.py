@@ -211,10 +211,15 @@ def _sql_payload_near_dup() -> str:
 
     orig = _sql_hex_shingle_text("HEX(payload)")
     corr = _sql_hex_shingle_text("('00' || SUBSTR(HEX(payload), 3))")
+    # LENGTH(text) > 0 mirrors payload_near_duplicates' too-short-to-
+    # shingle exclusion (empty shingle text must not be fingerprinted)
     docs_cte = f"""
-      SELECT media_id AS doc_id, {orig} AS text FROM ({SQL_MEDIA})
-      UNION ALL
-      SELECT media_id + {_DUP_OFFSET} AS doc_id, {corr} AS text FROM ({SQL_MEDIA})
+      SELECT doc_id, text FROM (
+        SELECT media_id AS doc_id, {orig} AS text FROM ({SQL_MEDIA})
+        UNION ALL
+        SELECT media_id + {_DUP_OFFSET} AS doc_id, {corr} AS text
+        FROM ({SQL_MEDIA})
+      ) WHERE LENGTH(text) > 0
     """
     return _sql_simhash_pipeline(max_hamming=3, blocks=4, input_cte=docs_cte)
 

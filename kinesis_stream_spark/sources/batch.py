@@ -88,8 +88,13 @@ def spread(df: DataFrame, key_col: str | None = None, *, min_partitions: int | N
     NO-OP, so well-partitioned pipelines never pay the extra exchange.
 
     The partition count comes from a lazy file-size estimate
-    (:func:`_scan_partition_estimate`), falling back to
-    ``df.rdd.getNumPartitions()`` only for non-file-backed frames.
+    (:func:`_scan_partition_estimate`) — a LOWER bound, since
+    ``inputFiles()`` deduplicates files across union branches that scan
+    the same table twice. An estimate at-or-above target proves the
+    scan parallel enough with no physical planning at all (the common
+    well-partitioned case); only when the estimate falls short does the
+    precise ``df.rdd.getNumPartitions()`` check run, so a union of two
+    scans over an already-parallel file never pays a spurious exchange.
     Streaming DataFrames pass through untouched: micro-batch planning
     owns their parallelism, and ``.rdd`` would throw.
     """
@@ -97,10 +102,10 @@ def spread(df: DataFrame, key_col: str | None = None, *, min_partitions: int | N
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    current = _scan_partition_estimate(df)
-    if current is None:
-        current = df.rdd.getNumPartitions()
-    if current >= target:
+    estimate = _scan_partition_estimate(df)
+    if estimate is not None and estimate >= target:
+        return df
+    if df.rdd.getNumPartitions() >= target:
         return df
     if key_col is not None:
         return df.repartition(target, F.col(key_col))

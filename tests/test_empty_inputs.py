@@ -91,7 +91,7 @@ def test_payload_bytes_empty_and_short(spark):
     )
 
     media = spark.createDataFrame(
-        [(1, bytes()), (2, b"\x01"), (3, b"\x01\x02\x03\x04\x05")],
+        [(1, bytes()), (2, b"\x01"), (3, b"\x01\x02\x03\x04\x05"), (4, None), (5, b"\xff")],
         "media_id long, payload binary",
     )
     rows = {
@@ -106,5 +106,8 @@ def test_payload_bytes_empty_and_short(spark):
     assert rows[2] == ([1], "")  # 1 byte: no 4-byte shingle
     assert rows[3][0] == [1, 2, 3, 4, 5]
     assert rows[3][1] == "01020304 02030405"  # two sliding 4-byte shingles
-    # near-dup over degenerate payloads must not crash
-    assert payload_near_duplicates(media).count() >= 0
+    assert rows[4] == (None, None)  # NULL payload stays NULL (SQL semantics)
+    # tiny payloads are excluded before fingerprinting: two DIFFERENT
+    # 1-byte payloads (and the empty/NULL ones) must not pair up via the
+    # shared-empty-shingle-text fingerprint
+    assert payload_near_duplicates(media).count() == 0
