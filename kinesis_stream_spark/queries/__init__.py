@@ -57,6 +57,8 @@ _PRIORITY = (
     "multimodal_payload_near_dup",
     "integrity_table_checksum",
     "similarity_semantic_dedup",
+    "scalar_bitwise_funcs",
+    "stream_time_range_rolling",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -374,3 +374,37 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@_q(
+    "scalar_bitwise_funcs",
+    """
+    SELECT p_partkey,
+           p_size & 12                           AS b_and,
+           p_size | 5                            AS b_or,
+           XOR(p_size, 9)                        AS b_xor,
+           p_size << 2                           AS b_shl,
+           p_size >> 1                           AS b_shr,
+           BIT_COUNT(p_size)                     AS b_popcount,
+           ~p_size                               AS b_not
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family (&, |, xor, shifts, popcount, not) —
+    the bit-packing toolkit the SimHash/blocking operators build on,
+    exercised as first-class scalar surface. Integer-only: identical on
+    any engine, pure codegen map stage."""
+    part = load_table(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    return part.select(
+        "p_partkey",
+        sz.bitwiseAND(F.lit(12)).alias("b_and"),
+        sz.bitwiseOR(F.lit(5)).alias("b_or"),
+        sz.bitwiseXOR(F.lit(9)).alias("b_xor"),
+        F.shiftleft(sz, 2).alias("b_shl"),
+        F.shiftright(sz, 1).alias("b_shr"),
+        F.bit_count(sz).alias("b_popcount"),
+        F.bitwise_not(sz).alias("b_not"),
+    ).orderBy("p_partkey")

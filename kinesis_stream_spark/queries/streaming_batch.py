@@ -331,3 +331,48 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "click_ts", "purchase_ts")
     )
+
+
+@_q(
+    "stream_time_range_rolling",
+    """
+    SELECT user_id,
+           ts,
+           event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def stream_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour rolling aggregates via a RANGE frame keyed
+    on event time — a value-based window (every event within 3600 s
+    precedes), not a row-count frame, so sparse and bursty users get the
+    same time semantics. The per-event feature shape behind rate
+    limiting, fraud velocity checks, and session-weight features; sums
+    accumulate in exact DECIMAL so frame evaluation order can't flip low
+    bits. Scale: one shuffle on user_id, per-user time sort — skewed
+    users salt the key like any windowed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_last_hour"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
