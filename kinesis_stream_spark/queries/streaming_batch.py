@@ -343,8 +343,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
              AS sum_last_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY user_id, ts, event_id
     """,
 )
@@ -355,13 +355,19 @@ def stream_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     same time semantics. The per-event feature shape behind rate
     limiting, fraud velocity checks, and session-weight features; sums
     accumulate in exact DECIMAL so frame evaluation order can't flip low
-    bits. Scale: one shuffle on user_id, per-user time sort — skewed
-    users salt the key like any windowed aggregate."""
+    bits. The frame is keyed on integer MICROSECONDS (unix_micros /
+    EPOCH_US) — whole seconds via unix_timestamp looked equivalent, but
+    Spark truncates sub-second parts while DuckDB's double-epoch cast
+    rounds them, silently moving boundary events between frames (caught
+    by the sf0.1 sweep; sf0.001/0.01 never landed an event within a
+    rounding step of a frame edge). Scale: one shuffle on user_id,
+    per-user time sort — skewed users salt the key like any windowed
+    aggregate."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return (
         ev.select(
