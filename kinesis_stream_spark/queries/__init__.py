@@ -59,6 +59,8 @@ _PRIORITY = (
     "similarity_semantic_dedup",
     "scalar_bitwise_funcs",
     "stream_time_range_rolling",
+    "agg_salted_skew_safe",
+    "events_cohort_retention",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -1287,6 +1287,78 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_salted_skew_safe",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice', 'sum_l_extendedprice')},
+           MIN(l_extendedprice) AS min_l_extendedprice,
+           MAX(l_extendedprice) AS max_l_extendedprice
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a genuinely hot key
+    (l_returnflag has 3 values → a direct group-by funnels ~200k rows
+    per reducer at sf0.1, and a third of the table to ONE task at any
+    scale). The salt spreads each key over 16 reducers for the heavy
+    phase; the second shuffle re-aggregates 3×16 partial rows — noise.
+    The ORACLE is the plain GROUP BY: proof that salting changes the
+    physical plan only, never a value (counts add exactly; sums stay in
+    the exact-DECIMAL discipline end-to-end)."""
+    from kinesis_stream_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        salt_col=F.concat_ws("|", "l_orderkey", "l_linenumber"),
+        sum_col="l_extendedprice",
+        n_salts=16,
+    ).orderBy("l_returnflag")
+
+
+@_q(
+    "events_cohort_retention",
+    """
+    WITH w AS (SELECT user_id, EPOCH_US(ts) // 604800000000 AS wk FROM events),
+    c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id)
+    SELECT c.cohort AS cohort_week,
+           w.wk - c.cohort AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM w JOIN c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted distinct in each subsequent week offset — the standard
+    product-analytics retention triangle. Week indexes are integer
+    floor-division of epoch MICROS by the week length (``div`` / ``//``
+    — exact on both engines; a double divide near a week boundary could
+    round the wrong way). Shape: one per-user min, one join back
+    (broadcastable cohort table: one row per user… at 100 TB users ≫
+    broadcast, so it stays a shuffle join on user_id, co-partitioned
+    with the week extraction), one distinct aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+    w = ev.select("user_id", wk.alias("wk"))
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        w.join(c, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def _sql_checksum() -> str:
     from kinesis_stream_spark.functions.hashing import sql_md5_int64
 

@@ -242,3 +242,15 @@ def test_token_rarity_rank_join_broadcasts_vocab(spark, sf_dir):
     # of the rank join-back; the exploded token stream is never built
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_phase_shuffles(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["agg_salted_skew_safe"](spark, sf_dir))
+    # phase 1 exchanges on (key, salt), phase 2 on the key alone — the
+    # whole point; collapsing to one exchange would mean the salt was
+    # optimized away and the hot key funnels to one reducer again
+    hp = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert any("_salt" in l for l in hp), hp
+    assert any("_salt" not in l and "l_returnflag" in l for l in hp), hp
