@@ -195,3 +195,36 @@ def test_cosine_pairs_vs_numpy_fixed_point(spark, seed):
         assert cos == fxdot(va, vb) / (fxnorm(va) * fxnorm(vb)), (a, b)
     n_per_group = {g: sum(1 for gg, _, _ in rows if gg == g) for g in ("g0", "g1")}
     assert len(got) == sum(n * (n - 1) // 2 for n in n_per_group.values())
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_salted_agg_equals_direct_agg(spark, seed):
+    """The salt must be a physical-plan device only: two-phase salted
+    aggregation and the direct single-shuffle group-by must agree bit
+    for bit on every statistic, for any key skew."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.operators.skew import salted_agg
+
+    rng = random.Random(seed)
+    rows = [
+        (i, "hot" if rng.random() < 0.8 else rng.choice("abcde"), rng.uniform(-1e4, 1e4))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k string, v double")
+    got = {
+        r.k: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+        for r in salted_agg(df, ["k"], salt_col="rid", sum_col="v", n_salts=8).collect()
+    }
+    want = {
+        r.k: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want and "hot" in got
