@@ -61,6 +61,7 @@ _PRIORITY = (
     "stream_time_range_rolling",
     "agg_salted_skew_safe",
     "events_cohort_retention",
+    "join_lateral_top2_orders",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -1288,6 +1288,38 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_lateral_top2_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def join_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT: each customer's
+    two largest orders — the join form SQL users reach for before
+    discovering window functions, supported verbatim by Spark's
+    analyzer (it decorrelates to the same window/top-k plan under the
+    hood). Registered through spark.sql on temp views — the SQL-surface
+    entry path the DataFrame queries don't otherwise exercise."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+@_q(
     "agg_salted_skew_safe",
     f"""
     SELECT l_returnflag,
