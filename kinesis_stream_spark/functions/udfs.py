@@ -125,6 +125,32 @@ def apply_zscore(lineitem: DataFrame) -> DataFrame:
     ).groupBy("l_suppkey").applyInPandas(zscore_per_group, ZSCORE_SCHEMA)
 
 
+CHAR_STATS_ARROW_SCHEMA = "doc_id long, n_chars long, n_digits long, n_spaces long"
+
+
+def char_stats_map_in_arrow(batches):
+    """mapInArrow body: per-document character statistics computed with
+    pyarrow.compute kernels directly on the Arrow RecordBatch — no
+    pandas materialization at all, the lowest-overhead Python entry
+    point Spark offers. Counts are exact integers (codepoint length,
+    regex digit matches, space occurrences), so the DuckDB oracle
+    reproduces them bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64()),
+                pc.cast(pc.count_substring(text, " "), pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_digits", "n_spaces"],
+        )
+
+
 # Ship these function bodies inside the serialized task instead of as an
 # import reference: executors (and the driver harness's Python workers)
 # must not need `kinesis_stream_spark` importable on their own sys.path.

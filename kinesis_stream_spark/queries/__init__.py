@@ -62,6 +62,9 @@ _PRIORITY = (
     "agg_salted_skew_safe",
     "events_cohort_retention",
     "join_lateral_top2_orders",
+    "window_percent_rank_cume",
+    "reshape_unpivot_part_dims",
+    "udf_map_in_arrow_char_stats",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

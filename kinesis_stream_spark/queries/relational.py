@@ -1124,6 +1124,76 @@ def window_ntile_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "window_percent_rank_cume",
+    """
+    SELECT s_suppkey, s_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           RANK() OVER w AS rnk
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey % 5 ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the relative-position analytics pair
+    completing the ranking-function family. Both are single integer
+    divides of rank/row counts ((rank-1)/(n-1), peers/n), identical by
+    definition on any engine given the unique-key tiebreaker."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy(F.col("s_nationkey") % 5).orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+    ).orderBy("s_suppkey")
+
+
+@_q(
+    "reshape_unpivot_part_dims",
+    """
+    SELECT p_partkey, dim_name, dim_value FROM (
+      SELECT p_partkey, 'size' AS dim_name,
+             CAST(p_size AS DOUBLE) AS dim_value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail', p_retailprice FROM part
+      UNION ALL
+      SELECT p_partkey, 'name_len', CAST(LENGTH(p_name) AS DOUBLE) FROM part
+    )
+    WHERE dim_value > 10
+    ORDER BY p_partkey, dim_name
+    """,
+)
+def reshape_unpivot_part_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``unpivot`` operator (one scan,
+    no self-union: Expand emits the melted rows map-side) with a
+    post-melt filter. The long format is what per-metric aggregation,
+    plotting, and feature stores consume; the oracle states the same
+    relation as an explicit UNION ALL melt. At scale unpivot beats
+    union-of-scans K× on scan volume for K melted columns."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retail"),
+        F.length("p_name").cast("double").alias("name_len"),
+    )
+    return (
+        part.unpivot(
+            ["p_partkey"],
+            ["size", "retail", "name_len"],
+            "dim_name",
+            "dim_value",
+        )
+        .where(F.col("dim_value") > 10)
+        .orderBy("p_partkey", "dim_name")
+    )
+
+
+@_q(
     "join_right_lineitem_part",
     """
     SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_lineitems

@@ -123,3 +123,32 @@ def udf_map_in_pandas_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(tokenize_map_in_pandas, TOKENIZE_SCHEMA).orderBy(
         "doc_id", "pos"
     )
+
+
+@_q(
+    "udf_map_in_arrow_char_stats",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT)
+             AS n_spaces
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def udf_map_in_arrow_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the fourth Arrow entry point (alongside pandas_udf,
+    applyInPandas, mapInPandas): pyarrow.compute kernels run on the raw
+    RecordBatch with zero pandas conversion, the right shape when the
+    per-batch work is itself columnar. Exact integer counts keep the
+    Python path oracle-checkable."""
+    from kinesis_stream_spark.functions.udfs import (
+        CHAR_STATS_ARROW_SCHEMA,
+        char_stats_map_in_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(char_stats_map_in_arrow, CHAR_STATS_ARROW_SCHEMA).orderBy(
+        "doc_id"
+    )
