@@ -27,11 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 # the full inventory at sf0.01 AND sf0.1.
 #
 # Round 4 window (first 50): the 10 round-3 never-verified queries, the
-# 12 new round-4 queries, the 3 edited queries (fixed-point centroids /
-# widened sketch oracle / cosine guard default), then udf,
-# streaming_batch, multimodal, and scalar families and the head of the
-# dedup family. Past the cut: the rest of dedup, similarity
-# bruteforce/LSH, the r2 text family, and all of relational.
+# 20 new round-4 queries, the 3 edited queries (fixed-point centroids /
+# widened sketch oracle / cosine guard default), then the udf,
+# streaming_batch, and multimodal families and the head of scalar.
+# Past the cut: the scalar tail, dedup, similarity bruteforce/LSH, the
+# r2 text family, and all of relational — every one re-verified this
+# round by the full sf0.01 AND sf0.1 driver_sim sweeps.
 _PRIORITY = (
     # never driver-verified (round-3 additions)
     "similarity_kmeans_fit",
