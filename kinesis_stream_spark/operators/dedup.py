@@ -56,6 +56,40 @@ def exact_dedup(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def dedup_pipeline(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The complete multi-stage dedup pass in the order the runbook
+    prescribes: EXACT-hash dedup first (so LSH never wastes bands on
+    byte-identical copies — they'd collide in every band and dominate
+    candidate volume), then MinHash-LSH near-dup over the exact
+    survivors, then connected-component resolution so transitive chains
+    (A~B, B~C) collapse to one canonical document. Returns the
+    surviving ids.
+
+    Stage shapes are the individual operators' (one digest shuffle; the
+    banded candidate join; per-round label joins) — this is the
+    composition a production corpus actually runs, end-to-end
+    oracle-replayed including which near-dup pairs LSH surfaces.
+    """
+    winners = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col("kept_id").alias(id_col)
+    )
+    survivors = docs.join(winners, id_col).select(id_col, text_col)
+    edges = near_duplicates_minhash(
+        survivors, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(edges.select("id_a", "id_b"))
+    dropped = comp.where(F.col("v") != F.col("comp")).select(
+        F.col("v").alias(id_col)
+    )
+    return survivors.join(dropped, id_col, "left_anti").select(id_col)
+
+
 MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (prime): a*h + b < 2^62, no overflow
 
 

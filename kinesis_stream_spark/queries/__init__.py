@@ -66,6 +66,7 @@ _PRIORITY = (
     "window_percent_rank_cume",
     "reshape_unpivot_part_dims",
     "udf_map_in_arrow_char_stats",
+    "dedup_pipeline_survivors",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -327,6 +327,79 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "id_a", "id_b")
 
 
+_NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
+
+
+def _sql_dedup_pipeline() -> str:
+    docs3 = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {COPY_OFFSET} AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {2 * COPY_OFFSET} AS doc_id,
+             ARRAY_TO_STRING({_SQL_TOKS}[1:GREATEST(LEN({_SQL_TOKS}) - 3, 1)], ' ')
+               AS text
+      FROM documents
+    """
+    s1 = f"""
+      SELECT d.doc_id, d.text FROM ({docs3}) d
+      JOIN (SELECT MIN(doc_id) AS doc_id FROM ({docs3}) GROUP BY {_NORM_HASH}) w
+        ON d.doc_id = w.doc_id
+    """
+    return f"""
+    WITH RECURSIVE
+    edges AS (SELECT id_a AS a, id_b AS b
+              FROM ({_sql_minhash_pipeline(s1, 0.5)})),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+    walk(v, l) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, w.l FROM walk w JOIN sym s ON s.src = w.v
+    ),
+    comp AS (SELECT v, MIN(l) AS comp FROM walk GROUP BY v),
+    s1_out AS ({s1})
+    SELECT s1_out.doc_id FROM s1_out
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.v = s1_out.doc_id AND c.v != c.comp)
+    ORDER BY doc_id
+    """
+
+
+@_q("dedup_pipeline_survivors", _sql_dedup_pipeline())
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete production dedup pass over a worst-case catalog
+    (documents ∪ byte-identical copies ∪ tail-truncated near-copies):
+    exact-hash dedup drops the identical copies FIRST (so LSH never
+    bands them), MinHash-LSH at J ≥ 0.5 finds the truncated near-copies
+    among the exact survivors, and connected components resolve
+    transitive chains to canonical documents. Survivors are the original
+    corpus MINUS the few originals that merge transitively: when two
+    short documents share a first token, their one-token truncations
+    are exact duplicates, so orig_A ~ trunc ~ orig_B chains into one
+    component and only the lower id survives — exactly the
+    transitive-closure semantics the components stage exists for (~2%
+    of docs at sf0.1). The oracle replays all three stages — the
+    end-to-end path every training-corpus build runs."""
+    from kinesis_stream_spark.operators.dedup import dedup_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    trunc = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ")
+    docs3 = (
+        docs.select("doc_id", "text")
+        .unionAll(
+            docs.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
+        )
+        .unionAll(
+            docs.select(
+                (F.col("doc_id") + 2 * COPY_OFFSET).alias("doc_id"),
+                trunc.alias("text"),
+            )
+        )
+    )
+    return dedup_pipeline(docs3, threshold=0.5).orderBy("doc_id")
+
+
 @_q(
     "dedup_containment_prefix_copies",
     f"""
@@ -381,8 +454,6 @@ def dedup_containment_prefix_copies(spark: SparkSession, sf_dir: str) -> DataFra
         both, ["lang", "source"], threshold=0.9, n=3
     ).orderBy("lang", "source", "id_a", "id_b")
 
-
-_NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
 
 
 @_q(
