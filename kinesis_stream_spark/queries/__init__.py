@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 # families whose last driver row is oldest. Only the first ~50 names
 # land in the sampled window; everything pinned past the cut (and the
 # unpinned relational tail) is ordering ballast covered by the local
-# backstop — tests/test_oracle_parity.py runs ALL 114 oracles at
+# backstop — tests/test_oracle_parity.py runs ALL 123 oracles at
 # sf0.001 every session, and this round's driver_sim sweeps re-verified
 # the full inventory at sf0.01 AND sf0.1.
 #
