@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 # the full inventory at sf0.01 AND sf0.1.
 #
 # Round 4 window (first 50): the 10 round-3 never-verified queries, the
-# 20 new round-4 queries, the 3 edited queries (fixed-point centroids /
+# 21 new round-4 queries, the 3 edited queries (fixed-point centroids /
 # widened sketch oracle / cosine guard default), then the udf,
 # streaming_batch, and multimodal families and the head of scalar.
 # Past the cut: the scalar tail, dedup, similarity bruteforce/LSH, the
@@ -149,5 +149,5 @@ def _modules():
     )
 
     # Module order only matters for names not pinned in _PRIORITY
-    # (round 4 pins the first 53 explicitly; relational fills the tail).
+    # (round 4 pins 80 names explicitly; relational fills the tail).
     return (relational, scalar, dedup, similarity, text, multimodal, streaming_batch, udf)
