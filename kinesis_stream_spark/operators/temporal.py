@@ -1,0 +1,163 @@
+"""Temporal reshaping operators: time-grid gap fill and SCD2 interval
+compaction (SURVEY.md §2.3 extension rows; no counterpart in the
+reference — kinesis-stream hands decoded records to user code and the
+time-series shaping happens downstream; these are that downstream,
+re-expressed declaratively).
+
+Both operators key every computation on integer epoch indexes
+(``EPOCH_US // unit``), not timestamps: integer floor-division is exact
+and identical on every engine, while a float divide or an interval
+comparison near a bucket boundary can round differently (see
+``queries/_util.py`` on cross-engine float discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.queries._util import dsum
+
+#: microseconds per hour / per day
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def _bucket(ts_col: str, unit_us: int) -> Column:
+    """Integer bucket index of a timestamp column (floor division of
+    epoch microseconds — exact, tie-free)."""
+    return F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {unit_us}")
+
+
+def gap_fill_forward(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = HOUR_US,
+) -> DataFrame:
+    """Regularize an event stream onto a dense per-key time grid and
+    forward-fill observation gaps — the resample + ffill step every
+    time-series feature pipeline needs before windowed training data
+    can be cut.
+
+    Per key: aggregate raw events to one row per occupied bucket
+    (count + exact-decimal sum), build the dense bucket range between
+    the key's first and last occupied bucket, left-join the
+    observations onto it, and carry the last observed sum forward
+    across empty buckets (``last(..., ignorenulls)`` over an
+    unbounded-preceding row frame).
+
+    Scale shape: the raw scan collapses FIRST (one shuffle on
+    (key, bucket) — partial aggregation map-side), so the window and
+    grid join run on ~|keys|×|buckets| rows, not on raw events. The
+    dense grid is generated per key with ``sequence()`` — no driver
+    loop, no cross join. The fill window partitions by key: parallel
+    across keys, and at 100 TB a year of hourly buckets is ~9k rows
+    per key — trivially in-memory per partition. Buckets are integer
+    indexes; callers convert back to timestamps at the edge.
+    """
+    occupied = (
+        events.select(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("v"), "bucket_sum"))
+    )
+    spans = occupied.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(occupied, ["key", "bucket"], "left")
+        .select(
+            F.col("key"),
+            F.col("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )
+
+
+def scd2_compact(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    status_col: str = "event_type",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) compaction: collapse a stream
+    of per-key status observations into effective-dated intervals
+    [valid_from, valid_to) with an ``is_current`` marker — the standard
+    dimension-history build step.
+
+    Two stages, both single-shuffle-on-key:
+
+    1. snapshot: last status per (key, day-bucket), "last" = max
+       (ts, tiebreak) within the bucket via ``max_by``-style struct max
+       — deterministic under ties because the tiebreak column is part
+       of the ordering.
+    2. islands: gaps-and-islands over the day snapshots — a status run
+       starts where ``lag(status)`` differs; run ids are the running
+       sum of start flags; one groupBy collapses each run to its
+       interval. ``valid_to`` is the next run's start day (NULL on the
+       open current run).
+
+    Both windows and the final groupBy partition by the same key, so
+    after the first shuffle everything is narrow. Day buckets are
+    integer epoch-day indexes (exact; see module docstring).
+    """
+    day = _bucket(ts_col, unit_us)
+    snap = (
+        events.select(
+            F.col(key_col).alias("key"),
+            day.alias("day"),
+            F.struct(
+                F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+                F.col(status_col).alias("status"),
+            ).alias("obs"),
+        )
+        .groupBy("key", "day")
+        .agg(F.max("obs").alias("obs"))
+        .select("key", "day", F.col("obs.status").alias("status"))
+    )
+    wo = Window.partitionBy("key").orderBy("day")
+    runs = snap.withColumn(
+        "run_start",
+        F.when(
+            F.lag("status").over(wo).isNull()
+            | (F.lag("status").over(wo) != F.col("status")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("run_start").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = runs.groupBy("key", "run_id", "status").agg(
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wn = Window.partitionBy("key").orderBy("valid_from")
+    return iv.select(
+        F.col("key"),
+        F.col("status"),
+        F.col("valid_from"),
+        F.lead("valid_from").over(wn).alias("valid_to"),
+        F.col("n_days"),
+        F.lead("valid_from").over(wn).isNull().alias("is_current"),
+    )

@@ -67,6 +67,12 @@ _PRIORITY = (
     "reshape_unpivot_part_dims",
     "udf_map_in_arrow_char_stats",
     "dedup_pipeline_survivors",
+    # new in the second half of round 4 (never driver-verified)
+    "events_gap_fill_hourly",
+    "events_scd2_status_history",
+    "dedup_duplicate_chunks",
+    "dedup_bloom_prefilter",
+    "text_domain_cap",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",
@@ -144,10 +150,21 @@ def _modules():
         scalar,
         similarity,
         streaming_batch,
+        temporal,
         text,
         udf,
     )
 
     # Module order only matters for names not pinned in _PRIORITY
-    # (round 4 pins 80 names explicitly; relational fills the tail).
-    return (relational, scalar, dedup, similarity, text, multimodal, streaming_batch, udf)
+    # (round 4 pins the window explicitly; relational fills the tail).
+    return (
+        relational,
+        scalar,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        streaming_batch,
+        temporal,
+        udf,
+    )

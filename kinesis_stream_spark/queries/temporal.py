@@ -1,0 +1,99 @@
+"""Temporal query inventory (events table): time-grid gap fill and
+SCD2 interval compaction. Oracles replay the identical integer-bucket
+algorithm in DuckDB (EPOCH_US floor-division, struct-max tiebreaks,
+gaps-and-islands run ids) — parity validates the computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinesis_stream_spark.operators.temporal import (
+    DAY_US,
+    HOUR_US,
+    gap_fill_forward,
+    scd2_compact,
+)
+from kinesis_stream_spark.sources.batch import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "events_gap_fill_hourly",
+    f"""
+    WITH occ AS (
+      SELECT event_type AS key, EPOCH_US(ts) // {HOUR_US} AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS bucket_sum
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM occ GROUP BY key),
+    grid AS (SELECT key, t.bucket FROM spans, UNNEST(RANGE(b0, b1 + 1)) AS t(bucket)),
+    j AS (SELECT g.key, g.bucket, o.n_events, o.bucket_sum
+          FROM grid g LEFT JOIN occ o USING (key, bucket))
+    SELECT key, bucket,
+           COALESCE(n_events, 0) AS n_events,
+           n_events IS NULL AS is_gap,
+           LAST_VALUE(bucket_sum IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM j
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event type with forward-filled sums — the
+    resample+ffill regularization a feature pipeline runs before
+    cutting training windows. See operators/temporal.py for the scale
+    shape (collapse-first, per-key sequence grid, keyed fill window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_forward(ev, unit_us=HOUR_US)
+
+
+@_q(
+    "events_scd2_status_history",
+    f"""
+    WITH snap AS (
+      SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS day,
+             (MAX({{'us': EPOCH_US(ts), 'status': event_type}})).status AS status
+      FROM events GROUP BY 1, 2),
+    runs AS (
+      SELECT key, day, status,
+             CASE WHEN LAG(status) OVER w IS NULL
+                    OR LAG(status) OVER w <> status THEN 1 ELSE 0 END AS run_start
+      FROM snap WINDOW w AS (PARTITION BY key ORDER BY day)),
+    r2 AS (
+      SELECT key, day, status,
+             SUM(run_start) OVER (PARTITION BY key ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM runs),
+    iv AS (SELECT key, run_id, status, MIN(day) AS valid_from,
+                  COUNT(*) AS n_days
+           FROM r2 GROUP BY 1, 2, 3)
+    SELECT key, status, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY key ORDER BY valid_from) AS valid_to,
+           n_days,
+           LEAD(valid_from) OVER (PARTITION BY key ORDER BY valid_from) IS NULL
+             AS is_current
+    FROM iv
+    """,
+)
+def events_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from daily last-status snapshots:
+    effective-dated [valid_from, valid_to) intervals per user with an
+    is_current marker. Day indexes are integer epoch-days; the
+    within-day "last" is a struct max with the timestamp as primary and
+    status string as tiebreak (deterministic under exact-tie
+    timestamps on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_compact(ev, unit_us=DAY_US)

@@ -1,0 +1,86 @@
+"""Unit semantics of the temporal operators (gap fill, SCD2 compaction)
+on hand-built frames — the oracle parity suite covers the events table;
+these pin the boundary behavior the parity data may not exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.operators.temporal import (
+    HOUR_US,
+    gap_fill_forward,
+    scd2_compact,
+)
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_gap_fill_dense_grid_and_forward_fill(spark):
+    ev = spark.createDataFrame(
+        [
+            ("a", _ts(0), 1.0),
+            ("a", _ts(0, 30), 2.0),   # same bucket as above
+            ("a", _ts(3), 10.0),      # buckets 1,2 are gaps
+            ("b", _ts(5), 7.0),       # single-bucket key: no gaps
+        ],
+        "key string, ts timestamp, value double",
+    )
+    out = {
+        (r.key, r.bucket): r
+        for r in gap_fill_forward(
+            ev, key_col="key", ts_col="ts", value_col="value", unit_us=HOUR_US
+        ).collect()
+    }
+    a_buckets = sorted(b for k, b in out if k == "a")
+    assert a_buckets == list(range(a_buckets[0], a_buckets[0] + 4))
+    b0 = a_buckets[0]
+    assert out[("a", b0)].n_events == 2 and out[("a", b0)].filled_sum == 3.0
+    # gap buckets: flagged, zero events, carry the last observed sum
+    for g in (b0 + 1, b0 + 2):
+        assert out[("a", g)].is_gap and out[("a", g)].n_events == 0
+        assert out[("a", g)].filled_sum == 3.0
+    assert out[("a", b0 + 3)].filled_sum == 10.0 and not out[("a", b0 + 3)].is_gap
+    assert len([k for k in out if k[0] == "b"]) == 1
+
+
+def test_gap_fill_empty_input(spark):
+    ev = spark.createDataFrame([], "key string, ts timestamp, value double")
+    assert (
+        gap_fill_forward(ev, key_col="key", ts_col="ts", value_col="value").count()
+        == 0
+    )
+
+
+def test_scd2_runs_collapse_and_intervals_chain(spark):
+    # u1: A(day0,day1) -> B(day2) -> A(day4)   (day3 missing: no snapshot row)
+    ev = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1, 5), "A"),
+            ("u1", dt.datetime(2024, 1, 2, 5), "A"),
+            ("u1", dt.datetime(2024, 1, 3, 5), "B"),
+            ("u1", dt.datetime(2024, 1, 5, 5), "A"),
+            # u2: two same-day observations, later one wins the snapshot
+            ("u2", dt.datetime(2024, 1, 1, 5), "A"),
+            ("u2", dt.datetime(2024, 1, 1, 6), "B"),
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    rows = sorted(
+        scd2_compact(ev, key_col="user_id", ts_col="ts", status_col="event_type")
+        .collect(),
+        key=lambda r: (r.key, r.valid_from),
+    )
+    u1 = [r for r in rows if r.key == "u1"]
+    assert [r.status for r in u1] == ["A", "B", "A"]
+    assert [r.n_days for r in u1] == [2, 1, 1]
+    # intervals chain: each valid_to is the next valid_from; last is open
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+    u2 = [r for r in rows if r.key == "u2"]
+    assert len(u2) == 1 and u2[0].status == "B" and u2[0].is_current
