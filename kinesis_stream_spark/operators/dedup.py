@@ -647,3 +647,92 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# --- C4-style duplicated-span (chunk) removal ---------------------------------
+
+
+def duplicate_chunk_removal(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal at fixed-chunk granularity —
+    the C4 cleanup step ("discard all but one of any three-sentence span
+    occurring more than once in the dataset", Raffel et al. 2020 §2.2)
+    re-expressed over token chunks: split every document into
+    consecutive ``chunk_tokens``-token chunks, count each chunk's
+    occurrences corpus-wide, and keep only the globally FIRST occurrence
+    (minimum (doc_id, position)) of any repeated chunk. Documents are
+    reassembled from their surviving chunks in order.
+
+    Shape: one shuffle on the chunk text (both window functions — the
+    occurrence count and the first-occurrence rank — share the same
+    partitioning, so Spark plans a single exchange), then one shuffle
+    back on doc_id to reassemble. Nothing is collected or broadcast; the
+    chunk key is near-uniform (only true duplicates collide), and a
+    pathological mega-duplicate (the same chunk in 10^7 docs) degrades
+    one partition linearly, not quadratically — the rank window scans,
+    it does not pair. Reassembly aggregates (position, chunk) structs
+    and sorts per document: documents are bounded (a context window),
+    so the per-group sort is O(doc) not O(corpus).
+
+    Returns one row per document: n_chunks, n_dropped, kept_fraction,
+    clean_text (empty string when every chunk was dropped).
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    occ = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", F.posexplode(chunks).alias("idx", "chunk")
+    )
+    wc = Window.partitionBy("chunk")
+    wr = Window.partitionBy("chunk").orderBy("id", "idx")
+    flagged = occ.select(
+        "id",
+        "idx",
+        "chunk",
+        (
+            (F.count(F.lit(1)).over(wc) == 1)
+            | (F.row_number().over(wr) == 1)
+        ).alias("keep"),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("idx", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_chunks",
+            "n_dropped",
+            (
+                (F.col("n_chunks") - F.col("n_dropped")).cast("double")
+                / F.col("n_chunks")
+            ).alias("kept_fraction"),
+            "clean_text",
+        )
+    )

@@ -508,3 +508,43 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact_dedup_incremental(batch, seen_hashes(even)).orderBy("doc_id")
+
+
+_CHUNK_K = 10
+
+@_q(
+    "dedup_duplicate_chunks",
+    f"""
+    WITH corpus AS ({{trunc}}),
+    d AS (SELECT doc_id, {{toks}} AS toks FROM corpus),
+    occ AS (
+      SELECT doc_id, t.i AS idx,
+             ARRAY_TO_STRING(toks[t.i * {_CHUNK_K} + 1 : t.i * {_CHUNK_K} + {_CHUNK_K}], ' ') AS chunk
+      FROM d, UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {_CHUNK_K}.0) AS BIGINT))) AS t(i)),
+    f AS (
+      SELECT doc_id, idx, chunk,
+             COUNT(*) OVER (PARTITION BY chunk) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM occ)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN cnt > 1 AND rn > 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS kept_fraction,
+           COALESCE(STRING_AGG(chunk, ' ' ORDER BY idx)
+                      FILTER (WHERE cnt = 1 OR rn = 1), '') AS clean_text
+    FROM f GROUP BY doc_id
+    """.format(trunc=SQL_TRUNCATED_COPIES, toks=sql_tokens("text")),
+)
+def dedup_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020 §2.2) at
+    10-token-chunk granularity over documents ∪ tail-truncated copies:
+    aligned prefix chunks are corpus-duplicates (dropped from the copy,
+    kept in the original), each copy's final partial chunk is unique and
+    survives. The oracle replays chunking, global occurrence counting,
+    first-occurrence ranking, and document reassembly."""
+    from kinesis_stream_spark.operators.dedup import duplicate_chunk_removal
+
+    docs = _with_truncated_copies(load_table(spark, sf_dir, "documents"))
+    return duplicate_chunk_removal(docs, chunk_tokens=_CHUNK_K)

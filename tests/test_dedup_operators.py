@@ -197,3 +197,33 @@ def test_exact_dedup_incremental_maintained_index_loop(spark):
     assert survivors_by_round == [{1, 2}, {10}, {22}]
     # the index holds exactly the 4 distinct surviving hashes
     assert seen.count() == 4
+
+
+def test_duplicate_chunk_removal_keeps_first_occurrence(spark):
+    from kinesis_stream_spark.operators.dedup import duplicate_chunk_removal
+
+    # 2-token chunks: d1 = [a b][c d], d2 repeats [a b] then unique tail,
+    # d3 is entirely a copy of d1's second chunk
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "c d")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicate_chunk_removal(docs, chunk_tokens=2).collect()
+    }
+    assert out[1].n_dropped == 0 and out[1].clean_text == "a b c d"
+    assert out[2].n_dropped == 1 and out[2].clean_text == "x y"
+    assert out[3].n_dropped == 1 and out[3].clean_text == ""
+    assert out[3].kept_fraction == 0.0
+    assert out[1].kept_fraction == 1.0
+
+
+def test_duplicate_chunk_removal_partial_tail_chunk(spark):
+    from kinesis_stream_spark.operators.dedup import duplicate_chunk_removal
+
+    # 5 tokens with chunk_tokens=2 -> 3 chunks, last is the 1-token tail
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    row = duplicate_chunk_removal(docs, chunk_tokens=2).collect()[0]
+    assert row.n_chunks == 3 and row.n_dropped == 0
+    assert row.clean_text == "a b c d e"
