@@ -736,3 +736,117 @@ def duplicate_chunk_removal(
             "clean_text",
         )
     )
+
+
+# --- Bloom-filter ingest prefilter --------------------------------------------
+
+#: Bloom geometry: 2^20 bits in 60-bit words (60, not 64, keeps every
+#: mask a positive BIGINT on both engines — no signed-shift edge cases),
+#: 4 seeded md5 probes per key. Constants are part of the oracle
+#: contract: the DuckDB twin replays the identical geometry.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+BLOOM_WORD_BITS = 60
+
+
+def _bloom_positions(key: Column) -> Column:
+    """Array of the K bit positions a key sets/probes (seeded md5 mod m)."""
+    return F.array(
+        *[md5_int64(key, seed=s) % BLOOM_M_BITS for s in range(BLOOM_K)]
+    )
+
+
+def bloom_bitmap(keys: DataFrame, *, key_col: str = "content_hash") -> DataFrame:
+    """Distributed Bloom-filter build: explode each key's K positions,
+    aggregate per 60-bit word with ``bit_or`` — a map-side-combinable
+    integer aggregate, so the shuffle carries at most
+    ``m/60 × partitions`` word rows regardless of corpus size. Returns
+    the bitmap as (word, bits) rows: ~17k rows / ~280 KB at m=2^20,
+    comfortably broadcastable to every probe task."""
+    return (
+        keys.select(F.explode(_bloom_positions(F.col(key_col))).alias("pos"))
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD_BITS} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_prefilter_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest dedup against a massive seen-hash index, Bloom-prefiltered:
+    instead of anti-joining every batch row against the full index, probe
+    a broadcast Bloom bitmap of the index (map-only, no shuffle of the
+    batch) and run the exact membership join ONLY for bloom-positive
+    candidates — at steady state the overwhelmingly-new batch skips the
+    big join almost entirely, and Bloom's no-false-negative guarantee
+    makes the composition exact.
+
+    Per batch document: ``bloom_hit`` (bitmap positive — includes the
+    deterministic false positives of the fixed geometry) and ``is_dup``
+    (exact membership, only ever true when bloom_hit is true).
+
+    At 100 TB the bitmap outgrows a single broadcast (10^10 keys at
+    10 bits/key ≈ 12 GB): shard the filter by key range — each probe
+    task pmod-routes to its shard's bitmap — or keep per-ingest-round
+    bitmaps and OR them lazily; the build and probe shapes here are
+    per-shard unchanged.
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    keyed = batch.select(F.col(id_col), h.alias("content_hash"))
+    bitmap = bloom_bitmap(seen)
+    probe = keyed.select(
+        id_col,
+        "content_hash",
+        F.explode(_bloom_positions(F.col("content_hash"))).alias("pos"),
+    ).select(
+        id_col,
+        "content_hash",
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD_BITS} as int))"
+        ).alias("mask"),
+    )
+    hits = (
+        probe.join(F.broadcast(bitmap), "word", "left")
+        .groupBy(id_col, "content_hash")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("bits").isNotNull()
+                        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                        1,
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("bloom_hit")
+        )
+    )
+    dups = (
+        hits.where("bloom_hit")
+        .join(
+            seen.select("content_hash").distinct(),
+            "content_hash",
+            "left_semi",
+        )
+        .select(id_col, F.lit(True).alias("is_dup"))
+    )
+    return (
+        hits.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "content_hash",
+            "bloom_hit",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -548,3 +548,79 @@ def dedup_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _with_truncated_copies(load_table(spark, sf_dir, "documents"))
     return duplicate_chunk_removal(docs, chunk_tokens=_CHUNK_K)
+
+
+def _sql_bloom_prefilter() -> str:
+    from kinesis_stream_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+    )
+
+    def pos(seed: int) -> str:
+        return f"({sql_md5_int64('content_hash', seed)} % {BLOOM_M_BITS})"
+
+    spos = " UNION ALL ".join(f"SELECT {pos(s)} AS pos FROM seen" for s in range(BLOOM_K))
+    bpos = " UNION ALL ".join(
+        f"SELECT doc_id, content_hash, {pos(s)} AS pos FROM batch"
+        for s in range(BLOOM_K)
+    )
+    w, m = BLOOM_WORD_BITS, "CAST(1 AS BIGINT) << CAST(pos % {} AS INT)"
+    mask = m.format(w)
+    return f"""
+    WITH seen AS (
+      SELECT DISTINCT {_NORM_HASH} AS content_hash
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, {_NORM_HASH} AS content_hash
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + {COPY_OFFSET} AS doc_id, {_NORM_HASH} AS content_hash
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    spos AS ({spos}),
+    bitmap AS (
+      SELECT pos // {w} AS word, BIT_OR({mask}) AS bits
+      FROM spos GROUP BY 1
+    ),
+    bpos AS ({bpos}),
+    probe AS (
+      SELECT doc_id, content_hash, pos // {w} AS word, {mask} AS mask
+      FROM bpos
+    ),
+    hits AS (
+      SELECT doc_id, content_hash,
+             MIN(CASE WHEN b.bits IS NOT NULL AND (b.bits & p.mask) = p.mask
+                      THEN 1 ELSE 0 END) = 1 AS bloom_hit
+      FROM probe p LEFT JOIN bitmap b USING (word)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, content_hash, bloom_hit,
+           bloom_hit AND EXISTS (SELECT 1 FROM seen s
+                                 WHERE s.content_hash = h.content_hash) AS is_dup
+    FROM hits h
+    """
+
+
+@_q("dedup_bloom_prefilter", _sql_bloom_prefilter())
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered ingest dedup: even-id docs are the seen corpus
+    (bitmap-indexed), the batch is the odd docs (expected new) plus
+    redelivered evens (expected bloom-hit + exact-dup). The oracle
+    replays the full geometry — seeded md5 probes, 60-bit words, bit_or
+    bitmap, word-join probe, exact-membership confirm — so parity covers
+    the bitmap content and any false positives of the fixed geometry,
+    not just the final verdicts."""
+    from kinesis_stream_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+        seen_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    batch = odd.select("doc_id", "text").unionAll(
+        even.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
+    )
+    return bloom_prefilter_dedup(batch, seen_hashes(even))

@@ -227,3 +227,35 @@ def test_duplicate_chunk_removal_partial_tail_chunk(spark):
     row = duplicate_chunk_removal(docs, chunk_tokens=2).collect()[0]
     assert row.n_chunks == 3 and row.n_dropped == 0
     assert row.clean_text == "a b c d e"
+
+
+def test_bloom_prefilter_no_false_negatives_and_detects_dups(spark):
+    from kinesis_stream_spark.operators.dedup import (
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+        bloom_bitmap,
+        bloom_prefilter_dedup,
+        seen_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    seen_docs = spark.createDataFrame(
+        [(i, f"seen doc number {i}") for i in range(50)], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"seen doc number {i}") for i in range(0, 50, 5)]  # redeliveries
+        + [(200 + i, f"fresh doc number {i}") for i in range(20)],    # new
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in bloom_prefilter_dedup(batch, seen_hashes(seen_docs)).collect()}
+    assert len(out) == 30
+    for i in range(0, 50, 5):  # every redelivery must be caught exactly
+        assert out[100 + i].bloom_hit and out[100 + i].is_dup
+    for r in out.values():     # Bloom guarantee: dup => hit
+        assert r.bloom_hit or not r.is_dup
+    fresh_dup = [r for r in out.values() if r.doc_id >= 200 and r.is_dup]
+    assert fresh_dup == []
+    # bitmap geometry: word indexes inside m/60, masks folded into bits
+    bm = bloom_bitmap(seen_hashes(seen_docs)).collect()
+    assert all(0 <= r.word < BLOOM_M_BITS // BLOOM_WORD_BITS + 1 for r in bm)
+    assert all(r.bits > 0 for r in bm)
