@@ -644,3 +644,42 @@ def sql_winnowed_fingerprints(text_expr: str, *, k: int = 3, window: int = 4) ->
         f"FOR j IN RANGE(1, GREATEST(LEN(g) - {window - 1}, 1) + 1)]"
     )
     return f"(SELECT LIST_SORT(LIST_DISTINCT({mins})) FROM (SELECT {grams} AS g) _w)"
+
+
+def domain_cap(
+    docs: DataFrame,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 15,
+) -> DataFrame:
+    """Per-domain document cap — the web-crawl balancing step that stops
+    a handful of mega-domains from dominating the training mix: keep at
+    most ``cap`` documents per domain, selected by a deterministic
+    seeded-hash ranking (an unbiased per-domain sample that is stable
+    across runs, partitionings, and incremental re-crawls — unlike
+    "first N seen", which depends on scan order).
+
+    One shuffle on the domain; the rank and count windows share the
+    partitioning. Domains are the canonical skew key — at 100 TB a
+    single domain can hold 10^8 docs, and row_number over it is one
+    fat partition. The scale recipe is two-phase: a per-(domain, salt)
+    pre-rank keeps only ``cap`` survivors per salt shard, and the final
+    exact rank runs on ≤ cap × n_salts rows per domain (same result:
+    rank ≤ cap survivors survive phase 1 unconditionally).
+    """
+    from kinesis_stream_spark.functions.hashing import md5_int64
+
+    w = Window.partitionBy(domain_col).orderBy(
+        md5_int64(F.concat_ws("|", domain_col, id_col)).asc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(domain_col)
+    return (
+        docs.select(
+            id_col,
+            domain_col,
+            F.row_number().over(w).alias("pick_rank"),
+            F.count(F.lit(1)).over(wc).alias("n_domain_docs"),
+        )
+        .where(F.col("pick_rank") <= cap)
+    )

@@ -591,3 +591,27 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_rarity(docs).orderBy("doc_id")
+
+
+@_q(
+    "text_domain_cap",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {sql_md5_int64("source || '|' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS pick_rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_domain_docs
+      FROM documents)
+    SELECT doc_id, source, pick_rank, n_domain_docs
+    FROM r WHERE pick_rank <= 15
+    """,
+)
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap over the documents table (≤15 docs per source,
+    deterministic hash-ranked sample). Oracle replays the seeded-hash
+    ordering, so parity pins WHICH documents survive, not just counts."""
+    from kinesis_stream_spark.operators.text import domain_cap
+
+    return domain_cap(load_table(spark, sf_dir, "documents"), cap=15)

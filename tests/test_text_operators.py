@@ -69,3 +69,25 @@ def test_ann_recall_hand_checked(spark):
     assert rows[1].n_hits == 2 and rows[1].recall == 1.0
     # query 2: approx found nothing — recall 0, not a missing row
     assert rows[2].n_hits == 0 and rows[2].recall == 0.0
+
+
+def test_domain_cap_enforces_cap_and_is_partition_stable(spark):
+    from kinesis_stream_spark.operators.text import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id int, source string"
+    )
+    out = domain_cap(docs, cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for rows in by_src.values():
+        assert len(rows) == 5
+        assert sorted(r.pick_rank for r in rows) == [1, 2, 3, 4, 5]
+        assert all(r.n_domain_docs == 20 for r in rows)
+    # deterministic under repartitioning: same survivors
+    again = domain_cap(docs.repartition(7), cap=5).collect()
+    assert {(r.doc_id, r.pick_rank) for r in again} == {
+        (r.doc_id, r.pick_rank) for r in out
+    }
