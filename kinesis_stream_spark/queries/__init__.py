@@ -27,12 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 # the full inventory at sf0.01 AND sf0.1.
 #
 # Round 4 window (first 50): the 10 round-3 never-verified queries, the
-# 21 new round-4 queries, the 3 edited queries (fixed-point centroids /
-# widened sketch oracle / cosine guard default), then the udf,
-# streaming_batch, and multimodal families and the head of scalar.
-# Past the cut: the scalar tail, dedup, similarity bruteforce/LSH, the
-# r2 text family, and all of relational — every one re-verified this
-# round by the full sf0.01 AND sf0.1 driver_sim sweeps.
+# 26 new round-4 queries, the 3 edited queries (fixed-point centroids /
+# widened sketch oracle / cosine guard default), then the udf and
+# streaming_batch families and the head of multimodal — exactly 50.
+# Past the cut: scalar, dedup, similarity bruteforce/LSH, the r2 text
+# family, and all of relational — every one re-verified this round by
+# the full sf0.01 AND sf0.1 driver_sim sweeps.
 _PRIORITY = (
     # never driver-verified (round-3 additions)
     "similarity_kmeans_fit",
