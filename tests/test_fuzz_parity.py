@@ -32,6 +32,7 @@ FUZZ_QUERIES = [
     # unicode rank tie-breaks: Spark string ordering vs DuckDB binary
     # collation must agree on the vocabulary ranking
     "text_token_rarity",
+    "text_domain_cap",
 ]
 
 
@@ -98,6 +99,8 @@ def test_fuzz_parity(spark, fuzz_dir, fuzz_con, name):
 
 DEDUP_FUZZ = [
     "dedup_exact_hash",
+    "dedup_duplicate_chunks",
+    "dedup_bloom_prefilter",
     "dedup_minhash_lsh_near_copies",
     "dedup_simhash_blocks",
     "dedup_ngram_jaccard_grouped",
