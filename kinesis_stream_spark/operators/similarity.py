@@ -739,3 +739,101 @@ def topk_ivf_trained(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- SQ8 scalar quantization --------------------------------------------------
+
+
+def sq8_codes(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-dimension scalar quantization (FAISS SQ8-style): one corpus
+    pass learns [min, max] per dimension, then each float collapses to
+    an 8-bit code ``floor((x-min)/(max-min)*255)`` clamped to [0,255].
+    16 GB of float32 embeddings become 4 GB of codes — the memory/IO
+    lever that lets a 100 TB corpus's vectors fit a scan budget — and
+    all downstream scoring is INTEGER arithmetic: exact, overflow-free
+    (64 · 255² ≪ 2⁶³), order-independent, reproducible everywhere.
+
+    The stats row is a single 1-row aggregate broadcast to the encode
+    map — no shuffle of the corpus. A constant dimension (max == min)
+    encodes to 0 everywhere. The division/multiply chain runs in double
+    with a fixed expression tree, so codes are bit-identical across
+    engines; every op after this function is on BIGINTs.
+    """
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("mx"),
+    )
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(F.col("mx"), i + 1) == F.element_at(F.col("mn"), i + 1),
+            F.lit(0).cast("bigint"),
+        ).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (x.cast("double") - F.element_at(F.col("mn"), i + 1))
+                        / (
+                            F.element_at(F.col("mx"), i + 1)
+                            - F.element_at(F.col("mn"), i + 1)
+                        )
+                        * 255.0
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ).cast("bigint")
+        ),
+    )
+    return emb.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), code.alias("codes")
+    )
+
+
+def topk_sq8(
+    emb: DataFrame,
+    queries_ids: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k per query by quantized integer dot product over SQ8 codes —
+    the compressed-domain scoring pass of an SQ8 deployment (scan codes,
+    rank by int score; re-rank survivors at full precision only if the
+    application needs true cosines). Same broadcast-queries map-side
+    scan + single query-keyed shuffle as the exact brute force; the
+    score is a BIGINT, so ranking has no float ties for engines to
+    break differently.
+    """
+    codes = sq8_codes(emb, id_col=id_col, vec_col=vec_col, dim=dim)
+    q = codes.join(
+        queries_ids.select(F.col(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), F.col("codes").alias("qc"))
+    score = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("codes"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", score.alias("qscore")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qscore", "rank")
+    )

@@ -73,6 +73,7 @@ _PRIORITY = (
     "dedup_duplicate_chunks",
     "dedup_bloom_prefilter",
     "text_domain_cap",
+    "similarity_topk_sq8",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -482,3 +482,50 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf_trained(
         emb, _queries_df(emb), k=K, nprobe=2, kclusters=4, iterations=2, dim=DIM
     ).orderBy("query_id", "rank")
+
+
+def _sql_sq8() -> str:
+    mn = ", ".join(f"MIN(CAST(embedding[{i+1}] AS DOUBLE))" for i in range(DIM))
+    mx = ", ".join(f"MAX(CAST(embedding[{i+1}] AS DOUBLE))" for i in range(DIM))
+    code_i = (
+        "CASE WHEN mx[i] = mn[i] THEN 0 "
+        "ELSE CAST(LEAST(GREATEST(FLOOR("
+        "(CAST(embedding[i] AS DOUBLE) - mn[i]) / (mx[i] - mn[i]) * 255.0"
+        "), 0), 255) AS BIGINT) END"
+    )
+    return f"""
+    WITH stats AS (SELECT [{mn}] AS mn, [{mx}] AS mx FROM embeddings),
+    codes AS (
+      SELECT vec_id, [{code_i} FOR i IN RANGE(1, {DIM + 1})] AS codes
+      FROM embeddings, stats),
+    q AS (SELECT vec_id AS query_id, codes AS qc FROM codes
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qc, c.codes),
+                                     z -> z[1] * z[2])) AS qscore
+      FROM codes c JOIN q ON c.vec_id != q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qscore DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(qscore AS BIGINT) AS qscore, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """
+
+
+@_q("similarity_topk_sq8", _sql_sq8())
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 compressed-domain top-k: per-dimension [min,max] scalar
+    quantization to 8-bit codes (4x smaller scan), ranking by exact
+    integer dot product of codes. The oracle replays the learned
+    quantizer (same stats row, same clamp/floor tree) and the integer
+    scoring, so parity pins the codes themselves, not just neighbor
+    sets. No float ties exist for the two engines to break apart."""
+    from kinesis_stream_spark.operators.similarity import topk_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_sq8(
+        emb, emb.where(F.col("vec_id") < N_QUERIES), k=K, dim=DIM
+    ).orderBy("query_id", "rank")

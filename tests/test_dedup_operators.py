@@ -259,3 +259,35 @@ def test_bloom_prefilter_no_false_negatives_and_detects_dups(spark):
     bm = bloom_bitmap(seen_hashes(seen_docs)).collect()
     assert all(0 <= r.word < BLOOM_M_BITS // BLOOM_WORD_BITS + 1 for r in bm)
     assert all(r.bits > 0 for r in bm)
+
+
+def test_sq8_codes_bounds_and_duplicate_top1(spark):
+    from kinesis_stream_spark.operators.similarity import sq8_codes, topk_sq8
+    from pyspark.sql import functions as F
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(20)]
+    vecs[3][5] = 0.5
+    for v in vecs:
+        v[7] = 0.25  # constant dimension -> code 0 everywhere
+    vecs.append(list(vecs[0]))  # vec 20 duplicates vec 0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    codes = {r.vec_id: r.codes for r in sq8_codes(emb, dim=dim).collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    assert all(cs[7] == 0 for cs in codes.values())
+    assert codes[0] == codes[20]
+    # ranking matches an independent integer-dot replay over the codes
+    top = topk_sq8(emb, emb.where(F.col("vec_id") == 0), k=3, dim=dim).collect()
+    scores = {
+        nid: sum(a * b for a, b in zip(codes[0], cs))
+        for nid, cs in codes.items()
+        if nid != 0
+    }
+    expect = sorted(scores, key=lambda n: (-scores[n], n))[:3]
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == expect
+    assert all(r.qscore == scores[r.neighbor_id] for r in top)
