@@ -664,3 +664,47 @@ def test_interval_join_watermark_evicts_state(spark, tmp_path):
         [(1, base, 5.0)], "r_user bigint, r_ts timestamp, r_value double"
     )
     assert interval_join(clicks_b, purchases_b, upper="10 minutes").count() == 1
+
+
+def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: duplicates
+    inside the watermark window are dropped, but a key re-arriving AFTER
+    its state was evicted is emitted again — bounded state, unlike
+    dropDuplicates, whose state (and suppression) is forever."""
+    from kinesis_stream_spark.streaming.windows import dedup_within_watermark
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    sentinel = base + dt.timedelta(hours=8)  # drives watermark to 19:50
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain(sink: list):
+        s = spark.readStream.schema("k string, ts timestamp").parquet(src)
+        return (
+            dedup_within_watermark(s, ["k"], ts_col="ts", delay="10 minutes")
+            .writeStream.foreachBatch(lambda df, bid: sink.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # round 1: A plus an in-window duplicate of A, and the sentinel
+    write([("A", base), ("A", base + dt.timedelta(minutes=1)), ("Z", sentinel)])
+    first: list = []
+    drain(first).awaitTermination(180)
+    assert len([r for r in first if r.k == "A"]) == 1
+    assert len([r for r in first if r.k == "Z"]) == 1
+
+    # round 2: A's state (expiry 12:10) is far below the watermark
+    # (19:50) — evicted — so a fresh A is re-admitted; Z's duplicate is
+    # still inside its window and stays suppressed
+    write([("A", sentinel - dt.timedelta(minutes=5)), ("Z", sentinel)])
+    second: list = []
+    drain(second).awaitTermination(180)
+    assert [r.k for r in second] == ["A"], second
