@@ -683,3 +683,44 @@ def domain_cap(
         )
         .where(F.col("pick_rank") <= cap)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = 23,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: the split decision hashes the CLUSTER id, not the document
+    id, so every member of a duplicate cluster lands in the same split.
+    Doc-level random splits put near-copies of training documents into
+    held-out sets — the classic eval-contamination bug dedup pipelines
+    exist to prevent; splitting by cluster closes the loop.
+
+    ``clusters`` is any (doc → cluster) assignment: exact-hash groups,
+    MinHash components from ``connected_components``, or semantic-dedup
+    clusters — the operator composes with all of them. Unclustered
+    documents (left-join miss) form singleton clusters keyed by their
+    own id. The split rule is the same seeded-md5 modulus used across
+    this repo: map-only, reproducible, append-stable.
+    """
+    from kinesis_stream_spark.functions.hashing import md5_int64
+
+    joined = docs.select(id_col).join(clusters, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(cluster_col), F.col(id_col)).alias("cluster_id"),
+    )
+    bucket = md5_int64(F.col("cluster_id").cast("string"), seed) % 100
+    return joined.select(
+        id_col,
+        "cluster_id",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -74,6 +74,7 @@ _PRIORITY = (
     "dedup_bloom_prefilter",
     "text_domain_cap",
     "similarity_topk_sq8",
+    "text_leakage_safe_split",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

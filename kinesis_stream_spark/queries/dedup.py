@@ -624,3 +624,38 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         even.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
     )
     return bloom_prefilter_dedup(batch, seen_hashes(even))
+
+
+def _sql_leakage_split() -> str:
+    b = f"({sql_md5_int64('CAST(cluster_id AS VARCHAR)', 23)} % 100)"
+    return f"""
+    WITH corpus AS ({SQL_EXACT_COPIES}),
+    hashes AS (SELECT doc_id, {_NORM_HASH} AS content_hash FROM corpus),
+    cl AS (SELECT content_hash, MIN(doc_id) AS cluster_id
+           FROM hashes GROUP BY 1),
+    asn AS (SELECT h.doc_id, c.cluster_id
+            FROM hashes h JOIN cl c USING (content_hash))
+    SELECT doc_id, cluster_id,
+           CASE WHEN {b} < 80 THEN 'train'
+                WHEN {b} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM asn
+    """
+
+
+@_q("text_leakage_safe_split", _sql_leakage_split())
+def text_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split over documents ∪ exact copies:
+    the split hashes the duplicate-cluster id (min doc id per content
+    hash), so a document and its copies always share a split — the
+    leakage guard a doc-level random split lacks. The oracle replays
+    clustering and the seeded split rule, pinning every assignment."""
+    from kinesis_stream_spark.operators.dedup import normalized_text
+    from kinesis_stream_spark.operators.text import leakage_safe_split
+
+    docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
+    h = F.md5(normalized_text(F.col("text")))
+    hashes = docs.select("doc_id", h.alias("content_hash"))
+    cl = hashes.groupBy("content_hash").agg(F.min("doc_id").alias("cluster_id"))
+    per_doc = hashes.join(cl, "content_hash").select("doc_id", "cluster_id")
+    return leakage_safe_split(docs, per_doc)

@@ -91,3 +91,28 @@ def test_domain_cap_enforces_cap_and_is_partition_stable(spark):
     assert {(r.doc_id, r.pick_rank) for r in again} == {
         (r.doc_id, r.pick_rank) for r in out
     }
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.operators.dedup import connected_components
+    from kinesis_stream_spark.operators.text import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id int")
+    # near-dup chain 1-2-3 (3 never paired with 1) and pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    comp = connected_components(edges).select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    out = {r.doc_id: r for r in leakage_safe_split(docs, comp).collect()}
+    assert len(out) == 30
+    # transitive members share cluster AND split
+    assert out[1].split == out[2].split == out[3].split
+    assert out[1].cluster_id == out[3].cluster_id == 1
+    assert out[10].split == out[11].split
+    # unclustered docs are singletons keyed by their own id
+    assert out[7].cluster_id == 7
+    assert {r.split for r in out.values()} <= {"train", "val", "test"}
