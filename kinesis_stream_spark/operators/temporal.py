@@ -161,3 +161,50 @@ def scd2_compact(
         F.col("n_days"),
         F.lead("valid_from").over(wn).isNull().alias("is_current"),
     )
+
+
+def multires_rollup(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-resolution time rollup (continuous-aggregate style): hour,
+    day, and whole-range aggregates per key from ONE scan, via a rollup
+    over (key, day, hour) on integer epoch buckets. Spark plans a single
+    Expand + one hash aggregate — the map side emits partials for every
+    grain, so the fact table is read once no matter how many grains the
+    serving layer wants; at 100 TB that single-scan property IS the
+    feature (three separate groupBys would be three scans + shuffles).
+
+    ``grain`` labels each output row (hour/day/key-total); hour rows
+    carry both day and hour buckets, day rows NULL the hour, key totals
+    NULL both — standard rollup nesting, disambiguated by GROUPING().
+    """
+    day = _bucket(ts_col, DAY_US)
+    hour = _bucket(ts_col, HOUR_US)
+    base = events.select(
+        F.col(key_col).alias("key"), day.alias("day"), hour.alias("hour"),
+        F.col(value_col).alias("v"),
+    )
+    g = (
+        base.rollup("key", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("v"), "value_sum"),
+            F.grouping("key").alias("_gk"),
+            F.grouping("day").alias("_gd"),
+            F.grouping("hour").alias("_gh"),
+        )
+        # drop the grand-total row; keep key totals, day and hour grains
+        .where(F.col("_gk") == 0)
+    )
+    return g.select(
+        "key", "day", "hour",
+        F.when(F.col("_gd") == 1, "key_total")
+        .when(F.col("_gh") == 1, "day")
+        .otherwise("hour")
+        .alias("grain"),
+        "n_events", "value_sum",
+    )

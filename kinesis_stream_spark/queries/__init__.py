@@ -75,6 +75,7 @@ _PRIORITY = (
     "text_domain_cap",
     "similarity_topk_sq8",
     "text_leakage_safe_split",
+    "events_multires_rollup",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

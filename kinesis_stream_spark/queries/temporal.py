@@ -97,3 +97,33 @@ def events_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps on both engines)."""
     ev = load_table(spark, sf_dir, "events")
     return scd2_compact(ev, unit_us=DAY_US)
+
+
+@_q(
+    "events_multires_rollup",
+    f"""
+    WITH base AS (
+      SELECT event_type AS key,
+             EPOCH_US(ts) // {DAY_US} AS day,
+             EPOCH_US(ts) // {HOUR_US} AS hour,
+             value AS v
+      FROM events)
+    SELECT key, day, hour,
+           CASE WHEN GROUPING(day) = 1 THEN 'key_total'
+                WHEN GROUPING(hour) = 1 THEN 'day'
+                ELSE 'hour' END AS grain,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
+    FROM base
+    GROUP BY ROLLUP (key, day, hour)
+    HAVING GROUPING(key) = 0
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate-style rollup: hour, day, and key-total
+    grains of the events stream from one scan (single Expand + hash
+    aggregate). Buckets are integer epoch indexes; sums are exact
+    DECIMAL accumulation on both engines."""
+    from kinesis_stream_spark.operators.temporal import multires_rollup
+
+    return multires_rollup(load_table(spark, sf_dir, "events"))

@@ -84,3 +84,34 @@ def test_scd2_runs_collapse_and_intervals_chain(spark):
     assert not u1[0].is_current and not u1[1].is_current
     u2 = [r for r in rows if r.key == "u2"]
     assert len(u2) == 1 and u2[0].status == "B" and u2[0].is_current
+
+
+def test_multires_rollup_grains_are_consistent(spark):
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import multires_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 0, 50), 2.0),
+            ("a", dt.datetime(2024, 1, 1, 5, 0), 4.0),
+            ("a", dt.datetime(2024, 1, 2, 0, 0), 8.0),
+            ("b", dt.datetime(2024, 1, 1, 0, 0), 16.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = multires_rollup(ev).collect()
+    grains = {}
+    for r in rows:
+        grains.setdefault(r.grain, []).append(r)
+    assert len(grains["hour"]) == 4 and len(grains["day"]) == 3
+    a_total = [r for r in grains["key_total"] if r.key == "a"][0]
+    assert a_total.n_events == 4 and a_total.value_sum == 15.0
+    assert a_total.day is None and a_total.hour is None
+    # day rows sum their hour rows
+    a_day1 = [r for r in grains["day"] if r.key == "a" and r.n_events == 3][0]
+    hour_sum = sum(
+        r.value_sum for r in grains["hour"] if r.key == "a" and r.day == a_day1.day
+    )
+    assert a_day1.value_sum == hour_sum == 7.0
