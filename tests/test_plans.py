@@ -254,3 +254,55 @@ def test_salted_agg_two_phase_shuffles(spark, sf_dir):
     hp = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert any("_salt" in l for l in hp), hp
     assert any("_salt" not in l and "l_returnflag" in l for l in hp), hp
+
+
+def test_bloom_probe_broadcasts_bitmap_and_chunk_windows_share_exchange(
+    spark, sf_dir
+):
+    import re
+
+    from kinesis_stream_spark.queries.dedup import QUERIES
+
+    # bloom: the ~17k-row bitmap must be the broadcast side of the word
+    # join — the corpus probe side must never shuffle for it
+    plan = _explain(QUERIES["dedup_bloom_prefilter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+    # chunk removal: the occurrence-count and first-occurrence-rank
+    # windows partition identically, so they must share ONE exchange
+    # (3 total: spread, chunk key, doc reassembly)
+    plan = _explain(QUERIES["dedup_duplicate_chunks"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan
+
+
+def test_domain_cap_single_shuffle_two_windows(spark, sf_dir):
+    import re
+
+    from kinesis_stream_spark.queries.text import QUERIES
+
+    plan = _explain(QUERIES["text_domain_cap"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
+def test_sq8_stats_row_broadcasts_to_encode_map(spark, sf_dir):
+    import re
+
+    from kinesis_stream_spark.operators.similarity import sq8_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _explain(sq8_codes(emb))
+    # the 1-row stats frame reaches the encode map via broadcast; the
+    # only shuffle is the stats aggregate's own tiny final stage
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_multires_rollup_single_expand_single_scan(spark, sf_dir):
+    import re
+
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_multires_rollup"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 1, plan
