@@ -26,11 +26,19 @@ SENSITIVE = [
     "dedup_containment_prefix_copies",  # sparse-join counts + min divide
     "similarity_semantic_dedup",  # kmeans -> cosine -> components chain
     "integrity_table_checksum",  # order-independent decimal hash sums
+    "events_gap_fill_hourly",  # dsum carried across the fill window
+    "events_multires_rollup",  # dsum at three grains from one Expand
+    "dedup_duplicate_chunks",  # kept_fraction divide + struct-sort reassembly
+    "similarity_topk_sq8",  # learned quantizer stats -> integer scoring
 ]
 
 
 def _rows(spark, sf_dir, name):
-    return sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+    # None-safe ordering: rollup grains carry NULL bucket columns
+    return sorted(
+        map(tuple, QUERIES[name](spark, sf_dir).collect()),
+        key=lambda t: tuple((v is None, str(type(v)), v) for v in t),
+    )
 
 
 @pytest.mark.parametrize("name", SENSITIVE)
