@@ -208,3 +208,51 @@ def multires_rollup(
         .alias("grain"),
         "n_events", "value_sum",
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier detection via median absolute deviation:
+    flag rows with |x − median| > k·MAD. Median/MAD resist the exact
+    failure mode that breaks mean/stddev monitoring — the outliers
+    being hunted drag the mean toward themselves; a 3σ rule misses
+    the very spikes it exists for when a burst of them widens σ.
+
+    Two aggregation passes over the fact table (median, then the median
+    of deviations — exact MAD is inherently two-pass), each a per-key
+    exact percentile; per-key stats broadcast back to the row scan, so
+    rows never shuffle. At 100 TB swap the exact percentiles for
+    ``approx_percentile`` (one pass, mergeable sketches) — the flagging
+    join shape is unchanged. The only float ops per row are one
+    subtract/abs/compare chain: single IEEE ops, deterministic
+    everywhere; percentile interpolation parity is pinned by the
+    relational percentile oracles.
+    """
+    med = events.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = (
+        events.join(F.broadcast(med), key_col)
+        .select(key_col, F.abs(F.col(value_col) - F.col("med")).alias("adev"))
+        .groupBy(key_col)
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    stats = med.join(dev, key_col)
+    return (
+        events.join(F.broadcast(stats), key_col)
+        .where(F.abs(F.col(value_col) - F.col("med")) > k * F.col("mad"))
+        .select(
+            id_col,
+            key_col,
+            value_col,
+            "med",
+            "mad",
+            ((F.col(value_col) - F.col("med")) / F.col("mad")).alias("mad_score"),
+        )
+    )

@@ -76,6 +76,7 @@ _PRIORITY = (
     "similarity_topk_sq8",
     "text_leakage_safe_split",
     "events_multires_rollup",
+    "events_mad_outliers",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

@@ -127,3 +127,29 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_spark.operators.temporal import multires_rollup
 
     return multires_rollup(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, QUANTILE_CONT(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1),
+    stats AS (SELECT med.event_type, med.med, dev.mad
+              FROM med JOIN dev USING (event_type))
+    SELECT e.event_id, e.event_type, e.value, s.med, s.mad,
+           (e.value - s.med) / s.mad AS mad_score
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS(e.value - s.med) > 3.0 * s.mad
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outliers (|x − median| > 3·MAD). The oracle
+    replays both exact-percentile passes and the flagging rule, pinning
+    the flagged set and the per-row scores."""
+    from kinesis_stream_spark.operators.temporal import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))

@@ -115,3 +115,20 @@ def test_multires_rollup_grains_are_consistent(spark):
         r.value_sum for r in grains["hour"] if r.key == "a" and r.day == a_day1.day
     )
     assert a_day1.value_sum == hour_sum == 7.0
+
+
+def test_mad_outliers_flags_known_spike_and_resists_burst(spark):
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import mad_outliers
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, "a", base, 10.0 + (i % 3)) for i in range(30)]
+    rows += [(100 + i, "a", base, 500.0) for i in range(3)]  # spike burst
+    ev = spark.createDataFrame(
+        rows, "event_id int, event_type string, ts timestamp, value double"
+    )
+    out = mad_outliers(ev).collect()
+    # the whole burst is flagged — median/MAD didn't chase the spike
+    assert {r.event_id for r in out} == {100, 101, 102}
+    assert all(r.mad_score > 3 for r in out)
