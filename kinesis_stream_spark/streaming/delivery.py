@@ -198,3 +198,76 @@ def foreach_batch_commit_flow(
                     raise err
 
     return run
+
+
+def run_upsert_latest(
+    records: DataFrame,
+    *,
+    keys: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+    state_root: str,
+    checkpoint_location: str,
+    available_now: bool = True,
+):
+    """Streaming SCD1 maintenance: keep a "latest row per key" table
+    continuously up to date from the stream — the dimension-upsert sink
+    the file sink's append-only model can't express.
+
+    Each micro-batch merges into a VERSIONED snapshot: read the current
+    snapshot, union the batch, take the per-key max of
+    ``struct(order_cols…, value_cols…)`` (deterministic under ties —
+    every tiebreak is part of the ordering), and write snapshot
+    ``v{batch_id}``. Readers resolve the highest version. Crash-replay
+    of a batch rewrites the SAME version with the SAME content
+    (groupBy-max is idempotent), so the handoff is effectively-once —
+    the same recipe as run_to_parquet's transaction log, done manually
+    because the merge needs read-your-own-state.
+
+    This is the poor-man's Delta/Iceberg MERGE: at production scale use
+    a table format with compaction; the per-batch merge plan (union +
+    keyed struct-max agg) is exactly what a MERGE executes anyway.
+    Snapshot size is O(|keys|), not O(stream) — the state self-compacts
+    every batch.
+    """
+    ordered = [*order_cols, *value_cols]
+
+    def upsert(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        merged = df.select(*keys, F.struct(*ordered).alias("_obs"))
+        prev = _latest_snapshot(state_root, before=batch_id)
+        if prev is not None:
+            cur = spark.read.parquet(prev).select(
+                *keys, F.struct(*ordered).alias("_obs")
+            )
+            merged = merged.unionByName(cur)
+        out = (
+            merged.groupBy(*keys)
+            .agg(F.max("_obs").alias("_obs"))
+            .select(*keys, *[F.col(f"_obs.{c}").alias(c) for c in ordered])
+        )
+        out.write.mode("overwrite").parquet(os.path.join(state_root, f"v{batch_id}"))
+
+    writer = (
+        records.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _latest_snapshot(state_root: str, *, before: int | None = None) -> str | None:
+    """Highest-numbered committed snapshot dir (optionally below a batch
+    id, so a replayed batch never merges its own partial output)."""
+    if not os.path.isdir(state_root):
+        return None
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    return os.path.join(state_root, f"v{versions[-1]}") if versions else None

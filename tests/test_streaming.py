@@ -708,3 +708,59 @@ def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
     second: list = []
     drain(second).awaitTermination(180)
     assert [r.k for r in second] == ["A"], second
+
+
+def test_run_upsert_latest_maintains_scd1_across_batches(spark, tmp_path):
+    """Streaming dimension upsert: three ingest rounds maintain a
+    latest-status-per-user snapshot; the final snapshot equals the batch
+    answer over all events, and re-running a drained query (replay
+    no-op) leaves the state unchanged."""
+    from kinesis_stream_spark.streaming.delivery import (
+        _latest_snapshot,
+        run_upsert_latest,
+    )
+
+    src = str(tmp_path / "up_src")
+    state = str(tmp_path / "up_state")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id string, ts timestamp, status string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        s = spark.readStream.schema("user_id string, ts timestamp, status string").parquet(src)
+        run_upsert_latest(
+            s,
+            keys=["user_id"],
+            order_cols=["ts"],
+            value_cols=["status"],
+            state_root=state,
+            checkpoint_location=str(tmp_path / "up_ckpt"),
+        ).awaitTermination(180)
+
+    def snapshot():
+        return {
+            r.user_id: (r.ts, r.status)
+            for r in spark.read.parquet(_latest_snapshot(state)).collect()
+        }
+
+    write([("u1", base, "A"), ("u2", base, "A")])
+    drain()
+    assert snapshot() == {"u1": (base, "A"), "u2": (base, "A")}
+
+    # round 2: u1 advances; an out-of-order OLD u2 row must NOT win
+    later = base + dt.timedelta(hours=1)
+    write([("u1", later, "B"), ("u2", base - dt.timedelta(hours=1), "Z")])
+    drain()
+    assert snapshot() == {"u1": (later, "B"), "u2": (base, "A")}
+
+    # round 3: new key; drained re-run afterwards is a no-op
+    write([("u3", later, "C")])
+    drain()
+    expect = {"u1": (later, "B"), "u2": (base, "A"), "u3": (later, "C")}
+    assert snapshot() == expect
+    drain()
+    assert snapshot() == expect
