@@ -111,3 +111,25 @@ def test_payload_bytes_empty_and_short(spark):
     # 1-byte payloads (and the empty/NULL ones) must not pair up via the
     # shared-empty-shingle-text fingerprint
     assert payload_near_duplicates(media).count() == 0
+
+
+def test_round4b_operators_empty(spark, empties):
+    from kinesis_stream_spark.operators import dedup, similarity, temporal, text
+
+    docs, emb = empties["docs"], empties["emb"]
+    events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    assert dedup.duplicate_chunk_removal(docs).count() == 0
+    assert dedup.bloom_prefilter_dedup(docs, dedup.seen_hashes(docs)).count() == 0
+    assert text.domain_cap(docs).count() == 0
+    assert text.leakage_safe_split(docs, empties["edges"].selectExpr(
+        "id_a AS doc_id", "id_b AS cluster_id")).count() == 0
+    assert similarity.sq8_codes(emb).count() == 0
+    assert similarity.topk_sq8(emb, emb.selectExpr("vec_id")).count() == 0
+    assert temporal.gap_fill_forward(events).count() == 0
+    assert temporal.scd2_compact(events).count() == 0
+    assert temporal.mad_outliers(events).count() == 0
+    # rollup over empty input: no key rows survive the GROUPING filter
+    assert temporal.multires_rollup(events).count() == 0
