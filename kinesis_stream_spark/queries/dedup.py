@@ -659,3 +659,98 @@ def text_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = hashes.groupBy("content_hash").agg(F.min("doc_id").alias("cluster_id"))
     per_doc = hashes.join(cl, "content_hash").select("doc_id", "cluster_id")
     return leakage_safe_split(docs, per_doc)
+
+
+_SQL_META_TRUNC_COPIES = f"""
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, lang, source,
+         ARRAY_TO_STRING({_SQL_TOKS}[1:GREATEST(LEN({_SQL_TOKS}) - 3, 1)], ' ') AS text
+  FROM documents
+"""
+
+
+def _sql_lsh_recall() -> str:
+    from kinesis_stream_spark.operators.dedup import MINHASH_MOD, minhash_perm_coeffs
+
+    n, bands = DEFAULT_NUM_HASHES, DEFAULT_BANDS
+    rows = n // bands
+    sig_elems = ", ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_MOD})" for a, b in minhash_perm_coeffs(n)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_id,
+            {sql_md5_int64(
+                "ARRAY_TO_STRING(LIST_TRANSFORM("
+                f"sig[{b * rows + 1}:{b * rows + rows}], x -> CAST(x AS VARCHAR)), ',')"
+            )} AS band_hash FROM sig"""
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({_SQL_META_TRUNC_COPIES}),
+    sh AS (SELECT doc_id, lang, source, {sql_shingles('text', 3)} AS sh FROM corpus),
+    g AS (SELECT doc_id, lang, source, t.g FROM sh, UNNEST(sh) AS t(g)),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g x JOIN g y
+        ON x.lang = y.lang AND x.source = y.source
+       AND x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, LEN(sh) AS sz FROM sh),
+    truth AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sz a ON a.doc_id = i.id_a JOIN sz b ON b.doc_id = i.id_b
+      WHERE i.inter / (a.sz + b.sz - i.inter) >= 0.5),
+    shh AS (SELECT doc_id, {sql_md5_int64('t.s')} % {MINHASH_MOD} AS h
+            FROM sh, UNNEST(sh) AS t(s)),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM shh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id),
+    bcands AS (
+      SELECT c.id_a, c.id_b FROM cands c
+      JOIN corpus a ON a.doc_id = c.id_a
+      JOIN corpus b ON b.doc_id = c.id_b
+      WHERE a.lang = b.lang AND a.source = b.source),
+    m AS (SELECT t.id_a, t.id_b FROM truth t
+          WHERE EXISTS (SELECT 1 FROM bcands c
+                        WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+    SELECT
+      (SELECT COUNT(*) FROM truth) AS n_truth,
+      (SELECT COUNT(*) FROM bcands) AS n_candidates,
+      (SELECT COUNT(*) FROM m) AS n_matched,
+      CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+           THEN (SELECT COUNT(*) FROM m) * 1.0 / (SELECT COUNT(*) FROM truth)
+           END AS recall,
+      CASE WHEN (SELECT COUNT(*) FROM bcands) > 0
+           THEN (SELECT COUNT(*) FROM m) * 1.0 / (SELECT COUNT(*) FROM bcands)
+           END AS precision
+    """
+
+
+@_q("dedup_lsh_recall", _sql_lsh_recall())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding quality gate: MinHash-LSH candidate recall/precision
+    against exhaustive within-(lang, source) shingle-Jaccard truth at
+    J ≥ 0.5, over documents ∪ tail-truncated copies. The oracle replays
+    BOTH pipelines (exhaustive sparse-join truth and the banded
+    candidate generator), so parity pins the measurement itself."""
+    from kinesis_stream_spark.operators.dedup import lsh_pair_recall
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    trunc = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+    )
+    corpus = docs.select("doc_id", "lang", "source", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+            "lang",
+            "source",
+            trunc.alias("text"),
+        )
+    )
+    return lsh_pair_recall(corpus, ["lang", "source"], threshold=0.5)

@@ -291,3 +291,32 @@ def test_sq8_codes_bounds_and_duplicate_top1(spark):
     expect = sorted(scores, key=lambda n: (-scores[n], n))[:3]
     assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == expect
     assert all(r.qscore == scores[r.neighbor_id] for r in top)
+
+
+def test_lsh_pair_recall_counts_on_known_corpus(spark):
+    from kinesis_stream_spark.operators.dedup import lsh_pair_recall
+
+    # 3 originals + 1 exact copy of doc 0: truth = {(0, 10)}; the exact
+    # copy shares every band, so LSH must surface it -> recall 1.0
+    docs = spark.createDataFrame(
+        [
+            (0, "g", "a b c d e f g h i j k l"),
+            (1, "g", "z y x w v u t s r q p o"),
+            (2, "g", "m n aa bb cc dd ee ff gg hh"),
+            (10, "g", "a b c d e f g h i j k l"),
+        ],
+        "doc_id int, grp string, text string",
+    )
+    row = lsh_pair_recall(docs, ["grp"], threshold=0.5).collect()[0]
+    assert row.n_truth == 1 and row.n_matched == 1
+    assert row.recall == 1.0
+    assert row.n_candidates >= 1 and 0 < row.precision <= 1.0
+
+
+def test_lsh_pair_recall_empty_corpus_nulls(spark):
+    from kinesis_stream_spark.operators.dedup import lsh_pair_recall
+
+    docs = spark.createDataFrame([], "doc_id long, grp string, text string")
+    row = lsh_pair_recall(docs, ["grp"]).collect()[0]
+    assert row.n_truth == 0 and row.n_candidates == 0 and row.n_matched == 0
+    assert row.recall is None and row.precision is None
