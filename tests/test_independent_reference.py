@@ -228,3 +228,149 @@ def test_salted_agg_equals_direct_agg(spark, seed):
         .collect()
     }
     assert got == want and "hot" in got
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_duplicate_chunk_removal_vs_python(spark, seed):
+    """Chunk dedup against a dict-based Python replay: chunking, global
+    first-occurrence bookkeeping, and reassembly — no Spark, no md5."""
+    from kinesis_stream_spark.operators.dedup import duplicate_chunk_removal
+
+    docs = _corpus(seed)
+    K = 2
+    chunks_of = {}
+    for i, _, t in docs:
+        toks = t.split() if t else [""]
+        chunks_of[i] = [
+            " ".join(toks[j : j + K]) for j in range(0, len(toks), K)
+        ]
+    first = {}
+    for i in sorted(chunks_of):
+        for idx, c in enumerate(chunks_of[i]):
+            first.setdefault(c, (i, idx))
+    counts = {}
+    for i in chunks_of:
+        for c in chunks_of[i]:
+            counts[c] = counts.get(c, 0) + 1
+    expect = {}
+    for i in chunks_of:
+        kept = [
+            c
+            for idx, c in enumerate(chunks_of[i])
+            if counts[c] == 1 or first[c] == (i, idx)
+        ]
+        dropped = len(chunks_of[i]) - len(kept)
+        expect[i] = (len(chunks_of[i]), dropped, " ".join(kept))
+
+    out = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.clean_text)
+        for r in duplicate_chunk_removal(_df(spark, docs), chunk_tokens=K).collect()
+    }
+    assert out == expect
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_bloom_prefilter_verdicts_vs_python_sets(spark, seed):
+    """Bloom+verify against plain Python set membership: the composed
+    is_dup verdict must equal exact membership (bloom is only allowed
+    to add candidates, never to change the answer)."""
+    from kinesis_stream_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+        seen_hashes,
+    )
+
+    docs = _corpus(seed)
+    seen_docs = [d for d in docs if d[0] % 2 == 0]
+    batch = [(100 + i, lang, t) for i, (j, lang, t) in enumerate(docs)]
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    seen_set = {norm(t) for _, _, t in seen_docs}
+    expect = {100 + i: norm(t) in seen_set for i, (_, _, t) in enumerate(docs)}
+
+    out = {
+        r.doc_id: r.is_dup
+        for r in bloom_prefilter_dedup(
+            _df(spark, batch), seen_hashes(_df(spark, seen_docs))
+        ).collect()
+    }
+    assert out == expect
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_sq8_codes_vs_numpy(spark, seed):
+    """SQ8 encoding against a numpy replay of the quantizer."""
+    import numpy as np
+
+    from kinesis_stream_spark.operators.similarity import sq8_codes
+
+    rng = random.Random(seed)
+    dim = 6
+    vecs = np.array(
+        [[rng.uniform(-2, 2) for _ in range(dim)] for _ in range(25)],
+        dtype=np.float32,
+    )
+    vecs[:, 4] = 1.5  # constant dimension
+    mn = vecs.min(axis=0).astype(np.float64)
+    mx = vecs.max(axis=0).astype(np.float64)
+    expect = {}
+    for i, v in enumerate(vecs):
+        codes = []
+        for d in range(dim):
+            if mx[d] == mn[d]:
+                codes.append(0)
+            else:
+                q = math.floor((float(v[d]) - mn[d]) / (mx[d] - mn[d]) * 255.0)
+                codes.append(max(0, min(255, q)))
+        expect[i] = codes
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r.vec_id: list(r.codes) for r in sq8_codes(emb, dim=dim).collect()}
+    assert out == expect
+
+
+def test_gap_fill_vs_python_replay(spark):
+    """Gap fill against a dict-based forward-fill replay on a corpus
+    with multi-bucket gaps and same-bucket collisions."""
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import HOUR_US, gap_fill_forward
+
+    rng = random.Random(9)
+    rows = []
+    for k in ("x", "y"):
+        for _ in range(12):
+            rows.append(
+                (
+                    k,
+                    dt.datetime(2024, 3, 1) + dt.timedelta(minutes=rng.randint(0, 2000)),
+                    round(rng.uniform(0, 10), 3),
+                )
+            )
+    ev = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+    buckets = {}
+    for k, ts, v in rows:
+        b = int(ts.timestamp() * 1_000_000) // HOUR_US
+        n, s = buckets.get((k, b), (0, 0.0))
+        buckets[(k, b)] = (n + 1, s + v)
+    expect = {}
+    for k in ("x", "y"):
+        bs = sorted(b for kk, b in buckets if kk == k)
+        last = None
+        for b in range(bs[0], bs[-1] + 1):
+            n, s = buckets.get((k, b), (0, None))
+            if s is not None:
+                last = round(s, 6)  # DECIMAL(27,6) accumulation
+            expect[(k, b)] = (n, s is None, last)
+
+    out = {
+        (r.key, r.bucket): (r.n_events, r.is_gap, round(r.filled_sum, 6))
+        for r in gap_fill_forward(
+            ev, key_col="key", ts_col="ts", value_col="value", unit_us=HOUR_US
+        ).collect()
+    }
+    assert out == expect
