@@ -152,3 +152,183 @@ def high_watermark_tracker(records: DataFrame) -> DataFrame:
 # Ship function bodies by value — executors must not need this package
 # importable (see functions/udfs.py).
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+# --- capped sessionizer (transformWithStateInPandas) --------------------------
+
+CAPPED_SESSIONS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("close_reason", StringType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+
+def capped_sessions(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_us: int = 600_000_000,
+    cap: int = 5,
+) -> DataFrame:
+    """Custom sessionizer on the transformWithState API (Spark 4):
+    a session closes on an inactivity gap OR when it reaches ``cap``
+    events — the cap split is the piece ``session_window`` cannot
+    express (billing meters, bounded-size training examples, abuse
+    throttles all need it). State is one ValueState row per key
+    (start, last, n, exact-cents sum); a closed session is emitted when
+    the event that closes it arrives, tagged with WHY it closed.
+
+    Scale/semantics notes: the state store holds O(keys) fixed-width
+    rows; the shuffle is the groupBy key once per micro-batch. Events
+    are processed in event-time order within each batch (explicit sort
+    — Spark does not order rows within a group). A production deployment
+    also registers an event-time timer at ``last + gap`` so idle
+    sessions flush on watermark instead of waiting for the next event;
+    the close-on-arrival logic is unchanged.
+
+    Runtime dependency: transformWithState's Python worker speaks
+    protobuf to the JVM state server; in environments without
+    ``google.protobuf`` the stream==batch test skips honestly (the
+    batch twin below is fully exercised either way).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CappedSessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = self._state.get() if self._state.exists() else None
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("ts_us")
+                for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
+                    ts_us, cents = int(ts_us), int(cents)
+                    if st is not None:
+                        start, last, n, total = st
+                        reason = (
+                            "gap"
+                            if ts_us - last > gap_us
+                            else ("cap" if n >= cap else None)
+                        )
+                        if reason:
+                            out.append((key[0], start, last, n, total, reason))
+                            st = None
+                    if st is None:
+                        st = (ts_us, ts_us, 1, cents)
+                    else:
+                        start, last, n, total = st
+                        st = (start, ts_us, n + 1, total + cents)
+            if st is not None:
+                self._state.update(st)
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "key",
+                        "start_us",
+                        "end_us",
+                        "n_events",
+                        "sum_cents",
+                        "close_reason",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("ts_us"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=CappedSessionizer(),
+        outputStructType=CAPPED_SESSIONS_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
+def capped_sessions_batch(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_us: int = 600_000_000,
+    cap: int = 5,
+) -> DataFrame:
+    """Batch twin of :func:`capped_sessions` CLOSED sessions: gap
+    sessionization (lag + running sum) split into cap-sized chunks;
+    every chunk except each key's final one is closed — exactly the set
+    the streaming operator has emitted after a full drain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("ts_us"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    wk = Window.partitionBy("key").orderBy("ts_us")
+    run = Window.partitionBy("key").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        base.withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts_us").over(wk).isNull()
+                | (F.col("ts_us") - F.lag("ts_us").over(wk) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(run))
+    )
+    ws = Window.partitionBy("key", "sess_id").orderBy("ts_us")
+    chunked = sess.withColumn(
+        "chunk", ((F.row_number().over(ws) - 1) / cap).cast("int")
+    )
+    agg = chunked.groupBy("key", "sess_id", "chunk").agg(
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    wlast = Window.partitionBy("key").orderBy("sess_id", "chunk")
+    flagged = agg.withColumn("nxt", F.lead("sess_id").over(wlast)).withColumn(
+        "nxt_chunk", F.lead("chunk").over(wlast)
+    )
+    closed = flagged.where(F.col("nxt").isNotNull())
+    # close reason: next chunk in the SAME session => cap; else gap
+    return closed.select(
+        "key",
+        "start_us",
+        "end_us",
+        "n_events",
+        "sum_cents",
+        F.when(
+            (F.col("nxt") == F.col("sess_id")), "cap"
+        ).otherwise("gap").alias("close_reason"),
+    )

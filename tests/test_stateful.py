@@ -106,3 +106,104 @@ def test_decode_features_real_path_is_stubbed(spark, sf_dir):
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
         decode_features(media, real_decode=True)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState needs google.protobuf (not in this container)",
+)
+def test_capped_sessions_stream_equals_batch(spark, tmp_path):
+    """transformWithState sessionizer end-to-end: gap closes, cap
+    splits, exact-cents sums — a 2-round file stream's emitted closed
+    sessions equal the batch twin over all events."""
+    import datetime as dt
+    import os
+
+    from kinesis_stream_spark.streaming.stateful import (
+        capped_sessions,
+        capped_sessions_batch,
+    )
+
+    src = str(tmp_path / "cs_src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    # u1: 7 events within gap -> cap(5) split + open tail;
+    #     then a 30-min gap -> gap close; u2: single open session
+    round1 = [("u1", base + i * m, 1.25) for i in range(7)]
+    round2 = [("u1", base + dt.timedelta(minutes=40) + i * m, 2.0) for i in range(2)]
+    round2 += [("u2", base, 3.5)]
+    schema = "user_id string, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sink: list = []
+
+    def drain():
+        s = spark.readStream.schema(schema).parquet(src)
+        (
+            capped_sessions(s, gap_us=600_000_000, cap=5)
+            .writeStream.foreachBatch(lambda df, bid: sink.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    write(round1)
+    drain()
+    write(round2)
+    drain()
+
+    all_events = spark.createDataFrame(round1 + round2, schema)
+    expect = {
+        tuple(r)
+        for r in capped_sessions_batch(
+            all_events, gap_us=600_000_000, cap=5
+        ).collect()
+    }
+    got = {tuple(r) for r in sink}
+    assert got == expect
+    reasons = {r.close_reason for r in sink}
+    assert reasons == {"cap", "gap"}
+    cap_close = [r for r in sink if r.close_reason == "cap"][0]
+    assert cap_close.n_events == 5 and cap_close.sum_cents == 625
+
+
+def test_capped_sessions_batch_twin_semantics(spark):
+    """The batch twin's own contract, hand-checked: cap splits inside a
+    gap-session, gap closes between sessions, each key's final chunk is
+    open (excluded), sums are exact cents."""
+    import datetime as dt
+
+    from kinesis_stream_spark.streaming.stateful import capped_sessions_batch
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [("u1", base + i * m, 1.25) for i in range(7)]          # cap split at 5
+    rows += [("u1", base + dt.timedelta(minutes=40), 2.0)]          # gap close
+    rows += [("u2", base, 3.5)]                                     # open only
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = sorted(
+        capped_sessions_batch(ev, gap_us=600_000_000, cap=5).collect(),
+        key=lambda r: (r.key, r.start_us),
+    )
+    assert [r.key for r in out] == ["u1", "u1"]
+    cap_close, gap_close = out
+    assert cap_close.close_reason == "cap" and cap_close.n_events == 5
+    assert cap_close.sum_cents == 625
+    assert gap_close.close_reason == "gap" and gap_close.n_events == 2
+    assert gap_close.sum_cents == 250
+    # u2's only session is open -> not emitted
