@@ -81,6 +81,7 @@ _PRIORITY = (
     "events_multires_rollup",
     "events_mad_outliers",
     "dedup_lsh_recall",
+    "stream_capped_sessions",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default)
     "agg_approx_sketches",

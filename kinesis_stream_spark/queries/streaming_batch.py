@@ -382,3 +382,52 @@ def stream_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@_q(
+    "stream_capped_sessions",
+    """
+    WITH base AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, EPOCH_US(ts) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+      FROM events),
+    marked AS (
+      SELECT key, ts_us, cents, event_id,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > 600000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM base WINDOW w AS (PARTITION BY key ORDER BY ts_us, event_id)),
+    sess AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY key ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    chunked AS (
+      SELECT *, (ROW_NUMBER() OVER (PARTITION BY key, sid
+                                    ORDER BY ts_us, event_id) - 1) // 5 AS chunk
+      FROM sess),
+    agg AS (
+      SELECT key, sid, chunk, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM chunked GROUP BY 1, 2, 3),
+    flagged AS (
+      SELECT *, LEAD(sid) OVER wl AS nxt
+      FROM agg WINDOW wl AS (PARTITION BY key ORDER BY sid, chunk))
+    SELECT key, start_us, end_us, n_events, sum_cents,
+           CASE WHEN nxt = sid THEN 'cap' ELSE 'gap' END AS close_reason
+    FROM flagged WHERE nxt IS NOT NULL
+    ORDER BY key, start_us
+    """,
+)
+def stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped sessionizer (gap 10 min OR 5-event cap), batch-checkable
+    twin of the transformWithState streaming operator
+    (streaming/stateful.py): the oracle replays gap islands, cap chunk
+    splitting, the closed-only filter, and the close reasons. Chunk
+    membership is tiebroken on event_id so the result is deterministic
+    under equal timestamps."""
+    from kinesis_stream_spark.streaming.stateful import capped_sessions_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return capped_sessions_batch(
+        ev, gap_us=600_000_000, cap=5, tiebreak_col="event_id"
+    ).orderBy("key", "start_us")

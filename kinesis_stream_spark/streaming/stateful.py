@@ -278,11 +278,14 @@ def capped_sessions_batch(
     value_col: str = "value",
     gap_us: int = 600_000_000,
     cap: int = 5,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Batch twin of :func:`capped_sessions` CLOSED sessions: gap
     sessionization (lag + running sum) split into cap-sized chunks;
     every chunk except each key's final one is closed — exactly the set
-    the streaming operator has emitted after a full drain."""
+    the streaming operator has emitted after a full drain.
+    ``tiebreak_col`` makes chunk membership deterministic when events
+    share a timestamp (required for oracle checking)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -290,9 +293,11 @@ def capped_sessions_batch(
         F.col(key_col).cast("string").alias("key"),
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("ts_us"),
         F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
     )
-    wk = Window.partitionBy("key").orderBy("ts_us")
-    run = Window.partitionBy("key").orderBy("ts_us").rowsBetween(
+    order = ["ts_us", "_tb"] if tiebreak_col else ["ts_us"]
+    wk = Window.partitionBy("key").orderBy(*order)
+    run = Window.partitionBy("key").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = (
@@ -306,7 +311,7 @@ def capped_sessions_batch(
         )
         .withColumn("sess_id", F.sum("new_sess").over(run))
     )
-    ws = Window.partitionBy("key", "sess_id").orderBy("ts_us")
+    ws = Window.partitionBy("key", "sess_id").orderBy(*order)
     chunked = sess.withColumn(
         "chunk", ((F.row_number().over(ws) - 1) / cap).cast("int")
     )
