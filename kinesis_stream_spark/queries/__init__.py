@@ -27,12 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 # the full inventory at sf0.01 AND sf0.1.
 #
 # Round 4 window (first 50): the 10 round-3 never-verified queries and
-# the 31 new round-4 queries (26 from the first half, 10 from the
+# the 32 new round-4 queries (21 from the first half, 11 from the
 # second: gap fill, SCD2, chunk dedup, bloom prefilter, domain cap,
-# SQ8, leakage split, rollup, MAD outliers, LSH recall), then the 3
-# edited queries (fixed-point centroids / widened sketch oracle /
-# cosine guard default), the udf family, and the first two
-# streaming-window queries fill to 50 exactly.
+# SQ8, leakage split, rollup, MAD outliers, LSH recall, capped
+# sessions), then the 3 edited queries (fixed-point centroids /
+# widened sketch oracle / cosine guard default), the udf family, and
+# stream_tumbling_window fill to 50 exactly.
 # Past the cut: streaming_batch, multimodal, scalar, dedup, similarity
 # bruteforce/LSH, the r2 text family, and all of relational — every one
 # re-verified this round by full sf0.01 AND sf0.1 driver_sim sweeps.
