@@ -120,8 +120,11 @@ def scd2_compact(
     integer epoch-day indexes (exact; see module docstring).
     """
     day = _bucket(ts_col, unit_us)
+    # NULL timestamps carry no temporal meaning and (worse) sort
+    # differently across engines (Spark NULLS FIRST vs DuckDB NULLS
+    # LAST in ascending windows) — excluded by contract.
     snap = (
-        events.select(
+        events.where(F.col(ts_col).isNotNull()).select(
             F.col(key_col).alias("key"),
             day.alias("day"),
             F.struct(

@@ -390,7 +390,7 @@ def stream_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT CAST(user_id AS VARCHAR) AS key, EPOCH_US(ts) AS ts_us,
              CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     marked AS (
       SELECT key, ts_us, cents, event_id,
              CASE WHEN LAG(ts_us) OVER w IS NULL

@@ -66,7 +66,7 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH snap AS (
       SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS day,
              (MAX({{'us': EPOCH_US(ts), 'status': event_type}})).status AS status
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     runs AS (
       SELECT key, day, status,
              CASE WHEN LAG(status) OVER w IS NULL

@@ -257,7 +257,7 @@ def capped_sessions(
         def close(self) -> None:
             pass
 
-    prepared = events.select(
+    prepared = events.where(F.col(ts_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("key"),
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("ts_us"),
         F.round(F.col(value_col) * 100).cast("long").alias("cents"),
@@ -289,7 +289,7 @@ def capped_sessions_batch(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    base = events.select(
+    base = events.where(F.col(ts_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("key"),
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("ts_us"),
         F.round(F.col(value_col) * 100).cast("long").alias("cents"),

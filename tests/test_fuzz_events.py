@@ -1,0 +1,89 @@
+"""Fuzz-parity for the events-table queries: the synthetic events table
+has no NULLs and few exact timestamp ties, so the temporal operators'
+NULL/tie behavior is otherwise unexercised. This corpus forces NULL
+values, NULL timestamps, duplicate (user, ts) pairs, and extreme
+values, and checks Spark vs the DuckDB oracle on identical data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+EVENT_QUERIES = [
+    "events_gap_fill_hourly",
+    "events_scd2_status_history",
+    "events_multires_rollup",
+    "events_mad_outliers",
+    "events_cohort_retention",
+    "stream_capped_sessions",
+]
+
+
+def _corpus() -> pd.DataFrame:
+    rng = random.Random(17)
+    base = dt.datetime(2024, 2, 1)
+    rows = []
+    eid = 0
+    for _ in range(300):
+        ts = base + dt.timedelta(minutes=rng.randint(0, 5000))
+        rows.append(
+            (
+                eid,
+                ts,
+                rng.randint(1, 6),
+                rng.choice(["click", "view", "error"]),
+                rng.choice([None, 0.0, -5.25, 1e6, rng.uniform(0, 100)]),
+                "{}",
+            )
+        )
+        eid += 1
+    # exact-tie timestamps for one user (ordering tiebreaks), and NULL ts
+    tie = base + dt.timedelta(minutes=99)
+    for et in ("click", "view", "error"):
+        rows.append((eid, tie, 1, et, 1.0, "{}"))
+        eid += 1
+    rows.append((eid, None, 2, "click", 3.0, "{}"))
+    eid += 1
+    rows.append((eid, None, 2, "view", None, "{}"))
+    eid += 1
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_ev_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("fuzz_ev"))
+    _corpus().to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def fuzz_ev_con(fuzz_ev_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{fuzz_ev_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_fuzz_events_parity(spark, fuzz_ev_dir, fuzz_ev_con, name):
+    from kinesis_stream_spark.queries import all_oracle_sql, all_queries
+
+    s = all_queries()[name](spark, fuzz_ev_dir).toPandas()
+    o = fuzz_ev_con.execute(all_oracle_sql()[name]).fetchdf()
+    assert sorted(s.columns) == sorted(o.columns), name
+    assert len(s) == len(o), (name, len(s), len(o))
+    cols = sorted(s.columns)
+    sc = s[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    oc = o[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    bad = (sc != oc).any(axis=1)
+    assert not bad.any(), (name, sc[bad].head(3), oc[bad].head(3))
