@@ -81,3 +81,28 @@ def sql_norm(a: str) -> str:
 def sql_cosine(a: str, b: str) -> str:
     """DuckDB twin of :func:`cosine_similarity`."""
     return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+def valid_vector(col: Column, dim: int = 64) -> Column:
+    """Admission guard for embedding columns: non-null, exactly ``dim``
+    elements, no NULL/NaN elements, nonzero norm. At 100 TB corrupt
+    vectors are routine (truncated writes, failed encoders, zero
+    padding) — and they don't just skew results: a zero-norm vector is
+    a DIVIDE_BY_ZERO crash in ANSI mode, and NaN propagates through
+    fixed-point floor into engine-dependent territory. Filter at the
+    scan edge, before any arithmetic."""
+    return (
+        col.isNotNull()
+        & (F.size(col) == dim)
+        & ~F.exists(col, lambda x: x.isNull() | F.isnan(x))
+        & F.exists(col, lambda x: x != 0)
+    )
+
+
+def sql_valid_vector(expr: str, dim: int = 64) -> str:
+    """DuckDB twin of :func:`valid_vector`."""
+    return (
+        f"({expr} IS NOT NULL AND LEN({expr}) = {dim}"
+        f" AND LEN(LIST_FILTER({expr}, x -> x IS NULL OR ISNAN(CAST(x AS DOUBLE)))) = 0"
+        f" AND LEN(LIST_FILTER({expr}, x -> x <> 0)) > 0)"
+    )

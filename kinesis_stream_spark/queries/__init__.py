@@ -30,9 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 # the 32 new round-4 queries (21 from the first half, 11 from the
 # second: gap fill, SCD2, chunk dedup, bloom prefilter, domain cap,
 # SQ8, leakage split, rollup, MAD outliers, LSH recall, capped
-# sessions), then the 3 edited queries (fixed-point centroids /
-# widened sketch oracle / cosine guard default), the udf family, and
-# stream_tumbling_window fill to 50 exactly.
+# sessions), then the 5 edited queries (fixed-point centroids /
+# widened sketch oracle / cosine guard default / the corrupt-vector
+# validity guard, which touched every embedding query — the rest of
+# that family is already in the window) and the first three udf
+# queries fill to 50 exactly.
 # Past the cut: streaming_batch, multimodal, scalar, dedup, similarity
 # bruteforce/LSH, the r2 text family, and all of relational — every one
 # re-verified this round by full sf0.01 AND sf0.1 driver_sim sweeps.
@@ -83,10 +85,12 @@ _PRIORITY = (
     "dedup_lsh_recall",
     "stream_capped_sessions",
     # edited this round (fixed-point centroids / widened sketch oracle /
-    # cosine guard default)
+    # cosine guard default / corrupt-vector validity guard)
     "agg_approx_sketches",
     "similarity_topk_ivf",
     "dedup_embedding_cosine_pairs",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
     # longest-unverified r2 families, oldest edits first
     "udf_scalar_price_band",
     "udf_grouped_agg_mean_quantity",

@@ -321,7 +321,11 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one worker's memory at every test SF), so the hot-group guard's
     window count is skipped — a caller with unknown key skew would pass
     a bound instead (tests/test_similarity_guard.py covers that path)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from kinesis_stream_spark.functions.vectors import valid_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        valid_vector(F.col("embedding"), 64)
+    )
     return cosine_pairs(
         emb, group_cols=["label"], threshold=0.3, max_group_vectorized=None
     ).orderBy("label", "id_a", "id_b")
@@ -754,3 +758,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lsh_pair_recall(corpus, ["lang", "source"], threshold=0.5)
+
+# Corrupt-vector guard for the embedding-cosine oracle (twin of the
+# valid_vector filter on the Spark side).
+from kinesis_stream_spark.functions.vectors import sql_valid_vector as _svv
+
+_EMBV = f"(SELECT * FROM embeddings WHERE {_svv('embedding', 64)})"
+ORACLE["dedup_embedding_cosine_pairs"] = __import__("re").sub(
+    r"\bembeddings\b", _EMBV, ORACLE["dedup_embedding_cosine_pairs"]
+)

@@ -9,10 +9,17 @@ never from an RNG.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.functions.vectors import sql_cosine, sql_dot
+from kinesis_stream_spark.functions.vectors import (
+    sql_cosine,
+    sql_dot,
+    sql_valid_vector,
+    valid_vector,
+)
 from kinesis_stream_spark.operators.similarity import (
     plane_signs,
     topk_bruteforce,
@@ -37,6 +44,14 @@ def _q(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan behind the validity guard (see valid_vector):
+    corrupt vectors are excluded at the edge on BOTH engines."""
+    return load_table(spark, sf_dir, "embeddings").where(
+        valid_vector(F.col("embedding"), DIM)
+    )
 
 
 def _queries_df(emb: DataFrame) -> DataFrame:
@@ -69,7 +84,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: broadcast queries × corpus scan, window top-k.
     The 100 TB plan: map-side scoring (no shuffle for the join), one
     shuffle on query_id for the k-selection."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return topk_bruteforce(emb, _queries_df(emb), k=K).orderBy("query_id", "rank")
 
 
@@ -113,7 +128,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: candidates share an 8-bit signature bucket
     (≈1/256 of pairs scored), exact cosine re-ranks. The oracle replays
     the same deterministic planes, so approximation error matches exactly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return topk_lsh(emb, _queries_df(emb), k=K, num_planes=8, dim=DIM).orderBy(
         "query_id", "rank"
     )
@@ -189,7 +204,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: per-label centroids (exact-decimal means) as the coarse
     quantizer; each query probes its 2 best partitions and scans only
     those — the partition-pruning scale path."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return topk_ivf(emb, _queries_df(emb), k=K, nprobe=2, dim=DIM).orderBy(
         "query_id", "rank"
     )
@@ -221,7 +236,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is O(k·Q) — noise next to producing the rankings."""
     from kinesis_stream_spark.operators.similarity import ann_recall
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = _queries_df(emb)
     exact = topk_bruteforce(emb, q, k=K)
     approx = topk_lsh(emb, q, k=K, num_planes=8, dim=DIM)
@@ -301,7 +316,7 @@ def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor on both engines)."""
     from kinesis_stream_spark.operators.similarity import kmeans_fit
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     fitted = kmeans_fit(emb, k=4, dim=DIM, iterations=2)
     fixed = F.transform(
         F.col("centroid"), lambda x: F.floor(x * 1048576).cast("long")
@@ -414,7 +429,7 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), so even IVF's misses at each nprobe must match exactly."""
     from kinesis_stream_spark.operators.similarity import ivf_recall_sweep
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return ivf_recall_sweep(
         emb, _queries_df(emb), nprobes=_SWEEP_NPROBES, k=K, dim=DIM
     ).orderBy("nprobe")
@@ -462,7 +477,7 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stage an operator this module already verifies in isolation."""
     from kinesis_stream_spark.operators.similarity import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return semantic_dedup(
         emb, kclusters=4, iterations=2, threshold=0.4, dim=DIM
     ).orderBy("vec_id")
@@ -478,7 +493,7 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     train → index → search path a production ANN deployment runs."""
     from kinesis_stream_spark.operators.similarity import topk_ivf_trained
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return topk_ivf_trained(
         emb, _queries_df(emb), k=K, nprobe=2, kclusters=4, iterations=2, dim=DIM
     ).orderBy("query_id", "rank")
@@ -525,7 +540,15 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets. No float ties exist for the two engines to break apart."""
     from kinesis_stream_spark.operators.similarity import topk_sq8
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return topk_sq8(
         emb, emb.where(F.col("vec_id") < N_QUERIES), k=K, dim=DIM
     ).orderBy("query_id", "rank")
+
+# Corrupt-vector guard, oracle side: every reference to the embeddings
+# table reads through the validity filter (twin of _emb above).
+_EMB_SUBQ = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', DIM)})"
+ORACLE = {
+    k: re.sub(r"\bembeddings\b", _EMB_SUBQ, v, count=0)
+    for k, v in ORACLE.items()
+}
