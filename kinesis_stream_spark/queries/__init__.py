@@ -27,13 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 # the full inventory at sf0.01 AND sf0.1.
 #
 # Round 4 window (first 50): the 10 round-3 never-verified queries and
-# the 32 new round-4 queries (21 from the first half, 11 from the
+# the 33 new round-4 queries (21 from the first half, 12 from the
 # second: gap fill, SCD2, chunk dedup, bloom prefilter, domain cap,
 # SQ8, leakage split, rollup, MAD outliers, LSH recall, capped
-# sessions), then the 5 edited queries (fixed-point centroids /
+# sessions, referential audit), then the 5 edited queries (fixed-point centroids /
 # widened sketch oracle / cosine guard default / the corrupt-vector
 # validity guard, which touched every embedding query — the rest of
-# that family is already in the window) and the first three udf
+# that family is already in the window) and the first two udf
 # queries fill to 50 exactly.
 # Past the cut: streaming_batch, multimodal, scalar, dedup, similarity
 # bruteforce/LSH, the r2 text family, and all of relational — every one
@@ -84,6 +84,7 @@ _PRIORITY = (
     "events_mad_outliers",
     "dedup_lsh_recall",
     "stream_capped_sessions",
+    "integrity_referential_audit",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default / corrupt-vector validity guard)
     "agg_approx_sketches",

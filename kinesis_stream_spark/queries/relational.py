@@ -2256,3 +2256,85 @@ def q20_excess_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@_q(
+    "integrity_referential_audit",
+    """
+    WITH o_c AS (
+      SELECT COUNT(*) AS n_child,
+             COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+               AS n_orphans
+      FROM orders o),
+    l_o AS (
+      SELECT COUNT(*) AS n_child,
+             COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      FROM lineitem l),
+    l_p AS (
+      SELECT COUNT(*) AS n_child,
+             COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+               AS n_orphans
+      FROM lineitem l),
+    c_n AS (
+      SELECT COUNT(*) AS n_child,
+             COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+               AS n_orphans
+      FROM customer c)
+    SELECT fk, n_child, n_orphans,
+           CAST(n_child - n_orphans AS DOUBLE) / n_child AS fk_coverage
+    FROM (
+      SELECT 'orders.custkey->customer' AS fk, * FROM o_c
+      UNION ALL SELECT 'lineitem.orderkey->orders', * FROM l_o
+      UNION ALL SELECT 'lineitem.partkey->part', * FROM l_p
+      UNION ALL SELECT 'customer.nationkey->nation', * FROM c_n)
+    ORDER BY fk
+    """,
+)
+def integrity_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the four FK edges of the
+    schema: orphan counts and coverage ratios per edge — the data-quality
+    gate a pipeline runs after ingest/backfill, beside the content
+    checksums. Each edge is one left-anti join (child side streams, the
+    parent key set broadcasts when small, shuffles on the key
+    otherwise); counts aggregate map-side, so the audit cost is one
+    scan per child table regardless of orphan volume."""
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "part": load_table(spark, sf_dir, "part"),
+        "nation": load_table(spark, sf_dir, "nation"),
+    }
+    edges = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for fk, child, ck, parent, pk in edges:
+        c = tables[child].select(F.col(ck).alias("k"))
+        p = tables[parent].select(F.col(pk).alias("k")).distinct()
+        orphans = c.join(p, "k", "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(fk).alias("fk"),
+                "n_child",
+                "n_orphans",
+                (
+                    (F.col("n_child") - F.col("n_orphans")).cast("double")
+                    / F.col("n_child")
+                ).alias("fk_coverage"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out.orderBy("fk")
