@@ -30,6 +30,10 @@ SENSITIVE = [
     "events_multires_rollup",  # dsum at three grains from one Expand
     "dedup_duplicate_chunks",  # kept_fraction divide + struct-sort reassembly
     "similarity_topk_sq8",  # learned quantizer stats -> integer scoring
+    "events_mad_outliers",  # percentile interpolation + score divides
+    "stream_capped_sessions",  # tie-broken chunk membership, cents sums
+    "dedup_lsh_recall",  # full-join counts + recall/precision divides
+    "integrity_referential_audit",  # anti-join counts + coverage divide
 ]
 
 
