@@ -622,6 +622,63 @@ def assign_to_centroids(
     )
 
 
+def cluster_balance(
+    emb: DataFrame,
+    *,
+    k: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list balance diagnostics for a trained IVF index: per-
+    cluster member counts/fractions plus the global imbalance factor
+    ``k_actual · Σn² / N²`` (the standard FAISS-style metric — 1.0 for
+    perfectly even lists, → k when one list holds everything). This is
+    the number that predicts IVF query latency: probe cost is
+    list-length-bound, so a balance of 3 means worst-case probes scan 3×
+    the even-split estimate, and the fix (re-train with larger k, or
+    split hot lists) is decided from exactly this table.
+
+    Shape: train + assign (the operators above), then one k-row count
+    aggregate; the totals are a single-row aggregate of the k-row frame
+    cross-joined back — everything after the assignment argmax is
+    driver-trivial (≤ k rows). Arithmetic: integer counts, Σn² as an
+    exact order-independent DECIMAL(38,0) sum (a BIGINT n² would wrap
+    past n ≈ 3·10⁹ members in one list — reachable under 100 TB skew;
+    DuckDB's HUGEINT sum is the same exact integer), then the ratio in
+    IEEE doubles (counts are exact in double to 2^53) — the same three
+    float ops on both engines, no divergence surface.
+    """
+    cents = kmeans_fit(
+        emb, k=k, dim=dim, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).select("cid", "centroid")
+    sizes = (
+        assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    totals = sizes.agg(
+        F.sum("n_members").alias("_n_total"),
+        F.sum(
+            F.col("n_members").cast("decimal(19,0)")
+            * F.col("n_members").cast("decimal(19,0)")
+        ).alias("_sum_sq"),
+        F.count(F.lit(1)).alias("_k_actual"),
+    )
+    nt_d = F.col("_n_total").cast("double")
+    return sizes.join(F.broadcast(totals)).select(
+        "cid",
+        "n_members",
+        (F.col("n_members").cast("double") / nt_d).alias("list_frac"),
+        (
+            F.col("_sum_sq").cast("double")
+            / (nt_d * nt_d)
+            * F.col("_k_actual").cast("double")
+        ).alias("imbalance"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,

@@ -685,6 +685,95 @@ def domain_cap(
     )
 
 
+def weighted_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Source-weighted data mixing WITH up-sampling — the epoch-style
+    repeat-factor generalization of :func:`stratified_sample` (which can
+    only keep/drop). A weight of 2.25 means every doc of that source is
+    emitted twice and a deterministic 25% of them a third time; 0.3 means
+    a 30% keep sample. This is how pre-training mixes are actually
+    specified (sampling proportions per corpus, weights routinely > 1
+    for high-quality sources).
+
+    ``n_copies = floor(w) + (md5(id) mod buckets < frac(w)*buckets)``,
+    then one ``explode(sequence(1, n_copies))`` emits the copies with a
+    ``copy_idx`` so downstream shuffles/packing see distinct rows. Pure
+    map + explode: no shuffle, no RNG, append-stable (a doc's copy count
+    never changes when other docs arrive), and the realized mix is
+    auditable from the rule alone. Weights quantize to 1/buckets.
+
+    At 100 TB the explode multiplies only the *kept* rows (output-sized
+    cost, same as writing the mixed corpus), and rows with n_copies = 0
+    are filtered before the explode — a 0.01-weight source never
+    materializes 99% dead rows.
+    """
+    bucket = md5_int64(F.col(id_col).cast("string")) % buckets
+    n_copies = F.lit(None).cast("long")
+    for stratum, w in sorted(weights.items()):
+        whole, frac_b = int(w), int(round((w - int(w)) * buckets))
+        cnt = F.lit(whole) + F.when(bucket < frac_b, 1).otherwise(0)
+        n_copies = F.when(F.col(stratum_col) == stratum, cnt).otherwise(n_copies)
+    dwhole, dfrac = int(default_weight), int(round((default_weight - int(default_weight)) * buckets))
+    n_copies = F.coalesce(
+        n_copies, F.lit(dwhole) + F.when(bucket < dfrac, 1).otherwise(0)
+    )
+    return (
+        docs.select(id_col, stratum_col, n_copies.alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            stratum_col,
+            "n_copies",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )
+
+
+def exact_substring_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_col: str = "probe",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact-match decontamination: per corpus document, how many probe
+    strings (verbatim eval answers / canary strings / PII literals)
+    appear as substrings. Complements :func:`decontaminate_ngram_overlap`
+    — n-gram overlap catches paraphrase-level contamination but misses
+    short verbatim strings below the shingle width; substring match is
+    the standard second gate (and the whole test for canary detection).
+
+    Shape: the probe set is small by construction (eval sets, canary
+    lists), so it broadcasts; the corpus side is one map-only scan with
+    O(|probes|) ``instr`` checks per row fused in codegen, then a
+    partial-agg-friendly groupBy on the unique doc key. The corpus is
+    never collected, broadcast, or shuffled at probe multiplicity — the
+    final exchange carries one row per document.
+
+    Returns (doc_id, n_probes_hit, first_probe_id) where first_probe_id
+    is the smallest matching probe id (NULL when clean) — enough for
+    both the drop decision and the audit trail.
+    """
+    hits = corpus.join(F.broadcast(probes)).select(
+        F.col(id_col),
+        F.col(probe_id_col),
+        (F.instr(F.col(text_col), F.col(probe_col)) > 0).alias("hit"),
+    )
+    return hits.groupBy(id_col).agg(
+        F.sum(F.col("hit").cast("long")).alias("n_probes_hit"),
+        F.min(F.when(F.col("hit"), F.col(probe_id_col))).alias("first_probe_id"),
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     clusters: DataFrame,

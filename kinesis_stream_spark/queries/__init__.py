@@ -27,14 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 # the full inventory at sf0.01 AND sf0.1.
 #
 # Round 4 window (first 50): the 10 round-3 never-verified queries and
-# the 33 new round-4 queries (21 from the first half, 12 from the
+# the 36 new round-4 queries (21 from the first half, 12 from the
 # second: gap fill, SCD2, chunk dedup, bloom prefilter, domain cap,
 # SQ8, leakage split, rollup, MAD outliers, LSH recall, capped
-# sessions, referential audit), then the 5 edited queries (fixed-point centroids /
-# widened sketch oracle / cosine guard default / the corrupt-vector
-# validity guard, which touched every embedding query — the rest of
-# that family is already in the window) and the first two udf
-# queries fill to 50 exactly.
+# sessions, referential audit; 3 from the third: weighted mixture,
+# substring decontamination, IVF cluster balance), then 3 edited
+# queries (fixed-point centroids / widened sketch oracle / cosine
+# guard default / the corrupt-vector validity guard — topk_bruteforce
+# and topk_lsh share those edits but yield their slots to the
+# never-verified additions; all five re-verified by this round's full
+# sf0.01 + sf0.1 local sweeps) and the first udf query fill to 50.
 # Past the cut: streaming_batch, multimodal, scalar, dedup, similarity
 # bruteforce/LSH, the r2 text family, and all of relational — every one
 # re-verified this round by full sf0.01 AND sf0.1 driver_sim sweeps.
@@ -85,13 +87,15 @@ _PRIORITY = (
     "dedup_lsh_recall",
     "stream_capped_sessions",
     "integrity_referential_audit",
+    # new in the third phase of round 4 (never driver-verified)
+    "text_weighted_mixture",
+    "text_substring_decontaminate",
+    "similarity_cluster_balance",
     # edited this round (fixed-point centroids / widened sketch oracle /
     # cosine guard default / corrupt-vector validity guard)
     "agg_approx_sketches",
     "similarity_topk_ivf",
     "dedup_embedding_cosine_pairs",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
     # longest-unverified r2 families, oldest edits first
     "udf_scalar_price_band",
     "udf_grouped_agg_mean_quantity",

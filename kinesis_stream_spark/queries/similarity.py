@@ -545,6 +545,43 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < N_QUERIES), k=K, dim=DIM
     ).orderBy("query_id", "rank")
 
+def _sql_cluster_balance(k: int = 4, iterations: int = 2) -> str:
+    ctes = _kmeans_ctes(k, iterations)
+    ctes.append(_sql_assigned_cte(f"c{iterations}"))
+    return f"""
+    WITH {", ".join(ctes)},
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM assigned GROUP BY cid
+    ),
+    totals AS (
+      SELECT CAST(SUM(n_members) AS BIGINT) AS nt,
+             CAST(SUM(n_members * n_members) AS HUGEINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS ka
+      FROM sizes
+    )
+    SELECT cid, n_members,
+           CAST(n_members AS DOUBLE) / CAST(nt AS DOUBLE) AS list_frac,
+           CAST(ss AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+             * CAST(ka AS DOUBLE) AS imbalance
+    FROM sizes, totals
+    ORDER BY cid
+    """
+
+
+@_q("similarity_cluster_balance", _sql_cluster_balance())
+def similarity_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance for the trained IVF index: per-cluster
+    sizes/fractions + the FAISS-style imbalance factor k·Σn²/N² — the
+    metric that predicts probe latency and triggers re-training. The
+    oracle replays training, assignment, and the exact-integer Σn²
+    before the (identical) IEEE ratio steps."""
+    from kinesis_stream_spark.operators.similarity import cluster_balance
+
+    emb = _emb(spark, sf_dir)
+    return cluster_balance(emb, k=4, dim=DIM, iterations=2).orderBy("cid")
+
+
 # Corrupt-vector guard, oracle side: every reference to the embeddings
 # table reads through the validity filter (twin of _emb above).
 _EMB_SUBQ = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', DIM)})"

@@ -615,3 +615,91 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_spark.operators.text import domain_cap
 
     return domain_cap(load_table(spark, sf_dir, "documents"), cap=15)
+
+
+# Per-source sampling weights > 1 mean up-sampling (epoch repeats);
+# fractions are deterministic md5-bucket keeps; unlisted sources get 1.0.
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
+
+
+def _sql_mixture_copies() -> str:
+    bucket = f"({sql_md5_int64('CAST(doc_id AS VARCHAR)')} % 1000)"
+    cases = " ".join(
+        f"WHEN source = '{src}' THEN {int(w)} + "
+        f"(CASE WHEN {bucket} < {int(round((w - int(w)) * 1000))} THEN 1 ELSE 0 END)"
+        for src, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return (
+        f"CASE {cases} ELSE 1 + (CASE WHEN {bucket} < 0 THEN 1 ELSE 0 END) END"
+    )
+
+
+@_q(
+    "text_weighted_mixture",
+    f"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             CAST({_sql_mixture_copies()} AS BIGINT) AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, n_copies, u.copy_idx
+    FROM (SELECT * FROM counted WHERE n_copies > 0),
+         UNNEST(RANGE(1, n_copies + 1)) AS u(copy_idx)
+    ORDER BY doc_id, copy_idx
+    """,
+)
+def text_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixing WITH up-sampling: weight 2.5 emits every
+    doc twice plus a deterministic half of them a third time; 0.25 keeps
+    a quarter; 0 drops the source. The epoch-repeat generalization of
+    stratified sampling — how pre-training mixes are actually specified.
+    Map + explode only; the oracle replays copy counts AND the exploded
+    copy identities."""
+    from kinesis_stream_spark.operators.text import weighted_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_mixture(docs, _MIX_WEIGHTS, stratum_col="source").orderBy(
+        "doc_id", "copy_idx"
+    )
+
+
+_SUB_PROBE_N = 8  # docs with doc_id < 8 donate one verbatim probe each
+_SUB_PROBE_OFF, _SUB_PROBE_LEN = 17, 48
+
+
+@_q(
+    "text_substring_decontaminate",
+    f"""
+    WITH probes AS (
+      SELECT doc_id AS probe_id,
+             SUBSTR(text, {_SUB_PROBE_OFF}, {_SUB_PROBE_LEN}) AS probe
+      FROM documents WHERE doc_id < {_SUB_PROBE_N}
+    ),
+    hits AS (
+      SELECT d.doc_id, p.probe_id,
+             (STRPOS(d.text, p.probe) > 0) AS hit
+      FROM documents d CROSS JOIN probes p
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_probes_hit,
+           MIN(CASE WHEN hit THEN probe_id END) AS first_probe_id
+    FROM hits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination: per corpus doc, how many of the
+    verbatim probe strings (48-char spans donated by docs 0-7, playing
+    the eval/canary list) appear via ``instr`` — the second hygiene gate
+    n-gram overlap misses for short literal strings. Probe set
+    broadcasts; the corpus scan is map-only with one partial-agg
+    exchange carrying a single row per document."""
+    from kinesis_stream_spark.operators.text import exact_substring_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < _SUB_PROBE_N).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", _SUB_PROBE_OFF, _SUB_PROBE_LEN).alias("probe"),
+    )
+    return exact_substring_decontaminate(docs, probes).orderBy("doc_id")

@@ -133,3 +133,20 @@ def test_round4b_operators_empty(spark, empties):
     assert temporal.mad_outliers(events).count() == 0
     # rollup over empty input: no key rows survive the GROUPING filter
     assert temporal.multires_rollup(events).count() == 0
+
+
+def test_round4c_operators_empty(spark, empties):
+    from kinesis_stream_spark.operators import similarity, text
+
+    docs, emb = empties["docs"], empties["emb"]
+    probes = spark.createDataFrame([], "probe_id long, probe string")
+    assert text.weighted_mixture(docs, {"src0": 2.5}).count() == 0
+    assert text.exact_substring_decontaminate(docs, probes).count() == 0
+    # empty probe set against a non-empty corpus: the cross join yields
+    # zero hit rows, so the per-doc aggregate is empty (no crash, no
+    # fabricated zero-hit rows)
+    some_docs = spark.createDataFrame(
+        [(1, "en", "s", "hello world")], "doc_id long, lang string, source string, text string"
+    )
+    assert text.exact_substring_decontaminate(some_docs, probes).count() == 0
+    assert similarity.cluster_balance(emb).count() == 0

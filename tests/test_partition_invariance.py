@@ -34,6 +34,7 @@ SENSITIVE = [
     "stream_capped_sessions",  # tie-broken chunk membership, cents sums
     "dedup_lsh_recall",  # full-join counts + recall/precision divides
     "integrity_referential_audit",  # anti-join counts + coverage divide
+    "similarity_cluster_balance",  # kmeans chain + exact sum-of-squares ratios
 ]
 
 

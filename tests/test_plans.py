@@ -306,3 +306,29 @@ def test_multires_rollup_single_expand_single_scan(spark, sf_dir):
     plan = _explain(QUERIES["events_multires_rollup"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 1, plan
+
+
+def test_weighted_mixture_is_map_and_explode_only(spark, sf_dir):
+    from kinesis_stream_spark.operators.text import weighted_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(weighted_mixture(docs, {"src0": 2.5, "src1": 0.25}))
+    # copy-count rule + explode must never shuffle: output-sized cost only
+    assert "Exchange" not in plan
+    assert "Generate" in plan and "explode(sequence(1, n_copies" in plan
+
+
+def test_substring_decontaminate_probes_broadcast(spark, sf_dir):
+    import re
+
+    from kinesis_stream_spark.queries.text import QUERIES
+
+    plan = _explain(QUERIES["text_substring_decontaminate"](spark, sf_dir))
+    # the probe list is the broadcast side of a nested-loop join (no equi
+    # key exists for substring containment); the corpus side must never
+    # sort-merge or cartesian, and the only hash exchange is the final
+    # one-row-per-doc aggregate (+ its orderBy range exchange)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan

@@ -116,3 +116,52 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # unclustered docs are singletons keyed by their own id
     assert out[7].cluster_id == 7
     assert {r.split for r in out.values()} <= {"train", "val", "test"}
+
+
+def test_weighted_mixture_repeat_factors(spark):
+    from kinesis_stream_spark.operators.text import weighted_mixture
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)],
+        "doc_id int, source string",
+    )
+    # integer weights are exact (no hash fraction): 2 copies of every
+    # 'a' doc, 'b' dropped entirely, default 1.0 for 'c'
+    out = weighted_mixture(docs, {"a": 2.0, "b": 0.0}, stratum_col="source").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        src = ["a", "b", "c"][doc_id % 3]
+        assert src != "b"
+        expected = 2 if src == "a" else 1
+        assert len(rows) == expected
+        assert all(r.n_copies == expected for r in rows)
+        assert sorted(r.copy_idx for r in rows) == list(range(1, expected + 1))
+    assert len(by_doc) == 20  # the 10 'b' docs vanished
+    # fractional weights: realized rate lands within the bucket rule's
+    # quantization and is identical under repartitioning
+    frac = weighted_mixture(docs, {"a": 1.5}, stratum_col="source")
+    again = weighted_mixture(docs.repartition(7), {"a": 1.5}, stratum_col="source")
+    assert sorted(map(tuple, frac.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_exact_substring_decontaminate_hand_checked(spark):
+    from kinesis_stream_spark.operators.text import exact_substring_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the secret canary phrase lives here"),
+            (2, "completely clean document text"),
+            (3, "two hits: secret canary and another marker string"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, "secret canary"), (20, "another marker")],
+        "probe_id long, probe string",
+    )
+    out = {r.doc_id: r for r in exact_substring_decontaminate(docs, probes).collect()}
+    assert out[1].n_probes_hit == 1 and out[1].first_probe_id == 10
+    assert out[2].n_probes_hit == 0 and out[2].first_probe_id is None
+    assert out[3].n_probes_hit == 2 and out[3].first_probe_id == 10
