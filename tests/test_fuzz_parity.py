@@ -33,6 +33,10 @@ FUZZ_QUERIES = [
     # collation must agree on the vocabulary ranking
     "text_token_rarity",
     "text_domain_cap",
+    "text_weighted_mixture",
+    # unicode substring/probe parity: instr vs STRPOS found/not-found and
+    # SUBSTR character counting must agree over multi-byte text
+    "text_substring_decontaminate",
 ]
 
 

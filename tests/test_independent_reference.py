@@ -374,3 +374,52 @@ def test_gap_fill_vs_python_replay(spark):
         ).collect()
     }
     assert out == expect
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_weighted_mixture_vs_hashlib_replay(spark, seed):
+    """Copy counts against a hashlib replay of the md5-bucket rule — a
+    third implementation independent of both Spark's md5/conv expression
+    tree and the DuckDB oracle."""
+    import hashlib
+
+    from kinesis_stream_spark.operators.text import weighted_mixture
+
+    rng = random.Random(seed)
+    docs = [(i, f"s{rng.randint(0, 3)}") for i in range(80)]
+    weights = {"s0": 2.5, "s1": 0.25, "s2": 0.0}
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    got = {}
+    for r in weighted_mixture(df, weights, stratum_col="source").collect():
+        got.setdefault((r.doc_id, r.source), []).append((r.n_copies, r.copy_idx))
+
+    want = {}
+    for i, src in docs:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1000
+        w = weights.get(src, 1.0)
+        n = int(w) + (1 if bucket < int(round((w - int(w)) * 1000)) else 0)
+        if n > 0:
+            want[(i, src)] = [(n, c) for c in range(1, n + 1)]
+    assert {k: sorted(v) for k, v in got.items()} == want
+
+
+def test_cluster_balance_arithmetic_consistency(spark):
+    """The balance columns must satisfy their defining identities against
+    the operator's own member counts (Python-float recomputation):
+    fractions sum to 1, imbalance = k * sum(n^2) / N^2 on every row."""
+    from kinesis_stream_spark.operators.similarity import cluster_balance
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, 0, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    rows = cluster_balance(emb, k=3, dim=8).collect()
+    ns = [r.n_members for r in rows]
+    total, k_actual = sum(ns), len(ns)
+    expected_imb = sum(n * n for n in ns) / (float(total) * float(total)) * float(k_actual)
+    assert abs(sum(r.list_frac for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.list_frac == r.n_members / float(total)
+        assert abs(r.imbalance - expected_imb) < 1e-12
+        assert r.imbalance >= 1.0 - 1e-12  # Cauchy-Schwarz lower bound
