@@ -56,6 +56,54 @@ def profile_columns(df: DataFrame, cols: list[str], *, exact: bool = True) -> Da
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    fingerprint_col: str = "fp",
+) -> DataFrame:
+    """Snapshot diff for migration/backfill verification: classify every
+    primary key across two table versions as added / removed / changed /
+    same, returning per-status row counts plus an order-independent
+    checksum of the affected keys. The companion to the whole-table
+    integrity checksum — the checksum answers "do the copies differ?",
+    this answers "by how much, and WHICH rows" without shipping the rows
+    anywhere (the key checksum lets two sides compare affected-key SETS
+    with a few bytes).
+
+    Inputs carry (key, fingerprint) where the fingerprint is any
+    deterministic per-row digest (the caller picks the canonical-key
+    discipline; see integrity_table_checksum). Shape: one full-outer
+    shuffle join on the key — both sides hash-partition identically, so
+    on bucketed-by-key storage it degrades to a zipped merge with no
+    exchange at all — then a 4-row aggregate. Nothing in the plan holds
+    more than a partition of keys; at 100 TB this is two scans + one
+    co-partitioned join.
+    """
+    o = old.select(F.col(key_col).alias("k"), F.col(fingerprint_col).alias("ofp"))
+    n = new.select(F.col(key_col).alias("k"), F.col(fingerprint_col).alias("nfp"))
+    status = (
+        F.when(F.col("ofp").isNull(), "added")
+        .when(F.col("nfp").isNull(), "removed")
+        .when(F.col("ofp") != F.col("nfp"), "changed")
+        .otherwise("same")
+    )
+    from kinesis_stream_spark.functions.hashing import md5_int64
+
+    return (
+        o.join(n, "k", "full")
+        .select(status.alias("status"), "k")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(md5_int64(F.col("k").cast("string")).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("key_checksum"),
+        )
+    )
+
+
 def sql_profile_columns(table: str, cols: list[str]) -> str:
     """DuckDB twin of :func:`profile_columns` (exact path)."""
     selects = [

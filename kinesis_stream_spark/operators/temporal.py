@@ -166,6 +166,58 @@ def scd2_compact(
     )
 
 
+def transition_matrix(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Behavioral transition matrix: per-key event sequences in time
+    order, folded into global (from_state → to_state) counts and
+    transition probabilities — the Markov-chain summary behind funnel
+    generalization, next-action modeling, and bot detection (a crawler's
+    transition row looks nothing like a human's).
+
+    Shape: one shuffle on the entity key for the ``lag`` window (the
+    same partitioning every sessionizer here uses), then a hash
+    aggregate on the (from, to) pair — the output is |states|² rows, so
+    everything after the window is driver-trivial. Ordering is
+    (epoch-micros, event id): the id tiebreak makes same-timestamp
+    bursts deterministic on both engines. NULL timestamps are excluded
+    by the same contract as every ordered temporal operator here
+    (engines disagree on NULL sort placement); first-event rows (no
+    predecessor) and rows whose predecessor state is NULL drop with the
+    ``from_state IS NOT NULL`` filter, identically in the oracle.
+    ``prob`` is one IEEE divide of two exact integers.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))"), F.col(id_col)
+    )
+    steps = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(
+            F.lag(state_col).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .where(F.col("from_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from)
+        ).alias("prob"),
+    )
+
+
 def multires_rollup(
     events: DataFrame,
     *,

@@ -30,13 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 # the 36 new round-4 queries (21 from the first half, 12 from the
 # second: gap fill, SCD2, chunk dedup, bloom prefilter, domain cap,
 # SQ8, leakage split, rollup, MAD outliers, LSH recall, capped
-# sessions, referential audit; 3 from the third: weighted mixture,
-# substring decontamination, IVF cluster balance), then 3 edited
-# queries (fixed-point centroids / widened sketch oracle / cosine
-# guard default / the corrupt-vector validity guard — topk_bruteforce
-# and topk_lsh share those edits but yield their slots to the
-# never-verified additions; all five re-verified by this round's full
-# sf0.01 + sf0.1 local sweeps) and the first udf query fill to 50.
+# sessions, referential audit; 5 from the third/fourth phase:
+# weighted mixture, substring decontamination, IVF cluster balance,
+# snapshot diff, transition matrix), then agg_approx_sketches (its
+# widened oracle is the round's one semantic oracle change) and the
+# first udf query fill to 50. The other edited embedding
+# queries (topk_ivf / cosine_pairs / bruteforce / lsh) were
+# re-verified by this round's full sf0.01 + sf0.1 local sweeps and
+# share the guard edit with seven windowed embedding queries.
 # Past the cut: streaming_batch, multimodal, scalar, dedup, similarity
 # bruteforce/LSH, the r2 text family, and all of relational — every one
 # re-verified this round by full sf0.01 AND sf0.1 driver_sim sweeps.
@@ -91,11 +92,14 @@ _PRIORITY = (
     "text_weighted_mixture",
     "text_substring_decontaminate",
     "similarity_cluster_balance",
-    # edited this round (fixed-point centroids / widened sketch oracle /
-    # cosine guard default / corrupt-vector validity guard)
+    "integrity_snapshot_diff",
+    "events_transition_matrix",
+    # edited this round: the widened sketch oracle is the one semantic
+    # change a local sweep can't stand in for; topk_ivf and
+    # cosine_pairs share only the corrupt-vector guard, which seven
+    # other windowed embedding queries exercise through the same _emb
+    # edge, so their slots go to the never-verified additions
     "agg_approx_sketches",
-    "similarity_topk_ivf",
-    "dedup_embedding_cosine_pairs",
     # longest-unverified r2 families, oldest edits first
     "udf_scalar_price_band",
     "udf_grouped_agg_mean_quantity",

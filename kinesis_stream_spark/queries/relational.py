@@ -2338,3 +2338,63 @@ def integrity_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionAll(p_)
     return out.orderBy("fk")
+
+
+def _sql_snapshot_diff() -> str:
+    from kinesis_stream_spark.functions.hashing import sql_md5_int64
+
+    mutated = (
+        "CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END"
+    )
+    return f"""
+    WITH old_snap AS (
+      SELECT doc_id AS k, MD5(CONCAT_WS('|', text, lang, source)) AS ofp
+      FROM documents WHERE doc_id < 400),
+    new_snap AS (
+      SELECT doc_id AS k,
+             MD5(CONCAT_WS('|', {mutated}, lang, source)) AS nfp
+      FROM documents WHERE doc_id >= 100),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.ofp IS NULL THEN 'added'
+                  WHEN n.nfp IS NULL THEN 'removed'
+                  WHEN o.ofp <> n.nfp THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM old_snap o FULL JOIN new_snap n ON o.k = n.k)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({sql_md5_int64("CAST(k AS VARCHAR)")}
+             AS DECIMAL(38,0))) AS VARCHAR) AS key_checksum
+    FROM j GROUP BY status ORDER BY status
+    """
+
+
+@_q("integrity_snapshot_diff", _sql_snapshot_diff())
+def integrity_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (the companion the
+    whole-table checksum escalates to when it mismatches): per-status
+    added/removed/changed/same row counts plus an order-independent
+    checksum of the affected keys, so two sides can compare WHICH rows
+    diverged with a few bytes. Snapshots are carved deterministically
+    from the documents table (old = id < 400, new = id >= 100 with
+    every 50th text amended), exercising all four statuses; row
+    fingerprints are md5 over the NULL-skipping canonical concat. One
+    co-partitioned full-outer join + a 4-row aggregate."""
+    from kinesis_stream_spark.operators.profile import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws("|", "text", "lang", "source"))
+    old = docs.where(F.col("doc_id") < 400).select("doc_id", fp.alias("fp"))
+    new = docs.where(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.when(
+                    F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text")),
+                F.col("lang"),
+                F.col("source"),
+            )
+        ).alias("fp"),
+    )
+    return snapshot_diff(old, new, key_col="doc_id").orderBy("status")

@@ -153,3 +153,35 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_spark.operators.temporal import mad_outliers
 
     return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "events_transition_matrix",
+    """
+    WITH steps AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+             ) AS from_state,
+             event_type AS to_state
+      FROM events WHERE ts IS NOT NULL),
+    counts AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM steps WHERE from_state IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT from_state, to_state, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_state) AS prob
+    FROM counts
+    ORDER BY from_state, to_state
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Markov transition matrix over per-user event sequences:
+    (from_state, to_state) counts + row-normalized probabilities. The
+    oracle replays the (epoch-micros, event_id)-ordered lag chain and
+    the normalizing divide."""
+    from kinesis_stream_spark.operators.temporal import transition_matrix
+
+    return transition_matrix(load_table(spark, sf_dir, "events")).orderBy(
+        "from_state", "to_state"
+    )

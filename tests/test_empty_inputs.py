@@ -150,3 +150,12 @@ def test_round4c_operators_empty(spark, empties):
     )
     assert text.exact_substring_decontaminate(some_docs, probes).count() == 0
     assert similarity.cluster_balance(emb).count() == 0
+    from kinesis_stream_spark.operators import profile, temporal
+
+    snaps = spark.createDataFrame([], "doc_id long, fp string")
+    assert profile.snapshot_diff(snaps, snaps).count() == 0
+    events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    assert temporal.transition_matrix(events).count() == 0

@@ -35,6 +35,7 @@ SENSITIVE = [
     "dedup_lsh_recall",  # full-join counts + recall/precision divides
     "integrity_referential_audit",  # anti-join counts + coverage divide
     "similarity_cluster_balance",  # kmeans chain + exact sum-of-squares ratios
+    "events_transition_matrix",  # lag-chain ordering + row-normalizing divide
 ]
 
 

@@ -332,3 +332,30 @@ def test_substring_decontaminate_probes_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+
+
+def test_transition_matrix_windows_on_entity_key(spark, sf_dir):
+    from kinesis_stream_spark.operators.temporal import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _explain(transition_matrix(ev))
+    # the lag window shuffles once on the entity key; nothing global
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_snapshot_diff_joins_on_key_without_nested_loops(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.operators.profile import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text")).alias("fp")
+    old = docs.where(F.col("doc_id") < 400).select("doc_id", fp)
+    new = docs.where(F.col("doc_id") >= 100).select("doc_id", fp)
+    plan = _explain(snapshot_diff(old, new))
+    # the full-outer diff must stay a keyed join (merge- or hash-based);
+    # at 100 TB a nested-loop/cartesian here is a scale killer
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan

@@ -132,3 +132,60 @@ def test_mad_outliers_flags_known_spike_and_resists_burst(spark):
     # the whole burst is flagged — median/MAD didn't chase the spike
     assert {r.event_id for r in out} == {100, 101, 102}
     assert all(r.mad_score > 3 for r in out)
+
+
+def test_transition_matrix_hand_checked(spark):
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import transition_matrix
+
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> click -> buy
+        (1, t, 1, "view"), (2, t + s, 1, "click"),
+        (3, t + 2 * s, 1, "click"), (4, t + 3 * s, 1, "buy"),
+        # user 2: same-timestamp burst — order falls to event_id tiebreak
+        (10, t, 2, "view"), (11, t, 2, "click"),
+        # NULL timestamp carries no order: excluded entirely
+        (20, None, 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r.from_state, r.to_state): (r.n_transitions, r.prob)
+        for r in transition_matrix(ev).collect()
+    }
+    assert out == {
+        ("view", "click"): (2, 1.0),
+        ("click", "click"): (1, 0.5),
+        ("click", "buy"): (1, 0.5),
+    }
+
+
+def test_snapshot_diff_hand_checked(spark):
+    import hashlib
+
+    from kinesis_stream_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "doc_id long, fp string"
+    )
+    out = {r.status: r for r in snapshot_diff(old, new).collect()}
+    assert {s: out[s].n_rows for s in out} == {
+        "added": 1, "removed": 1, "changed": 1, "same": 1,
+    }
+    # key checksums replay from a hashlib sum of the affected keys
+    def cks(keys):
+        return str(sum(
+            int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) for k in keys
+        ))
+
+    assert out["added"].key_checksum == cks([4])
+    assert out["removed"].key_checksum == cks([1])
+    assert out["changed"].key_checksum == cks([3])
+    assert out["same"].key_checksum == cks([2])
