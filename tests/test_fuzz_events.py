@@ -21,6 +21,8 @@ EVENT_QUERIES = [
     "events_mad_outliers",
     "events_cohort_retention",
     "stream_capped_sessions",
+    # lag-chain ordering under exact-tie timestamps and NULL ts
+    "events_transition_matrix",
 ]
 
 

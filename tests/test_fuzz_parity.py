@@ -113,6 +113,20 @@ DEDUP_FUZZ = [
 ]
 
 
+def test_fuzz_parity_snapshot_diff(spark, fuzz_dir, fuzz_con):
+    """Snapshot diff over the adversarial corpus: md5 fingerprints of
+    unicode/whitespace-degenerate text and the NULL-skipping concat must
+    classify identically on both engines (this corpus yields no 'added'
+    rows — the status set itself is part of parity)."""
+    from kinesis_stream_spark.queries.relational import ORACLE as RORACLE
+    from kinesis_stream_spark.queries.relational import QUERIES as RQUERIES
+
+    name = "integrity_snapshot_diff"
+    s = RQUERIES[name](spark, fuzz_dir).toPandas()
+    o = fuzz_con.execute(RORACLE[name]).fetchdf()
+    _compare_frames(name, s, o)
+
+
 @pytest.mark.parametrize("name", ["text_pii_scrub", "text_decontaminate_overlap"])
 def test_fuzz_parity_regex_families(spark, fuzz_dir, fuzz_con, name):
     """PII regexes and shingle pipelines over adversarial punctuation —
