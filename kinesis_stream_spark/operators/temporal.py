@@ -265,6 +265,70 @@ def multires_rollup(
     )
 
 
+def winsorize_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+) -> DataFrame:
+    """Per-key winsorization: clamp values into the exact
+    [p_low, p_high] percentile band and report, per key, how many rows
+    clamped on each side plus the winsorized sum/mean — the standard
+    robust-feature step before training on heavy-tailed metrics (one
+    sensor glitch or whale user otherwise owns the feature's scale).
+
+    Shape mirrors :func:`mad_outliers`: one exact-percentile aggregate
+    per key, the tiny bounds frame broadcast back to the row scan
+    (rows never shuffle), then one per-key aggregate with exact
+    DECIMAL accumulation for the winsorized sum. At 100 TB swap the
+    exact percentiles for ``approx_percentile`` — the clamp and the
+    aggregate shapes are unchanged. NULL values pass through untouched:
+    excluded from the percentile fit, the clamp counts, and the sums,
+    identically on both engines.
+    """
+    bounds = events.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, {p_low})").alias("lo"),
+        F.expr(f"percentile({value_col}, {p_high})").alias("hi"),
+    )
+    v = F.col(value_col)
+    clamped = events.join(F.broadcast(bounds), key_col).select(
+        key_col,
+        v.alias("v"),
+        # explicit NULL gate: least/greatest SKIP nulls on both engines,
+        # so a bare clamp would resurrect a NULL value as `lo`
+        F.when(
+            v.isNotNull(), F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+        ).alias("wv"),
+        (v < F.col("lo")).cast("long").alias("is_low"),
+        (v > F.col("hi")).cast("long").alias("is_high"),
+        F.col("lo"),
+        F.col("hi"),
+    )
+    agg = clamped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_values"),
+        F.sum("is_low").alias("n_clamped_low"),
+        F.sum("is_high").alias("n_clamped_high"),
+        dsum("wv", "w_sum"),
+        F.min("lo").alias("p_low"),
+        F.min("hi").alias("p_high"),
+    )
+    return agg.select(
+        key_col,
+        "n_rows",
+        "n_clamped_low",
+        "n_clamped_high",
+        "p_low",
+        "p_high",
+        "w_sum",
+        F.when(
+            F.col("n_values") > 0, F.col("w_sum") / F.col("n_values")
+        ).alias("w_mean"),
+    )
+
+
 def mad_outliers(
     events: DataFrame,
     *,

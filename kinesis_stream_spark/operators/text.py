@@ -685,6 +685,38 @@ def domain_cap(
     )
 
 
+def normalize_summary(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Whitespace canonicalization with an audit summary: collapse every
+    whitespace run (tabs, newlines, multi-space) to one space and trim,
+    then report — in ONE aggregate row — how many documents changed, the
+    character volume before/after, and an order-independent checksum of
+    the normalized text. The first step of every text-cleaning pipeline,
+    shipped with the numbers an operator actually reviews before
+    committing the rewrite (and the checksum two runs compare to prove
+    the normalization is deterministic).
+
+    Case mapping is deliberately NOT included: locale-sensitive case
+    folding (ß→SS, Turkish İ) differs across engines and breaks
+    byte-level dedup keys downstream; whitespace canonicalization is the
+    engine-safe core. Map-only scan + one partial-agg row; NULL texts
+    pass through every aggregate untouched on both engines.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select(
+        F.col(text_col).alias("t"), norm.alias("norm")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("norm") != F.col("t"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_changed"),
+        F.coalesce(F.sum(F.length("t")), F.lit(0)).cast("long").alias("chars_before"),
+        F.coalesce(F.sum(F.length("norm")), F.lit(0)).cast("long").alias("chars_after"),
+        F.sum(md5_int64(F.col("norm")).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("norm_checksum"),
+    )
+
+
 def weighted_mixture(
     docs: DataFrame,
     weights: dict[str, float],

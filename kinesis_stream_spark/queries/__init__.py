@@ -30,14 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 # the 36 new round-4 queries (21 from the first half, 12 from the
 # second: gap fill, SCD2, chunk dedup, bloom prefilter, domain cap,
 # SQ8, leakage split, rollup, MAD outliers, LSH recall, capped
-# sessions, referential audit; 5 from the third/fourth phase:
-# weighted mixture, substring decontamination, IVF cluster balance,
-# snapshot diff, transition matrix), then agg_approx_sketches (its
-# widened oracle is the round's one semantic oracle change) and the
-# first udf query fill to 50. The other edited embedding
-# queries (topk_ivf / cosine_pairs / bruteforce / lsh) were
-# re-verified by this round's full sf0.01 + sf0.1 local sweeps and
-# share the guard edit with seven windowed embedding queries.
+# sessions, referential audit; 7 from the later phases: weighted
+# mixture, substring decontamination, IVF cluster balance, snapshot
+# diff, transition matrix, winsorized stats, normalize summary) —
+# exactly 50 never-driver-verified queries. Everything edited this
+# round (the widened sketch oracle, the corrupt-vector guard family)
+# sits just past the cut, re-verified by this round's full sf0.01 +
+# sf0.1 local sweeps.
 # Past the cut: streaming_batch, multimodal, scalar, dedup, similarity
 # bruteforce/LSH, the r2 text family, and all of relational — every one
 # re-verified this round by full sf0.01 AND sf0.1 driver_sim sweeps.
@@ -88,17 +87,21 @@ _PRIORITY = (
     "dedup_lsh_recall",
     "stream_capped_sessions",
     "integrity_referential_audit",
-    # new in the third phase of round 4 (never driver-verified)
+    # new in the third/fourth/fifth phases of round 4 (never
+    # driver-verified)
     "text_weighted_mixture",
     "text_substring_decontaminate",
     "similarity_cluster_balance",
     "integrity_snapshot_diff",
     "events_transition_matrix",
-    # edited this round: the widened sketch oracle is the one semantic
-    # change a local sweep can't stand in for; topk_ivf and
-    # cosine_pairs share only the corrupt-vector guard, which seven
-    # other windowed embedding queries exercise through the same _emb
-    # edge, so their slots go to the never-verified additions
+    "events_winsorized_stats",
+    "text_normalize_summary",
+    # edited this round, re-verified by the full sf0.01 + sf0.1 local
+    # sweeps but displaced past the cut by the never-verified additions
+    # (rotation policy: never-verified first): agg_approx_sketches
+    # (widened oracle), topk_ivf / cosine_pairs / bruteforce / lsh
+    # (corrupt-vector guard, also exercised by seven windowed embedding
+    # queries through the same _emb edge)
     "agg_approx_sketches",
     # longest-unverified r2 families, oldest edits first
     "udf_scalar_price_band",

@@ -185,3 +185,41 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(load_table(spark, sf_dir, "events")).orderBy(
         "from_state", "to_state"
     )
+
+
+@_q(
+    "events_winsorized_stats",
+    """
+    WITH bounds AS (
+      SELECT event_type, QUANTILE_CONT(value, 0.05) AS lo,
+             QUANTILE_CONT(value, 0.95) AS hi
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT e.event_type, e.value AS v,
+             CASE WHEN e.value IS NULL THEN NULL
+                  ELSE LEAST(GREATEST(e.value, b.lo), b.hi) END AS wv,
+             CAST(e.value < b.lo AS BIGINT) AS is_low,
+             CAST(e.value > b.hi AS BIGINT) AS is_high,
+             b.lo, b.hi
+      FROM events e JOIN bounds b USING (event_type))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_low) AS BIGINT) AS n_clamped_low,
+           CAST(SUM(is_high) AS BIGINT) AS n_clamped_high,
+           MIN(lo) AS p_low, MIN(hi) AS p_high,
+           CAST(SUM(CAST(wv AS DECIMAL(27,6))) AS DOUBLE) AS w_sum,
+           CASE WHEN COUNT(v) > 0
+                THEN CAST(SUM(CAST(wv AS DECIMAL(27,6))) AS DOUBLE) / COUNT(v)
+           END AS w_mean
+    FROM c GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization report: exact p05/p95 bounds, clamp
+    counts on each side, and the winsorized sum/mean under exact-decimal
+    accumulation. The oracle replays the percentile fit, the NULL-gated
+    clamp, and the decimal sums."""
+    from kinesis_stream_spark.operators.temporal import winsorize_stats
+
+    return winsorize_stats(load_table(spark, sf_dir, "events")).orderBy("event_type")

@@ -703,3 +703,32 @@ def text_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", _SUB_PROBE_OFF, _SUB_PROBE_LEN).alias("probe"),
     )
     return exact_substring_decontaminate(docs, probes).orderBy("doc_id")
+
+
+@_q(
+    "text_normalize_summary",
+    f"""
+    WITH n AS (
+      SELECT text AS t,
+             TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN norm <> t THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_changed,
+           CAST(COALESCE(SUM(LENGTH(t)), 0) AS BIGINT) AS chars_before,
+           CAST(COALESCE(SUM(LENGTH(norm)), 0) AS BIGINT) AS chars_after,
+           CAST(SUM(CAST({sql_md5_int64("norm")} AS DECIMAL(38,0)))
+             AS VARCHAR) AS norm_checksum
+    FROM n
+    """,
+)
+def text_normalize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace canonicalization audit: one summary row with changed-doc
+    count, char volume before/after, and an order-independent checksum of
+    the normalized text (two runs compare it to prove determinism). The
+    interesting inputs — tabs, newlines, multi-space runs, unicode — are
+    exercised by the fuzz-parity corpus; the clean token-soup corpus
+    normalizes to itself, which the zero n_changed here certifies."""
+    from kinesis_stream_spark.operators.text import normalize_summary
+
+    return normalize_summary(load_table(spark, sf_dir, "documents"))

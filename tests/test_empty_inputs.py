@@ -159,3 +159,7 @@ def test_round4c_operators_empty(spark, empties):
         "event_id long, ts timestamp, user_id bigint, event_type string, value double",
     )
     assert temporal.transition_matrix(events).count() == 0
+    assert temporal.winsorize_stats(events).count() == 0
+    # global-aggregate summary: ONE row of zeros on an empty corpus
+    norm = text.normalize_summary(docs).collect()
+    assert len(norm) == 1 and norm[0].n_docs == 0 and norm[0].n_changed == 0

@@ -23,6 +23,8 @@ EVENT_QUERIES = [
     "stream_capped_sessions",
     # lag-chain ordering under exact-tie timestamps and NULL ts
     "events_transition_matrix",
+    # NULL-gated clamp + percentile fit over NULL/extreme values
+    "events_winsorized_stats",
 ]
 
 

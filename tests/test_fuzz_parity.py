@@ -37,6 +37,8 @@ FUZZ_QUERIES = [
     # unicode substring/probe parity: instr vs STRPOS found/not-found and
     # SUBSTR character counting must agree over multi-byte text
     "text_substring_decontaminate",
+    # tabs/newlines/multi-space actually normalize here (n_changed > 0)
+    "text_normalize_summary",
 ]
 
 

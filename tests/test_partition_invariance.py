@@ -36,6 +36,7 @@ SENSITIVE = [
     "integrity_referential_audit",  # anti-join counts + coverage divide
     "similarity_cluster_balance",  # kmeans chain + exact sum-of-squares ratios
     "events_transition_matrix",  # lag-chain ordering + row-normalizing divide
+    "events_winsorized_stats",  # percentile fit + clamped decimal sums
 ]
 
 

@@ -359,3 +359,27 @@ def test_snapshot_diff_joins_on_key_without_nested_loops(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan
+
+
+def test_winsorize_bounds_broadcast_rows_never_shuffle(spark, sf_dir):
+    from kinesis_stream_spark.operators.temporal import winsorize_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _explain(winsorize_stats(ev))
+    # the per-key bounds frame broadcasts back to the row scan; the fact
+    # rows must never sort-merge against it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_normalize_summary_single_scan_single_exchange(spark, sf_dir):
+    import re
+
+    from kinesis_stream_spark.operators.text import normalize_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(normalize_summary(docs))
+    # map-only normalize + one global aggregate: partial agg per
+    # partition, ONE single-partition exchange carrying one row each
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 1, plan

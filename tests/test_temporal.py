@@ -189,3 +189,29 @@ def test_snapshot_diff_hand_checked(spark):
     assert out["removed"].key_checksum == cks([1])
     assert out["changed"].key_checksum == cks([3])
     assert out["same"].key_checksum == cks([2])
+
+
+def test_winsorize_stats_hand_checked(spark):
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import winsorize_stats
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, "a", t, float(i)) for i in range(101)]  # 0..100
+    rows.append((200, "a", t, 1000.0))  # asymmetric tail
+    rows.append((201, "a", t, None))  # NULL passes through untouched
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    r = winsorize_stats(ev).collect()[0]
+    # 102 non-null values 0..100,1000: p05 interpolates to 5.05, p95 to
+    # 95.95 (up to interpolation ulps)
+    assert r.n_rows == 103
+    assert abs(r.p_low - 5.05) < 1e-9 and abs(r.p_high - 95.95) < 1e-9
+    assert r.n_clamped_low == 6  # 0..5
+    assert r.n_clamped_high == 6  # 96..100, 1000
+    # winsorized sum ≈ 6*p05 + sum(6..95) + 6*p95 (NULL contributes
+    # nothing; DECIMAL(27,6) accumulation quantizes each clamped value)
+    expected = 6 * 5.05 + sum(range(6, 96)) + 6 * 95.95
+    assert abs(r.w_sum - expected) < 1e-4
+    assert r.w_mean == r.w_sum / 102

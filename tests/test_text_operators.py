@@ -165,3 +165,22 @@ def test_exact_substring_decontaminate_hand_checked(spark):
     assert out[1].n_probes_hit == 1 and out[1].first_probe_id == 10
     assert out[2].n_probes_hit == 0 and out[2].first_probe_id is None
     assert out[3].n_probes_hit == 2 and out[3].first_probe_id == 10
+
+
+def test_normalize_summary_hand_checked(spark):
+    from kinesis_stream_spark.operators.text import normalize_summary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\tb\nc"),      # tabs/newlines collapse: "a b c"
+            (2, "  x  y  "),     # runs collapse + trim: "x y"
+            (3, "clean text"),   # already canonical
+            (4, None),           # NULL stays NULL everywhere
+        ],
+        "doc_id long, text string",
+    )
+    r = normalize_summary(docs).collect()[0]
+    assert r.n_docs == 4
+    assert r.n_changed == 2
+    assert r.chars_before == len("a\tb\nc") + len("  x  y  ") + len("clean text")
+    assert r.chars_after == len("a b c") + len("x y") + len("clean text")
