@@ -24,6 +24,8 @@ EMB_QUERIES = [
     "similarity_semantic_dedup",
     "similarity_topk_sq8",
     "dedup_embedding_cosine_pairs",
+    # balance ratios must survive corrupt rows being guarded out
+    "similarity_cluster_balance",
 ]
 
 
