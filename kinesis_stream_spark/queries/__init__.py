@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 # the full inventory at sf0.01 AND sf0.1.
 #
 # Round 4 window (first 50): the 10 round-3 never-verified queries and
-# the 36 new round-4 queries (21 from the first half, 12 from the
+# the 40 new round-4 queries (21 from the first half, 12 from the
 # second: gap fill, SCD2, chunk dedup, bloom prefilter, domain cap,
 # SQ8, leakage split, rollup, MAD outliers, LSH recall, capped
 # sessions, referential audit; 7 from the later phases: weighted
