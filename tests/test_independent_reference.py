@@ -423,3 +423,98 @@ def test_cluster_balance_arithmetic_consistency(spark):
         assert r.list_frac == r.n_members / float(total)
         assert abs(r.imbalance - expected_imb) < 1e-12
         assert r.imbalance >= 1.0 - 1e-12  # Cauchy-Schwarz lower bound
+
+
+def test_transition_matrix_vs_python_replay(spark):
+    """Transition counts against a dict-based fold over per-user
+    time-sorted sequences (same (ts, id) tiebreak), independent of both
+    the window plan and the SQL oracle."""
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import transition_matrix
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 4, 1)
+    rows = []
+    for eid in range(200):
+        rows.append(
+            (
+                eid,
+                base + dt.timedelta(seconds=rng.randint(0, 50)),  # many ties
+                rng.randint(1, 5),
+                rng.choice(["a", "b", "c"]),
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.from_state, r.to_state): (r.n_transitions, r.prob)
+        for r in transition_matrix(ev).collect()
+    }
+
+    per_user: dict[int, list] = {}
+    for eid, ts, uid, et in rows:
+        per_user.setdefault(uid, []).append((ts, eid, et))
+    counts: dict[tuple, int] = {}
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, prev), (_, _, cur) in zip(seq, seq[1:]):
+            counts[(prev, cur)] = counts.get((prev, cur), 0) + 1
+    from_totals: dict[str, int] = {}
+    for (f, _), n in counts.items():
+        from_totals[f] = from_totals.get(f, 0) + n
+    want = {k: (n, n / from_totals[k[0]]) for k, n in counts.items()}
+    assert got == want
+
+
+def test_snapshot_diff_statuses_partition_key_universe(spark):
+    """Property: the four statuses partition old ∪ new exactly — counts
+    sum to the key-universe size and no key is double-classified,
+    for any random pair of snapshots."""
+    from kinesis_stream_spark.operators.profile import snapshot_diff
+
+    rng = random.Random(13)
+    universe = list(range(120))
+    old_keys = sorted(rng.sample(universe, 80))
+    new_keys = sorted(rng.sample(universe, 80))
+    old = spark.createDataFrame(
+        [(k, f"v{k % 7}") for k in old_keys], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(k, f"v{k % 7}" if k % 4 else "mutated") for k in new_keys],
+        "doc_id long, fp string",
+    )
+    rows = {r.status: r.n_rows for r in snapshot_diff(old, new).collect()}
+    o, n = set(old_keys), set(new_keys)
+    assert rows.get("added", 0) == len(n - o)
+    assert rows.get("removed", 0) == len(o - n)
+    both = o & n
+    changed = {k for k in both if (k % 4 == 0)}
+    assert rows.get("changed", 0) == len(changed)
+    assert rows.get("same", 0) == len(both) - len(changed)
+    assert sum(rows.values()) == len(o | n)
+
+
+def test_weighted_mixture_row_count_identity(spark):
+    """Property: the exploded output has exactly sum(n_copies) rows and
+    every doc's copies agree on n_copies — for random weights."""
+    from kinesis_stream_spark.operators.text import weighted_mixture
+
+    rng = random.Random(29)
+    docs = spark.createDataFrame(
+        [(i, f"s{rng.randint(0, 4)}") for i in range(100)],
+        "doc_id long, source string",
+    )
+    weights = {f"s{j}": rng.choice([0.0, 0.4, 1.0, 1.7, 3.25]) for j in range(4)}
+    out = weighted_mixture(docs, weights, stratum_col="source").collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    total = 0
+    for rows in per_doc.values():
+        n = rows[0].n_copies
+        assert all(r.n_copies == n for r in rows)
+        assert sorted(r.copy_idx for r in rows) == list(range(1, n + 1))
+        total += n
+    assert total == len(out)
