@@ -28,14 +28,21 @@ def sql_md5_int64(expr: str, seed: int | None = None) -> str:
     return f"CAST(('0x' || SUBSTR(MD5({s}), 1, 15)) AS BIGINT)"
 
 
+#: Whitespace class spelled out: Java's ``\s`` matches vertical tab
+#: (\x0B) but RE2's (DuckDB) does not — a bare ``\s`` silently diverges
+#: the engines on any document containing \x0B. The explicit class is
+#: exactly Java's ``\s`` and means the same thing to RE2.
+WS_RUN = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization (documents are space-joined token soup)."""
-    return F.split(col, r"\s+")
+    return F.split(col, WS_RUN)
 
 
 def sql_tokens(expr: str) -> str:
     """DuckDB twin of :func:`tokens`."""
-    return f"REGEXP_SPLIT_TO_ARRAY({expr}, '\\s+')"
+    return f"REGEXP_SPLIT_TO_ARRAY({expr}, '{WS_RUN}')"
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -45,7 +52,7 @@ def shingles(col: Column, n: int = 3) -> Column:
     — pure JVM array ops, no explode until the caller wants one.
     """
     toks = tokens(col)
-    return F.array_distinct(
+    sh = F.array_distinct(
         F.when(
             F.size(toks) >= n,
             F.transform(
@@ -53,6 +60,12 @@ def shingles(col: Column, n: int = 3) -> Column:
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             ),
         ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+    # NULL text → EMPTY shingle set (matching DuckDB's comprehension over
+    # a NULL list), not [NULL]: a phantom NULL gram would survive the
+    # explode and fabricate a (doc, gram) row the oracle never sees
+    return F.when(col.isNotNull(), sh).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -41,8 +41,12 @@ DEFAULT_BANDS = 4
 
 
 def normalized_text(col: Column) -> Column:
-    """Canonical form for exact dedup: casefold + whitespace collapse."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Canonical form for exact dedup: casefold + whitespace collapse.
+    Uses the explicit whitespace class (functions/hashing.py WS_RUN):
+    Java's \\s matches \\x0B, RE2's does not."""
+    from kinesis_stream_spark.functions.hashing import WS_RUN
+
+    return F.trim(F.regexp_replace(F.lower(col), WS_RUN, " "))
 
 
 def exact_dedup(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

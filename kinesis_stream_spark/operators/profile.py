@@ -81,12 +81,24 @@ def snapshot_diff(
     more than a partition of keys; at 100 TB this is two scans + one
     co-partitioned join.
     """
-    o = old.select(F.col(key_col).alias("k"), F.col(fingerprint_col).alias("ofp"))
-    n = new.select(F.col(key_col).alias("k"), F.col(fingerprint_col).alias("nfp"))
+    # presence flags, NOT fingerprint nullness, decide added/removed: a
+    # NULL fingerprint (e.g. md5 of a NULL text) is a legitimate row
+    # value and must not masquerade as a missing side; changed/same then
+    # compare fingerprints null-safely (NULL vs NULL is 'same').
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(fingerprint_col).alias("ofp"),
+        F.lit(True).alias("in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(fingerprint_col).alias("nfp"),
+        F.lit(True).alias("in_new"),
+    )
     status = (
-        F.when(F.col("ofp").isNull(), "added")
-        .when(F.col("nfp").isNull(), "removed")
-        .when(F.col("ofp") != F.col("nfp"), "changed")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(~F.col("ofp").eqNullSafe(F.col("nfp")), "changed")
         .otherwise("same")
     )
     from kinesis_stream_spark.functions.hashing import md5_int64

@@ -27,7 +27,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesis_stream_spark.functions.hashing import md5_int64, sql_md5_int64, sql_tokens, tokens
+from kinesis_stream_spark.functions.hashing import (
+    WS_RUN,
+    md5_int64,
+    sql_md5_int64,
+    sql_tokens,
+    tokens,
+)
 from kinesis_stream_spark.sources.batch import spread
 
 # --- language ID -------------------------------------------------------------
@@ -49,7 +55,7 @@ STOPWORDS: tuple[str, ...] = tuple(sorted({w for ws in LANG_MARKERS.values() for
 
 # BPE-ish subword pattern: runs of letters, runs of digits, or a single
 # other non-space char — a deterministic stand-in for a real BPE vocab.
-BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
 
 FP_MOD = 2_147_483_648  # 2^31: keeps 31*h + t < 2^63 (no BIGINT overflow)
 FP_TOKEN_MOD = 1_048_576  # 2^20 per-token hash contribution
@@ -181,6 +187,10 @@ def winnowed_fingerprints(
     of each sliding window of `window` grams, emit the distinct sorted
     mins. Robust to local edits; the standard plagiarism/near-dup
     fingerprint. Output is array<bigint> per doc.
+
+    NULL-text documents carry no token sequence and are DROPPED (the
+    posexplode emits no rows for them) — callers wanting a row per doc
+    left-join back; the query oracle filters the same way.
 
     Shape: posexplode tokens → gram hash via lead() → sliding min via a
     rows-frame window → collect per doc. One hash per gram. The nested
@@ -626,9 +636,11 @@ def sql_count_in_set(toks_expr: str, words: tuple[str, ...]) -> str:
 def sql_rolling_fingerprint(text_expr: str) -> str:
     """DuckDB twin of :func:`rolling_fingerprint` (fold with explicit
     init via a prepended zero — LIST_REDUCE seeds from the first
-    element)."""
+    element). NULL text folds to NULL like the Spark aggregate — without
+    the gate, ``[0] || NULL`` is ``[0]`` and DuckDB would report 0."""
     hashes = f"LIST_TRANSFORM({sql_tokens(text_expr)}, t -> {sql_md5_int64('t')} % {FP_TOKEN_MOD})"
-    return f"LIST_REDUCE([CAST(0 AS BIGINT)] || {hashes}, (acc, x) -> (acc * 31 + x) % {FP_MOD})"
+    fold = f"LIST_REDUCE([CAST(0 AS BIGINT)] || {hashes}, (acc, x) -> (acc * 31 + x) % {FP_MOD})"
+    return f"(CASE WHEN ({text_expr}) IS NULL THEN NULL ELSE {fold} END)"
 
 
 def sql_winnowed_fingerprints(text_expr: str, *, k: int = 3, window: int = 4) -> str:
@@ -701,7 +713,7 @@ def normalize_summary(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     engine-safe core. Map-only scan + one partial-agg row; NULL texts
     pass through every aggregate untouched on both engines.
     """
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.col(text_col), WS_RUN, " "))
     return docs.select(
         F.col(text_col).alias("t"), norm.alias("norm")
     ).agg(
@@ -798,7 +810,12 @@ def exact_substring_decontaminate(
     hits = corpus.join(F.broadcast(probes)).select(
         F.col(id_col),
         F.col(probe_id_col),
-        (F.instr(F.col(text_col), F.col(probe_col)) > 0).alias("hit"),
+        # NULL gate: instr(NULL, p) is NULL, and a SUM over an all-NULL
+        # group is NULL — a NULL-text document must report 0 hits
+        # (clean), matching the oracle's CASE ... ELSE 0 arithmetic
+        F.coalesce(
+            F.instr(F.col(text_col), F.col(probe_col)) > 0, F.lit(False)
+        ).alias("hit"),
     )
     return hits.groupBy(id_col).agg(
         F.sum(F.col("hit").cast("long")).alias("n_probes_hit"),

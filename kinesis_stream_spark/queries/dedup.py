@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.functions.hashing import (
+    WS_RUN,
     sql_md5_int64,
     sql_shingles,
     sql_tokens,
@@ -61,7 +62,7 @@ def _with_exact_copies(docs: DataFrame) -> DataFrame:
 def _with_truncated_copies(docs: DataFrame) -> DataFrame:
     """documents ∪ tail-truncated copies (last 3 tokens dropped): J<1 —
     exercises the near-dup (not identical) path of MinHash-LSH."""
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), WS_RUN)
     trunc = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ")
     return docs.select("doc_id", "text").unionAll(
         docs.select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), trunc.alias("text"))
@@ -129,7 +130,7 @@ def _sql_minhash_pipeline(input_cte: str, threshold: float) -> str:
 @_q(
     "dedup_exact_hash",
     """
-    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash,
+    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS content_hash,
            MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
     FROM (SELECT doc_id, text FROM documents
           UNION ALL
@@ -288,7 +289,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same components with a recursive CTE — cluster membership, not just
     counts, must agree."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), WS_RUN)
 
     def trunc(n: int) -> DataFrame:
         cut = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - n, F.lit(1))), " ")
@@ -331,7 +332,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "id_a", "id_b")
 
 
-_NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
+_NORM_HASH = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
 
 
 def _sql_dedup_pipeline() -> str:
@@ -387,7 +388,7 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_spark.operators.dedup import dedup_pipeline
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), WS_RUN)
     trunc = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ")
     docs3 = (
         docs.select("doc_id", "text")
@@ -445,7 +446,7 @@ def dedup_containment_prefix_copies(spark: SparkSession, sf_dir: str) -> DataFra
     from kinesis_stream_spark.operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), WS_RUN)
     half_len = F.floor((F.size(toks) + 1) / 2).cast("int")
     half = docs.select(
         "lang",
@@ -745,7 +746,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_spark.operators.dedup import lsh_pair_recall
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), WS_RUN)
     trunc = F.array_join(
         F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
     )

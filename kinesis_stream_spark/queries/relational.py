@@ -2348,17 +2348,21 @@ def _sql_snapshot_diff() -> str:
     )
     return f"""
     WITH old_snap AS (
-      SELECT doc_id AS k, MD5(CONCAT_WS('|', text, lang, source)) AS ofp
+      SELECT doc_id AS k, MD5(CONCAT_WS('|', text, lang, source)) AS ofp,
+             TRUE AS in_old
       FROM documents WHERE doc_id < 400),
     new_snap AS (
       SELECT doc_id AS k,
-             MD5(CONCAT_WS('|', {mutated}, lang, source)) AS nfp
+             MD5(CONCAT_WS('|', {mutated}, lang, source)) AS nfp,
+             TRUE AS in_new
       FROM documents WHERE doc_id >= 100),
     j AS (
+      -- presence flags, not fingerprint nullness (a NULL fingerprint is
+      -- a row value); changed/same compare null-safely
       SELECT COALESCE(o.k, n.k) AS k,
-             CASE WHEN o.ofp IS NULL THEN 'added'
-                  WHEN n.nfp IS NULL THEN 'removed'
-                  WHEN o.ofp <> n.nfp THEN 'changed'
+             CASE WHEN o.in_old IS NULL THEN 'added'
+                  WHEN n.in_new IS NULL THEN 'removed'
+                  WHEN o.ofp IS DISTINCT FROM n.nfp THEN 'changed'
                   ELSE 'same' END AS status
       FROM old_snap o FULL JOIN new_snap n ON o.k = n.k)
     SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,

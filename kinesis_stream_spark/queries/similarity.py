@@ -555,8 +555,10 @@ def _sql_cluster_balance(k: int = 4, iterations: int = 2) -> str:
       FROM assigned GROUP BY cid
     ),
     totals AS (
+      -- product in HUGEINT: a BIGINT n*n wraps past n ~ 3e9 members in
+      -- one list, the exact regime the Spark side's DECIMAL sum covers
       SELECT CAST(SUM(n_members) AS BIGINT) AS nt,
-             CAST(SUM(n_members * n_members) AS HUGEINT) AS ss,
+             SUM(CAST(n_members AS HUGEINT) * n_members) AS ss,
              CAST(COUNT(*) AS BIGINT) AS ka
       FROM sizes
     )

@@ -150,6 +150,7 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH fp AS (
       SELECT doc_id, {sql_winnowed_fingerprints('text')} AS fps FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT doc_id,
            LEN(fps) AS n_fps,
@@ -250,7 +251,7 @@ def _sql_curation_pipeline(threshold: float = 0.65) -> str:
       WHERE quality_score >= {threshold}
     ),
     deduped AS (
-      SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS h,
+      SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS h,
              MIN(doc_id) AS kept_id
       FROM kept GROUP BY 1
     )
@@ -710,7 +711,7 @@ def text_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH n AS (
       SELECT text AS t,
-             TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS norm
+             TRIM(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
       FROM documents)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COALESCE(SUM(CASE WHEN norm <> t THEN 1 ELSE 0 END), 0)

@@ -46,20 +46,25 @@ def _corpus() -> pd.DataFrame:
     rng = random.Random(42)
     alphabet = list(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-        " \t\n.,;:!?#@%&*()[]{}'\"-_/\\+=<>|~^"
+        " \t\n\x0b\f\r.,;:!?#@%&*()[]{}'\"-_/\\+=<>|~^"
     ) + list("äöüßéèñçλπ中文日本")
     texts = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
         for _ in range(150)
     ]
-    texts += ["", " ", "   ", "\t\t", "\n", "a", " a ", "a  b", "ä ö", "中 文"]
+    # \x0B (vertical tab) is the char where Java's \s and RE2's \s
+    # disagree — the explicit WS_RUN class exists because of it
+    texts += ["", " ", "   ", "\t\t", "\n", "a", " a ", "a  b", "ä ö", "中 文",
+              "a\x0bb", "\x0b", "x \x0b\x0b y", None]
     return pd.DataFrame(
         {
             "doc_id": range(len(texts)),
             "text": texts,
-            "lang": ["en", "de", "es", "fr", "zh"] * (len(texts) // 5),
+            "lang": (["en", "de", "es", "fr", "zh"] * ((len(texts) + 4) // 5))[
+                : len(texts)
+            ],
             "source": "fuzz",
-            "n_chars": [len(t) for t in texts],
+            "n_chars": [len(t) if t is not None else None for t in texts],
         }
     )
 
