@@ -601,6 +601,7 @@ def containment_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Shingle CONTAINMENT near-dup: |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)
     over n-gram shingle sets, within blocking groups. This is the
@@ -614,9 +615,19 @@ def containment_pairs(
     Same sparse-join shape as :func:`ngram_jaccard_pairs` (explode
     shingles, equi-join on (group, gram), intersection from a count,
     sizes joined back): only gram-sharing pairs materialize, and the one
-    float op is the final divide by an integer min. Scale knobs carry
-    over — block on group_cols, cap gram df if a corpus has hot
-    boilerplate shingles.
+    float op is the final divide by an integer min.
+
+    ``max_df`` is the same 100 TB knob as in
+    :func:`ngram_jaccard_pairs`: a boilerplate shingle shared by m
+    documents of a group (cookie banner, license header) materializes
+    m² join rows on one key — the exact skew class the cap exists for.
+    Grams appearing in more than ``max_df`` documents are dropped from
+    the JOIN side only; |S(A)| and |S(B)| still come from the
+    unfiltered shingle sets, so capped containment is a strict
+    underestimate — it can only drop borderline pairs, never invent
+    one. (Shingles are per-document distinct, so a gram's row count IS
+    its document frequency.) ``None`` keeps exact semantics; production
+    runs on crawl corpora should set it.
     """
     from kinesis_stream_spark.functions.hashing import shingles
 
@@ -625,6 +636,13 @@ def containment_pairs(
     ).select(*group_cols, "id", shingles(F.col(text_col), n).alias("sh"))
     sizes = base.select(*group_cols, "id", F.size("sh").alias("sz"))
     gram = base.select(*group_cols, "id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        # one extra shuffle on (group, gram) — cheap next to the
+        # quadratic pair blowup the cap prevents
+        w_df = Window.partitionBy(*group_cols, "g")
+        gram = gram.withColumn("_df", F.count(F.lit(1)).over(w_df)).where(
+            F.col("_df") <= max_df
+        ).drop("_df")
     x, y = gram.alias("x"), gram.alias("y")
     cond = (F.col("x.id") < F.col("y.id")) & (F.col("x.g") == F.col("y.g"))
     for c in group_cols:

@@ -405,6 +405,14 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pipeline(docs3, threshold=0.5).orderBy("doc_id")
 
 
+# Hot-gram cap for the containment query. 3 is deliberately tight for
+# the synthetic corpus (max union df is 4) so the cap path is exercised
+# cross-engine: ~10 borderline pairs drop at sf0.01 and both engines
+# must agree on exactly which. Production crawl corpora would use a
+# larger absolute cap; what matters at 100 TB is that it exists.
+_CONTAIN_MAX_DF = 3
+
+
 @_q(
     "dedup_containment_prefix_copies",
     f"""
@@ -420,10 +428,16 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT lang, source, doc_id AS id, {sql_shingles('text', 3)} AS sh
            FROM docs),
     g AS (SELECT lang, source, id, t.g FROM sh, UNNEST(sh) AS t(g)),
+    -- max_df hot-gram cap (join side only; sizes stay unfiltered) —
+    -- QUALIFY is DuckDB's twin of Spark's count-over-window filter
+    gc AS (
+      SELECT * FROM g
+      QUALIFY COUNT(*) OVER (PARTITION BY lang, source, g) <= {_CONTAIN_MAX_DF}
+    ),
     inter AS (
       SELECT x.lang, x.source, x.id AS id_a, y.id AS id_b,
              CAST(COUNT(*) AS BIGINT) AS inter
-      FROM g x JOIN g y
+      FROM gc x JOIN gc y
         ON x.lang = y.lang AND x.source = y.source
        AND x.g = y.g AND x.id < y.id
       GROUP BY 1, 2, 3, 4
@@ -441,8 +455,9 @@ def dedup_containment_prefix_copies(spark: SparkSession, sf_dir: str) -> DataFra
     half-doc's shingles are all present in its original, so containment
     is exactly 1.0 while Jaccard sits near 0.5 — the subset-duplication
     case (quote-in-page, truncated re-crawl) a Jaccard threshold never
-    fires on. Blocked on (lang, source); same sparse gram join as the
-    Jaccard operator, oracle replays the identical pipeline."""
+    fires on. Blocked on (lang, source) with the ``max_df`` hot-gram cap
+    on (the 100 TB boilerplate-skew guard); same sparse gram join as the
+    Jaccard operator, oracle replays the identical capped pipeline."""
     from kinesis_stream_spark.operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -456,7 +471,7 @@ def dedup_containment_prefix_copies(spark: SparkSession, sf_dir: str) -> DataFra
     )
     both = docs.select("lang", "source", "doc_id", "text").unionAll(half)
     return containment_pairs(
-        both, ["lang", "source"], threshold=0.9, n=3
+        both, ["lang", "source"], threshold=0.9, n=3, max_df=_CONTAIN_MAX_DF
     ).orderBy("lang", "source", "id_a", "id_b")
 
 

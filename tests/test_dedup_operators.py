@@ -65,6 +65,73 @@ def test_ngram_jaccard_sizes_join_not_hinted_broadcast(spark):
     assert "UnresolvedHint broadcast" not in plan
 
 
+def test_containment_max_df_drops_hot_shingle_pairs(spark):
+    # the boilerplate banner "click here to accept cookies now" opens
+    # every doc (each of its shingles has df=4 > max_df=3) and is the
+    # ONLY overlap between docs 3 and 4 — with the cap their pair must
+    # disappear. Doc 2 is a true prefix of doc 1: uncapped containment
+    # is 1.0; capped drops the 4 banner shingles from the NUMERATOR only
+    # (doc 2 keeps all 8 shingles in the denominator) → exactly 4/8 —
+    # the documented strict-underestimate, not a silent re-normalization.
+    from kinesis_stream_spark.operators.dedup import containment_pairs
+
+    banner = "click here to accept cookies now"
+    rows = [
+        (1, "en", banner + " quick brown fox jumps over the lazy dog"),
+        (2, "en", banner + " quick brown fox jumps"),
+        (3, "en", banner + " alpha beta gamma delta"),
+        (4, "en", banner + " epsilon zeta eta theta"),
+    ]
+    docs = _docs(spark, rows)
+    un = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, ["lang"], threshold=0.0).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs, ["lang"], threshold=0.0, max_df=3
+        ).collect()
+    }
+    assert (3, 4) in un and (3, 4) not in cap
+    assert un[(1, 2)] == 1.0
+    assert cap[(1, 2)] == 0.5
+    # strict underestimate: no new pairs, no score ever rises
+    assert set(cap) <= set(un)
+    for pair, c in cap.items():
+        assert c <= un[pair] + 1e-12
+
+
+def test_containment_sizes_unaffected_by_cap(spark):
+    # sizes come from the UNFILTERED shingle sets: a pair sharing both
+    # hot and unique shingles keeps its denominator, so only the
+    # intersection shrinks under the cap
+    from kinesis_stream_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "en", "common one two three unique alpha beta gamma"),
+        (2, "en", "common one two three unique delta epsilon zeta"),
+        (3, "en", "common one two three othera otherb otherc otherd"),
+        (4, "en", "common one two three othere otherf otherg otherh"),
+    ]
+    docs = _docs(spark, rows)
+    un = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, ["lang"], threshold=0.0).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs, ["lang"], threshold=0.0, max_df=3
+        ).collect()
+    }
+    # every doc shares the df=4 "common one two three" shingle run; the
+    # capped intersection drops exactly those grams while min(|A|,|B|)
+    # is unchanged, so every capped score is strictly below uncapped
+    for pair in cap:
+        assert cap[pair] < un[pair]
+
+
 def test_connected_components_transitive_chain(spark):
     # chain 1-2-3 plus isolated pair 10-11: labels must propagate
     # transitively (1,2,3 → comp 1) without merging the other component

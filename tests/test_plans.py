@@ -231,6 +231,13 @@ def test_containment_pairs_no_cartesian(spark, sf_dir):
     # regression to a cartesian/theta join is the 100 TB killer here
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # with the hot-gram cap the df count-over-window must sit BEFORE the
+    # self-join (both join inputs are the capped gram stream): the plan
+    # gains Window nodes and stays equi-join-only
+    capped = _explain(containment_pairs(docs, ["lang", "source"], max_df=3))
+    assert ") Window" in capped
+    assert "CartesianProduct" not in capped
+    assert "BroadcastNestedLoopJoin" not in capped
 
 
 def test_token_rarity_rank_join_broadcasts_vocab(spark, sf_dir):
