@@ -185,15 +185,20 @@ def transition_matrix(
     aggregate on the (from, to) pair — the output is |states|² rows, so
     everything after the window is driver-trivial. Ordering is
     (epoch-micros, event id): the id tiebreak makes same-timestamp
-    bursts deterministic on both engines. NULL timestamps are excluded
-    by the same contract as every ordered temporal operator here
-    (engines disagree on NULL sort placement); first-event rows (no
-    predecessor) and rows whose predecessor state is NULL drop with the
-    ``from_state IS NOT NULL`` filter, identically in the oracle.
-    ``prob`` is one IEEE divide of two exact integers.
+    bursts deterministic on both engines, and its null placement is
+    pinned explicitly (``asc_nulls_last`` ↔ ``NULLS LAST``) — Spark
+    sorts NULLs first by default while DuckDB sorts them last, so a
+    NULL id under a timestamp tie would otherwise silently diverge the
+    lag chain. NULL timestamps are excluded by the same contract as
+    every ordered temporal operator here (engines disagree on NULL sort
+    placement); first-event rows (no predecessor) and rows whose
+    predecessor state is NULL drop with the ``from_state IS NOT NULL``
+    filter, identically in the oracle. ``prob`` is one IEEE divide of
+    two exact integers.
     """
     w = Window.partitionBy(key_col).orderBy(
-        F.expr(f"unix_micros(cast({ts_col} as timestamp))"), F.col(id_col)
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))"),
+        F.col(id_col).asc_nulls_last(),
     )
     steps = (
         events.where(F.col(ts_col).isNotNull())
@@ -287,6 +292,18 @@ def winsorize_stats(
     aggregate shapes are unchanged. NULL values pass through untouched:
     excluded from the percentile fit, the clamp counts, and the sums,
     identically on both engines.
+
+    Cross-engine divergence surface (documented like the DECIMAL-cast
+    tie note in ``queries/_util.py``): Spark's exact ``percentile`` and
+    DuckDB's ``QUANTILE_CONT`` both interpolate at rank p·(n−1), but in
+    separately-implemented double arithmetic — an adversarial value set
+    can land the two interpolations one ulp apart, and a bound that
+    differs in the last bit can flip a row's clamp decision and fail a
+    bitwise parity compare. The driver corpus and fuzz sets don't sit
+    on such edges (values are round decimals); a consumer needing
+    bit-stable bounds across engines should quantize the fitted bounds
+    through fixed-point (as the centroid math does via CENTROID_SCALE)
+    before the clamp.
     """
     bounds = events.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, {p_low})").alias("lo"),

@@ -806,7 +806,15 @@ def exact_substring_decontaminate(
     Returns (doc_id, n_probes_hit, first_probe_id) where first_probe_id
     is the smallest matching probe id (NULL when clean) — enough for
     both the drop decision and the audit trail.
+
+    Empty and NULL probes are dropped before the join: ``instr(text,
+    '')`` returns 1 (as does STRPOS) — an empty probe would flag the
+    ENTIRE corpus as contaminated, a footgun when probes are derived
+    mechanically (e.g. a SUBSTR past the end of a short donor doc
+    yields ''). A caller who truly wants the degenerate match-all can
+    pre-expand it; the operator refuses to do it silently.
     """
+    probes = probes.where(F.length(F.col(probe_col)) > 0)
     hits = corpus.join(F.broadcast(probes)).select(
         F.col(id_col),
         F.col(probe_id_col),

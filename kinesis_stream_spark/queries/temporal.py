@@ -160,7 +160,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH steps AS (
       SELECT LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+               PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id NULLS LAST
              ) AS from_state,
              event_type AS to_state
       FROM events WHERE ts IS NOT NULL),

@@ -672,9 +672,13 @@ _SUB_PROBE_OFF, _SUB_PROBE_LEN = 17, 48
     "text_substring_decontaminate",
     f"""
     WITH probes AS (
+      -- LENGTH(probe) > 0 mirrors the operator's empty/NULL-probe drop:
+      -- STRPOS(text, '') = 1 would flag the whole corpus
       SELECT doc_id AS probe_id,
              SUBSTR(text, {_SUB_PROBE_OFF}, {_SUB_PROBE_LEN}) AS probe
-      FROM documents WHERE doc_id < {_SUB_PROBE_N}
+      FROM documents
+      WHERE doc_id < {_SUB_PROBE_N}
+        AND LENGTH(SUBSTR(text, {_SUB_PROBE_OFF}, {_SUB_PROBE_LEN})) > 0
     ),
     hits AS (
       SELECT d.doc_id, p.probe_id,

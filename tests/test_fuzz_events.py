@@ -91,3 +91,58 @@ def test_fuzz_events_parity(spark, fuzz_ev_dir, fuzz_ev_con, name):
     oc = o[cols].astype(str).sort_values(cols).reset_index(drop=True)
     bad = (sc != oc).any(axis=1)
     assert not bad.any(), (name, sc[bad].head(3), oc[bad].head(3))
+
+
+def test_transition_matrix_null_event_id_tie_parity(spark, tmp_path):
+    # a NULL event_id under an exact timestamp tie: Spark's default sort
+    # places NULLs FIRST, DuckDB's places them LAST — the lag chain
+    # silently diverges unless both sides pin NULLS LAST (they do; this
+    # corpus is the regression trap). Only ONE null-id row per tie:
+    # two would be a genuinely undefined order on both engines.
+    base = dt.datetime(2024, 3, 1)
+    tie = base + dt.timedelta(hours=1)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, tie, 1, "click", 1.0, "{}"),
+        (2, tie, 1, "error", 1.0, "{}"),
+        (None, tie, 1, "view", 1.0, "{}"),  # must sort AFTER ids 1 and 2
+        (3, tie + dt.timedelta(hours=1), 1, "click", 1.0, "{}"),
+        (4, base, 2, "click", 1.0, "{}"),
+        (None, base + dt.timedelta(minutes=5), 2, "error", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=9), 2, "view", 1.0, "{}"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("Int64")
+    d = str(tmp_path)
+    df.to_parquet(os.path.join(d, "events.parquet"))
+
+    from kinesis_stream_spark.queries import all_oracle_sql, all_queries
+
+    s = (
+        all_queries()["events_transition_matrix"](spark, d)
+        .toPandas()
+        .sort_values(["from_state", "to_state"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    o = con.execute(all_oracle_sql()["events_transition_matrix"]).fetchdf()
+    con.close()
+    cols = sorted(s.columns)
+    assert s[cols].astype(str).equals(
+        o.sort_values(["from_state", "to_state"]).reset_index(drop=True)[cols].astype(str)
+    )
+    # the null-id row resolves the user-1 tie chain as
+    # view→click→error→view→click; user 2 contributes click→error→view
+    got = {
+        (r.from_state, r.to_state): r.n_transitions for r in s.itertuples()
+    }
+    assert got == {
+        ("view", "click"): 2,
+        ("click", "error"): 2,
+        ("error", "view"): 2,
+    }

@@ -167,6 +167,26 @@ def test_exact_substring_decontaminate_hand_checked(spark):
     assert out[3].n_probes_hit == 2 and out[3].first_probe_id == 10
 
 
+def test_exact_substring_decontaminate_drops_empty_probes(spark):
+    # instr(text, '') = 1: an empty probe (e.g. SUBSTR past the end of a
+    # short donor doc) would flag EVERY document as contaminated; NULL
+    # probes can never match. Both must be dropped before the join —
+    # docs stay clean, and the real probe still fires.
+    from kinesis_stream_spark.operators.text import exact_substring_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "the secret canary phrase"), (2, "clean document")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, ""), (20, None), (30, "secret canary")],
+        "probe_id long, probe string",
+    )
+    out = {r.doc_id: r for r in exact_substring_decontaminate(docs, probes).collect()}
+    assert out[1].n_probes_hit == 1 and out[1].first_probe_id == 30
+    assert out[2].n_probes_hit == 0 and out[2].first_probe_id is None
+
+
 def test_normalize_summary_hand_checked(spark):
     from kinesis_stream_spark.operators.text import normalize_summary
 
