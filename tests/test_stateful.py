@@ -118,6 +118,45 @@ def _has_protobuf() -> bool:
 
 
 @pytest.mark.skipif(
+    _has_protobuf(),
+    reason="protobuf present — the full stream test above runs instead",
+)
+def test_capped_sessions_stream_gate_reason_is_real(spark, tmp_path):
+    """Asserts the skip above is honest: without google.protobuf the
+    transformWithState Python state-server worker crashes at stream
+    start (probed this container: STREAM_FAILED / 'TransformWithState
+    InPySpark driver worker exited unexpectedly'). A pure-python wheel
+    can't be fetched here (no network, installs out of scope), so the
+    gate stays — but if Spark ever ships a protobuf-free state channel,
+    this test fails and the gate gets removed."""
+    import datetime as dt
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kinesis_stream_spark.streaming.stateful import capped_sessions
+
+    src = str(tmp_path / "gate_src")
+    os.makedirs(src)
+    schema = "user_id string, ts timestamp, value double"
+    spark.createDataFrame(
+        [("u1", dt.datetime(2024, 6, 1, 12), 1.25)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    s = spark.readStream.schema(schema).parquet(src)
+    q = (
+        capped_sessions(s, gap_us=600_000_000, cap=5)
+        .writeStream.format("memory")
+        .queryName("gate_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+
+
+@pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState needs google.protobuf (not in this container)",
 )
