@@ -308,6 +308,25 @@ def near_duplicates_simhash(
     blocks carry no recall worth their cost).
     """
     assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
+    return (
+        _simhash_blocked_pairs(docs, blocks=blocks, text_col=text_col, id_col=id_col)
+        .where(F.col("hamming") <= max_hamming)  # filter BEFORE the dedup shuffle
+        .distinct()
+    )
+
+
+def _simhash_blocked_pairs(
+    docs: DataFrame,
+    *,
+    blocks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked SimHash candidate pairs (id_a, id_b, hamming), PRE-distinct:
+    a pair colliding in several blocks appears once per collision. Callers
+    dedupe after their own filtering so the threshold path shuffles only
+    survivors (:func:`near_duplicates_simhash`) while profiling paths see
+    the full candidate stream (:func:`pair_distance_histogram`)."""
     width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
     sims = simhash(docs, text_col=text_col, id_col=id_col)
@@ -341,8 +360,43 @@ def near_duplicates_simhash(
             F.col("y.id").alias("id_b"),
             hamming_distance(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)  # filter BEFORE the dedup shuffle
-        .distinct()
+    )
+
+
+def pair_distance_histogram(
+    docs: DataFrame,
+    *,
+    blocks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-difficulty profile: the distribution of SimHash Hamming
+    distances over blocked candidate pairs — (hamming, n_pairs), one row
+    per observed distance. Read it before committing to a threshold: a
+    bimodal histogram (near-zero spike + far background) means a clean
+    cutoff exists; mass piled just above the intended threshold means
+    the corpus is full of borderline near-dups and the threshold choice
+    IS the recall/precision trade; a fat head at 0-1 predicts huge
+    duplicate clusters (connected components will be the expensive
+    stage). Profiling first is how production dedup avoids running the
+    full pipeline twice.
+
+    Shape: the same pigeonhole block join as
+    :func:`near_duplicates_simhash`, then one pair-dedup shuffle (a pair
+    colliding in several blocks must count once) and a |distinct
+    distances|-row aggregate — output ≤ 61 rows. Unlike the threshold
+    path there is deliberately NO hamming filter before the distinct:
+    the whole point is seeing the candidate distribution, so candidate
+    volume is the same hazard as the dedup itself and the same
+    mitigation applies (cap/salt hot blocks at 100 TB; or sample
+    documents first — a uniform doc sample gives an unbiased pair
+    sample within blocks). Integer-only output, no float parity risk.
+    """
+    pairs = _simhash_blocked_pairs(
+        docs, blocks=blocks, text_col=text_col, id_col=id_col
+    ).distinct()
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
     )
 
 

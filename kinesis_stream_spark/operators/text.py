@@ -870,3 +870,72 @@ def leakage_safe_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Collocation mining via integer lift: adjacent-token bigrams scored
+    by lift = N · c(ab) / (c(a) · c(b)) — how much more often the pair
+    co-occurs than independence predicts. High-lift bigrams are the
+    multiword units ("new york", "machine learning") a tokenizer or
+    phrase vocabulary wants as single entries; classic PMI is
+    log₂(lift), monotone in it, so ranking by lift IS ranking by PMI
+    without putting a transcendental (libm-divergent) log into the
+    cross-engine surface.
+
+    Shape: one token explode feeding two hash aggregates — bigram counts
+    keyed on (tok_a, tok_b) and unigram counts keyed on token — then two
+    vocabulary-sized joins back onto the surviving (``min_count``-
+    filtered) bigrams and one broadcast of the 1-row total. All counts
+    are exact BIGINTs; the lift is computed as
+    (double(c_ab) · double(N)) / (double(c_a) · double(c_b)) — two IEEE
+    multiplies and one divide, identical on any engine — rather than an
+    integer product that would overflow BIGINT at N ≈ 10¹³ tokens.
+    ``min_count`` is the scale knob: it prunes the hapax-pair tail
+    (the vast majority of distinct bigrams) BEFORE the joins, so join
+    input is the interesting vocabulary, not the corpus.
+    """
+    toks = tokens(F.col(text_col))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    base = spread(docs.select(text_col), None)
+    uni = (
+        base.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_total"))
+    pairs = (
+        base.select(F.explode(bg).alias("p"))
+        .select(F.col("p")[0].alias("tok_a"), F.col("p")[1].alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("n_a"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -166,10 +166,15 @@ def dedup_minhash_lsh_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _sql_simhash_pipeline(
-    max_hamming: int = 3, blocks: int = 4, input_cte: str | None = None
+    max_hamming: int = 3,
+    blocks: int = 4,
+    input_cte: str | None = None,
+    histogram: bool = False,
 ) -> str:
     """DuckDB replay of near_duplicates_simhash over any (doc_id, text)
-    CTE (defaults to documents ∪ exact copies)."""
+    CTE (defaults to documents ∪ exact copies). ``histogram=True``
+    replays pair_distance_histogram instead: no hamming threshold,
+    distinct pairs folded to (hamming, n_pairs)."""
     from kinesis_stream_spark.operators.dedup import SIMHASH_BITS
 
     if input_cte is None:
@@ -189,6 +194,25 @@ def _sql_simhash_pipeline(
         f"(simhash >> {b * width}) & {mask} AS block_bits FROM sims"
         for b in range(blocks)
     )
+    if histogram:
+        final = """,
+    pairs AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+             BIT_COUNT(XOR(x.simhash, y.simhash)) AS hamming
+      FROM blocked x JOIN blocked y
+        ON x.block_id = y.block_id AND x.block_bits = y.block_bits
+       AND x.id < y.id)
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY hamming ORDER BY hamming"""
+    else:
+        final = f"""
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           BIT_COUNT(XOR(x.simhash, y.simhash)) AS hamming
+    FROM blocked x JOIN blocked y
+      ON x.block_id = y.block_id AND x.block_bits = y.block_bits
+     AND x.id < y.id
+    WHERE BIT_COUNT(XOR(x.simhash, y.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b"""
     return f"""
     WITH docs AS ({input_cte}),
     tok AS (SELECT doc_id AS id, {sql_md5_int64('t.tok')} AS h
@@ -196,13 +220,7 @@ def _sql_simhash_pipeline(
     bit_sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
     sims AS (SELECT id, {fingerprint} AS simhash FROM bit_sums),
     blocked AS ({block_rows})
-    SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-           BIT_COUNT(XOR(x.simhash, y.simhash)) AS hamming
-    FROM blocked x JOIN blocked y
-      ON x.block_id = y.block_id AND x.block_bits = y.block_bits
-     AND x.id < y.id
-    WHERE BIT_COUNT(XOR(x.simhash, y.simhash)) <= {max_hamming}
-    ORDER BY id_a, id_b
+    {final}
     """
 
 
@@ -213,6 +231,22 @@ def dedup_simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking computation."""
     docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
     return near_duplicates_simhash(docs, max_hamming=3, blocks=4).orderBy("id_a", "id_b")
+
+
+@_q(
+    "dedup_pair_distance_histogram",
+    _sql_simhash_pipeline(input_cte=SQL_TRUNCATED_COPIES, histogram=True),
+)
+def dedup_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-difficulty profile over documents ∪ tail-truncated copies:
+    the Hamming-distance histogram of all blocked SimHash candidate
+    pairs — the spike near 0 is the planted near-dups, the tail is
+    block-collision background. Integer-only output; the oracle replays
+    fingerprints, blocking, pair-dedup, and the fold."""
+    from kinesis_stream_spark.operators.dedup import pair_distance_histogram
+
+    docs = _with_truncated_copies(load_table(spark, sf_dir, "documents"))
+    return pair_distance_histogram(docs, blocks=4).orderBy("hamming")
 
 
 @_q(

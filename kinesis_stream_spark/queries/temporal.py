@@ -223,3 +223,37 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_spark.operators.temporal import winsorize_stats
 
     return winsorize_stats(load_table(spark, sf_dir, "events")).orderBy("event_type")
+
+
+@_q(
+    "events_user_diversity",
+    """
+    WITH pc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_categories,
+             CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+      FROM pc GROUP BY 1)
+    SELECT user_id, n_events, n_categories,
+           CAST(ss AS VARCHAR) AS sum_sq,
+           CAST(ss AS DOUBLE)
+             / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS simpson,
+           1.0 - CAST(ss AS DOUBLE)
+             / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS diversity
+    FROM agg
+    ORDER BY user_id
+    """,
+)
+def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Simpson diversity over event types: Σc_i²/n² collision
+    probability and its 1−x complement — the log-free entropy stand-in
+    for behavioral profiling. Integer counts, exact-DECIMAL Σc², two
+    IEEE divides; the oracle replays both aggregate levels."""
+    from kinesis_stream_spark.operators.temporal import simpson_diversity
+
+    return simpson_diversity(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id"
+    )

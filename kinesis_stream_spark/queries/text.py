@@ -737,3 +737,40 @@ def text_normalize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_spark.operators.text import normalize_summary
 
     return normalize_summary(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_collocation_lift",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    uni AS (SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM t, UNNEST(toks) AS u(tok) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+    bg AS (SELECT p[1] AS tok_a, p[2] AS tok_b
+           FROM t,
+                UNNEST([[toks[i], toks[i + 1]]
+                        FOR i IN RANGE(1, LEN(toks))]) AS u(p)),
+    bgc AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT g.tok_a, g.tok_b, g.n_ab, a.c AS n_a, b.c AS n_b,
+           (CAST(g.n_ab AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+             / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+    FROM bgc g
+    JOIN uni a ON a.tok = g.tok_a
+    JOIN uni b ON b.tok = g.tok_b
+    CROSS JOIN tot t
+    ORDER BY lift DESC, tok_a, tok_b
+    """,
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the documents corpus: adjacent-token
+    bigrams (count ≥ 2) scored by integer lift N·c(ab)/(c(a)·c(b)) —
+    PMI's monotone twin without the cross-engine log. The oracle replays
+    the explode, both count aggregates, and the identical
+    double-multiply/divide lift arithmetic."""
+    from kinesis_stream_spark.operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, min_count=2).orderBy(
+        F.desc("lift"), "tok_a", "tok_b"
+    )

@@ -163,3 +163,16 @@ def test_round4c_operators_empty(spark, empties):
     # global-aggregate summary: ONE row of zeros on an empty corpus
     norm = text.normalize_summary(docs).collect()
     assert len(norm) == 1 and norm[0].n_docs == 0 and norm[0].n_changed == 0
+
+
+def test_round5_operators_empty(spark, empties):
+    from kinesis_stream_spark.operators import dedup, temporal, text
+
+    docs = empties["docs"]
+    assert dedup.pair_distance_histogram(docs).count() == 0
+    assert text.collocations(docs).count() == 0
+    events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    assert temporal.simpson_diversity(events).count() == 0

@@ -25,6 +25,9 @@ EVENT_QUERIES = [
     "events_transition_matrix",
     # NULL-gated clamp + percentile fit over NULL/extreme values
     "events_winsorized_stats",
+    # two-level count fold + DECIMAL Σc² over ties/NULL ts (ts-independent,
+    # but the corpus exercises per-user single-category degenerate rows)
+    "events_user_diversity",
 ]
 
 

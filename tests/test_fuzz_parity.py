@@ -39,6 +39,9 @@ FUZZ_QUERIES = [
     "text_substring_decontaminate",
     # tabs/newlines/multi-space actually normalize here (n_changed > 0)
     "text_normalize_summary",
+    # adjacent-pair extraction over empty/whitespace/unicode/NULL docs:
+    # the bigram comprehension and both count aggregates must agree
+    "text_collocation_lift",
 ]
 
 

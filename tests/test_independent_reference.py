@@ -518,3 +518,108 @@ def test_weighted_mixture_row_count_identity(spark):
         assert sorted(r.copy_idx for r in rows) == list(range(1, n + 1))
         total += n
     assert total == len(out)
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_collocations_vs_counter_replay(spark, seed):
+    """Bigram lift against collections.Counter folds over the same
+    texts — independent of the explode/join plan AND of the SQL oracle.
+    Python floats are IEEE doubles, so replaying the exact op order
+    (mul, mul, div) must match bit for bit."""
+    from collections import Counter
+
+    from kinesis_stream_spark.operators.text import collocations
+
+    docs = _corpus(seed, n_docs=20)
+    got = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.lift)
+        for r in collocations(_df(spark, docs), min_count=2).collect()
+    }
+
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for _, _, t in docs:
+        toks = t.split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    n_total = sum(uni.values())
+    want = {
+        (a, b): (
+            c,
+            uni[a],
+            uni[b],
+            (float(c) * float(n_total)) / (float(uni[a]) * float(uni[b])),
+        )
+        for (a, b), c in bg.items()
+        if c >= 2
+    }
+    assert got == want
+
+
+def test_simpson_diversity_vs_counter_replay(spark):
+    """Per-user Simpson index against a Counter fold — checks the
+    two-level aggregation and the exact divide order."""
+    from collections import Counter
+
+    from kinesis_stream_spark.operators.temporal import simpson_diversity
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.randint(1, 6), rng.choice(["a", "b", "c", "d"]))
+        for i in range(300)
+    ]
+    # degenerate single-category user and a NULL category row
+    rows += [(300, 99, "a"), (301, 99, "a"), (302, 98, None)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    got = {
+        r.user_id: (r.n_events, r.n_categories, r.sum_sq, r.simpson, r.diversity)
+        for r in simpson_diversity(ev).collect()
+    }
+
+    per_user: dict[int, Counter] = {}
+    for _, uid, et in rows:
+        if et is not None:
+            per_user.setdefault(uid, Counter())[et] += 1
+    want = {}
+    for uid, c in per_user.items():
+        n = sum(c.values())
+        ss = sum(v * v for v in c.values())
+        simpson = float(ss) / (float(n) * float(n))
+        want[uid] = (n, len(c), str(ss), simpson, 1.0 - simpson)
+    assert got == want
+    assert 98 not in got  # NULL-category-only user vanishes, not crashes
+    assert got[99][3] == 1.0 and got[99][4] == 0.0  # single-category => 0
+
+
+def test_pair_distance_histogram_vs_python_fold(spark):
+    """Histogram against a Python replay of blocking + hamming + fold
+    over the operator's OWN fingerprints (simhash itself is md5-pinned
+    by the SQL oracle; this isolates the pairing/dedup/count logic)."""
+    from collections import Counter
+
+    from kinesis_stream_spark.operators.dedup import (
+        SIMHASH_BITS,
+        pair_distance_histogram,
+        simhash,
+    )
+
+    docs = _corpus(7, n_docs=16)
+    df = _df(spark, docs)
+    got = {
+        r.hamming: r.n_pairs
+        for r in pair_distance_histogram(df, blocks=4).collect()
+    }
+
+    sims = {r.id: r.simhash for r in simhash(df).collect()}
+    blocks, width = 4, SIMHASH_BITS // 4
+    mask = (1 << width) - 1
+    hist: Counter = Counter()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if any(
+                (sims[a] >> (k * width)) & mask == (sims[b] >> (k * width)) & mask
+                for k in range(blocks)
+            ):
+                hist[bin(sims[a] ^ sims[b]).count("1")] += 1
+    assert got == dict(hist)

@@ -37,6 +37,8 @@ SENSITIVE = [
     "similarity_cluster_balance",  # kmeans chain + exact sum-of-squares ratios
     "events_transition_matrix",  # lag-chain ordering + row-normalizing divide
     "events_winsorized_stats",  # percentile fit + clamped decimal sums
+    "text_collocation_lift",  # two count aggs + double mul/div lift
+    "events_user_diversity",  # DECIMAL sum-of-squares + two IEEE divides
 ]
 
 

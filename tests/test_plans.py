@@ -390,3 +390,44 @@ def test_normalize_summary_single_scan_single_exchange(spark, sf_dir):
     # partition, ONE single-partition exchange carrying one row each
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 1, plan
+
+
+def test_pair_distance_histogram_equi_join_only(spark, sf_dir):
+    from kinesis_stream_spark.operators.dedup import pair_distance_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(pair_distance_histogram(docs))
+    # same pigeonhole block equi-join as the threshold path — a
+    # regression to cartesian/nested-loop on the candidate stream is the
+    # 100 TB killer; the final fold is a ≤61-row hash aggregate
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_collocations_prunes_pairs_before_joins(spark, sf_dir):
+    from kinesis_stream_spark.operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _explain(collocations(docs, min_count=2))
+    # the min_count filter must sit on the bigram AGGREGATE (post-agg
+    # havinglike filter, pre-join) so the unigram joins see only the
+    # surviving vocabulary — and the only nested-loop join is the 1-row
+    # total broadcast
+    assert "CartesianProduct" not in plan
+    # formatted explain names each node twice (tree + detail header);
+    # count detail headers: only the 1-row total may nested-loop
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1
+    assert ">= 2)" in plan  # the min_count filter survives into the plan
+
+
+def test_simpson_diversity_two_aggregates_no_join(spark, sf_dir):
+    from kinesis_stream_spark.operators.temporal import simpson_diversity
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _explain(simpson_diversity(ev))
+    # two chained hash aggregates, no join, no window: the cheapest
+    # possible shape for a per-entity fold
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count(") HashAggregate") >= 2
