@@ -567,6 +567,28 @@ def duplicate_clusters(
 # --- n-gram Jaccard within bounded groups -------------------------------------
 
 
+def _cap_gram_df(
+    exploded: DataFrame,
+    group_cols: list[str],
+    gram_col: str,
+    max_df: int | None,
+) -> DataFrame:
+    """The shared ``max_df`` hot-gram knob of :func:`ngram_jaccard_pairs`
+    and :func:`containment_pairs`: drop rows whose gram appears in more
+    than ``max_df`` documents of its group (streams are per-document
+    distinct, so the row count per (group, gram) IS document frequency).
+    One extra shuffle on (group, gram) — cheap next to the quadratic
+    pair blowup the cap prevents. ``None`` passes through untouched."""
+    if max_df is None:
+        return exploded
+    w_df = Window.partitionBy(*group_cols, gram_col)
+    return (
+        exploded.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     group_cols: list[str],
@@ -609,14 +631,12 @@ def ngram_jaccard_pairs(
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     )
     sizes = base.select(*group_cols, "id", F.size("toks").alias("sz"))
-    tok = base.select(*group_cols, "id", F.explode("toks").alias("t"))
-    if max_df is not None:
-        # one extra shuffle on (group, token) — cheap next to the
-        # quadratic pair blowup the cap prevents
-        w_df = Window.partitionBy(*group_cols, "t")
-        tok = tok.withColumn("_df", F.count(F.lit(1)).over(w_df)).where(
-            F.col("_df") <= max_df
-        ).drop("_df")
+    tok = _cap_gram_df(
+        base.select(*group_cols, "id", F.explode("toks").alias("t")),
+        group_cols,
+        "t",
+        max_df,
+    )
     x, y = tok.alias("x"), tok.alias("y")
     cond = (F.col("x.id") < F.col("y.id")) & (F.col("x.t") == F.col("y.t"))
     for c in group_cols:
@@ -701,14 +721,12 @@ def containment_pairs(
         docs.select(*group_cols, F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select(*group_cols, "id", shingles(F.col(text_col), n).alias("sh"))
     sizes = base.select(*group_cols, "id", F.size("sh").alias("sz"))
-    gram = base.select(*group_cols, "id", F.explode("sh").alias("g"))
-    if max_df is not None:
-        # one extra shuffle on (group, gram) — cheap next to the
-        # quadratic pair blowup the cap prevents
-        w_df = Window.partitionBy(*group_cols, "g")
-        gram = gram.withColumn("_df", F.count(F.lit(1)).over(w_df)).where(
-            F.col("_df") <= max_df
-        ).drop("_df")
+    gram = _cap_gram_df(
+        base.select(*group_cols, "id", F.explode("sh").alias("g")),
+        group_cols,
+        "g",
+        max_df,
+    )
     x, y = gram.alias("x"), gram.alias("y")
     cond = (F.col("x.id") < F.col("y.id")) & (F.col("x.g") == F.col("y.g"))
     for c in group_cols:

@@ -419,7 +419,10 @@ def simpson_diversity(
     per_cat = events.where(F.col(cat_col).isNotNull()).groupBy(
         key_col, cat_col
     ).agg(F.count(F.lit(1)).alias("c"))
-    sq = (F.col("c") * F.col("c")).cast("decimal(38,0)")
+    # cast each operand BEFORE the multiply (the cluster_balance
+    # pattern): a long*long square overflows at c > 3.03e9 and a cast
+    # of the wrapped product would launder the corruption into DECIMAL
+    sq = F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
     agg = per_cat.groupBy(key_col).agg(
         F.sum("c").alias("n_events"),
         F.count(F.lit(1)).alias("n_categories"),

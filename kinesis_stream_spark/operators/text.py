@@ -812,7 +812,13 @@ def exact_substring_decontaminate(
     ENTIRE corpus as contaminated, a footgun when probes are derived
     mechanically (e.g. a SUBSTR past the end of a short donor doc
     yields ''). A caller who truly wants the degenerate match-all can
-    pre-expand it; the operator refuses to do it silently.
+    pre-expand it; the operator refuses to do it silently. Corollary
+    (same contract as an empty probe frame, pinned in
+    tests/test_empty_inputs.py): if EVERY probe is empty/NULL the
+    filtered probe set is empty and the output has zero rows — "no
+    usable probes" reports as no verdicts, not as a fabricated
+    all-clean corpus; gate on the probe count upstream if the
+    distinction matters.
     """
     probes = probes.where(F.length(F.col(probe_col)) > 0)
     hits = corpus.join(F.broadcast(probes)).select(
@@ -887,10 +893,16 @@ def collocations(
     without putting a transcendental (libm-divergent) log into the
     cross-engine surface.
 
-    Shape: one token explode feeding two hash aggregates — bigram counts
-    keyed on (tok_a, tok_b) and unigram counts keyed on token — then two
-    vocabulary-sized joins back onto the surviving (``min_count``-
-    filtered) bigrams and one broadcast of the 1-row total. All counts
+    Shape: two scan+explode passes feeding two hash aggregates — bigram
+    counts keyed on (tok_a, tok_b) and unigram counts keyed on token
+    (the total derives from the unigram aggregate, not a third scan) —
+    then two vocabulary-sized joins back onto the surviving
+    (``min_count``-filtered) bigrams and one broadcast of the 1-row
+    total. The two scans are deliberate: Catalyst cannot share a
+    subplan across two independent aggregations without a
+    materialization barrier, and at 100 TB re-scanning (columnar,
+    pushdown-pruned to one string column) is cheaper than persisting an
+    exploded token stream ~10× the corpus row count. All counts
     are exact BIGINTs; the lift is computed as
     (double(c_ab) · double(N)) / (double(c_a) · double(c_b)) — two IEEE
     multiplies and one divide, identical on any engine — rather than an

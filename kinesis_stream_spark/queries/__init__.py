@@ -26,14 +26,18 @@ from pyspark.sql import DataFrame, SparkSession
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
 # Round 5 window (first 50), stale-first per the round-4 verdict: the
-# 3 new round-5 queries (never verified), the 5 queries edited since
-# their last driver row (4 edited this round: containment gained the
+# 3 new round-5 queries (never verified), the 6 queries edited since
+# their last driver row (5 edited this round: containment gained the
 # max_df cap, transition_matrix pinned NULLS LAST, substring
 # decontamination gained the empty-probe filter, winsorize gained the
-# ulp note; plus agg_approx_sketches, edited in round 4 after its r3
-# row), then ALL 42 queries whose latest driver row is round 2 —
-# exactly 50. After this round, no query's driver row predates an
-# edit to its code, and nothing is r2-latest.
+# ulp note, and multimodal_payload_near_dup's path moved when
+# near_duplicates_simhash was refactored onto the shared
+# _simhash_blocked_pairs core — behavior-preserving, but edited is
+# edited; plus agg_approx_sketches, edited in round 4 after its r3
+# row), then 41 of the 42 queries whose latest driver row is round 2 —
+# exactly 50. The one r2-latest query the edits displaced,
+# text_top_terms_per_lang, sits first past the cut (re-verified by this
+# round's full sf0.01 sweep) and leads the round-6 window.
 # Past the cut: every r3/r4-latest query — all driver-green at their
 # latest sampling and untouched since.
 _PRIORITY = (
@@ -47,6 +51,7 @@ _PRIORITY = (
     "events_transition_matrix",
     "text_substring_decontaminate",
     "events_winsorized_stats",
+    "multimodal_payload_near_dup",
     "agg_approx_sketches",
     # r2-latest families, oldest rows in the inventory (42 = all of them)
     "udf_scalar_price_band",
@@ -90,6 +95,7 @@ _PRIORITY = (
     "text_pack_sequences",
     "text_fingerprint_rolling",
     "text_fingerprint_winnowed",
+    # displaced r2 query: first in line for round 6
     "text_top_terms_per_lang",
 )
 

@@ -235,7 +235,8 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
              CAST(COUNT(*) AS BIGINT) AS n_categories,
-             CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) AS ss
       FROM pc GROUP BY 1)
     SELECT user_id, n_events, n_categories,
            CAST(ss AS VARCHAR) AS sum_sq,

@@ -149,6 +149,12 @@ def test_round4c_operators_empty(spark, empties):
         [(1, "en", "s", "hello world")], "doc_id long, lang string, source string, text string"
     )
     assert text.exact_substring_decontaminate(some_docs, probes).count() == 0
+    # all-degenerate probe set behaves like an empty one: zero rows
+    # (no verdicts), NOT a fabricated all-clean per-doc report
+    degenerate = spark.createDataFrame(
+        [(1, ""), (2, None)], "probe_id long, probe string"
+    )
+    assert text.exact_substring_decontaminate(some_docs, degenerate).count() == 0
     assert similarity.cluster_balance(emb).count() == 0
     from kinesis_stream_spark.operators import profile, temporal
 
