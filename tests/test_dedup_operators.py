@@ -387,3 +387,26 @@ def test_lsh_pair_recall_empty_corpus_nulls(spark):
     row = lsh_pair_recall(docs, ["grp"]).collect()[0]
     assert row.n_truth == 0 and row.n_candidates == 0 and row.n_matched == 0
     assert row.recall is None and row.precision is None
+
+
+def test_pair_distance_histogram_consistent_with_threshold_path(spark):
+    """The histogram's mass at distances ≤ k must equal the number of
+    pairs near_duplicates_simhash emits at max_hamming=k — the two
+    operators share the blocking core, so their totals must reconcile."""
+    from kinesis_stream_spark.operators.dedup import (
+        near_duplicates_simhash,
+        pair_distance_histogram,
+    )
+
+    rows = [
+        (1, "en", "alpha beta gamma delta epsilon zeta"),
+        (2, "en", "alpha beta gamma delta epsilon zeta"),   # exact copy
+        (3, "en", "alpha beta gamma delta epsilon eta"),    # near copy
+        (4, "en", "theta iota kappa lambda mu nu"),
+        (5, "en", "theta iota kappa lambda mu nu xi"),      # near copy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    hist = {r.hamming: r.n_pairs for r in pair_distance_histogram(docs).collect()}
+    for k in (0, 3, 7):
+        thr = near_duplicates_simhash(docs, max_hamming=k, blocks=8).count()
+        assert sum(n for h, n in hist.items() if h <= k) == thr, (k, hist)

@@ -215,3 +215,30 @@ def test_winsorize_stats_hand_checked(spark):
     expected = 6 * 5.05 + sum(range(6, 96)) + 6 * 95.95
     assert abs(r.w_sum - expected) < 1e-4
     assert r.w_mean == r.w_sum / 102
+
+
+def test_simpson_diversity_invariants(spark):
+    """Structural identities that must hold on ANY corpus: simpson in
+    (0, 1], diversity = 1 - simpson, sum_sq bounds (n²/k ≤ Σc² ≤ n²),
+    and n_events partitioned exactly by the per-user event counts."""
+    import random
+
+    from kinesis_stream_spark.operators.temporal import simpson_diversity
+
+    rng = random.Random(21)
+    rows = [
+        (i, rng.randint(1, 9), rng.choice("abcde"))
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = simpson_diversity(ev).collect()
+    per_user: dict[int, int] = {}
+    for _, uid, _t in rows:
+        per_user[uid] = per_user.get(uid, 0) + 1
+    assert {r.user_id: r.n_events for r in out} == per_user
+    for r in out:
+        ss = int(r.sum_sq)
+        n, k = r.n_events, r.n_categories
+        assert n * n // k <= ss <= n * n
+        assert 0.0 < r.simpson <= 1.0
+        assert r.diversity == 1.0 - r.simpson

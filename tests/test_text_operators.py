@@ -204,3 +204,34 @@ def test_normalize_summary_hand_checked(spark):
     assert r.n_changed == 2
     assert r.chars_before == len("a\tb\nc") + len("  x  y  ") + len("clean text")
     assert r.chars_after == len("a b c") + len("x y") + len("clean text")
+
+
+def test_collocations_count_identities(spark):
+    """Conservation identities: Σ n_ab over ALL bigrams (min_count=1)
+    equals Σ(len(doc)-1); every n_ab ≤ min(n_a, n_b); lift·c(a)·c(b) =
+    N·c(ab) exactly (the integers round-trip through the double)."""
+    import random
+
+    from kinesis_stream_spark.operators.text import collocations
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, min_count=1).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    expect_bigrams = sum(max(0, len(t.split()) - 1) for t in texts.values())
+    assert sum(r.n_ab for r in rows) == expect_bigrams
+    n_total = sum(len(t.split()) for t in texts.values())
+    for r in rows:
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        # exact integer relation through the IEEE divide: both sides
+        # computed the same way, bit-identical
+        assert r.lift == (float(r.n_ab) * float(n_total)) / (
+            float(r.n_a) * float(r.n_b)
+        )
