@@ -1,0 +1,247 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each D-dim vector into M orthogonal
+subvectors, k-means each subspace independently (ksub centroids), and
+store a vector as M small centroid ids — D·4 bytes become M bytes at
+ksub ≤ 256. Search runs in the compressed domain via asymmetric
+distance computation (ADC): the query stays full-precision, each
+(subspace, centroid) contribution is precomputed once per query, and a
+database vector's score is M table lookups summed.
+
+Spark-first shapes, same determinism discipline as the rest of the
+repo (everything replayable by a DuckDB oracle when this graduates to
+the query inventory):
+
+- **train**: M independent :func:`~kinesis_stream_spark.operators.
+  similarity.kmeans_fit` runs, one per subspace slice — md5-derived
+  seeding, exact fixed-point dots, floor-fixed-point centroid means.
+  M is a small constant, so the per-subspace loop unrolls at plan
+  time; nothing iterates over data on the driver.
+- **encode**: explode each vector into its M subvectors (M rows per
+  vector), broadcast the (M·ksub)-row codebook, per-(vector, subspace)
+  argmax window, fold the winning ids back into one ``array<int>``.
+  Map-side cost only — the corpus shuffles once, at M-rows-per-vector
+  width, carrying subvectors of D/M floats.
+- **ADC top-k**: the per-query lookup table (Q·M·ksub rows — queries
+  are few by contract, same as brute-force) broadcasts; exploded codes
+  equi-join it on (subspace, code), and the per-(query, vector) sum is
+  a map-side-combinable aggregate followed by a per-query top-k
+  window. The full-precision corpus is never touched at search time —
+  that is the point of PQ.
+
+The ADC score convention matches the IVF/k-means training metric
+(argmax of ``2·v·c − c·c``): summed over subspaces it equals
+``2·q·v̂ − ‖v̂‖²`` for the reconstruction ``v̂`` exactly, because
+subspaces occupy disjoint coordinate slots — so ADC ranking is EXACT
+scoring of reconstructed vectors, and quantization error is the only
+approximation (pinned by a numpy-replay test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.vectors import dot_decimal
+
+
+def _subvector(vec: Column, sub: int, subdim: int) -> Column:
+    """Slice subspace ``sub`` (0-based) out of a flat embedding array —
+    1-based ``slice``, pure JVM, no explode."""
+    return F.slice(vec, sub * subdim + 1, subdim)
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the PQ codebook: (sub, cid, n_members, centroid) with one
+    deterministic Lloyd run per subspace. At 100 TB train on a hash
+    sample (``stratified_sample``) exactly as the IVF runbook
+    prescribes — the codebook is M·ksub rows regardless of corpus
+    size."""
+    from kinesis_stream_spark.operators.similarity import kmeans_fit
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    subdim = dim // m
+    books = []
+    for j in range(m):
+        sub_emb = emb.select(
+            F.col(id_col), _subvector(F.col(vec_col), j, subdim).alias(vec_col)
+        )
+        books.append(
+            kmeans_fit(
+                sub_emb,
+                k=ksub,
+                dim=subdim,
+                iterations=iterations,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).select(F.lit(j).alias("sub"), "cid", "n_members", "centroid")
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def _exploded_subvectors(
+    corpus: DataFrame, m: int, subdim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, sub, subv): M rows per vector, built with one explode over
+    a plan-time array of slices."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                _subvector(F.col(vec_col), j, subdim).alias("subv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col).alias("vid"), F.explode(subs).alias("s")
+    ).select("vid", "s.sub", "s.subv")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its M nearest sub-centroid ids:
+    (vid, codes array<int>). Assignment metric is the training metric
+    (argmax ``2·v·c − c·c``, exact fixed-point dots, ties to the lower
+    cid) so encode(train-set) reproduces the final training
+    assignment."""
+    assert dim % m == 0
+    subdim = dim // m
+    sub_rows = _exploded_subvectors(corpus, m, subdim, id_col, vec_col)
+    score = (
+        2 * dot_decimal(F.col("subv"), F.col("centroid"))
+        - dot_decimal(F.col("centroid"), F.col("centroid"))
+    ).alias("score")
+    w = Window.partitionBy("vid", "sub").orderBy(F.desc("score"), F.asc("cid"))
+    assigned = (
+        sub_rows.join(F.broadcast(codebook.select("sub", "cid", "centroid")), "sub")
+        .select("vid", "sub", "cid", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    # array_sort on (sub, cid) structs orders by subspace, then project
+    # the ids — deterministic fold, no assumption on collect_list order
+    return assigned.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda s: s.getField("cid").cast("int"),
+        ).alias("codes")
+    )
+
+
+def pq_topk_adc(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain top-k via ADC: (query_id, vec_id, approx_score,
+    rank). ``codes`` is :func:`pq_encode` output; the full-precision
+    corpus is never read. The per-query table (Q·M·ksub rows) is the
+    broadcast side; exploded codes equi-join it on (sub, code) and the
+    per-pair sum combines map-side before the single (query, vector)
+    shuffle."""
+    assert dim % m == 0
+    subdim = dim // m
+    q_subs = _exploded_subvectors(
+        queries, m, subdim, query_id_col, query_vec_col
+    ).select(F.col("vid").alias("qid"), "sub", "subv")
+    table = q_subs.join(codebook.select("sub", "cid", "centroid"), "sub").select(
+        "qid",
+        "sub",
+        F.col("cid").alias("code"),
+        (
+            2 * dot_decimal(F.col("subv"), F.col("centroid"))
+            - dot_decimal(F.col("centroid"), F.col("centroid"))
+        ).alias("contrib"),
+    )
+    code_rows = codes.select(
+        "vid",
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("qid", "vid")
+        .agg(F.sum("contrib").alias("approx_score"), F.count(F.lit(1)).alias("_n"))
+        # a vector scores against a query only with ALL M contributions
+        # (a missing (sub, code) table row would silently under-score)
+        .where(F.col("_n") == m)
+        .drop("_n")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("approx_score"), F.asc("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias("vec_id"),
+            "approx_score",
+            "rank",
+        )
+    )
+
+
+def pq_reconstruction_mse(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook quality diagnostic: per-subspace and overall mean squared
+    reconstruction error — the number that decides whether ksub/m are
+    adequate before anything is re-encoded at scale. One exploded join
+    of (vid, sub, subv) against assigned sub-centroids; per-term squared
+    error through the same fixed-point dot (``‖a−c‖² = a·a − 2a·c +
+    c·c``), then a subspace-level aggregate (M rows out)."""
+    assert dim % m == 0
+    subdim = dim // m
+    sub_rows = _exploded_subvectors(corpus, m, subdim, id_col, vec_col)
+    assigned = sub_rows.join(
+        codes.select("vid", F.posexplode("codes").alias("sub", "cid")),
+        ["vid", "sub"],
+    ).join(F.broadcast(codebook.select("sub", "cid", "centroid")), ["sub", "cid"])
+    sqerr = (
+        dot_decimal(F.col("subv"), F.col("subv"))
+        - 2 * dot_decimal(F.col("subv"), F.col("centroid"))
+        + dot_decimal(F.col("centroid"), F.col("centroid"))
+    ).alias("sqerr")
+    from kinesis_stream_spark.queries._util import davg
+
+    per_sub = assigned.select("sub", sqerr).groupBy("sub").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        # exact-DECIMAL mean (queries/_util.py): a bare double AVG is
+        # partition-order-sensitive and would break the future oracle
+        davg("sqerr", "mse"),
+    )
+    return per_sub.orderBy("sub")

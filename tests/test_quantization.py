@@ -1,0 +1,168 @@
+"""Product-quantization operator tests (pytest-only this round — the
+query + DuckDB oracle registration is scheduled for the next
+verification-window rotation; these pin the semantics the oracle will
+replay).
+
+Key property (test_adc_equals_exact_score_on_reconstructions): ADC is
+EXACT scoring of reconstructed vectors — subspaces occupy disjoint
+coordinate slots, so Σ_j (2·q_j·c_j − c_j·c_j) = 2·q·v̂ − ‖v̂‖² with no
+cross terms. A numpy replay verifies it to fixed-point resolution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kinesis_stream_spark.operators.quantization import (
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk_adc,
+    pq_train,
+)
+
+DIM = 8
+M = 2
+KSUB = 2
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # two clear clusters per half-space so ksub=2 training is stable:
+    # first half ~ +1 or -1, second half ~ +2 or -2, with small jitter
+    rng = np.random.default_rng(7)
+    vecs = []
+    for _ in range(40):
+        a = rng.choice([1.0, -1.0])
+        b = rng.choice([2.0, -2.0])
+        v = np.concatenate(
+            [
+                a * np.ones(DIM // 2) + rng.uniform(-0.05, 0.05, DIM // 2),
+                b * np.ones(DIM // 2) + rng.uniform(-0.05, 0.05, DIM // 2),
+            ]
+        )
+        vecs.append(np.round(v, 3))
+    return _emb(spark, vecs), vecs
+
+
+def test_codebook_shape_and_codes_in_range(spark, corpus):
+    emb, _ = corpus
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
+    rows = book.collect()
+    assert {r.sub for r in rows} == set(range(M))
+    for r in rows:
+        assert 0 <= r.cid < KSUB
+        assert len(r.centroid) == DIM // M
+    codes = pq_encode(emb, book, m=M, dim=DIM).collect()
+    assert len(codes) == 40
+    for r in codes:
+        assert len(r.codes) == M
+        assert all(0 <= c < KSUB for c in r.codes)
+
+
+def test_encode_is_partition_invariant(spark, corpus):
+    emb, _ = corpus
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
+    a = sorted((r.vid, tuple(r.codes)) for r in pq_encode(emb, book, m=M, dim=DIM).collect())
+    b = sorted(
+        (r.vid, tuple(r.codes))
+        for r in pq_encode(emb.repartition(7), book, m=M, dim=DIM).collect()
+    )
+    assert a == b
+
+
+def test_adc_equals_exact_score_on_reconstructions(spark, corpus):
+    emb, vecs = corpus
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+    queries = _emb(spark, vecs[:3]).withColumnRenamed("vec_id", "query_id")
+    out = pq_topk_adc(codes, book, queries, k=40, m=M, dim=DIM).collect()
+
+    cents = {(r.sub, r.cid): np.array(r.centroid) for r in book.collect()}
+    code_map = {r.vid: list(r.codes) for r in codes.collect()}
+    subdim = DIM // M
+
+    def recon(vid):
+        return np.concatenate([cents[(j, code_map[vid][j])] for j in range(M)])
+
+    for r in out:
+        q = np.array(vecs[r.query_id])
+        v_hat = recon(r.vec_id)
+        exact = 2 * np.dot(q, v_hat) - np.dot(v_hat, v_hat)
+        # fixed-point quantization: each of the 2·M dot terms carries
+        # ≤ dim·2^-40 floor error, so agreement is to ~1e-9, not 1e-15
+        assert abs(r.approx_score - exact) < 1e-6, (r, exact)
+
+
+def test_adc_ranks_reconstruction_neighbors_first(spark, corpus):
+    emb, vecs = corpus
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+    # a query sitting exactly on vector 0: its own quantization cell
+    # must rank at the top (all cell members share the reconstruction,
+    # ties broken by vec_id)
+    queries = _emb(spark, vecs[:1]).withColumnRenamed("vec_id", "query_id")
+    out = pq_topk_adc(codes, book, queries, k=5, m=M, dim=DIM).collect()
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    top = min(out, key=lambda r: r.rank)
+    code_map = {r.vid: tuple(r.codes) for r in codes.collect()}
+    # the rank-1 vector shares the query vector's own cell
+    assert code_map[top.vec_id] == code_map[0]
+
+
+def test_reconstruction_mse_small_on_clustered_data(spark, corpus):
+    emb, _ = corpus
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+    rows = pq_reconstruction_mse(emb, codes, book, m=M, dim=DIM).collect()
+    assert [r.sub for r in rows] == list(range(M))
+    for r in rows:
+        assert r.n_vectors == 40
+        # jitter is ±0.05 uniform per dim: per-subspace MSE ≪ 0.01·subdim
+        assert 0.0 <= r.mse < 0.01 * (DIM // M)
+
+
+def test_pq_plans_broadcast_codebook_no_cartesian(spark, corpus):
+    emb, _ = corpus
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+
+    def _explain(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    enc_plan = _explain(pq_encode(emb, book, m=M, dim=DIM))
+    assert "CartesianProduct" not in enc_plan
+    assert "BroadcastHashJoin" in enc_plan
+    adc_plan = _explain(
+        pq_topk_adc(
+            codes,
+            book,
+            _emb(spark, [[0.0] * DIM]).withColumnRenamed("vec_id", "query_id"),
+            k=3,
+            m=M,
+            dim=DIM,
+        )
+    )
+    assert "CartesianProduct" not in adc_plan
+    assert "BroadcastHashJoin" in adc_plan
+
+
+def test_pq_empty_inputs(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    book = spark.createDataFrame(
+        [], "sub int, cid int, n_members long, centroid array<double>"
+    )
+    codes = spark.createDataFrame([], "vid long, codes array<int>")
+    assert pq_encode(empty, book, m=M, dim=DIM).count() == 0
+    empty_q = empty.withColumnRenamed("vec_id", "query_id")
+    assert pq_topk_adc(codes, book, empty_q, k=3, m=M, dim=DIM).count() == 0
+    assert pq_reconstruction_mse(empty, codes, book, m=M, dim=DIM).count() == 0
