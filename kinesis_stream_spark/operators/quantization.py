@@ -43,7 +43,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.functions.vectors import dot_decimal
+from kinesis_stream_spark.functions.vectors import SCALE, _fixed_sum, dot_decimal
+
+
+def _dot_fx(a: Column, b: Column) -> Column:
+    """Raw fixed-point dot product (BIGINT, pre-scale): the ADC
+    aggregation sums these exactly — summing the per-subspace DOUBLE
+    contributions instead would be partition-order-sensitive."""
+    return _fixed_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
 
 
 def _subvector(vec: Column, sub: int, subdim: int) -> Column:
@@ -171,14 +178,16 @@ def pq_topk_adc(
     q_subs = _exploded_subvectors(
         queries, m, subdim, query_id_col, query_vec_col
     ).select(F.col("vid").alias("qid"), "sub", "subv")
+    # contributions stay in the BIGINT fixed-point domain until after
+    # the sum: exact, order-independent, one scale-back IEEE divide
     table = q_subs.join(codebook.select("sub", "cid", "centroid"), "sub").select(
         "qid",
         "sub",
         F.col("cid").alias("code"),
         (
-            2 * dot_decimal(F.col("subv"), F.col("centroid"))
-            - dot_decimal(F.col("centroid"), F.col("centroid"))
-        ).alias("contrib"),
+            2 * _dot_fx(F.col("subv"), F.col("centroid"))
+            - _dot_fx(F.col("centroid"), F.col("centroid"))
+        ).alias("contrib_fx"),
     )
     code_rows = codes.select(
         "vid",
@@ -187,11 +196,18 @@ def pq_topk_adc(
     scored = (
         code_rows.join(F.broadcast(table), ["sub", "code"])
         .groupBy("qid", "vid")
-        .agg(F.sum("contrib").alias("approx_score"), F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.sum("contrib_fx").alias("_sfx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         # a vector scores against a query only with ALL M contributions
         # (a missing (sub, code) table row would silently under-score)
         .where(F.col("_n") == m)
-        .drop("_n")
+        .select(
+            "qid",
+            "vid",
+            (F.col("_sfx").cast("double") / SCALE).alias("approx_score"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("approx_score"), F.asc("vid")

@@ -166,3 +166,48 @@ def test_pq_empty_inputs(spark):
     empty_q = empty.withColumnRenamed("vec_id", "query_id")
     assert pq_topk_adc(codes, book, empty_q, k=3, m=M, dim=DIM).count() == 0
     assert pq_reconstruction_mse(empty, codes, book, m=M, dim=DIM).count() == 0
+
+
+def test_pq_adc_cross_engine_parity_on_real_embeddings(spark, sf_dir):
+    """End-to-end PQ parity against the staged DuckDB oracle on the real
+    embeddings table: train (per-subspace Lloyd), encode, ADC top-k —
+    every value string-compared, the same bar the driver gate applies.
+    This is the round-6 promotion test running early."""
+    import duckdb
+
+    from kinesis_stream_spark.operators.quantization_sql import sql_pq_adc_topk
+    from kinesis_stream_spark.operators.similarity import CENTROID_SCALE
+    from kinesis_stream_spark.operators.quantization_sql import _CS
+    from kinesis_stream_spark.sources.batch import load_table
+
+    assert float(_CS) == float(CENTROID_SCALE)
+
+    M_, KSUB_, DIM_, IT_, NQ_, K_ = 2, 4, 64, 2, 3, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(emb, m=M_, ksub=KSUB_, dim=DIM_, iterations=IT_)
+    codes = pq_encode(emb, book, m=M_, dim=DIM_)
+    queries = (
+        emb.where("vec_id < %d" % NQ_)
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    got = [
+        (r.query_id, r.vec_id, repr(r.approx_score), r.rank)
+        for r in pq_topk_adc(
+            codes, book, queries, k=K_, m=M_, dim=DIM_
+        ).orderBy("query_id", "rank").collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [
+        (r[0], r[1], repr(float(r[2])), r[3])
+        for r in con.execute(
+            sql_pq_adc_topk(m=M_, ksub=KSUB_, dim=DIM_, iterations=IT_,
+                            n_queries=NQ_, k=K_)
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
