@@ -211,3 +211,31 @@ def test_pq_adc_cross_engine_parity_on_real_embeddings(spark, sf_dir):
     ]
     con.close()
     assert got == want
+
+
+def test_pq_assumes_guarded_vectors_like_similarity_family(spark, corpus):
+    """Contract: PQ operators consume PRE-VALIDATED vectors (the query
+    wrapper applies valid_vector at the scan edge, as the similarity
+    family does). A corrupt vector filtered by the guard simply doesn't
+    appear; this pins that the guard composes cleanly with encode."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.functions.vectors import valid_vector
+
+    emb, vecs = corpus
+    corrupt = spark.createDataFrame(
+        [
+            (900, None),                       # NULL vector
+            (901, [float("nan")] * DIM),       # NaN elements
+            (902, [1.0] * (DIM - 1)),          # wrong dimension
+            (903, [0.0] * DIM),                # zero norm
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    mixed = emb.unionAll(corrupt)
+    guarded = mixed.where(valid_vector(F.col("embedding"), DIM))
+    book = pq_train(guarded, m=M, ksub=KSUB, dim=DIM)
+    codes = pq_encode(guarded, book, m=M, dim=DIM).collect()
+    ids = {r.vid for r in codes}
+    assert len(codes) == 40
+    assert ids.isdisjoint({900, 901, 902, 903})
