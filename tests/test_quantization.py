@@ -357,3 +357,50 @@ def test_ivfpq_empty_inputs(spark):
     assert (
         ivfpq_topk(index, coarse, book, empty_q, k=3, m=M, dim=DIM).count() == 0
     )
+
+
+def test_ivfpq_cross_engine_parity_on_real_embeddings(spark, sf_dir):
+    """End-to-end IVF-PQ parity against the staged DuckDB oracle on the
+    real embeddings table: coarse train, assignment, residual PQ train,
+    encode, routing, compressed top-k — every value string-compared at
+    the driver bar. The round-6 promotion test running early."""
+    import duckdb
+
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from kinesis_stream_spark.operators.quantization_sql import sql_ivfpq_topk
+    from kinesis_stream_spark.sources.batch import load_table
+
+    KC_, M_, KSUB_, DIM_, IT_, NQ_, NP_, K_ = 2, 2, 4, 64, 2, 3, 2, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, book = ivfpq_train(
+        emb, k_coarse=KC_, m=M_, ksub=KSUB_, dim=DIM_, iterations=IT_
+    )
+    index = ivfpq_encode(emb, coarse, book, m=M_, dim=DIM_)
+    queries = emb.where("vec_id < %d" % NQ_).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = [
+        (r.query_id, r.vec_id, repr(r.approx_score), r.rank)
+        for r in ivfpq_topk(
+            index, coarse, book, queries, k=K_, nprobe=NP_, m=M_, dim=DIM_
+        ).orderBy("query_id", "rank").collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [
+        (r[0], r[1], repr(float(r[2])), r[3])
+        for r in con.execute(
+            sql_ivfpq_topk(k_coarse=KC_, m=M_, ksub=KSUB_, dim=DIM_,
+                           iterations=IT_, n_queries=NQ_, nprobe=NP_, k=K_)
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
