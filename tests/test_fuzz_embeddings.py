@@ -74,3 +74,81 @@ def test_fuzz_embeddings_parity(spark, fuzz_emb_dir, fuzz_emb_con, name):
     oc = o[cols].astype(str).sort_values(cols).reset_index(drop=True)
     bad = (sc != oc).any(axis=1)
     assert not bad.any(), (name, sc[bad].head(3), oc[bad].head(3))
+
+
+def test_fuzz_pq_and_ivfpq_parity_on_guarded_corpus(spark, fuzz_emb_dir):
+    """Staged PQ/IVF-PQ pipelines on the corrupt-vector corpus, guarded
+    at the scan edge on BOTH engines (exactly how the round-6 query
+    registration will wrap them): NULL/NaN/wrong-dim/zero-norm rows
+    are filtered identically, and everything downstream — training,
+    encode, routing, ADC — string-compares bit-exact."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.functions.vectors import (
+        sql_valid_vector,
+        valid_vector,
+    )
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+    from kinesis_stream_spark.operators.quantization_sql import (
+        sql_ivfpq_topk,
+        sql_pq_adc_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{fuzz_emb_dir}/embeddings.parquet")
+        .where(valid_vector(F.col("embedding"), 64))
+        .select("vec_id", "embedding")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT vec_id, embedding FROM "
+        f"read_parquet('{fuzz_emb_dir}/embeddings.parquet') "
+        f"WHERE {sql_valid_vector('embedding', 64)}"
+    )
+
+    # flat PQ
+    book = pq_train(emb, m=2, ksub=4, dim=64, iterations=2)
+    codes = pq_encode(emb, book, m=2, dim=64)
+    queries = emb.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    got = [
+        (r.query_id, r.vec_id, repr(r.approx_score), r.rank)
+        for r in pq_topk_adc(codes, book, queries, k=6, m=2, dim=64)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r[0], r[1], repr(float(r[2])), r[3])
+        for r in con.execute(
+            sql_pq_adc_topk(m=2, ksub=4, dim=64, iterations=2, n_queries=2, k=6)
+        ).fetchall()
+    ]
+    assert got == want
+
+    # IVF-PQ
+    coarse, rbook = ivfpq_train(emb, k_coarse=2, m=2, ksub=4, dim=64)
+    index = ivfpq_encode(emb, coarse, rbook, m=2, dim=64)
+    got2 = [
+        (r.query_id, r.vec_id, repr(r.approx_score), r.rank)
+        for r in ivfpq_topk(index, coarse, rbook, queries, k=6, nprobe=2, m=2, dim=64)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want2 = [
+        (r[0], r[1], repr(float(r[2])), r[3])
+        for r in con.execute(
+            sql_ivfpq_topk(
+                k_coarse=2, m=2, ksub=4, dim=64, iterations=2,
+                n_queries=2, nprobe=2, k=6,
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert got2 == want2
