@@ -100,10 +100,17 @@ def pq_train(
 
 
 def _exploded_subvectors(
-    corpus: DataFrame, m: int, subdim: int, id_col: str, vec_col: str
+    corpus: DataFrame,
+    m: int,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vid, sub, subv): M rows per vector, built with one explode over
-    a plan-time array of slices."""
+    """(vid, *passthrough, sub, subv): M rows per vector, built with one
+    explode over a plan-time array of slices. ``passthrough`` columns
+    ride along unchanged — the single place the subspace-slicing
+    convention lives (an OPQ-style rotation would change only this)."""
     subs = F.array(
         *[
             F.struct(
@@ -114,8 +121,8 @@ def _exploded_subvectors(
         ]
     )
     return corpus.select(
-        F.col(id_col).alias("vid"), F.explode(subs).alias("s")
-    ).select("vid", "s.sub", "s.subv")
+        F.col(id_col).alias("vid"), *passthrough, F.explode(subs).alias("s")
+    ).select("vid", *passthrough, "s.sub", "s.subv")
 
 
 def pq_encode(
@@ -126,15 +133,20 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its M nearest sub-centroid ids:
-    (vid, codes array<int>). Assignment metric is the training metric
-    (argmax ``2·v·c − c·c``, exact fixed-point dots, ties to the lower
-    cid) so encode(train-set) reproduces the final training
-    assignment."""
+    (vid, *passthrough, codes array<int>). Assignment metric is the
+    training metric (argmax ``2·v·c − c·c``, exact fixed-point dots,
+    ties to the lower cid) so encode(train-set) reproduces the final
+    training assignment. ``passthrough`` columns (constant per vid,
+    e.g. an IVF list id) ride the existing explode + aggregation — no
+    second corpus-sized join to re-attach them."""
     assert dim % m == 0
     subdim = dim // m
-    sub_rows = _exploded_subvectors(corpus, m, subdim, id_col, vec_col)
+    sub_rows = _exploded_subvectors(
+        corpus, m, subdim, id_col, vec_col, passthrough
+    )
     score = (
         2 * dot_decimal(F.col("subv"), F.col("centroid"))
         - dot_decimal(F.col("centroid"), F.col("centroid"))
@@ -142,13 +154,13 @@ def pq_encode(
     w = Window.partitionBy("vid", "sub").orderBy(F.desc("score"), F.asc("cid"))
     assigned = (
         sub_rows.join(F.broadcast(codebook.select("sub", "cid", "centroid")), "sub")
-        .select("vid", "sub", "cid", score)
+        .select("vid", *passthrough, "sub", "cid", score)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
     # array_sort on (sub, cid) structs orders by subspace, then project
     # the ids — deterministic fold, no assumption on collect_list order
-    return assigned.groupBy("vid").agg(
+    return assigned.groupBy("vid", *passthrough).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "cid"))),
             lambda s: s.getField("cid").cast("int"),
@@ -238,8 +250,12 @@ def pq_reconstruction_mse(
     reconstruction error — the number that decides whether ksub/m are
     adequate before anything is re-encoded at scale. One exploded join
     of (vid, sub, subv) against assigned sub-centroids; per-term squared
-    error through the same fixed-point dot (``‖a−c‖² = a·a − 2a·c +
-    c·c``), then a subspace-level aggregate (M rows out)."""
+    error stays in the BIGINT fixed-point domain (``‖a−c‖²·2^40 =
+    fx(a,a) − 2·fx(a,c) + fx(c,c)``) through an exact integer sum, then
+    two IEEE divides per output row (M rows out). NOT davg's
+    DECIMAL(27,6) path: that cast rounds HALF_UP on a 1e-6 tie
+    (engine-divergent, see queries/_util.py) and would quantize an MSE
+    of ~1e-8 — real for a good codebook — to 0.0."""
     assert dim % m == 0
     subdim = dim // m
     sub_rows = _exploded_subvectors(corpus, m, subdim, id_col, vec_col)
@@ -247,18 +263,18 @@ def pq_reconstruction_mse(
         codes.select("vid", F.posexplode("codes").alias("sub", "cid")),
         ["vid", "sub"],
     ).join(F.broadcast(codebook.select("sub", "cid", "centroid")), ["sub", "cid"])
-    sqerr = (
-        dot_decimal(F.col("subv"), F.col("subv"))
-        - 2 * dot_decimal(F.col("subv"), F.col("centroid"))
-        + dot_decimal(F.col("centroid"), F.col("centroid"))
-    ).alias("sqerr")
-    from kinesis_stream_spark.queries._util import davg
-
-    per_sub = assigned.select("sub", sqerr).groupBy("sub").agg(
+    sqerr_fx = (
+        _dot_fx(F.col("subv"), F.col("subv"))
+        - 2 * _dot_fx(F.col("subv"), F.col("centroid"))
+        + _dot_fx(F.col("centroid"), F.col("centroid"))
+    ).alias("sqerr_fx")
+    per_sub = assigned.select("sub", sqerr_fx).groupBy("sub").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        # exact-DECIMAL mean (queries/_util.py): a bare double AVG is
-        # partition-order-sensitive and would break the future oracle
-        davg("sqerr", "mse"),
+        F.sum("sqerr_fx").alias("_sfx"),
+    ).select(
+        "sub",
+        "n_vectors",
+        (F.col("_sfx").cast("double") / SCALE / F.col("n_vectors")).alias("mse"),
     )
     return per_sub.orderBy("sub")
 
@@ -339,10 +355,12 @@ def ivfpq_encode(
         F.col("cid").alias("list_id"),
         _residual(F.col("v"), F.col("centroid")).alias("r"),
     )
-    codes = pq_encode(
-        residuals, book, m=m, dim=dim, id_col="vid", vec_col="r"
-    )
-    return residuals.select("vid", "list_id").join(codes, "vid")
+    # list_id rides pq_encode's own explode + aggregation — re-attaching
+    # it afterwards would cost a second corpus-sized shuffle join
+    return pq_encode(
+        residuals, book, m=m, dim=dim, id_col="vid", vec_col="r",
+        passthrough=("list_id",),
+    ).select("vid", "list_id", "codes")
 
 
 def ivfpq_topk(
@@ -395,22 +413,15 @@ def ivfpq_topk(
             _residual(F.col("qv"), F.col("centroid")).alias("qr"),
         )
     )
-    q_subs = qlist.select(
-        "qid",
+    q_subs = _exploded_subvectors(
+        qlist, m, subdim, "qid", "qr", ("list_id", "base_fx")
+    ).select(
+        F.col("vid").alias("qid"),
         "list_id",
         "base_fx",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub"),
-                        _subvector(F.col("qr"), j, subdim).alias("qr_sub"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s"),
-    ).select("qid", "list_id", "base_fx", "s.sub", "s.qr_sub")
+        "sub",
+        F.col("subv").alias("qr_sub"),
+    )
     table = q_subs.join(book, "sub").select(
         "qid",
         "list_id",

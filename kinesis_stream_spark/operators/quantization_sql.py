@@ -208,7 +208,7 @@ def sql_ivfpq_topk(
     assert dim % m == 0
     subdim = dim // m
     route_score = (
-        f"(2 * {_sql_dot_fx('q.qv', 'c.centroid')}"
+        f"(2 * {_sql_dot_fx('q.v', 'c.centroid')}"
         f" - {_sql_dot_fx('c.centroid', 'c.centroid')})"
     )
     assign_score = (
@@ -250,9 +250,9 @@ def sql_ivfpq_topk(
                        z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
               FROM (
                 SELECT q.vec_id AS qid, q.v AS qv, c.cid AS list_id,
-                       c.centroid, {route_score.replace('q.qv', 'q.v')} AS base_fx,
+                       c.centroid, {route_score} AS base_fx,
                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                          ORDER BY {route_score.replace('q.qv', 'q.v')} DESC,
+                                          ORDER BY {route_score} DESC,
                                                    c.cid) AS pr
                 FROM (SELECT vec_id, v FROM ev WHERE vec_id < {n_queries}) q
                 CROSS JOIN c{iterations}_cq c)

@@ -406,7 +406,13 @@ def test_pair_distance_histogram_consistent_with_threshold_path(spark):
         (5, "en", "theta iota kappa lambda mu nu xi"),      # near copy
     ]
     docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-    hist = {r.hamming: r.n_pairs for r in pair_distance_histogram(docs).collect()}
+    # SAME blocking on both sides: the identity is about one candidate
+    # set viewed two ways, and blocks=8 keeps the pigeonhole complete
+    # through hamming<=7 (blocks=4 would only guarantee <=3)
+    hist = {
+        r.hamming: r.n_pairs
+        for r in pair_distance_histogram(docs, blocks=8).collect()
+    }
     for k in (0, 3, 7):
         thr = near_duplicates_simhash(docs, max_hamming=k, blocks=8).count()
         assert sum(n for h, n in hist.items() if h <= k) == thr, (k, hist)

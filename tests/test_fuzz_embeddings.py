@@ -130,6 +130,7 @@ def test_fuzz_pq_and_ivfpq_parity_on_guarded_corpus(spark, fuzz_emb_dir):
             sql_pq_adc_topk(m=2, ksub=4, dim=64, iterations=2, n_queries=2, k=6)
         ).fetchall()
     ]
+    assert got  # a both-sides-empty result would pass vacuously
     assert got == want
 
     # IVF-PQ
@@ -151,4 +152,5 @@ def test_fuzz_pq_and_ivfpq_parity_on_guarded_corpus(spark, fuzz_emb_dir):
         ).fetchall()
     ]
     con.close()
+    assert got2
     assert got2 == want2

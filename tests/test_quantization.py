@@ -130,14 +130,11 @@ def test_reconstruction_mse_small_on_clustered_data(spark, corpus):
 
 
 def test_pq_plans_broadcast_codebook_no_cartesian(spark, corpus):
+    from test_plans import _explain
+
     emb, _ = corpus
     book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
     codes = pq_encode(emb, book, m=M, dim=DIM)
-
-    def _explain(df):
-        return df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
 
     enc_plan = _explain(pq_encode(emb, book, m=M, dim=DIM))
     assert "CartesianProduct" not in enc_plan
@@ -210,6 +207,7 @@ def test_pq_adc_cross_engine_parity_on_real_embeddings(spark, sf_dir):
         ).fetchall()
     ]
     con.close()
+    assert got  # a both-sides-empty result would pass vacuously
     assert got == want
 
 
