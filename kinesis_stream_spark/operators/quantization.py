@@ -184,7 +184,15 @@ def pq_topk_adc(
     corpus is never read. The per-query table (Q·M·ksub rows) is the
     broadcast side; exploded codes equi-join it on (sub, code) and the
     per-pair sum combines map-side before the single (query, vector)
-    shuffle."""
+    shuffle.
+
+    Contract: ``codes`` must be :func:`pq_encode` output for THIS
+    ``codebook`` and ``m``. Rows with the wrong code arity are filtered
+    at the scan edge; a codes/codebook VERSION mismatch (a code id the
+    table lacks) surfaces as that candidate silently missing from the
+    ranking (the ``_n == m`` guard below), not as an error — detect it
+    with :func:`pq_reconstruction_mse` or an input-vs-output count
+    check before trusting a re-encoded index."""
     assert dim % m == 0
     subdim = dim // m
     q_subs = _exploded_subvectors(
@@ -201,7 +209,7 @@ def pq_topk_adc(
             - _dot_fx(F.col("centroid"), F.col("centroid"))
         ).alias("contrib_fx"),
     )
-    code_rows = codes.select(
+    code_rows = codes.where(F.size("codes") == m).select(
         "vid",
         F.posexplode("codes").alias("sub", "code"),
     )
@@ -248,14 +256,17 @@ def pq_reconstruction_mse(
 ) -> DataFrame:
     """Codebook quality diagnostic: per-subspace and overall mean squared
     reconstruction error — the number that decides whether ksub/m are
-    adequate before anything is re-encoded at scale. One exploded join
-    of (vid, sub, subv) against assigned sub-centroids; per-term squared
-    error stays in the BIGINT fixed-point domain (``‖a−c‖²·2^40 =
-    fx(a,a) − 2·fx(a,c) + fx(c,c)``) through an exact integer sum, then
-    two IEEE divides per output row (M rows out). NOT davg's
-    DECIMAL(27,6) path: that cast rounds HALF_UP on a 1e-6 tie
-    (engine-divergent, see queries/_util.py) and would quantize an MSE
-    of ~1e-8 — real for a good codebook — to 0.0."""
+    adequate before anything is re-encoded at scale. Output is M
+    per-subspace rows plus one overall row with ``sub = -1`` (full-vector
+    MSE: subspaces occupy disjoint slots, so it is exactly the sum of the
+    per-subspace error sums over the same vector count). One exploded
+    join of (vid, sub, subv) against assigned sub-centroids; per-term
+    squared error stays in the BIGINT fixed-point domain (``‖a−c‖²·2^40
+    = fx(a,a) − 2·fx(a,c) + fx(c,c)``) through an exact integer sum,
+    then two IEEE divides per output row. NOT davg's DECIMAL(27,6) path:
+    that cast rounds HALF_UP on a 1e-6 tie (engine-divergent, see
+    queries/_util.py) and would quantize an MSE of ~1e-8 — real for a
+    good codebook — to 0.0."""
     assert dim % m == 0
     subdim = dim // m
     sub_rows = _exploded_subvectors(corpus, m, subdim, id_col, vec_col)
@@ -268,15 +279,24 @@ def pq_reconstruction_mse(
         - 2 * _dot_fx(F.col("subv"), F.col("centroid"))
         + _dot_fx(F.col("centroid"), F.col("centroid"))
     ).alias("sqerr_fx")
-    per_sub = assigned.select("sub", sqerr_fx).groupBy("sub").agg(
+    mse = (F.col("_sfx").cast("double") / SCALE / F.col("n_vectors")).alias("mse")
+    sums = assigned.select("sub", sqerr_fx).groupBy("sub").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("sqerr_fx").alias("_sfx"),
-    ).select(
-        "sub",
-        "n_vectors",
-        (F.col("_sfx").cast("double") / SCALE / F.col("n_vectors")).alias("mse"),
     )
-    return per_sub.orderBy("sub")
+    per_sub = sums.select("sub", "n_vectors", mse)
+    # encode emits exactly one code per (vid, sub), so every subspace row
+    # count equals the vector count; the M-row re-agg is free
+    overall = (
+        sums.agg(
+            F.max("n_vectors").alias("n_vectors"), F.sum("_sfx").alias("_sfx")
+        )
+        # a global agg over an empty frame emits one all-NULL row; the
+        # empty-input contract is zero rows out
+        .where(F.col("n_vectors").isNotNull())
+        .select(F.lit(-1).alias("sub"), "n_vectors", mse)
+    )
+    return overall.unionAll(per_sub).orderBy("sub")
 
 
 # --- IVF-PQ: coarse routing + residual product quantization -------------------

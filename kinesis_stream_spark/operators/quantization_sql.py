@@ -22,9 +22,12 @@ from __future__ import annotations
 
 from kinesis_stream_spark.functions.hashing import sql_md5_int64
 from kinesis_stream_spark.functions.vectors import SCALE, _sql_fixed_sum, sql_dot
+from kinesis_stream_spark.operators.similarity import CENTROID_SCALE
 
-# must match operators/similarity.CENTROID_SCALE (asserted in tests)
-_CS = "1000000000000.0"
+# derived, not duplicated: the oracle's centroid-mean fixed point must be
+# the operator's (the test-time assert in test_quantization.py remains as
+# a backstop against a non-float-representable future value)
+_CS = repr(float(CENTROID_SCALE))
 
 
 def _sql_dot_fx(a: str, b: str) -> str:

@@ -122,11 +122,16 @@ def test_reconstruction_mse_small_on_clustered_data(spark, corpus):
     book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
     codes = pq_encode(emb, book, m=M, dim=DIM)
     rows = pq_reconstruction_mse(emb, codes, book, m=M, dim=DIM).collect()
-    assert [r.sub for r in rows] == list(range(M))
+    # one overall row (sub = -1) then the M per-subspace rows
+    assert [r.sub for r in rows] == [-1, *range(M)]
     for r in rows:
         assert r.n_vectors == 40
         # jitter is ±0.05 uniform per dim: per-subspace MSE ≪ 0.01·subdim
-        assert 0.0 <= r.mse < 0.01 * (DIM // M)
+        assert 0.0 <= r.mse < 0.01 * DIM
+    # disjoint subspaces: overall MSE is exactly the sum of per-sub MSEs
+    # up to the two final IEEE divides (~1e-12 at this magnitude)
+    overall = rows[0].mse
+    assert abs(overall - sum(r.mse for r in rows[1:])) < 1e-9
 
 
 def test_pq_plans_broadcast_codebook_no_cartesian(spark, corpus):

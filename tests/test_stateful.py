@@ -152,8 +152,32 @@ def test_capped_sessions_stream_gate_reason_is_real(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(StreamingQueryException):
-        q.awaitTermination(120)
+    # Poll rather than one awaitTermination(120): if the worker crash
+    # took longer than the window, awaitTermination would return False
+    # WITHOUT raising and the still-running query would leak. Loop until
+    # the failure is observed (or the query terminates cleanly, which
+    # means the gate is stale and the assert below fails honestly).
+    try:
+        exc = None
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            try:
+                if q.awaitTermination(5):
+                    break  # clean termination: no crash — gate is stale
+            except StreamingQueryException as e:
+                exc = e
+                break
+            if q.exception() is not None:
+                exc = q.exception()
+                break
+        assert exc is not None, (
+            "transformWithState ran without google.protobuf — remove the gate"
+        )
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass  # best-effort cleanup of an already-failed query
 
 
 @pytest.mark.skipif(
