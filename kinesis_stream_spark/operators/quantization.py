@@ -96,7 +96,14 @@ def pq_train(
     out = books[0]
     for b in books[1:]:
         out = out.unionAll(b)
-    return out
+    # The codebook is a broadcast-sized training artifact consumed by
+    # several downstream plans (encode, ADC tables, MSE) — materialize it
+    # once (M·ksub rows) so consumers don't each re-embed M Lloyd chains
+    # in their analyzed plan. Without this cut the composed IVF-PQ plan
+    # (whose residuals already carry the coarse chain) grows
+    # multiplicatively and can OOM the driver-side analyzer. A real
+    # deployment writes the codebook to a table here.
+    return out.localCheckpoint()
 
 
 def _exploded_subvectors(
@@ -334,10 +341,18 @@ def ivfpq_train(
         kmeans_fit,
     )
 
-    coarse = kmeans_fit(
-        emb, k=k_coarse, dim=dim, iterations=iterations,
-        id_col=id_col, vec_col=vec_col,
-    ).select("cid", "centroid")
+    coarse = (
+        kmeans_fit(
+            emb, k=k_coarse, dim=dim, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .select("cid", "centroid")
+        # k_coarse rows; same lineage cut as the codebook above — the
+        # residual frame (and through it all M subspace Lloyd chains,
+        # the encode, and the search) would otherwise each replay the
+        # coarse training plan inside their own
+        .localCheckpoint()
+    )
     assigned = assign_to_centroids(
         emb, coarse, id_col=id_col, vec_col=vec_col
     ).join(F.broadcast(coarse), "cid")

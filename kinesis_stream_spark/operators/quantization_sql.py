@@ -191,6 +191,42 @@ def sql_pq_adc_topk(
     """
 
 
+def _ivfpq_index_ctes(
+    k_coarse: int, m: int, subdim: int, ksub: int, iterations: int
+) -> list[str]:
+    """Shared IVF-PQ index chain: coarse train → assignment
+    (``alist(vec_id, v, list_id, centroid)``) → residuals → residual
+    codebook ``book_rq`` + encode ``enc_rq(vec_id, sub, code)``. Both
+    the top-k and the route-census oracles replay exactly this index."""
+    assign_score = (
+        f"(2 * {sql_dot('e.v', 'c.centroid')}"
+        f" - {sql_dot('c.centroid', 'c.centroid')})"
+    )
+    ctes = ["ev AS (SELECT vec_id, embedding AS v FROM embeddings)"]
+    ctes.extend(_seed_ctes("cq", "ev", k_coarse))
+    ctes.extend(_kmeans_chain("cq", "ev", "sid_cq", subdim * m, iterations))
+    ctes.extend(
+        [
+            f"""alist AS (
+              SELECT vec_id, v, cid AS list_id, centroid FROM (
+                SELECT e.vec_id, e.v, c.cid, c.centroid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {assign_score} DESC, c.cid) AS rn
+                FROM ev e CROSS JOIN c{iterations}_cq c)
+              WHERE rn = 1
+            )""",
+            """res AS (
+              SELECT vec_id,
+                     LIST_TRANSFORM(LIST_ZIP(v, centroid),
+                       z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS v
+              FROM alist
+            )""",
+        ]
+    )
+    ctes.extend(_pq_book_and_encode_ctes("res", "rq", m, subdim, ksub, iterations))
+    return ctes
+
+
 def sql_ivfpq_topk(
     *,
     k_coarse: int = 2,
@@ -214,32 +250,7 @@ def sql_ivfpq_topk(
         f"(2 * {_sql_dot_fx('q.v', 'c.centroid')}"
         f" - {_sql_dot_fx('c.centroid', 'c.centroid')})"
     )
-    assign_score = (
-        f"(2 * {sql_dot('e.v', 'c.centroid')}"
-        f" - {sql_dot('c.centroid', 'c.centroid')})"
-    )
-    ctes = ["ev AS (SELECT vec_id, embedding AS v FROM embeddings)"]
-    ctes.extend(_seed_ctes("cq", "ev", k_coarse))
-    ctes.extend(_kmeans_chain("cq", "ev", "sid_cq", dim, iterations))
-    ctes.extend(
-        [
-            f"""alist AS (
-              SELECT vec_id, v, cid AS list_id, centroid FROM (
-                SELECT e.vec_id, e.v, c.cid, c.centroid,
-                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                          ORDER BY {assign_score} DESC, c.cid) AS rn
-                FROM ev e CROSS JOIN c{iterations}_cq c)
-              WHERE rn = 1
-            )""",
-            """res AS (
-              SELECT vec_id,
-                     LIST_TRANSFORM(LIST_ZIP(v, centroid),
-                       z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS v
-              FROM alist
-            )""",
-        ]
-    )
-    ctes.extend(_pq_book_and_encode_ctes("res", "rq", m, subdim, ksub, iterations))
+    ctes = _ivfpq_index_ctes(k_coarse, m, subdim, ksub, iterations)
     sub_slices = " UNION ALL ".join(
         f"SELECT qid, list_id, base_fx, {j} AS sub, "
         f"qr[{j * subdim + 1}:{j * subdim + subdim}] AS qr_sub FROM qlist"
@@ -290,4 +301,75 @@ def sql_ivfpq_topk(
       FROM scored)
     WHERE rank <= {k}
     ORDER BY query_id, rank
+    """
+
+
+def sql_pq_mse(
+    *,
+    m: int = 2,
+    ksub: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+) -> str:
+    """Flat-PQ reconstruction-MSE oracle: train → encode → per-subspace
+    squared-error sums in exact BIGINT fixed-point, one overall row
+    (sub = -1) summing them, identical (double / SCALE / n) divide
+    shape as the operator."""
+    assert dim % m == 0
+    subdim = dim // m
+    ctes = ["ev AS (SELECT vec_id, embedding AS v FROM embeddings)"]
+    ctes.extend(_pq_book_and_encode_ctes("ev", "pq", m, subdim, ksub, iterations))
+    sqerr = (
+        f"({_sql_dot_fx('r.subv', 'r.subv')}"
+        f" - 2 * {_sql_dot_fx('r.subv', 'b.centroid')}"
+        f" + {_sql_dot_fx('b.centroid', 'b.centroid')})"
+    )
+    ctes.extend(
+        [
+            f"""err AS (
+              SELECT r.sub, {sqerr} AS sqerr_fx
+              FROM subrows_pq r
+              JOIN enc_pq e ON e.vec_id = r.vec_id AND e.sub = r.sub
+              JOIN book_pq b ON b.sub = r.sub AND b.cid = e.code
+            )""",
+            """sums AS (
+              SELECT sub, COUNT(*) AS n_vectors, SUM(sqerr_fx) AS sfx
+              FROM err GROUP BY sub
+            )""",
+        ]
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT sub, n_vectors,
+           CAST(sfx AS DOUBLE) / {SCALE} / n_vectors AS mse
+    FROM sums
+    UNION ALL
+    SELECT -1 AS sub, MAX(n_vectors) AS n_vectors,
+           CAST(SUM(sfx) AS DOUBLE) / {SCALE} / MAX(n_vectors) AS mse
+    FROM sums
+    ORDER BY sub
+    """
+
+
+def sql_ivfpq_route_census(
+    *,
+    k_coarse: int = 2,
+    m: int = 2,
+    ksub: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+) -> str:
+    """IVF-PQ index-census oracle: replay coarse training, routing, and
+    residual encoding, then count vectors per (list_id, sub, code) cell
+    — a full-index parity check (every vector's list AND all M codes
+    must match) without materializing per-vector rows in the output."""
+    assert dim % m == 0
+    subdim = dim // m
+    ctes = _ivfpq_index_ctes(k_coarse, m, subdim, ksub, iterations)
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT a.list_id, n.sub, n.code, COUNT(*) AS n_vectors
+    FROM enc_rq n JOIN alist a USING (vec_id)
+    GROUP BY 1, 2, 3
+    ORDER BY list_id, sub, code
     """

@@ -1,0 +1,188 @@
+"""Product-quantization query inventory (embeddings table, 64-dim).
+
+The PQ / IVF-PQ family staged in round 5 (``operators/quantization.py``,
+oracles in ``operators/quantization_sql.py``), registered with the
+driver contract here. Query vectors are the corpus rows with
+``vec_id < 3`` (deterministic, no external fixtures), exactly the
+recipe the staged parity tests proved at sf0.001 and on the
+corrupt-vector fuzz corpus.
+
+Reference provenance: the reference delegates all query processing to
+its host framework (SURVEY.md §2.2; reference README.md:30-48) — the
+PQ family is part of the training-data-pipeline extension surface the
+build brief demands, implemented from the public Jégou/Douze/Schmid
+TPAMI 2011 algorithm in DataFrame shapes.
+
+Scale notes (100 TB): codebooks are (M·ksub)-row broadcasts and the
+per-query ADC lookup tables are (Q·nprobe·M·ksub)-row broadcasts, so
+search never shuffles the corpus — the only corpus-sized exchanges are
+one encode (M rows/vector, D/M-float subvectors) and the per-(query,
+vector) partial-sum aggregation, which combines map-side. IVF-PQ
+routing prunes candidate lists before any scoring; a corpus laid out
+PARTITION BY list_id turns that into physical partition pruning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.vectors import sql_valid_vector, valid_vector
+from kinesis_stream_spark.operators.quantization import (
+    ivfpq_encode,
+    ivfpq_topk,
+    ivfpq_train,
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk_adc,
+    pq_train,
+)
+from kinesis_stream_spark.operators.quantization_sql import (
+    sql_ivfpq_route_census,
+    sql_ivfpq_topk,
+    sql_pq_adc_topk,
+    sql_pq_mse,
+)
+from kinesis_stream_spark.sources.batch import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+DIM = 64
+M = 4
+KSUB = 4
+ITERATIONS = 2
+K_COARSE = 4
+NPROBE = 2
+N_QUERIES = 3
+K = 8
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan behind the validity guard (twin of the similarity
+    family's ``_emb``): corrupt vectors are excluded at the edge on BOTH
+    engines."""
+    return load_table(spark, sf_dir, "embeddings").where(
+        valid_vector(F.col("embedding"), DIM)
+    )
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@_q(
+    "similarity_pq_adc_topk",
+    sql_pq_adc_topk(
+        m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS, n_queries=N_QUERIES, k=K
+    ),
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ compressed-domain search: train M per-subspace codebooks,
+    encode the corpus to M-byte codes, rank by asymmetric distance — the
+    full-precision corpus is never read at search time. The oracle
+    replays training, encode, and the exact BIGINT fixed-point ADC sums
+    end-to-end, so quantization ERROR must match bit-exactly, not just
+    approximately."""
+    emb = _emb(spark, sf_dir)
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+    return pq_topk_adc(
+        codes, book, _queries_df(emb), k=K, m=M, dim=DIM
+    ).orderBy("query_id", "rank")
+
+
+@_q(
+    "similarity_pq_reconstruction_mse",
+    sql_pq_mse(m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS),
+)
+def similarity_pq_reconstruction_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-quality diagnostic: per-subspace + overall (sub = -1)
+    mean squared reconstruction error, the number that decides whether
+    m/ksub are adequate before a 100 TB re-encode. Error sums stay in
+    exact BIGINT fixed-point until two final IEEE divides per row."""
+    emb = _emb(spark, sf_dir)
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+    return pq_reconstruction_mse(emb, codes, book, m=M, dim=DIM).orderBy("sub")
+
+
+@_q(
+    "similarity_ivfpq_topk",
+    sql_ivfpq_topk(
+        k_coarse=K_COARSE,
+        m=M,
+        ksub=KSUB,
+        dim=DIM,
+        iterations=ITERATIONS,
+        n_queries=N_QUERIES,
+        nprobe=NPROBE,
+        k=K,
+    ),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (the FAISS IVFPQ architecture): coarse k-means
+    routes each query to its nprobe best inverted lists; residual PQ
+    codes score candidates in the compressed domain via a per-(query,
+    list) BIGINT base term + per-subspace lookups. Only nprobe/k_coarse
+    of the corpus is touched per query — the scale lever. The oracle
+    replays coarse training, residual codebooks, routing, and the exact
+    fixed-point score decomposition."""
+    emb = _emb(spark, sf_dir)
+    coarse, book = ivfpq_train(
+        emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
+    )
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    return ivfpq_topk(
+        index, coarse, book, _queries_df(emb), k=K, nprobe=NPROBE, m=M, dim=DIM
+    ).orderBy("query_id", "rank")
+
+
+@_q(
+    "similarity_ivfpq_route_census",
+    sql_ivfpq_route_census(
+        k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
+    ),
+)
+def similarity_ivfpq_route_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-index parity check: count vectors per (list_id, sub, code)
+    cell of the IVF-PQ index. Every vector's coarse routing AND all M
+    residual codes must match the oracle's replay for the census to
+    agree — an encode/route verification without per-vector output
+    rows. Doubles as the index-balance profile (hot lists / dead codes)
+    an operator would inspect before deploying the index."""
+    emb = _emb(spark, sf_dir)
+    coarse, book = ivfpq_train(
+        emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
+    )
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    return (
+        index.select("list_id", F.posexplode("codes").alias("sub", "code"))
+        .groupBy("list_id", "sub", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("list_id", "sub", "code")
+    )
+
+
+# Corrupt-vector guard, oracle side: every reference to the embeddings
+# table reads through the validity filter (twin of _emb above; same
+# rewrite the similarity module applies).
+_EMB_SUBQ = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', DIM)})"
+ORACLE = {
+    k: re.sub(r"\bembeddings\b", _EMB_SUBQ, v, count=0)
+    for k, v in ORACLE.items()
+}

@@ -26,6 +26,12 @@ EMB_QUERIES = [
     "dedup_embedding_cosine_pairs",
     # balance ratios must survive corrupt rows being guarded out
     "similarity_cluster_balance",
+    # round-6 PQ/IVF-PQ registrations: training, encode, routing, and
+    # ADC must all agree after the guard drops the corrupt rows
+    "similarity_pq_adc_topk",
+    "similarity_pq_reconstruction_mse",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_route_census",
 ]
 
 
