@@ -246,62 +246,83 @@ def sql_ivfpq_topk(
     divide."""
     assert dim % m == 0
     subdim = dim // m
+    ctes = _ivfpq_index_ctes(k_coarse, m, subdim, ksub, iterations)
+    ctes.extend(
+        _ivfpq_search_ctes("", m, subdim, iterations, n_queries, nprobe, k)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT qid AS query_id, vec_id, approx_score, rank
+    FROM ranked_
+    ORDER BY query_id, rank
+    """
+
+
+def _ivfpq_search_ctes(
+    tag: str,
+    m: int,
+    subdim: int,
+    iterations: int,
+    n_queries: int,
+    nprobe: int,
+    k: int,
+) -> list[str]:
+    """Search tail over the shared index chain: route the first
+    ``n_queries`` vectors to their ``nprobe`` best lists, ADC-score in
+    exact fixed-point, rank. Produces ``ranked_{tag}(qid, vec_id,
+    approx_score, rank)`` with rank <= k — per-``tag`` names so a sweep
+    can instantiate several nprobe settings over ONE index chain."""
     route_score = (
         f"(2 * {_sql_dot_fx('q.v', 'c.centroid')}"
         f" - {_sql_dot_fx('c.centroid', 'c.centroid')})"
     )
-    ctes = _ivfpq_index_ctes(k_coarse, m, subdim, ksub, iterations)
     sub_slices = " UNION ALL ".join(
         f"SELECT qid, list_id, base_fx, {j} AS sub, "
-        f"qr[{j * subdim + 1}:{j * subdim + subdim}] AS qr_sub FROM qlist"
+        f"qr[{j * subdim + 1}:{j * subdim + subdim}] AS qr_sub FROM qlist_{tag}"
         for j in range(m)
     )
-    ctes.extend(
-        [
-            f"""qlist AS (
-              SELECT qid, list_id, base_fx,
-                     LIST_TRANSFORM(LIST_ZIP(qv, centroid),
-                       z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
-              FROM (
-                SELECT q.vec_id AS qid, q.v AS qv, c.cid AS list_id,
-                       c.centroid, {route_score} AS base_fx,
-                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                          ORDER BY {route_score} DESC,
-                                                   c.cid) AS pr
-                FROM (SELECT vec_id, v FROM ev WHERE vec_id < {n_queries}) q
-                CROSS JOIN c{iterations}_cq c)
-              WHERE pr <= {nprobe}
-            )""",
-            f"qsubs AS ({sub_slices})",
-            f"""tbl AS (
-              SELECT s.qid, s.list_id, s.sub, b.cid AS code, s.base_fx,
-                     (2 * {_sql_dot_fx('s.qr_sub', 'b.centroid')}
-                      - {_sql_dot_fx('b.centroid', 'b.centroid')}) AS contrib_fx
-              FROM qsubs s JOIN book_rq b USING (sub)
-            )""",
-            f"""scored AS (
-              SELECT t.qid, e.vec_id,
-                     CAST(MIN(t.base_fx) + SUM(t.contrib_fx) AS DOUBLE)
-                       / {SCALE} AS approx_score
-              FROM (SELECT n.vec_id, a.list_id, n.sub, n.code
-                    FROM enc_rq n JOIN alist a USING (vec_id)) e
-              JOIN tbl t ON t.list_id = e.list_id AND t.sub = e.sub
-                        AND t.code = e.code
-              GROUP BY 1, 2
-              HAVING COUNT(*) = {m}
-            )""",
-        ]
-    )
-    return f"""
-    WITH {", ".join(ctes)}
-    SELECT qid AS query_id, vec_id, approx_score, rank FROM (
-      SELECT qid, vec_id, approx_score,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY approx_score DESC, vec_id) AS rank
-      FROM scored)
-    WHERE rank <= {k}
-    ORDER BY query_id, rank
-    """
+    return [
+        f"""qlist_{tag} AS (
+          SELECT qid, list_id, base_fx,
+                 LIST_TRANSFORM(LIST_ZIP(qv, centroid),
+                   z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
+          FROM (
+            SELECT q.vec_id AS qid, q.v AS qv, c.cid AS list_id,
+                   c.centroid, {route_score} AS base_fx,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {route_score} DESC,
+                                               c.cid) AS pr
+            FROM (SELECT vec_id, v FROM ev WHERE vec_id < {n_queries}) q
+            CROSS JOIN c{iterations}_cq c)
+          WHERE pr <= {nprobe}
+        )""",
+        f"qsubs_{tag} AS ({sub_slices})",
+        f"""tbl_{tag} AS (
+          SELECT s.qid, s.list_id, s.sub, b.cid AS code, s.base_fx,
+                 (2 * {_sql_dot_fx('s.qr_sub', 'b.centroid')}
+                  - {_sql_dot_fx('b.centroid', 'b.centroid')}) AS contrib_fx
+          FROM qsubs_{tag} s JOIN book_rq b USING (sub)
+        )""",
+        f"""scored_{tag} AS (
+          SELECT t.qid, e.vec_id,
+                 CAST(MIN(t.base_fx) + SUM(t.contrib_fx) AS DOUBLE)
+                   / {SCALE} AS approx_score
+          FROM (SELECT n.vec_id, a.list_id, n.sub, n.code
+                FROM enc_rq n JOIN alist a USING (vec_id)) e
+          JOIN tbl_{tag} t ON t.list_id = e.list_id AND t.sub = e.sub
+                    AND t.code = e.code
+          GROUP BY 1, 2
+          HAVING COUNT(*) = {m}
+        )""",
+        f"""ranked_{tag} AS (
+          SELECT qid, vec_id, approx_score, rank FROM (
+            SELECT qid, vec_id, approx_score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY approx_score DESC, vec_id) AS rank
+            FROM scored_{tag})
+          WHERE rank <= {k}
+        )""",
+    ]
 
 
 def sql_pq_mse(

@@ -43,6 +43,9 @@ _PRIORITY = (
     "similarity_pq_reconstruction_mse",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_route_census",
+    "similarity_rank_quality",
+    "similarity_ivfpq_nprobe_sweep",
+    "similarity_embedding_drift",
     # r3-latest families, oldest rows in the inventory (49; the last
     # few fall past the 50-cut and lead the round-7 window)
     "q01_pricing_summary",
@@ -121,6 +124,7 @@ def _prioritize(merged):
 def _modules():
     from kinesis_stream_spark.queries import (
         dedup,
+        evaluation,
         multimodal,
         quantization,
         relational,
@@ -140,6 +144,7 @@ def _modules():
         dedup,
         similarity,
         quantization,
+        evaluation,
         text,
         multimodal,
         streaming_batch,

@@ -1,0 +1,158 @@
+"""Retrieval-evaluation + drift query inventory (embeddings table).
+
+Round-6 additions completing the ANN evaluation story: ranking-quality
+metrics beyond recall (MRR / NDCG@k of the PQ-ADC ranking vs the
+exact-score truth), the recall-vs-nprobe tuning curve for the IVF-PQ
+index, and between-snapshot embedding drift. Query vectors are corpus
+rows with ``vec_id < 3``; drift snapshots are the even/odd ``vec_id``
+halves — deterministic, no external fixtures.
+
+Reference provenance: the reference delegates all query processing to
+its host framework (SURVEY.md §2.2); this is extension surface for the
+100 TB training-data pipeline the build brief demands.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.vectors import sql_valid_vector, valid_vector
+from kinesis_stream_spark.operators.evaluation import (
+    embedding_drift,
+    exact_score_topk,
+    ivfpq_recall_sweep,
+    ranking_quality,
+)
+from kinesis_stream_spark.operators.evaluation_sql import (
+    sql_embedding_drift,
+    sql_ivfpq_recall_sweep,
+    sql_pq_rank_quality,
+)
+from kinesis_stream_spark.operators.quantization import (
+    pq_encode,
+    pq_topk_adc,
+    pq_train,
+)
+from kinesis_stream_spark.sources.batch import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+DIM = 64
+M = 4
+KSUB = 4
+ITERATIONS = 2
+K_COARSE = 4
+NPROBES = (1, 2, 4)
+N_QUERIES = 3
+K = 8
+DRIFT_K = 4
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan behind the validity guard (twin of the similarity
+    family's ``_emb``)."""
+    return load_table(spark, sf_dir, "embeddings").where(
+        valid_vector(F.col("embedding"), DIM)
+    )
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@_q(
+    "similarity_rank_quality",
+    sql_pq_rank_quality(
+        m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS, n_queries=N_QUERIES, k=K
+    ),
+)
+def similarity_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / NDCG@k of the flat-PQ ADC ranking against the exact-score
+    truth (self included on both sides — both rank the full corpus).
+    The metrics recall@k cannot see: recall treats a hit at rank 1 and
+    rank k the same; MRR and NDCG grade WHERE the relevant items
+    landed. Discount and reciprocal-rank tables are Python-precomputed
+    2^40 fixed-point integer literals injected into both engines, so
+    no transcendental function runs in either."""
+    emb = _emb(spark, sf_dir)
+    truth = exact_score_topk(emb, _queries_df(emb), k=K)
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+    approx = pq_topk_adc(codes, book, _queries_df(emb), k=K, m=M, dim=DIM)
+    return ranking_quality(truth, approx, k=K)
+
+
+@_q(
+    "similarity_ivfpq_nprobe_sweep",
+    sql_ivfpq_recall_sweep(
+        k_coarse=K_COARSE,
+        m=M,
+        ksub=KSUB,
+        dim=DIM,
+        iterations=ITERATIONS,
+        n_queries=N_QUERIES,
+        nprobes=NPROBES,
+        k=K,
+    ),
+)
+def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-PQ as a function of nprobe — the tuning curve a
+    deployment reads to pick its probe budget (cost axis:
+    nprobe/k_coarse of the corpus scanned per query). One trained +
+    encoded index serves every sweep point; truth is the exact-score
+    top-k under the metric the index optimizes. Micro-averaged exact
+    hit counts, one IEEE divide per row."""
+    emb = _emb(spark, sf_dir)
+    return ivfpq_recall_sweep(
+        emb,
+        _queries_df(emb),
+        nprobes=NPROBES,
+        k=K,
+        k_coarse=K_COARSE,
+        m=M,
+        ksub=KSUB,
+        dim=DIM,
+        iterations=ITERATIONS,
+    ).orderBy("nprobe")
+
+
+@_q(
+    "similarity_embedding_drift",
+    sql_embedding_drift(k=DRIFT_K, dim=DIM, iterations=ITERATIONS),
+)
+def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus snapshots (even vs odd vec_ids
+    standing in for train-time vs serve-time corpora): per trained
+    cluster, population-share deltas and the squared shift between the
+    trained centroid and the new snapshot's cluster mean — the
+    monitoring numbers that trigger index/codebook re-training."""
+    emb = _emb(spark, sf_dir)
+    snap_a = emb.where(F.col("vec_id") % 2 == 0)
+    snap_b = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_drift(
+        snap_a, snap_b, k=DRIFT_K, dim=DIM, iterations=ITERATIONS
+    )
+
+
+# Corrupt-vector guard, oracle side (twin of _emb above).
+_EMB_SUBQ = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', DIM)})"
+ORACLE = {
+    k: re.sub(r"\bembeddings\b", _EMB_SUBQ, v, count=0)
+    for k, v in ORACLE.items()
+}

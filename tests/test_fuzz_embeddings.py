@@ -32,6 +32,10 @@ EMB_QUERIES = [
     "similarity_pq_reconstruction_mse",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_route_census",
+    # round-6 evaluation family: metrics + drift over guarded scans
+    "similarity_rank_quality",
+    "similarity_ivfpq_nprobe_sweep",
+    "similarity_embedding_drift",
 ]
 
 
