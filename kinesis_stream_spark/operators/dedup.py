@@ -706,10 +706,14 @@ def containment_pairs(
     Measured honestly: at sf0.1 the cap is cost-NEUTRAL (min-of-3
     7.6 s capped vs 7.6 s uncapped — the synthetic corpus's max df is
     9, so the cap prunes ~10% of join rows and the df window costs
-    about what the pruning saves). The knob exists for the corpus this
-    benchmark cannot simulate: a crawl corpus where one cookie-banner
-    shingle has df ≈ 10⁶ and contributes 10¹² join rows on a single
-    (group, gram) key. A size-joins-free variant (carry ``sz`` through
+    about what the pruning saves). On a synthesized crawl-skew fixture
+    (round 6: 2,000 docs sharing one 5-token boilerplate prefix, so
+    three shingles each have df = 2,000) the cap is load-bearing:
+    12,060,000 equi-join rows uncapped vs 60,000 capped (201×, the
+    hot rows all landing on 3 (group, gram) keys = one straggler
+    task), 4.1 s vs 2.3 s wall on local[8] at even this toy scale —
+    and the df² blowup is quadratic from here: a df ≈ 10⁶
+    cookie-banner shingle contributes 10¹² join rows on one key. A size-joins-free variant (carry ``sz`` through
     the gram join, group by it) was prototyped and is also neutral at
     this SF; at 100 TB it trades +8 B/row on the gram shuffle for not
     shuffling the pair table twice more — worth revisiting if the pair

@@ -158,12 +158,21 @@ def pq_encode(
         2 * dot_decimal(F.col("subv"), F.col("centroid"))
         - dot_decimal(F.col("centroid"), F.col("centroid"))
     ).alias("score")
-    w = Window.partitionBy("vid", "sub").orderBy(F.desc("score"), F.asc("cid"))
+    # Argmax via max_by over (score, -cid) — identical winner to a
+    # row_number window (scores are exact DECIMAL, so the tie-to-lower-
+    # cid break is deterministic) but map-side combinable: the shuffle
+    # carries one partial max per (vid, sub) per map partition instead
+    # of every scored candidate row into a sort. At 100 TB encode this
+    # is the difference between shuffling N·M·ksub rows and N·M.
     assigned = (
         sub_rows.join(F.broadcast(codebook.select("sub", "cid", "centroid")), "sub")
         .select("vid", *passthrough, "sub", "cid", score)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("vid", *passthrough, "sub")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("score"), (-F.col("cid")).alias("nc"))
+            ).alias("cid")
+        )
     )
     # array_sort on (sub, cid) structs orders by subspace, then project
     # the ids — deterministic fold, no assumption on collect_list order

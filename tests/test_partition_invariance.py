@@ -39,6 +39,13 @@ SENSITIVE = [
     "events_winsorized_stats",  # percentile fit + clamped decimal sums
     "text_collocation_lift",  # two count aggs + double mul/div lift
     "events_user_diversity",  # DECIMAL sum-of-squares + two IEEE divides
+    "similarity_pq_adc_topk",  # PQ train chains + fixed-point ADC sums
+    "similarity_pq_reconstruction_mse",  # fixed-point sqerr sums + 2 divides
+    "similarity_ivfpq_topk",  # coarse + residual chains, base+contrib sums
+    "similarity_ivfpq_route_census",  # routing/encode argmax determinism
+    "similarity_rank_quality",  # fixed-point DCG/RR folds + divides
+    "similarity_ivfpq_nprobe_sweep",  # index reuse + hit-count divides
+    "similarity_embedding_drift",  # centroid means + shift fixed-point dots
 ]
 
 
