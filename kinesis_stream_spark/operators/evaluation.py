@@ -50,6 +50,18 @@ def rr_fx(k: int) -> tuple[int, ...]:
     return tuple(_FX // r for r in range(1, k + 1))
 
 
+def idcg_fx(k: int) -> tuple[int, ...]:
+    """Ideal-DCG prefix sums over :func:`discount_fx` — the IDCG for a
+    truth list of n items is ``idcg_fx(k)[min(n, k) - 1]``. Defined
+    HERE, next to the tables it sums, so the Spark plan and the DuckDB
+    oracle provably consume the same literals."""
+    out, run = [], 0
+    for v in discount_fx(k):
+        run += v
+        out.append(run)
+    return tuple(out)
+
+
 def _lut(values: tuple[int, ...]) -> Column:
     """0-sentinel lookup array: index 1 is the sentinel (no hit → 0),
     index r+1 holds values[r-1]. Avoids conditional element_at under
@@ -80,14 +92,11 @@ def ranking_quality(
     rankings (same shape as ann_recall). All sums are exact BIGINT
     fixed-point; one IEEE divide per output value.
     """
-    d_tab = discount_fx(k)
-    # prefix sums for IDCG: ideal ranking fills ranks 1..min(n_truth, k)
-    prefix = []
-    run = 0
-    for v in d_tab:
-        run += v
-        prefix.append(run)
-    d_lut, rr_lut, idcg_lut = _lut(d_tab), _lut(rr_fx(k)), _lut(tuple(prefix))
+    d_lut, rr_lut, idcg_lut = (
+        _lut(discount_fx(k)),
+        _lut(rr_fx(k)),
+        _lut(idcg_fx(k)),
+    )
 
     t = truth.where(F.col("rank") <= k).select(
         F.col(query_id_col).alias("qid"), F.col(id_col).alias("item")
@@ -209,14 +218,21 @@ def ivfpq_recall_sweep(
         ivfpq_train,
     )
 
+    # fail before paying for training, not after
+    assert nprobes, "ivfpq_recall_sweep needs at least one nprobe setting"
     coarse, book = ivfpq_train(
         emb, k_coarse=k_coarse, m=m, ksub=ksub, dim=dim, iterations=iterations
     )
-    # the encoded index is sweep-invariant; at test SF the checkpoint is
-    # tiny, at 100 TB this line is "read the index table you wrote"
+    # the encoded index and the exact truth are both sweep-invariant;
+    # at test SF the checkpoints are tiny, at 100 TB these lines are
+    # "read the index table / truth table you wrote" — without the cut
+    # the corpus-sized exact scoring would re-execute once per sweep
+    # point plus once for the totals
     index = ivfpq_encode(emb, coarse, book, m=m, dim=dim).localCheckpoint()
-    exact = exact_score_topk(emb, queries, k=k).select(
-        F.col("query_id"), F.col("vec_id")
+    exact = (
+        exact_score_topk(emb, queries, k=k)
+        .select(F.col("query_id"), F.col("vec_id"))
+        .localCheckpoint()
     )
     totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     parts = []

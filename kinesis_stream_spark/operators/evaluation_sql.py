@@ -15,7 +15,7 @@ fixed-point shift distances.
 from __future__ import annotations
 
 from kinesis_stream_spark.functions.vectors import SCALE, sql_dot
-from kinesis_stream_spark.operators.evaluation import discount_fx, rr_fx
+from kinesis_stream_spark.operators.evaluation import discount_fx, idcg_fx, rr_fx
 from kinesis_stream_spark.operators.quantization_sql import (
     _CS,
     _ivfpq_index_ctes,
@@ -71,16 +71,10 @@ def sql_pq_rank_quality(
     tables) until one IEEE divide per output value."""
     assert dim % m == 0
     subdim = dim // m
-    d_tab = discount_fx(k)
-    prefix = []
-    run = 0
-    for v in d_tab:
-        run += v
-        prefix.append(run)
     d_lut, rr_lut, idcg_lut = (
-        _fx_list(d_tab),
+        _fx_list(discount_fx(k)),
         _fx_list(rr_fx(k)),
-        _fx_list(tuple(prefix)),
+        _fx_list(idcg_fx(k)),
     )
     ctes = ["ev AS (SELECT vec_id, embedding AS v FROM embeddings)"]
     ctes.extend(_pq_book_and_encode_ctes("ev", "pq", m, subdim, ksub, iterations))

@@ -159,8 +159,12 @@ def pq_encode(
         - dot_decimal(F.col("centroid"), F.col("centroid"))
     ).alias("score")
     # Argmax via max_by over (score, -cid) — identical winner to a
-    # row_number window (scores are exact DECIMAL, so the tie-to-lower-
-    # cid break is deterministic) but map-side combinable: the shuffle
+    # row_number window: score is a DOUBLE derived from exact fixed-
+    # point sums, so both engines compute the identical double, and
+    # when two centroids' scores collapse to one double the -cid struct
+    # field breaks the tie to the lower cid exactly as the window's
+    # ORDER BY did. Map-side combinable where the window was not: the
+    # shuffle
     # carries one partial max per (vid, sub) per map partition instead
     # of every scored candidate row into a sort. At 100 TB encode this
     # is the difference between shuffling N·M·ksub rows and N·M.

@@ -368,6 +368,7 @@ def sql_pq_mse(
     SELECT -1 AS sub, MAX(n_vectors) AS n_vectors,
            CAST(SUM(sfx) AS DOUBLE) / {SCALE} / MAX(n_vectors) AS mse
     FROM sums
+    HAVING COUNT(*) > 0  -- empty corpus: zero rows out, like the operator
     ORDER BY sub
     """
 

@@ -1,0 +1,65 @@
+"""Shared boilerplate for embeddings-table query modules.
+
+``queries/quantization.py`` and ``queries/evaluation.py`` both need the
+same three pieces the similarity module pioneered: a ``_q`` decorator
+registering (query, oracle) pairs, the corrupt-vector guard at the scan
+edge, and the oracle-side rewrite that threads the same guard through
+every ``embeddings`` reference. Defined once here so a guard fix lands
+everywhere at once. ``queries/similarity.py`` keeps its original local
+copies deliberately — its queries carry driver-verified rows from
+earlier rounds and rewiring their import path would stale them for no
+behavioral change; fold it in whenever its whole family is in a
+verification window anyway.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.vectors import sql_valid_vector, valid_vector
+from kinesis_stream_spark.sources.batch import load_table
+
+DIM = 64
+
+
+def make_q(queries: dict, oracle: dict) -> Callable:
+    """Module-local ``@_q(name, sql)`` registration decorator bound to
+    the caller's QUERIES / ORACLE dicts."""
+
+    def _q(name: str, sql: str | None = None):
+        def deco(fn):
+            queries[name] = fn
+            if sql is not None:
+                oracle[name] = sql
+            return fn
+
+        return deco
+
+    return _q
+
+
+def emb_scan(spark: SparkSession, sf_dir: str, dim: int = DIM) -> DataFrame:
+    """Embeddings scan behind the validity guard: corrupt vectors
+    (NULL / NaN / wrong-dim / zero-norm) are excluded at the edge."""
+    return load_table(spark, sf_dir, "embeddings").where(
+        valid_vector(F.col("embedding"), dim)
+    )
+
+
+def queries_df(emb: DataFrame, n_queries: int) -> DataFrame:
+    """Deterministic query batch: the corpus rows with the n smallest
+    vec_ids (no external fixtures)."""
+    return emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def guard_oracles(oracle: dict, dim: int = DIM) -> dict:
+    """Oracle-side twin of :func:`emb_scan`: every reference to the
+    embeddings table reads through the validity filter."""
+    subq = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', dim)})"
+    return {k: re.sub(r"\bembeddings\b", subq, v, count=0) for k, v in oracle.items()}

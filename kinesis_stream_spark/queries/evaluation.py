@@ -14,12 +14,15 @@ its host framework (SURVEY.md §2.2); this is extension surface for the
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.functions.vectors import sql_valid_vector, valid_vector
+from kinesis_stream_spark.queries._emb_family import (
+    emb_scan,
+    guard_oracles,
+    make_q,
+    queries_df,
+)
 from kinesis_stream_spark.operators.evaluation import (
     embedding_drift,
     exact_score_topk,
@@ -36,10 +39,9 @@ from kinesis_stream_spark.operators.quantization import (
     pq_topk_adc,
     pq_train,
 )
-from kinesis_stream_spark.sources.batch import load_table
-
 QUERIES = {}
 ORACLE = {}
+_q = make_q(QUERIES, ORACLE)
 
 DIM = 64
 M = 4
@@ -50,30 +52,6 @@ NPROBES = (1, 2, 4)
 N_QUERIES = 3
 K = 8
 DRIFT_K = 4
-
-
-def _q(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql
-        return fn
-
-    return deco
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings scan behind the validity guard (twin of the similarity
-    family's ``_emb``)."""
-    return load_table(spark, sf_dir, "embeddings").where(
-        valid_vector(F.col("embedding"), DIM)
-    )
-
-
-def _queries_df(emb: DataFrame) -> DataFrame:
-    return emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
 
 
 @_q(
@@ -90,11 +68,11 @@ def similarity_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed. Discount and reciprocal-rank tables are Python-precomputed
     2^40 fixed-point integer literals injected into both engines, so
     no transcendental function runs in either."""
-    emb = _emb(spark, sf_dir)
-    truth = exact_score_topk(emb, _queries_df(emb), k=K)
+    emb = emb_scan(spark, sf_dir, DIM)
+    truth = exact_score_topk(emb, queries_df(emb, N_QUERIES), k=K)
     book = pq_train(emb, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS)
     codes = pq_encode(emb, book, m=M, dim=DIM)
-    approx = pq_topk_adc(codes, book, _queries_df(emb), k=K, m=M, dim=DIM)
+    approx = pq_topk_adc(codes, book, queries_df(emb, N_QUERIES), k=K, m=M, dim=DIM)
     return ranking_quality(truth, approx, k=K)
 
 
@@ -118,10 +96,10 @@ def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     encoded index serves every sweep point; truth is the exact-score
     top-k under the metric the index optimizes. Micro-averaged exact
     hit counts, one IEEE divide per row."""
-    emb = _emb(spark, sf_dir)
+    emb = emb_scan(spark, sf_dir, DIM)
     return ivfpq_recall_sweep(
         emb,
-        _queries_df(emb),
+        queries_df(emb, N_QUERIES),
         nprobes=NPROBES,
         k=K,
         k_coarse=K_COARSE,
@@ -142,7 +120,7 @@ def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, population-share deltas and the squared shift between the
     trained centroid and the new snapshot's cluster mean — the
     monitoring numbers that trigger index/codebook re-training."""
-    emb = _emb(spark, sf_dir)
+    emb = emb_scan(spark, sf_dir, DIM)
     snap_a = emb.where(F.col("vec_id") % 2 == 0)
     snap_b = emb.where(F.col("vec_id") % 2 == 1)
     return embedding_drift(
@@ -150,9 +128,4 @@ def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Corrupt-vector guard, oracle side (twin of _emb above).
-_EMB_SUBQ = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', DIM)})"
-ORACLE = {
-    k: re.sub(r"\bembeddings\b", _EMB_SUBQ, v, count=0)
-    for k, v in ORACLE.items()
-}
+ORACLE = guard_oracles(ORACLE, DIM)

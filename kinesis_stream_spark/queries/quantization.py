@@ -24,12 +24,15 @@ PARTITION BY list_id turns that into physical partition pruning.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.functions.vectors import sql_valid_vector, valid_vector
+from kinesis_stream_spark.queries._emb_family import (
+    emb_scan,
+    guard_oracles,
+    make_q,
+    queries_df,
+)
 from kinesis_stream_spark.operators.quantization import (
     ivfpq_encode,
     ivfpq_topk,
@@ -45,10 +48,9 @@ from kinesis_stream_spark.operators.quantization_sql import (
     sql_pq_adc_topk,
     sql_pq_mse,
 )
-from kinesis_stream_spark.sources.batch import load_table
-
 QUERIES = {}
 ORACLE = {}
+_q = make_q(QUERIES, ORACLE)
 
 DIM = 64
 M = 4
@@ -58,31 +60,6 @@ K_COARSE = 4
 NPROBE = 2
 N_QUERIES = 3
 K = 8
-
-
-def _q(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql
-        return fn
-
-    return deco
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings scan behind the validity guard (twin of the similarity
-    family's ``_emb``): corrupt vectors are excluded at the edge on BOTH
-    engines."""
-    return load_table(spark, sf_dir, "embeddings").where(
-        valid_vector(F.col("embedding"), DIM)
-    )
-
-
-def _queries_df(emb: DataFrame) -> DataFrame:
-    return emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
 
 
 @_q(
@@ -98,11 +75,11 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays training, encode, and the exact BIGINT fixed-point ADC sums
     end-to-end, so quantization ERROR must match bit-exactly, not just
     approximately."""
-    emb = _emb(spark, sf_dir)
+    emb = emb_scan(spark, sf_dir, DIM)
     book = pq_train(emb, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS)
     codes = pq_encode(emb, book, m=M, dim=DIM)
     return pq_topk_adc(
-        codes, book, _queries_df(emb), k=K, m=M, dim=DIM
+        codes, book, queries_df(emb, N_QUERIES), k=K, m=M, dim=DIM
     ).orderBy("query_id", "rank")
 
 
@@ -115,7 +92,7 @@ def similarity_pq_reconstruction_mse(spark: SparkSession, sf_dir: str) -> DataFr
     mean squared reconstruction error, the number that decides whether
     m/ksub are adequate before a 100 TB re-encode. Error sums stay in
     exact BIGINT fixed-point until two final IEEE divides per row."""
-    emb = _emb(spark, sf_dir)
+    emb = emb_scan(spark, sf_dir, DIM)
     book = pq_train(emb, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS)
     codes = pq_encode(emb, book, m=M, dim=DIM)
     return pq_reconstruction_mse(emb, codes, book, m=M, dim=DIM).orderBy("sub")
@@ -142,13 +119,13 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus is touched per query — the scale lever. The oracle
     replays coarse training, residual codebooks, routing, and the exact
     fixed-point score decomposition."""
-    emb = _emb(spark, sf_dir)
+    emb = emb_scan(spark, sf_dir, DIM)
     coarse, book = ivfpq_train(
         emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
     )
     index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
     return ivfpq_topk(
-        index, coarse, book, _queries_df(emb), k=K, nprobe=NPROBE, m=M, dim=DIM
+        index, coarse, book, queries_df(emb, N_QUERIES), k=K, nprobe=NPROBE, m=M, dim=DIM
     ).orderBy("query_id", "rank")
 
 
@@ -165,7 +142,7 @@ def similarity_ivfpq_route_census(spark: SparkSession, sf_dir: str) -> DataFrame
     agree — an encode/route verification without per-vector output
     rows. Doubles as the index-balance profile (hot lists / dead codes)
     an operator would inspect before deploying the index."""
-    emb = _emb(spark, sf_dir)
+    emb = emb_scan(spark, sf_dir, DIM)
     coarse, book = ivfpq_train(
         emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
     )
@@ -178,11 +155,4 @@ def similarity_ivfpq_route_census(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# Corrupt-vector guard, oracle side: every reference to the embeddings
-# table reads through the validity filter (twin of _emb above; same
-# rewrite the similarity module applies).
-_EMB_SUBQ = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', DIM)})"
-ORACLE = {
-    k: re.sub(r"\bembeddings\b", _EMB_SUBQ, v, count=0)
-    for k, v in ORACLE.items()
-}
+ORACLE = guard_oracles(ORACLE, DIM)

@@ -126,8 +126,11 @@ def test_reconstruction_mse_small_on_clustered_data(spark, corpus):
     assert [r.sub for r in rows] == [-1, *range(M)]
     for r in rows:
         assert r.n_vectors == 40
-        # jitter is ±0.05 uniform per dim: per-subspace MSE ≪ 0.01·subdim
-        assert 0.0 <= r.mse < 0.01 * DIM
+    # jitter is ±0.05 uniform per dim: per-subspace MSE ≪ 0.01·subdim,
+    # overall gets the summed bound (not the loose one for every row)
+    for r in rows[1:]:
+        assert 0.0 <= r.mse < 0.01 * (DIM // M)
+    assert 0.0 <= rows[0].mse < 0.01 * DIM
     # disjoint subspaces: overall MSE is exactly the sum of per-sub MSEs
     # up to the two final IEEE divides (~1e-12 at this magnitude)
     overall = rows[0].mse
@@ -407,3 +410,22 @@ def test_ivfpq_cross_engine_parity_on_real_embeddings(spark, sf_dir):
     ]
     con.close()
     assert got == want
+
+
+def test_sql_pq_mse_empty_corpus_emits_zero_rows():
+    """Oracle twin of the operator's empty-input contract: an empty (or
+    fully-guarded-out) corpus must yield ZERO rows, not one all-NULL
+    overall row from the global aggregate (round-6 review finding)."""
+    import duckdb
+
+    from kinesis_stream_spark.operators.quantization_sql import sql_pq_mse
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        "SELECT CAST(NULL AS BIGINT) AS vec_id, "
+        "CAST(NULL AS DOUBLE[]) AS embedding WHERE 1 = 0"
+    )
+    rows = con.execute(sql_pq_mse(m=2, ksub=2, dim=8, iterations=1)).fetchall()
+    con.close()
+    assert rows == []
