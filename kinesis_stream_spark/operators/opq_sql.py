@@ -1,0 +1,139 @@
+"""DuckDB oracle builders for the rotated-PQ (RR-PQ) pipelines.
+
+Staged with ``operators/opq.py`` for the round-7 window. The rotation
+matrix literals come from the SAME Python ``rotation_matrix`` call the
+Spark plan uses, so both engines rotate with bit-identical
+coefficients and the same exact fixed-point accumulation; downstream
+the chains are the proven PQ oracle helpers over the rotated CTE.
+"""
+
+from __future__ import annotations
+
+from kinesis_stream_spark.functions.vectors import SCALE, _sql_fixed_sum
+from kinesis_stream_spark.operators.opq import rotation_matrix
+from kinesis_stream_spark.operators.quantization_sql import (
+    _pq_book_and_encode_ctes,
+    _sql_dot_fx,
+)
+
+
+def _sql_rot_coord(row: tuple[float, ...]) -> str:
+    """One rotated coordinate ``R_i · v`` — twin of ``_rot_coord``:
+    floor(x·r·2^40) BIGINT sums over the literal row, one scale-back
+    divide."""
+    lits = "[" + ", ".join(repr(r) for r in row) + "]"
+    prods = (
+        f"LIST_TRANSFORM(LIST_ZIP(v, {lits}), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))"
+    )
+    return f"(CAST({_sql_fixed_sum(prods)} AS DOUBLE) / {SCALE})"
+
+
+def sql_rotate_cte(dim: int = 64, seed: str = "rrpq-v1") -> str:
+    """``rv(vec_id, v)``: the rotated corpus over CTE ``ev(vec_id, v)``."""
+    R = rotation_matrix(dim, seed)
+    coords = ", ".join(_sql_rot_coord(row) for row in R)
+    return f"rv AS (SELECT vec_id, [{coords}] AS v FROM ev)"
+
+
+def sql_rrpq_adc_topk(
+    *,
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+    n_queries: int = 3,
+    k: int = 8,
+    seed: str = "rrpq-v1",
+) -> str:
+    """Rotated-PQ oracle: rotate → train → encode → ADC top-k. Queries
+    are corpus rows, so one rotated CTE serves both sides (exactly as
+    the Spark pipeline rotates queries with the same matrix)."""
+    assert dim % m == 0
+    subdim = dim // m
+    ctes = [
+        "ev AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        sql_rotate_cte(dim, seed),
+    ]
+    ctes.extend(_pq_book_and_encode_ctes("rv", "pq", m, subdim, ksub, iterations))
+    ctes.extend(
+        [
+            f"""qsub AS (
+              SELECT vec_id AS qid, sub, subv FROM subrows_pq
+              WHERE vec_id < {n_queries}
+            )""",
+            f"""tbl AS (
+              SELECT q.qid, q.sub, b.cid AS code,
+                     (2 * {_sql_dot_fx('q.subv', 'b.centroid')}
+                      - {_sql_dot_fx('b.centroid', 'b.centroid')}) AS contrib_fx
+              FROM qsub q JOIN book_pq b USING (sub)
+            )""",
+            f"""scored AS (
+              SELECT t.qid, e.vec_id,
+                     CAST(SUM(t.contrib_fx) AS DOUBLE) / {SCALE} AS approx_score
+              FROM enc_pq e JOIN tbl t ON t.sub = e.sub AND t.code = e.code
+              GROUP BY 1, 2
+              HAVING COUNT(*) = {m}
+            )""",
+        ]
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT qid AS query_id, vec_id, approx_score, rank FROM (
+      SELECT qid, vec_id, approx_score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY approx_score DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def sql_subspace_variance(*, m: int = 4, dim: int = 64, rotated: bool = False,
+                          seed: str = "rrpq-v1") -> str:
+    """Per-subspace variance shares over the (optionally rotated)
+    corpus — twin of ``subspace_variance``: exact fixed-point first and
+    second moments, identical per-dimension E[x²] − E[x]² op order,
+    ordered left-fold per subspace, one final share divide."""
+    assert dim % m == 0
+    subdim = dim // m
+    src_ctes = ["ev AS (SELECT vec_id, embedding AS v FROM embeddings)"]
+    src = "ev"
+    if rotated:
+        src_ctes.append(sql_rotate_cte(dim, seed))
+        src = "rv"
+    q_sums = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(v[{i + 1}] AS DOUBLE) * CAST(v[{i + 1}] AS DOUBLE)"
+        f" * {float(SCALE)!r}) AS BIGINT)) AS q{i}"
+        for i in range(dim)
+    )
+    s_sums = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(v[{i + 1}] AS DOUBLE) * {float(SCALE)!r}) AS BIGINT))"
+        f" AS s{i}"
+        for i in range(dim)
+    )
+    var_i = [
+        f"(CAST(q{i} AS DOUBLE) / {float(SCALE)!r} / n"
+        f" - (CAST(s{i} AS DOUBLE) / {float(SCALE)!r} / n)"
+        f" * (CAST(s{i} AS DOUBLE) / {float(SCALE)!r} / n))"
+        for i in range(dim)
+    ]
+    sub_exprs = []
+    for j in range(m):
+        acc = var_i[j * subdim]
+        for i in range(j * subdim + 1, (j + 1) * subdim):
+            acc = f"({acc} + {var_i[i]})"
+        sub_exprs.append(f"{acc} AS v{j}")
+    tot = "v0"
+    for j in range(1, m):
+        tot = f"({tot} + v{j})"
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS sub, v{j} AS var_sum, {tot} AS t FROM per" for j in range(m)
+    )
+    return f"""
+    WITH {", ".join(src_ctes)},
+    stats AS (SELECT COUNT(*) AS n, {q_sums}, {s_sums} FROM {src}),
+    per AS (SELECT {", ".join(sub_exprs)} FROM stats WHERE n > 0)
+    SELECT sub, var_sum, var_sum / t AS var_share FROM ({rows})
+    ORDER BY sub
+    """
