@@ -1,0 +1,135 @@
+"""MinHash band-agreement histogram — staged for round-7 registration.
+
+The banding-side twin of :func:`~kinesis_stream_spark.operators.dedup.
+pair_distance_histogram` (which profiles SimHash Hamming distances):
+over MinHash-LSH candidate pairs, the distribution of
+signature-position agreement — ``n_matching`` of ``num_hashes``
+positions equal, whose expectation is exactly the pair's Jaccard
+similarity. Read before committing to a (bands, rows) setting: mass
+near ``num_hashes`` is true near-duplicates; mass at low agreement is
+false-positive band collisions (bands too coarse for the corpus — each
+such pair costs a full Jaccard verify downstream); the valley between
+them is where the verify threshold belongs. Same production logic as
+the SimHash histogram: profile first, run the expensive pipeline once.
+
+Integer-only aggregation (agreement counts and pair counts), one
+derived ``est_jaccard = n_matching / num_hashes`` divide per output
+row (≤ num_hashes + 1 rows) — no float parity risk.
+
+Scale shape: the band equi-join is the same candidate generator the
+dedup pipeline uses (bucketed, never all-pairs); signatures re-attach
+by two id equi-joins (candidates ≪ corpus); agreement is a zip_with
+fold over two 16-element arrays, map-side; the final aggregate is a
+hash agg onto ≤ 17 keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.hashing import sql_md5_int64, sql_shingles
+from kinesis_stream_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    MINHASH_MOD,
+    minhash_lsh_candidates,
+    minhash_perm_coeffs,
+    minhash_signatures,
+)
+
+
+def minhash_agreement_histogram(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(n_matching, n_pairs, est_jaccard) over LSH candidate pairs,
+    ordered by n_matching. ``est_jaccard`` is the MinHash estimator
+    n_matching / num_hashes (single IEEE divide off exact integers)."""
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    cands = minhash_lsh_candidates(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    paired = (
+        cands.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).alias("n_matching")
+        )
+    )
+    return (
+        paired.groupBy("n_matching")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "n_matching",
+            "n_pairs",
+            (F.col("n_matching").cast("double") / F.lit(float(num_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+        .orderBy("n_matching")
+    )
+
+
+def sql_minhash_agreement_histogram(
+    input_cte: str,
+    *,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB replay over ``input_cte`` → ``docs(doc_id, text)``: same
+    base hash, linear permutations, banding, candidate join, and
+    position-agreement fold as the operator."""
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_MOD})"
+        for a, b in minhash_perm_coeffs(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_id,
+            {sql_md5_int64(
+                "ARRAY_TO_STRING(LIST_TRANSFORM("
+                f"sig[{b * rows + 1}:{b * rows + rows}], x -> CAST(x AS VARCHAR)), ',')"
+            )} AS band_hash FROM sig"""
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs AS ({input_cte}),
+    shh AS (SELECT doc_id, {sql_md5_int64('t.s')} % {MINHASH_MOD} AS h
+            FROM (SELECT doc_id, {sql_shingles('text', shingle_n)} AS sh FROM docs),
+                 UNNEST(sh) AS t(s)),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM shh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    agree AS (
+      SELECT LEN(LIST_FILTER(LIST_ZIP(a.sig, b.sig),
+                             z -> z[1] = z[2])) AS n_matching
+      FROM cands c JOIN sig a ON a.doc_id = c.id_a
+                   JOIN sig b ON b.doc_id = c.id_b
+    )
+    SELECT n_matching, COUNT(*) AS n_pairs,
+           CAST(n_matching AS DOUBLE) / {float(num_hashes)!r} AS est_jaccard
+    FROM agree
+    GROUP BY n_matching
+    ORDER BY n_matching
+    """
