@@ -33,7 +33,7 @@ from kinesis_stream_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
     MINHASH_MOD,
-    minhash_lsh_candidates,
+    lsh_band_hashes,
     minhash_perm_coeffs,
     minhash_signatures,
 )
@@ -50,14 +50,36 @@ def minhash_agreement_histogram(
 ) -> DataFrame:
     """(n_matching, n_pairs, est_jaccard) over LSH candidate pairs,
     ordered by n_matching. ``est_jaccard`` is the MinHash estimator
-    n_matching / num_hashes (single IEEE divide off exact integers)."""
+    n_matching / num_hashes (single IEEE divide off exact integers).
+
+    The signature frame feeds FIVE consumers (two sides of the band
+    self-join, two sig re-attach joins, and the band derivation), and
+    the shingle-explode + per-shingle-md5 behind it is the dominant map
+    stage — so it is computed ONCE and localCheckpointed, the same
+    measured ~2× trick ``lsh_pair_recall`` documents. Candidates are
+    then derived from the checkpointed signatures directly (the same
+    band join ``minhash_lsh_candidates`` runs, minus its from-text
+    signature recompute)."""
     sigs = minhash_signatures(
         docs, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
-    )
-    cands = minhash_lsh_candidates(
-        docs, text_col=text_col, id_col=id_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    ).localCheckpoint()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            lsh_band_hashes(F.col("sig"), bands=bands, rows=num_hashes // bands)
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_hash")
+    cands = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
     paired = (
         cands.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
@@ -94,7 +116,14 @@ def sql_minhash_agreement_histogram(
 ) -> str:
     """DuckDB replay over ``input_cte`` → ``docs(doc_id, text)``: same
     base hash, linear permutations, banding, candidate join, and
-    position-agreement fold as the operator."""
+    position-agreement fold as the operator.
+
+    The shh/sig/bands/cands chain deliberately MIRRORS
+    ``queries/dedup._sql_minhash_pipeline`` (any banding or hash change
+    must land in both); consolidation into one shared builder is
+    deferred to the round that rotates the dedup family through a
+    verification window — editing that module's oracle construction now
+    would stale its driver-verified queries for a pure refactor."""
     rows = num_hashes // bands
     sig_elems = ", ".join(
         f"MIN((h * {a} + {b}) % {MINHASH_MOD})"

@@ -162,7 +162,11 @@ def subspace_variance(
     Variance sums are exact fixed-point second moments minus the
     squared fixed-point means (same discipline as the centroid means:
     one identical IEEE subtract/divide per dimension, then an ordered
-    left-fold over the M·(dim/M) per-dimension terms)."""
+    left-fold over the M·(dim/M) per-dimension terms). Accumulation is
+    DECIMAL(38,0) — NOT BIGINT: per-row terms reach 2^40, so a BIGINT
+    sum would overflow at ~2^23 corpus rows while the decimal path
+    (like _centroid_sums) has ~1e26-row headroom and matches DuckDB's
+    HUGEINT sum exactly."""
     subdim = dim // m
     assert subdim * m == dim
     sq = [
@@ -171,7 +175,7 @@ def subspace_variance(
                 F.element_at(vec_col, i + 1).cast("double")
                 * F.element_at(vec_col, i + 1).cast("double")
                 * F.lit(float(SCALE))
-            ).cast("bigint")
+            ).cast("decimal(38,0)")
         ).alias(f"q{i}")
         for i in range(dim)
     ]
@@ -179,7 +183,7 @@ def subspace_variance(
         F.sum(
             F.floor(
                 F.element_at(vec_col, i + 1).cast("double") * F.lit(float(SCALE))
-            ).cast("bigint")
+            ).cast("decimal(38,0)")
         ).alias(f"s{i}")
         for i in range(dim)
     ]
@@ -203,23 +207,27 @@ def subspace_variance(
             acc = acc + var_i[i]
         subs.append(acc.alias(f"v{j}"))
     per = stats.select(*subs)
-    row = per.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("sub"), F.col(f"v{j}").alias("var_sum"))
-                    for j in range(m)
-                ]
-            )
-        ).alias("s")
-    ).select("s.sub", "s.var_sum")
-    # total = v0 + v1 + ... left-fold (the oracle mirrors this order)
+    # total = v0 + v1 + ... left-fold (the oracle mirrors this order);
+    # everything derives from the ONE `per` row in a single projection —
+    # no second branch re-running the corpus aggregate
     acc_t = F.col("v0")
     for j in range(1, m):
         acc_t = acc_t + F.col(f"v{j}")
-    tot = per.select(acc_t.alias("t"))
     return (
-        row.crossJoin(F.broadcast(tot))
-        .select("sub", "var_sum", (F.col("var_sum") / F.col("t")).alias("var_share"))
+        per.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub"),
+                            F.col(f"v{j}").alias("var_sum"),
+                            (F.col(f"v{j}") / acc_t).alias("var_share"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.sub", "s.var_sum", "s.var_share")
         .orderBy("sub")
     )

@@ -11,10 +11,7 @@ from __future__ import annotations
 
 from kinesis_stream_spark.functions.vectors import SCALE, _sql_fixed_sum
 from kinesis_stream_spark.operators.opq import rotation_matrix
-from kinesis_stream_spark.operators.quantization_sql import (
-    _pq_book_and_encode_ctes,
-    _sql_dot_fx,
-)
+
 
 
 def _sql_rot_coord(row: tuple[float, ...]) -> str:
@@ -48,45 +45,20 @@ def sql_rrpq_adc_topk(
 ) -> str:
     """Rotated-PQ oracle: rotate → train → encode → ADC top-k. Queries
     are corpus rows, so one rotated CTE serves both sides (exactly as
-    the Spark pipeline rotates queries with the same matrix)."""
-    assert dim % m == 0
-    subdim = dim // m
-    ctes = [
-        "ev AS (SELECT vec_id, embedding AS v FROM embeddings)",
-        sql_rotate_cte(dim, seed),
-    ]
-    ctes.extend(_pq_book_and_encode_ctes("rv", "pq", m, subdim, ksub, iterations))
-    ctes.extend(
-        [
-            f"""qsub AS (
-              SELECT vec_id AS qid, sub, subv FROM subrows_pq
-              WHERE vec_id < {n_queries}
-            )""",
-            f"""tbl AS (
-              SELECT q.qid, q.sub, b.cid AS code,
-                     (2 * {_sql_dot_fx('q.subv', 'b.centroid')}
-                      - {_sql_dot_fx('b.centroid', 'b.centroid')}) AS contrib_fx
-              FROM qsub q JOIN book_pq b USING (sub)
-            )""",
-            f"""scored AS (
-              SELECT t.qid, e.vec_id,
-                     CAST(SUM(t.contrib_fx) AS DOUBLE) / {SCALE} AS approx_score
-              FROM enc_pq e JOIN tbl t ON t.sub = e.sub AND t.code = e.code
-              GROUP BY 1, 2
-              HAVING COUNT(*) = {m}
-            )""",
-        ]
+    the Spark pipeline rotates queries with the same matrix). The
+    train/encode/ADC chain is the PROVEN flat-PQ oracle fed through its
+    source parameter — no copied SQL to drift."""
+    from kinesis_stream_spark.operators.quantization_sql import sql_pq_adc_topk
+
+    return sql_pq_adc_topk(
+        m=m, ksub=ksub, dim=dim, iterations=iterations,
+        n_queries=n_queries, k=k,
+        src_ctes=(
+            "ev AS (SELECT vec_id, embedding AS v FROM embeddings)",
+            sql_rotate_cte(dim, seed),
+        ),
+        src="rv",
     )
-    return f"""
-    WITH {", ".join(ctes)}
-    SELECT qid AS query_id, vec_id, approx_score, rank FROM (
-      SELECT qid, vec_id, approx_score,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY approx_score DESC, vec_id) AS rank
-      FROM scored)
-    WHERE rank <= {k}
-    ORDER BY query_id, rank
-    """
 
 
 def sql_subspace_variance(*, m: int = 4, dim: int = 64, rotated: bool = False,

@@ -150,14 +150,20 @@ def sql_pq_adc_topk(
     iterations: int = 2,
     n_queries: int = 3,
     k: int = 10,
+    src_ctes: tuple[str, ...] = (
+        "ev AS (SELECT vec_id, embedding AS v FROM embeddings)",
+    ),
+    src: str = "ev",
 ) -> str:
     """Flat-PQ oracle: train → encode → ADC top-k for the first
     ``n_queries`` vectors, output (query_id, vec_id, approx_score,
-    rank) ordered by (query_id, rank)."""
+    rank) ordered by (query_id, rank). ``src_ctes``/``src`` let a
+    preprocessing stage (e.g. the RR-PQ rotation in opq_sql) feed the
+    same proven chain instead of copy-pasting it."""
     assert dim % m == 0
     subdim = dim // m
-    ctes = ["ev AS (SELECT vec_id, embedding AS v FROM embeddings)"]
-    ctes.extend(_pq_book_and_encode_ctes("ev", "pq", m, subdim, ksub, iterations))
+    ctes = list(src_ctes)
+    ctes.extend(_pq_book_and_encode_ctes(src, "pq", m, subdim, ksub, iterations))
     ctes.extend(
         [
             f"""qsub AS (
