@@ -17,8 +17,16 @@ from kinesis_stream_spark.operators.opq import rotation_matrix
 def _sql_rot_coord(row: tuple[float, ...]) -> str:
     """One rotated coordinate ``R_i · v`` — twin of ``_rot_coord``:
     floor(x·r·2^40) BIGINT sums over the literal row, one scale-back
-    divide."""
-    lits = "[" + ", ".join(repr(r) for r in row) + "]"
+    divide.
+
+    Literals are emitted in e-notation deliberately: DuckDB lexes
+    exponent literals as DOUBLE, whereas plain decimals unify the list
+    to DECIMAL(21,20)[] whose decimal→double cast double-rounds
+    (int128→double, then ÷10^20) — measured off-by-one-ulp on 18 of 64
+    full-mantissa coefficients, which shifted one fixed-point floor and
+    broke bit-parity on the fuzz corpus. %.16e (17 significant digits)
+    round-trips every double exactly."""
+    lits = "[" + ", ".join(f"{r:.16e}" for r in row) + "]"
     prods = (
         f"LIST_TRANSFORM(LIST_ZIP(v, {lits}), "
         "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))"

@@ -46,6 +46,9 @@ _PRIORITY = (
     "similarity_rank_quality",
     "similarity_ivfpq_nprobe_sweep",
     "similarity_embedding_drift",
+    "similarity_rrpq_adc_topk",
+    "similarity_subspace_variance",
+    "dedup_minhash_band_agreement",
     # r3-latest families, oldest rows in the inventory (49; the last
     # few fall past the 50-cut and lead the round-7 window)
     "q01_pricing_summary",
@@ -125,6 +128,7 @@ def _modules():
     from kinesis_stream_spark.queries import (
         dedup,
         evaluation,
+        minhash_profile,
         multimodal,
         quantization,
         relational,
@@ -145,6 +149,7 @@ def _modules():
         similarity,
         quantization,
         evaluation,
+        minhash_profile,
         text,
         multimodal,
         streaming_batch,

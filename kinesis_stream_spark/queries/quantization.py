@@ -42,6 +42,15 @@ from kinesis_stream_spark.operators.quantization import (
     pq_topk_adc,
     pq_train,
 )
+from kinesis_stream_spark.operators.opq import (
+    rotate_embeddings,
+    rrpq_topk_adc,
+    subspace_variance,
+)
+from kinesis_stream_spark.operators.opq_sql import (
+    sql_rrpq_adc_topk,
+    sql_subspace_variance,
+)
 from kinesis_stream_spark.operators.quantization_sql import (
     sql_ivfpq_route_census,
     sql_ivfpq_topk,
@@ -153,6 +162,62 @@ def similarity_ivfpq_route_census(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("list_id", "sub", "code")
     )
+
+
+@_q(
+    "similarity_rrpq_adc_topk",
+    sql_rrpq_adc_topk(
+        m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS, n_queries=N_QUERIES, k=K
+    ),
+)
+def similarity_rrpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-PQ search (the OPQ cheap default): a fixed orthonormal
+    rotation — pure-Python md5-seeded Gram-Schmidt, injected verbatim
+    into both engines — balances subspace variance before the flat-PQ
+    train/encode/ADC chain runs unchanged. Rotation preserves the
+    ranking metric exactly; only the quantization cells (and therefore
+    which approximation errors occur) change, and the oracle replays
+    rotation + training + encode + ADC end-to-end."""
+    emb = emb_scan(spark, sf_dir, DIM)
+    return rrpq_topk_adc(
+        emb,
+        queries_df(emb, N_QUERIES),
+        k=K,
+        m=M,
+        ksub=KSUB,
+        dim=DIM,
+        iterations=ITERATIONS,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_variance_before_after() -> str:
+    flat = sql_subspace_variance(m=M, dim=DIM, rotated=False)
+    rotated = sql_subspace_variance(m=M, dim=DIM, rotated=True)
+    return f"""
+    SELECT 'flat' AS space, * FROM ({flat})
+    UNION ALL
+    SELECT 'rotated' AS space, * FROM ({rotated})
+    ORDER BY space, sub
+    """
+
+
+@_q("similarity_subspace_variance", _sql_variance_before_after())
+def similarity_subspace_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic that justifies (or retires) the rotation:
+    per-subspace variance shares of the corpus BEFORE and AFTER the
+    RR-PQ rotation — flat PQ wants the M shares equal; a 10:1 ratio
+    means one subquantizer carries 10x the signal of another at the
+    same byte budget. Exact DECIMAL(38,0) fixed-point moments, one
+    E[x2] - E[x]2 per dimension with pinned op order, ordered
+    left-folds, one share divide."""
+    emb = emb_scan(spark, sf_dir, DIM)
+    flat = subspace_variance(emb, m=M, dim=DIM).select(
+        F.lit("flat").alias("space"), "sub", "var_sum", "var_share"
+    )
+    rotated = subspace_variance(
+        rotate_embeddings(emb, dim=DIM), m=M, dim=DIM
+    ).select(F.lit("rotated").alias("space"), "sub", "var_sum", "var_share")
+    return flat.unionAll(rotated).orderBy("space", "sub")
 
 
 ORACLE = guard_oracles(ORACLE, DIM)

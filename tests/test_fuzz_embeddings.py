@@ -36,6 +36,10 @@ EMB_QUERIES = [
     "similarity_rank_quality",
     "similarity_ivfpq_nprobe_sweep",
     "similarity_embedding_drift",
+    # late-round-6 RR-PQ registrations: rotation must compose with the
+    # guard (corrupt vectors filtered before the rotate map)
+    "similarity_rrpq_adc_topk",
+    "similarity_subspace_variance",
 ]
 
 

@@ -174,3 +174,19 @@ def _compare_frames(name, s, o):
         i = diff[diff].index[0]
         bad = {c: (sc[c][i], oc[c][i]) for c in cols if sc[c][i] != oc[c][i]}
         raise AssertionError(f"{name} row {i}: {bad}")
+
+
+def test_fuzz_parity_minhash_band_agreement(spark, fuzz_dir, fuzz_con):
+    """The band-agreement histogram over adversarial unicode /
+    whitespace-degenerate documents: signatures, banding, the candidate
+    join, and the position-agreement fold must classify identically —
+    including which degenerate documents produce no shingles at all."""
+    from kinesis_stream_spark.queries.minhash_profile import (
+        ORACLE as MORACLE,
+        QUERIES as MQUERIES,
+    )
+
+    name = "dedup_minhash_band_agreement"
+    s = MQUERIES[name](spark, fuzz_dir).toPandas()
+    o = fuzz_con.execute(MORACLE[name]).fetchdf()
+    _compare_frames(name, s, o)

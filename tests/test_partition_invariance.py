@@ -46,6 +46,9 @@ SENSITIVE = [
     "similarity_rank_quality",  # fixed-point DCG/RR folds + divides
     "similarity_ivfpq_nprobe_sweep",  # index reuse + hit-count divides
     "similarity_embedding_drift",  # centroid means + shift fixed-point dots
+    "similarity_rrpq_adc_topk",  # rotation fixed-point dots + PQ chains
+    "similarity_subspace_variance",  # decimal moment sums + share divides
+    "dedup_minhash_band_agreement",  # signature mins + agreement fold
 ]
 
 
