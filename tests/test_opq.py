@@ -206,3 +206,23 @@ def test_rrpq_empty_inputs(spark):
     assert rotate_embeddings(empty, dim=DIM).count() == 0
     # the n=0 stats row is filtered: zero rows, not m NaN rows
     assert subspace_variance(empty, m=M, dim=DIM).count() == 0
+
+
+def test_rotation_udf_matches_catalyst_fold_bit_exactly(spark, aniso_corpus):
+    """The Arrow/numpy rotation must equal the Catalyst fixed-point fold
+    (_rot_coord) bit-for-bit — the executable spec the oracle also
+    replays. repr-compare every coordinate."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.operators.opq import _rot_coord, rotation_matrix
+
+    emb, _ = aniso_corpus
+    R = rotation_matrix(DIM)
+    fold = emb.select(
+        "vec_id",
+        F.array(*[_rot_coord(row, F.col("embedding")) for row in R]).alias("r"),
+    )
+    udf_path = rotate_embeddings(emb, dim=DIM)
+    a = {r.vec_id: [repr(x) for x in r.r] for r in fold.collect()}
+    b = {r.vec_id: [repr(x) for x in r.embedding] for r in udf_path.collect()}
+    assert a == b
