@@ -77,13 +77,22 @@ def _rot_coord(row: tuple[float, ...], vec: Column) -> Column:
     fixed-point accumulation (floor(x·r·2^40) BIGINT sums) — the
     rotated value is the same double on both engines. Kept as the
     executable specification the Pandas-UDF path below must match
-    bit-for-bit (and as the fallback if Arrow is unavailable)."""
+    bit-for-bit on in-contract inputs (pinned by test)."""
     prods = F.zip_with(
         vec,
         F.array(*[F.lit(r) for r in row]),
         lambda x, r: x.cast("double") * r,
     )
     return _fixed_sum(prods).cast("double") / SCALE
+
+
+#: fixed-point headroom bound for rotation inputs: |x| ≤ 1e4 keeps every
+#: per-term |x·r·2^40| under 2^54 and the 64-term int64 sum under 2^60
+#: (|r| ≤ 1 row-normalized). Embeddings are unit-scale by convention
+#: (functions/vectors.py headroom note); rows beyond the bound are
+#: contract violations and rotate to NULL rather than to silently
+#: wrapped integers.
+_ROT_MAX_ABS = 1.0e4
 
 
 def rotate_embeddings(
@@ -108,8 +117,12 @@ def rotate_embeddings(
     the repo reserves for exactly this case.
 
     Contract: consumes PRE-VALIDATED vectors (apply ``valid_vector`` at
-    the scan edge, as every embeddings query does) — a NaN element
-    would poison the int64 cast."""
+    the scan edge, as every embeddings query does). Rows that violate
+    the contract anyway — NULL, wrong length, non-finite elements, or
+    magnitudes beyond the ``_ROT_MAX_ABS`` fixed-point headroom —
+    rotate to NULL (the visible outcome the Catalyst fold gave NaN
+    inputs) instead of flowing an undefined float→int64 cast downstream
+    as plausible-looking numbers."""
     R = rotation_matrix(dim, seed)
 
     @F.pandas_udf("array<double>")
@@ -118,12 +131,20 @@ def rotate_embeddings(
 
         Rm = np.asarray(R, dtype=np.float64)
         scale = float(SCALE)
+        n_dim = Rm.shape[0]
         out = []
         for v in vecs:
             if v is None:
                 out.append(None)
                 continue
             x = np.asarray(v, dtype=np.float64)
+            if (
+                x.shape != (n_dim,)
+                or not np.isfinite(x).all()
+                or float(np.abs(x).max()) > _ROT_MAX_ABS
+            ):
+                out.append(None)
+                continue
             prods = x[None, :] * Rm                       # (dim, dim)
             fx = np.floor(prods * scale).astype(np.int64)  # exact terms
             out.append((fx.sum(axis=1, dtype=np.int64) / scale).tolist())

@@ -16,6 +16,7 @@ from kinesis_stream_spark.operators.minhash_profile import (
     minhash_agreement_histogram,
     sql_minhash_agreement_histogram,
 )
+from kinesis_stream_spark.queries._emb_family import make_q
 from kinesis_stream_spark.queries.dedup import (
     SQL_TRUNCATED_COPIES,
     _with_truncated_copies,
@@ -24,16 +25,7 @@ from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
 ORACLE = {}
-
-
-def _q(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql
-        return fn
-
-    return deco
+_q = make_q(QUERIES, ORACLE)
 
 
 @_q(

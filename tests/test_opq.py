@@ -226,3 +226,21 @@ def test_rotation_udf_matches_catalyst_fold_bit_exactly(spark, aniso_corpus):
     a = {r.vec_id: [repr(x) for x in r.r] for r in fold.collect()}
     b = {r.vec_id: [repr(x) for x in r.embedding] for r in udf_path.collect()}
     assert a == b
+
+
+def test_rotation_udf_nulls_contract_violating_rows(spark):
+    """Out-of-contract rows (NULL / wrong length / non-finite / beyond
+    fixed-point headroom) rotate to NULL — never to silently wrapped
+    integers from an undefined float->int64 cast."""
+    rows = [
+        (0, [0.5] * DIM),                     # in contract
+        (1, None),                            # NULL vector
+        (2, [1.0] * (DIM - 1)),               # wrong length
+        (3, [float("nan")] + [0.0] * (DIM - 1)),  # non-finite
+        (4, [3.0e7] + [0.0] * (DIM - 1)),     # beyond headroom
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.embedding for r in rotate_embeddings(df, dim=DIM).collect()}
+    assert out[0] is not None and len(out[0]) == DIM
+    for vid in (1, 2, 3, 4):
+        assert out[vid] is None, vid
