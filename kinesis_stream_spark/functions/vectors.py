@@ -9,10 +9,17 @@ product is a single IEEE op — bit-identical in Spark and DuckDB. Results
 are therefore reproducible across engines, partitionings, and AQE
 decisions.
 
-Headroom: unit-scale embeddings give |x*y| ≲ 1, so 64 scaled terms stay
-below 64·2^40 ≪ 2^63. Chosen over DECIMAL accumulation after measuring:
-BigDecimal adds inside the interpreted higher-order-function loop were
-~5× slower than long adds at equal exactness.
+Headroom: admitted vectors are bounded |x| ≤ ``VEC_MAX_ABS`` (= 256) by
+the :func:`valid_vector` scan guard, so every fixed-point path in the
+repo stays inside BIGINT: dot/norm terms |x·y|·2^40 ≤ 2^16·2^40 = 2^56
+and 64-term sums ≤ 2^62 < 2^63; squared-moment terms (variance
+diagnostics) share the same 2^56 per-term bound; rotation terms
+|x·r|·2^40 ≤ 2^48 (row-normalized |r| ≤ 1). Unit-scale embeddings sit
+far inside the bound — it exists to turn silent int64 wraparound on
+out-of-contract data into a consistent exclusion on BOTH engines.
+Chosen over DECIMAL accumulation after measuring: BigDecimal adds
+inside the interpreted higher-order-function loop were ~5× slower than
+long adds at equal exactness.
 
 All JVM-side (`zip_with` + `aggregate`): at 100 TB a brute-force top-k is
 a map-side score + TakeOrdered per query vector; no Python in the loop.
@@ -24,6 +31,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SCALE = 1 << 40  # fixed-point scale for per-term quantization
+
+#: magnitude bound for admitted vector elements — keeps every scaled
+#: fixed-point term (products, squares, rotations) inside int64 on both
+#: engines (see module docstring). 2^8: the largest power of two whose
+#: worst-case 64-term product sum 2^16·2^40·2^6 = 2^62 still clears the
+#: BIGINT sign bit.
+VEC_MAX_ABS = 256.0
 
 
 def _fixed_sum(products: Column) -> Column:
@@ -85,16 +99,20 @@ def sql_cosine(a: str, b: str) -> str:
 
 def valid_vector(col: Column, dim: int = 64) -> Column:
     """Admission guard for embedding columns: non-null, exactly ``dim``
-    elements, no NULL/NaN elements, nonzero norm. At 100 TB corrupt
-    vectors are routine (truncated writes, failed encoders, zero
-    padding) — and they don't just skew results: a zero-norm vector is
-    a DIVIDE_BY_ZERO crash in ANSI mode, and NaN propagates through
-    fixed-point floor into engine-dependent territory. Filter at the
-    scan edge, before any arithmetic."""
+    elements, no NULL/NaN elements, nonzero norm, every element within
+    the ``VEC_MAX_ABS`` fixed-point headroom. At 100 TB corrupt vectors
+    are routine (truncated writes, failed encoders, zero padding) — and
+    they don't just skew results: a zero-norm vector is a
+    DIVIDE_BY_ZERO crash in ANSI mode, NaN propagates through
+    fixed-point floor into engine-dependent territory, and an
+    out-of-headroom magnitude would wrap the BIGINT term sums into
+    engine-DEPENDENT garbage (Spark ANSI overflow error vs DuckDB cast
+    error vs silent wrap). Filter at the scan edge, before any
+    arithmetic — both engines exclude the same rows."""
     return (
         col.isNotNull()
         & (F.size(col) == dim)
-        & ~F.exists(col, lambda x: x.isNull() | F.isnan(x))
+        & ~F.exists(col, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > VEC_MAX_ABS))
         & F.exists(col, lambda x: x != 0)
     )
 
@@ -103,6 +121,7 @@ def sql_valid_vector(expr: str, dim: int = 64) -> str:
     """DuckDB twin of :func:`valid_vector`."""
     return (
         f"({expr} IS NOT NULL AND LEN({expr}) = {dim}"
-        f" AND LEN(LIST_FILTER({expr}, x -> x IS NULL OR ISNAN(CAST(x AS DOUBLE)))) = 0"
+        f" AND LEN(LIST_FILTER({expr}, x -> x IS NULL OR ISNAN(CAST(x AS DOUBLE))"
+        f" OR ABS(CAST(x AS DOUBLE)) > {VEC_MAX_ABS!r})) = 0"
         f" AND LEN(LIST_FILTER({expr}, x -> x <> 0)) > 0)"
     )

@@ -88,10 +88,14 @@ def _rot_coord(row: tuple[float, ...], vec: Column) -> Column:
 
 #: fixed-point headroom bound for rotation inputs: |x| ≤ 1e4 keeps every
 #: per-term |x·r·2^40| under 2^54 and the 64-term int64 sum under 2^60
-#: (|r| ≤ 1 row-normalized). Embeddings are unit-scale by convention
-#: (functions/vectors.py headroom note); rows beyond the bound are
-#: contract violations and rotate to NULL rather than to silently
-#: wrapped integers.
+#: (|r| ≤ 1 row-normalized). DEFENSIVE ONLY since the round-7 guard
+#: change: ``valid_vector``/``sql_valid_vector`` now enforce the
+#: strictly tighter repo-wide ``VEC_MAX_ABS`` (= 256) at the scan edge
+#: on BOTH engines, so no guard-passing row can reach this branch — the
+#: contract is symmetric (the DuckDB ``sql_rotate_cte`` needs no
+#: mirrored NULL rule because its input is the same guarded scan).
+#: Rows beyond the bound (operator called without the guard) rotate to
+#: NULL rather than to silently wrapped integers.
 _ROT_MAX_ABS = 1.0e4
 
 

@@ -58,8 +58,29 @@ def queries_df(emb: DataFrame, n_queries: int) -> DataFrame:
     )
 
 
+_EMB_REF = re.compile(r"\bembeddings\b", re.IGNORECASE)
+_EMB_TABLE_POS = re.compile(r"(\b(?:FROM|JOIN)\s+)embeddings\b", re.IGNORECASE)
+
+
 def guard_oracles(oracle: dict, dim: int = DIM) -> dict:
     """Oracle-side twin of :func:`emb_scan`: every reference to the
-    embeddings table reads through the validity filter."""
+    embeddings table reads through the validity filter.
+
+    The substitution is restricted to table positions (``FROM``/``JOIN``
+    ``embeddings``) and then CHECKED against the total occurrence count:
+    an oracle mentioning the word anywhere else (string literal, alias,
+    comment) fails loudly at registration time instead of being silently
+    rewritten into a different query."""
     subq = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', dim)})"
-    return {k: re.sub(r"\bembeddings\b", subq, v, count=0) for k, v in oracle.items()}
+    out = {}
+    for name, sql in oracle.items():
+        guarded, n_table = _EMB_TABLE_POS.subn(lambda m: m.group(1) + subq, sql)
+        n_total = len(_EMB_REF.findall(sql))
+        if n_table != n_total:
+            raise ValueError(
+                f"guard_oracles[{name}]: {n_total - n_table} 'embeddings' "
+                "reference(s) outside FROM/JOIN position — refusing to "
+                "rewrite (thread the guarded scan in explicitly instead)"
+            )
+        out[name] = guarded
+    return out

@@ -9,55 +9,45 @@ never from an RNG.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.functions.vectors import (
-    sql_cosine,
-    sql_dot,
-    sql_valid_vector,
-    valid_vector,
-)
+from kinesis_stream_spark.functions.vectors import sql_cosine, sql_dot
 from kinesis_stream_spark.operators.similarity import (
     plane_signs,
     topk_bruteforce,
     topk_ivf,
     topk_lsh,
 )
-from kinesis_stream_spark.sources.batch import load_table
+from kinesis_stream_spark.queries._emb_family import (
+    DIM,
+    emb_scan,
+    guard_oracles,
+    make_q,
+    queries_df,
+)
 
 QUERIES = {}
 ORACLE = {}
 
-DIM = 64
 N_QUERIES = 5
 K = 10
 
-
-def _q(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql
-        return fn
-
-    return deco
+# Folded onto the shared _emb_family helpers (guard, registration,
+# oracle rewrite) in the round-7 window — the whole family carries
+# fresh rows this round, so the rewire and the guard change land
+# together as one re-verified unit.
+_q = make_q(QUERIES, ORACLE)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings scan behind the validity guard (see valid_vector):
     corrupt vectors are excluded at the edge on BOTH engines."""
-    return load_table(spark, sf_dir, "embeddings").where(
-        valid_vector(F.col("embedding"), DIM)
-    )
+    return emb_scan(spark, sf_dir, DIM)
 
 
 def _queries_df(emb: DataFrame) -> DataFrame:
-    return emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    return queries_df(emb, N_QUERIES)
 
 
 @_q(
@@ -586,8 +576,4 @@ def similarity_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Corrupt-vector guard, oracle side: every reference to the embeddings
 # table reads through the validity filter (twin of _emb above).
-_EMB_SUBQ = f"(SELECT * FROM embeddings WHERE {sql_valid_vector('embedding', DIM)})"
-ORACLE = {
-    k: re.sub(r"\bembeddings\b", _EMB_SUBQ, v, count=0)
-    for k, v in ORACLE.items()
-}
+ORACLE = guard_oracles(ORACLE, DIM)

@@ -1,8 +1,10 @@
 """Fuzz-parity for the embeddings-table queries on corrupt vectors:
 NULL embeddings, wrong dimensionality, NULL/NaN elements, zero-norm
-rows. Without the validity guard these crash (ANSI DIVIDE_BY_ZERO on a
-zero-norm cosine) or diverge (NaN through fixed-point floor); with it,
-both engines must agree exactly on the surviving computation."""
+rows, out-of-headroom magnitudes, and infinities. Without the validity
+guard these crash (ANSI DIVIDE_BY_ZERO on a zero-norm cosine), diverge
+(NaN through fixed-point floor), or wrap the BIGINT fixed-point sums
+(|x| beyond VEC_MAX_ABS — the round-7 guard clause); with it, both
+engines must agree exactly on the surviving computation."""
 
 from __future__ import annotations
 
@@ -53,6 +55,12 @@ def _corpus() -> pd.DataFrame:
     rows.append((42, [float("nan")] * 64, 2))  # NaN elements
     rows.append((43, [0.0] * 64, 2))           # zero norm
     rows.append((44, [None] + [0.5] * 63, 0))  # NULL element
+    # out-of-headroom magnitude (> VEC_MAX_ABS): would wrap the BIGINT
+    # fixed-point sums engine-dependently if admitted
+    rows.append((45, [300.0] + [0.5] * 63, 1))
+    # infinity: passes an isnan-only guard (the pre-round-7 latent
+    # hole) but fails the magnitude clause on both engines
+    rows.append((46, [float("inf")] + [0.5] * 63, 2))
     return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
 
 
