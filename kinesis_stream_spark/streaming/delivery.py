@@ -33,6 +33,30 @@ from kinesis_stream_spark.streaming.errors import checkpoint_with_taxonomy
 BatchFn = Callable[[DataFrame, int], None]
 
 
+def _shard_range_summaries(df: DataFrame) -> list:
+    """One fixed-width row per shard: (shardId, lo, hi, n) where lo/hi
+    are the min/max (seq, sub) structs and n the record count. The
+    collected payload is O(shards) by construction — min/max/count are
+    map-side-combinable partial aggregates, and no per-record value
+    survives the aggregation. Sequence numbers compare NUMERICALLY
+    (decimal cast, then struct-lexicographic on (seq, sub)):
+    "10" < "9" as strings would corrupt the tracker's
+    contiguous-prefix arithmetic."""
+    pair = F.struct(
+        F.col("sequenceNumber").cast("decimal(38,0)").alias("seq"),
+        F.col("subSequenceNumber").alias("sub"),
+    )
+    return (
+        df.groupBy("shardId")
+        .agg(
+            F.min(pair).alias("lo"),
+            F.max(pair).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+
+
 def run_at_least_once(
     records: DataFrame,
     config: ConsumerConfig,
@@ -126,16 +150,23 @@ def foreach_batch_commit_flow(
 ) -> BatchFn:
     """commitFlow parity inside a micro-batch (`CommitGraphStages.scala:16-17`).
 
-    Per shard in the batch: track the batch's sequence numbers, run the
-    user's processing, ack every record, then force a checkpoint — the
+    Per shard in the batch: track the batch's sequence-number range, run
+    the user's processing, ack the range, then force a checkpoint — the
     reference's processRecords → markProcessed → checkpointIfNeeded cycle
     (`RecordProcessorImpl.scala:42-53`), with the micro-batch as the unit.
     ``checkpointer(shard_id)`` supplies the per-shard durable-commit callable.
 
-    Scale note: this collects one (shard, seq-range) summary per shard to
-    the driver — O(shards), not O(records) — but per-RECORD ack tracking on
-    the driver would not scale; it exists for semantic parity. The durable
-    commit at scale is Spark's offset log (run_at_least_once).
+    Scale note: the driver collects one ``(shard, min, max, count)``
+    RANGE SUMMARY per shard — a fixed-width aggregate row, O(shards)
+    regardless of batch row count (pinned by test) — and feeds the
+    tracker the two endpoint sequence numbers instead of every record.
+    This is lossless for the committed checkpoint: ``process_fn``
+    processes the micro-batch atomically, so all of a shard's records
+    ack together and the contiguous-prefix commit lands on the shard's
+    max either way; per-RECORD granularity remains available in the
+    tracker itself (the O4 suites drive it directly), this flow just
+    feeds it a batch-granular range. The durable commit at scale is
+    Spark's offset log (run_at_least_once).
 
     Checkpoint failures go through the O7 taxonomy
     (`RecordProcessorImpl.scala:126-148` via streaming/errors.py):
@@ -153,21 +184,12 @@ def foreach_batch_commit_flow(
     """
 
     def run(df: DataFrame, batch_id: int) -> None:
-        # numeric (not lexicographic) sort: "10" < "9" as strings would
-        # corrupt the tracker's contiguous-prefix arithmetic
-        seq_num = F.col("sequenceNumber").cast("decimal(38,0)")
-        shard_seqs = (
-            df.groupBy("shardId")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(seq_num.alias("seq"), F.col("subSequenceNumber").alias("sub")))
-                ).alias("seqs")
-            )
-            .collect()
-        )
+        shard_seqs = _shard_range_summaries(df)
 
         def seqs_of(row) -> list[SequenceNumber]:
-            return [SequenceNumber(int(s["seq"]), int(s["sub"])) for s in row["seqs"]]
+            lo = SequenceNumber(int(row["lo"]["seq"]), int(row["lo"]["sub"]))
+            hi = SequenceNumber(int(row["hi"]["seq"]), int(row["hi"]["sub"]))
+            return [lo] if lo == hi else [lo, hi]
 
         for row in shard_seqs:
             tracker.start_shard(row["shardId"])

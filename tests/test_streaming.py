@@ -287,6 +287,41 @@ def test_foreach_batch_commit_flow_acks_every_shard(spark, stream_dir, tmp_path)
         assert t.is_complete  # fully drained (O6)
 
 
+def test_commit_flow_collects_o_shards_not_o_records(spark):
+    """The driver-side payload of the commit flow is one fixed-width
+    range-summary row per shard — its size must not grow with the
+    number of records in the micro-batch (the round-7 O2 fix)."""
+    from pyspark import Row
+    from kinesis_stream_spark.streaming.delivery import _shard_range_summaries
+
+    def batch(n_per_shard: int):
+        rows = [
+            (f"shard-{s}", str(i), 0)
+            for s in range(4)
+            for i in range(n_per_shard)
+        ]
+        return spark.createDataFrame(
+            rows, "shardId string, sequenceNumber string, subSequenceNumber int"
+        )
+
+    small = _shard_range_summaries(batch(3))
+    large = _shard_range_summaries(batch(300))
+    for rows, n in ((small, 3), (large, 300)):
+        assert len(rows) == 4  # one row per shard, regardless of records
+        for r in rows:
+            assert set(r.asDict()) == {"shardId", "lo", "hi", "n"}
+            assert isinstance(r["lo"], Row) and set(r["lo"].asDict()) == {"seq", "sub"}
+            assert isinstance(r["hi"], Row) and set(r["hi"].asDict()) == {"seq", "sub"}
+            assert r["n"] == n
+    # numeric, not lexicographic: seq "9" < seq "10" must order correctly
+    two = spark.createDataFrame(
+        [("s", "9", 0), ("s", "10", 0)],
+        "shardId string, sequenceNumber string, subSequenceNumber int",
+    )
+    (row,) = _shard_range_summaries(two)
+    assert int(row["lo"]["seq"]) == 9 and int(row["hi"]["seq"]) == 10
+
+
 def test_commit_flow_parallel_acks_every_shard(spark, stream_dir, tmp_path):
     """commitFlow `parallelism` knob (`CommitGraphStages.scala:16`): the
     bounded-parallel ack path commits every shard, same as serial."""
