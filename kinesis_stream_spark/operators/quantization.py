@@ -512,3 +512,64 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage two of two-stage retrieval: exact re-scoring of an ADC
+    shortlist against the FULL-PRECISION corpus — the standard
+    deployment pattern (shortlist R ≫ k in the compressed domain, then
+    R exact scores buy back most of the quantization-induced rank
+    error at O(R·Q) cost instead of O(N·Q)).
+
+    ``shortlist`` is any (query_id, vec_id) candidate frame (e.g.
+    :func:`ivfpq_topk` or :func:`pq_topk_adc` run with ``k = R``).
+    Scoring uses the exact metric ADC approximates — ``2·q·v − ‖v‖²``,
+    monotone in L2 distance per query — with the repo's exact BIGINT
+    fixed-point sums, so the oracle replays it bit-identically.
+
+    Scale shape (pinned by plan test): the R·Q-row shortlist and the
+    Q-row query frame are the BROADCAST sides; the full-precision
+    corpus is scanned ONCE, filtered by the broadcast-hash semi-shape
+    join down to the shortlisted rows, and never shuffled — the same
+    plan ``ann_recall`` uses for its truth join. At 100 TB the corpus
+    side is the only large input and it streams map-side through the
+    join."""
+    sl = shortlist.select(
+        F.col(query_id_col).alias("qid"), F.col(id_col).alias("vid")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    )
+    cand = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).join(
+        F.broadcast(sl), "vid"
+    )
+    scored = cand.join(F.broadcast(q), "qid").select(
+        "qid",
+        "vid",
+        (
+            (2 * _dot_fx(F.col("qv"), F.col("v")) - _dot_fx(F.col("v"), F.col("v")))
+            .cast("double")
+            / SCALE
+        ).alias("exact_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("exact_score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias("vec_id"),
+            "exact_score",
+            "rank",
+        )
+    )

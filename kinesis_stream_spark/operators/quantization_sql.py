@@ -401,3 +401,52 @@ def sql_ivfpq_route_census(
     GROUP BY 1, 2, 3
     ORDER BY list_id, sub, code
     """
+
+
+def sql_ivfpq_rerank(
+    *,
+    k_coarse: int = 2,
+    m: int = 2,
+    ksub: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+    n_queries: int = 3,
+    nprobe: int = 2,
+    r: int = 24,
+    k: int = 10,
+) -> str:
+    """Two-stage retrieval oracle: the full IVF-PQ chain produces an
+    ADC shortlist of ``r`` candidates per query (``ranked_`` with
+    ``k = r``), then ONLY those rows are re-scored exactly against the
+    full-precision corpus — ``2·q·v − ‖v‖²`` with the same BIGINT
+    fixed-point sums the Spark ``exact_rerank`` uses — and re-ranked to
+    the final ``k``. Ties (two candidates collapsing to one exact
+    double) break to the lower vec_id on both engines."""
+    assert dim % m == 0
+    subdim = dim // m
+    ctes = _ivfpq_index_ctes(k_coarse, m, subdim, ksub, iterations)
+    ctes.extend(
+        _ivfpq_search_ctes("", m, subdim, iterations, n_queries, nprobe, r)
+    )
+    exact_fx = (
+        f"(2 * {_sql_dot_fx('q.v', 'e.v')} - {_sql_dot_fx('e.v', 'e.v')})"
+    )
+    ctes.append(
+        f"""rr AS (
+          SELECT s.qid, s.vec_id,
+                 CAST({exact_fx} AS DOUBLE) / {SCALE} AS exact_score
+          FROM ranked_ s
+          JOIN ev e ON e.vec_id = s.vec_id
+          JOIN ev q ON q.vec_id = s.qid
+        )"""
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT qid AS query_id, vec_id, exact_score, rank FROM (
+      SELECT qid, vec_id, exact_score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY exact_score DESC, vec_id) AS rank
+      FROM rr)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

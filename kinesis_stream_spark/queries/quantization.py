@@ -34,6 +34,7 @@ from kinesis_stream_spark.queries._emb_family import (
     queries_df,
 )
 from kinesis_stream_spark.operators.quantization import (
+    exact_rerank,
     ivfpq_encode,
     ivfpq_topk,
     ivfpq_train,
@@ -52,6 +53,7 @@ from kinesis_stream_spark.operators.opq_sql import (
     sql_subspace_variance,
 )
 from kinesis_stream_spark.operators.quantization_sql import (
+    sql_ivfpq_rerank,
     sql_ivfpq_route_census,
     sql_ivfpq_topk,
     sql_pq_adc_topk,
@@ -69,6 +71,7 @@ K_COARSE = 4
 NPROBE = 2
 N_QUERIES = 3
 K = 8
+R_SHORTLIST = 24  # ADC shortlist size for two-stage retrieval (R ≫ K)
 
 
 @_q(
@@ -162,6 +165,41 @@ def similarity_ivfpq_route_census(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("list_id", "sub", "code")
     )
+
+
+@_q(
+    "similarity_ivfpq_rerank",
+    sql_ivfpq_rerank(
+        k_coarse=K_COARSE,
+        m=M,
+        ksub=KSUB,
+        dim=DIM,
+        iterations=ITERATIONS,
+        n_queries=N_QUERIES,
+        nprobe=NPROBE,
+        r=R_SHORTLIST,
+        k=K,
+    ),
+)
+def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the standard IVF-PQ deployment pattern:
+    the compressed-domain ADC search shortlists R = 24 candidates per
+    query (3× the final k), then ONLY those R rows are re-scored
+    exactly against the full-precision corpus and re-ranked to k = 8.
+    The re-score join broadcasts the R·Q-row shortlist against one
+    filtered corpus scan (pinned by plan test) — O(R·Q) exact work
+    buys back the quantization rank error without a second corpus
+    sweep. The oracle replays shortlist AND re-rank bit-exactly."""
+    emb = emb_scan(spark, sf_dir, DIM)
+    coarse, book = ivfpq_train(
+        emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
+    )
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    queries = queries_df(emb, N_QUERIES)
+    shortlist = ivfpq_topk(
+        index, coarse, book, queries, k=R_SHORTLIST, nprobe=NPROBE, m=M, dim=DIM
+    )
+    return exact_rerank(shortlist, emb, queries, k=K).orderBy("query_id", "rank")
 
 
 @_q(

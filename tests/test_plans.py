@@ -431,3 +431,24 @@ def test_simpson_diversity_two_aggregates_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count(") HashAggregate") >= 2
+
+
+def test_exact_rerank_broadcasts_shortlist_not_corpus(spark, sf_dir):
+    """Two-stage retrieval scale contract: the exact re-score stage must
+    broadcast the R·Q-row SHORTLIST (and the Q-row query frame) against
+    ONE streamed corpus scan — never shuffle the corpus (SortMergeJoin)
+    or nested-loop it. Built from a literal shortlist so the assertion
+    isolates the re-rank join, not the upstream ADC chain."""
+    from kinesis_stream_spark.operators.quantization import exact_rerank
+    from kinesis_stream_spark.queries._emb_family import emb_scan, queries_df
+
+    emb = emb_scan(spark, sf_dir, 64)
+    shortlist = spark.createDataFrame(
+        [(q, v) for q in range(3) for v in range(q, q + 8)],
+        "query_id long, vec_id long",
+    )
+    plan = _explain(exact_rerank(shortlist, emb, queries_df(emb, 3), k=5))
+    assert plan.count(") BroadcastHashJoin") == 2  # shortlist + queries
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
