@@ -28,13 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.functions.hashing import sql_md5_int64, sql_shingles
 from kinesis_stream_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
-    MINHASH_MOD,
     lsh_band_hashes,
-    minhash_perm_coeffs,
     minhash_signatures,
 )
 
@@ -114,42 +111,17 @@ def sql_minhash_agreement_histogram(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
 ) -> str:
-    """DuckDB replay over ``input_cte`` → ``docs(doc_id, text)``: same
-    base hash, linear permutations, banding, candidate join, and
-    position-agreement fold as the operator.
+    """DuckDB replay over ``input_cte`` → ``docs(doc_id, text)``: the
+    SHARED candidate chain (``operators/minhash_sql.py`` — consolidated
+    in round 7, one source of truth for the hash/permutation/banding
+    replay shared with ``queries/dedup._sql_minhash_pipeline``) plus
+    this profile's position-agreement tail."""
+    from kinesis_stream_spark.operators.minhash_sql import sql_minhash_candidate_ctes
 
-    The shh/sig/bands/cands chain deliberately MIRRORS
-    ``queries/dedup._sql_minhash_pipeline`` (any banding or hash change
-    must land in both); consolidation into one shared builder is
-    deferred to the round that rotates the dedup family through a
-    verification window — editing that module's oracle construction now
-    would stale its driver-verified queries for a pure refactor."""
-    rows = num_hashes // bands
-    sig_elems = ", ".join(
-        f"MIN((h * {a} + {b}) % {MINHASH_MOD})"
-        for a, b in minhash_perm_coeffs(num_hashes)
-    )
-    band_rows = " UNION ALL ".join(
-        f"""SELECT doc_id, {b} AS band_id,
-            {sql_md5_int64(
-                "ARRAY_TO_STRING(LIST_TRANSFORM("
-                f"sig[{b * rows + 1}:{b * rows + rows}], x -> CAST(x AS VARCHAR)), ',')"
-            )} AS band_hash FROM sig"""
-        for b in range(bands)
-    )
     return f"""
-    WITH docs AS ({input_cte}),
-    shh AS (SELECT doc_id, {sql_md5_int64('t.s')} % {MINHASH_MOD} AS h
-            FROM (SELECT doc_id, {sql_shingles('text', shingle_n)} AS sh FROM docs),
-                 UNNEST(sh) AS t(s)),
-    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM shh GROUP BY doc_id),
-    bands AS ({band_rows}),
-    cands AS (
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM bands x JOIN bands y
-        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-       AND x.doc_id < y.doc_id
-    ),
+    WITH {sql_minhash_candidate_ctes(
+        input_cte, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )},
     agree AS (
       SELECT LEN(LIST_FILTER(LIST_ZIP(a.sig, b.sig),
                              z -> z[1] = z[2])) AS n_matching

@@ -86,37 +86,14 @@ SQL_TRUNCATED_COPIES = f"""
 
 
 def _sql_minhash_pipeline(input_cte: str, threshold: float) -> str:
-    """DuckDB replay of near_duplicates_minhash (same base hash, same
-    linear permutations, same bands)."""
-    from kinesis_stream_spark.operators.dedup import MINHASH_MOD, minhash_perm_coeffs
+    """DuckDB replay of near_duplicates_minhash: the SHARED candidate
+    chain (``operators/minhash_sql.py`` — one source of truth for the
+    hash/permutation/banding replay) plus this pipeline's Jaccard-verify
+    tail over the shingle sets."""
+    from kinesis_stream_spark.operators.minhash_sql import sql_minhash_candidate_ctes
 
-    n, bands = DEFAULT_NUM_HASHES, DEFAULT_BANDS
-    rows = n // bands
-    sig_elems = ", ".join(
-        f"MIN((h * {a} + {b}) % {MINHASH_MOD})"
-        for a, b in minhash_perm_coeffs(n)
-    )
-    band_rows = " UNION ALL ".join(
-        f"""SELECT doc_id, {b} AS band_id,
-            {sql_md5_int64(
-                "ARRAY_TO_STRING(LIST_TRANSFORM("
-                f"sig[{b * rows + 1}:{b * rows + rows}], x -> CAST(x AS VARCHAR)), ',')"
-            )} AS band_hash FROM sig"""
-        for b in range(bands)
-    )
     return f"""
-    WITH docs AS ({input_cte}),
-    sh AS (SELECT doc_id, {sql_shingles('text', 3)} AS sh FROM docs),
-    shh AS (SELECT doc_id, {sql_md5_int64('t.s')} % {MINHASH_MOD} AS h
-            FROM sh, UNNEST(sh) AS t(s)),
-    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM shh GROUP BY doc_id),
-    bands AS ({band_rows}),
-    cands AS (
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM bands x JOIN bands y
-        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-       AND x.doc_id < y.doc_id
-    )
+    WITH {sql_minhash_candidate_ctes(input_cte, shingle_n=3)}
     SELECT c.id_a, c.id_b,
            LEN(LIST_INTERSECT(a.sh, b.sh)) / LEN(LIST_DISTINCT(a.sh || b.sh)) AS jaccard
     FROM cands c
@@ -334,6 +311,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs3 = docs.select("doc_id", "text").unionAll(trunc(3)).unionAll(trunc(6))
     edges = near_duplicates_minhash(docs3, threshold=0.9)
     return duplicate_clusters(edges).orderBy("canonical_id")
+
+
+@_q(
+    "dedup_clusters_bigstar",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a AS a, id_b AS b
+      FROM ({_sql_minhash_pipeline(_SQL_CHAIN_COPIES, 0.9)})
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+    walk(v, l) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, w.l FROM walk w JOIN sym s ON s.src = w.v
+    ),
+    comp AS (SELECT v, MIN(l) AS comp FROM walk GROUP BY v)
+    SELECT comp AS canonical_id, COUNT(*) AS cluster_size, MAX(v) AS max_id
+    FROM comp GROUP BY comp
+    ORDER BY canonical_id
+    """,
+)
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE variant of ``dedup_connected_components``: identical
+    edge pipeline (MinHash-LSH J ≥ 0.9 over the chain-copy corpus) and
+    identical cluster output, but components resolved by alternating
+    large-star/small-star rounds (Kiveris et al., SoCC 2014) — O(log² n)
+    rounds independent of graph diameter, where min-label propagation
+    needs O(diameter). The oracle is the SAME recursive CTE (component
+    membership is algorithm-independent), so both variants are held to
+    one truth; equality with the propagation twin plus the round-count
+    win on a long-chain graph are pinned in tests/test_components.py."""
+    from kinesis_stream_spark.operators.components import duplicate_clusters_bigstar
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), WS_RUN)
+
+    def trunc(n: int) -> DataFrame:
+        cut = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - n, F.lit(1))), " ")
+        return docs.select(
+            (F.col("doc_id") + n // 3 * COPY_OFFSET).alias("doc_id"), cut.alias("text")
+        )
+
+    docs3 = docs.select("doc_id", "text").unionAll(trunc(3)).unionAll(trunc(6))
+    edges = near_duplicates_minhash(docs3, threshold=0.9)
+    return duplicate_clusters_bigstar(edges).orderBy("canonical_id")
 
 
 @_q(
@@ -810,10 +832,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pair_recall(corpus, ["lang", "source"], threshold=0.5)
 
 # Corrupt-vector guard for the embedding-cosine oracle (twin of the
-# valid_vector filter on the Spark side).
-from kinesis_stream_spark.functions.vectors import sql_valid_vector as _svv
+# valid_vector filter on the Spark side); the shared helper restricts
+# the rewrite to FROM/JOIN positions and fails loudly otherwise.
+from kinesis_stream_spark.queries._emb_family import guard_oracles as _guard
 
-_EMBV = f"(SELECT * FROM embeddings WHERE {_svv('embedding', 64)})"
-ORACLE["dedup_embedding_cosine_pairs"] = __import__("re").sub(
-    r"\bembeddings\b", _EMBV, ORACLE["dedup_embedding_cosine_pairs"]
-)
+ORACLE["dedup_embedding_cosine_pairs"] = _guard(
+    {"dedup_embedding_cosine_pairs": ORACLE["dedup_embedding_cosine_pairs"]}, 64
+)["dedup_embedding_cosine_pairs"]
