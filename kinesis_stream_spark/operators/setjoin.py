@@ -1,0 +1,155 @@
+"""Exact set-similarity join via prefix filtering (AllPairs / PPJoin).
+
+The LSH operators in ``operators/dedup.py`` trade recall for cost:
+banding can MISS a true near-duplicate pair. This module provides the
+exact counterpart — every pair with Jaccard ≥ t is returned, no false
+negatives — using the prefix-filtering principle (Chaudhuri, Ganti,
+Kaushik, ICDE 2006; Bayardo, Ma, Srikant, WWW 2007 "AllPairs"; Xiao,
+Wang, Lin, Yu, WWW 2008 "PPJoin"): order every document's token set by
+a GLOBAL rarity order (document frequency ascending); two sets with
+Jaccard ≥ t and sizes |x| ≤ |y| must share at least one token within
+each set's first ``|s| − ⌈t·|s|⌉ + 1`` tokens (the "prefix"). Joining
+on prefix tokens alone therefore generates a candidate superset, and
+rare-first ordering makes those prefixes maximally selective — the
+frequent tokens that would generate quadratic join blowup never enter
+the join. A size filter (``min ≥ t·max``, also implied by J ≥ t)
+prunes further before verification.
+
+Scale shape: document frequencies are one hash aggregate; the global
+order is a per-document window (no global sort); the candidate join is
+an equi-join on (rare) prefix tokens — never all-pairs, never a
+cartesian (plan-pinned); verification joins the exploded token sets of
+only the surviving candidate pairs (candidates ≪ pairs). This is the
+published recipe for exact web-scale near-dup joins; at 100 TB it
+complements LSH: profile with the banding histograms, run LSH for the
+bulk, and prefix-filter where false negatives are not acceptable
+(e.g. benchmark decontamination).
+
+Determinism: the prefix order is (df, md5(token), token) — the md5 key
+(``functions/hashing.py``) avoids relying on cross-engine string
+collation; the trailing token tiebreak makes the order formally total
+(unreachable below a 60-bit collision). Counts are integers end-to-end;
+the single IEEE divide per output row is the Jaccard itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.functions.hashing import (
+    md5_int64,
+    shingles,
+    sql_md5_int64,
+    sql_shingles,
+)
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ ``threshold`` — EXACT (no
+    LSH false negatives): (id_a, id_b, jaccard), id_a < id_b."""
+    assert 0.0 < threshold <= 1.0
+    sh_sets = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    ex = sh_sets.select("id", F.explode("sh").alias("tok"))
+    dfc = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh_sets.select("id", F.size("sh").alias("sz"))
+    w = Window.partitionBy("id").orderBy("df", md5_int64(F.col("tok")), "tok")
+    ordered = ex.join(dfc, "tok").withColumn("pos", F.row_number().over(w))
+    prefix = ordered.join(sizes, "id").where(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    isect = (
+        cand.join(ex.alias("ta"), F.col("ta.id") == F.col("id_a"))
+        .join(
+            ex.alias("tb"),
+            (F.col("tb.id") == F.col("id_b")) & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        isect.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_prefix_filter_jaccard_pairs(
+    input_cte: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB replay of :func:`prefix_filter_jaccard_pairs` over
+    ``input_cte → docs(doc_id, text)`` — same rarity order (df, md5,
+    token), same prefix-length and size pruning, same integer
+    intersection counts, one identical Jaccard divide; ordered
+    (id_a, id_b)."""
+    t = repr(float(threshold))
+    return f"""
+    WITH docs AS ({input_cte}),
+    ss AS (SELECT doc_id AS id, {sql_shingles('text', shingle_n)} AS sh FROM docs),
+    ssn AS (SELECT id, sh FROM ss WHERE LEN(sh) > 0),
+    ex AS (SELECT id, t.tok FROM ssn, UNNEST(sh) AS t(tok)),
+    dfc AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok),
+    sz AS (SELECT id, LEN(sh) AS sz FROM ssn),
+    ordered AS (
+      SELECT e.id, e.tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY d.df, {sql_md5_int64('e.tok')}, e.tok) AS pos
+      FROM ex e JOIN dfc d USING (tok)
+    ),
+    pre AS (
+      SELECT o.id, o.tok, s.sz
+      FROM ordered o JOIN sz s USING (id)
+      WHERE o.pos <= s.sz - CEIL({t} * s.sz) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      FROM pre a JOIN pre b
+        ON a.tok = b.tok AND a.id < b.id
+       AND LEAST(a.sz, b.sz) >= {t} * GREATEST(a.sz, b.sz)
+    ),
+    isect AS (
+      SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS i
+      FROM cand c
+      JOIN ex ta ON ta.id = c.id_a
+      JOIN ex tb ON tb.id = c.id_b AND tb.tok = ta.tok
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
+    FROM isect
+    WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= {t}
+    ORDER BY id_a, id_b
+    """

@@ -40,6 +40,7 @@ _PRIORITY = (
     # never-driver-verified round-7 registrations
     "similarity_ivfpq_rerank",
     "dedup_clusters_bigstar",
+    "dedup_prefix_filter_exact_pairs",
     # r3-latest rows — the 10 oldest in the inventory (verdict order)
     "q13_customer_order_distribution",
     "q17_small_quantity_revenue",
@@ -95,7 +96,6 @@ _PRIORITY = (
     # oldest-r4 fill (relational family, code untouched since its row)
     "agg_equidepth_price",
     "agg_histogram_price",
-    "agg_salted_skew_safe",
 )
 
 

@@ -33,6 +33,10 @@ from kinesis_stream_spark.operators.dedup import (
     near_duplicates_simhash,
     ngram_jaccard_pairs,
 )
+from kinesis_stream_spark.operators.setjoin import (
+    prefix_filter_jaccard_pairs,
+    sql_prefix_filter_jaccard_pairs,
+)
 from kinesis_stream_spark.operators.similarity import cosine_pairs
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -131,6 +135,22 @@ def dedup_minhash_lsh_exact_copies(spark: SparkSession, sf_dir: str) -> DataFram
     collisions. Oracle replays the identical pipeline."""
     docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
     return near_duplicates_minhash(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@_q(
+    "dedup_prefix_filter_exact_pairs",
+    sql_prefix_filter_jaccard_pairs(SQL_TRUNCATED_COPIES, threshold=0.5),
+)
+def dedup_prefix_filter_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (prefix filtering, AllPairs/PPJoin) on
+    the same truncated-copies corpus as ``dedup_minhash_lsh_near_copies``
+    and at the same threshold: every pair with shingle Jaccard ≥ 0.5, NO
+    LSH false negatives — the recall ceiling the banded pipeline is
+    measured against. Candidates come from an equi-join on each set's
+    rare-token prefix (df-ascending global order), never all-pairs; the
+    oracle replays ordering, pruning, and verification integer-exactly."""
+    docs = _with_truncated_copies(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
 @_q("dedup_minhash_lsh_near_copies", _sql_minhash_pipeline(SQL_TRUNCATED_COPIES, 0.5))
