@@ -9,12 +9,17 @@ product is a single IEEE op — bit-identical in Spark and DuckDB. Results
 are therefore reproducible across engines, partitionings, and AQE
 decisions.
 
-Headroom: admitted vectors are bounded |x| ≤ ``VEC_MAX_ABS`` (= 256) by
-the :func:`valid_vector` scan guard, so every fixed-point path in the
-repo stays inside BIGINT: dot/norm terms |x·y|·2^40 ≤ 2^16·2^40 = 2^56
-and 64-term sums ≤ 2^62 < 2^63; squared-moment terms (variance
-diagnostics) share the same 2^56 per-term bound; rotation terms
-|x·r|·2^40 ≤ 2^48 (row-normalized |r| ≤ 1). Unit-scale embeddings sit
+Headroom: admitted vectors are bounded |x| ≤ ``VEC_MAX_ABS`` (= 64) by
+the :func:`valid_vector` scan guard, sized for the WORST compound
+fixed-point expression in the repo, not just a single dot. That worst
+case is residual k-means assignment (IVF-PQ): elements reach
+2·``VEC_MAX_ABS`` after coarse-centroid subtraction (centroids are
+means of admitted vectors, so themselves within the bound), and the
+squared distance expands as A − 2B + C — coefficient sum 4 — over up
+to 64 terms: 4 · (2·64)² · 2^40 · 64 = 2^62 < 2^63. Everything else
+has more room: plain dot/norm sums ≤ 2^58, the re-rank / ADC
+2·q·v − ‖v‖² shape ≤ 3·2^58 (×4 on residuals: 3·2^60), rotation terms
+|x·r|·2^40 ≤ 2^52 (row-normalized |r| ≤ 1). Unit-scale embeddings sit
 far inside the bound — it exists to turn silent int64 wraparound on
 out-of-contract data into a consistent exclusion on BOTH engines.
 Chosen over DECIMAL accumulation after measuring: BigDecimal adds
@@ -33,11 +38,12 @@ from pyspark.sql import functions as F
 SCALE = 1 << 40  # fixed-point scale for per-term quantization
 
 #: magnitude bound for admitted vector elements — keeps every scaled
-#: fixed-point term (products, squares, rotations) inside int64 on both
-#: engines (see module docstring). 2^8: the largest power of two whose
-#: worst-case 64-term product sum 2^16·2^40·2^6 = 2^62 still clears the
+#: fixed-point expression (dots, squares, rotations, residual-distance
+#: expansions, the 2·q·v − ‖v‖² re-rank shape) inside int64 on both
+#: engines (see module docstring). 2^6: the largest power of two whose
+#: worst-case compound sum 4·(2·2^6)²·2^40·2^6 = 2^62 still clears the
 #: BIGINT sign bit.
-VEC_MAX_ABS = 256.0
+VEC_MAX_ABS = 64.0
 
 
 def _fixed_sum(products: Column) -> Column:

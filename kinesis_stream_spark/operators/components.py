@@ -98,41 +98,53 @@ def connected_components_bigstar(
     A non-converged exit raises instead of returning silently-partial
     clusters — wrong components mean wrong keep-decisions downstream.
     """
-    cur = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    cur = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    cur_count = cur.count()
     converged = False
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt_count = nxt.count()
         # fixpoint ⇔ equal edge SETS; both sides are distinct, so two
         # one-sided subtracts reduce to count-equality plus one subtract
-        if nxt.count() == cur.count() and nxt.subtract(cur).count() == 0:
+        # (counts are carried on the driver — no recount of cur's frame)
+        if nxt_count == cur_count and nxt.subtract(cur).count() == 0:
             _release_local_checkpoint(cur)
             cur = nxt
             converged = True
             break
         _release_local_checkpoint(cur)
         cur = nxt
+        cur_count = nxt_count
     if not converged:
         raise ValueError(
             f"connected_components_bigstar: no fixpoint in {max_rounds} rounds"
         )
-    # The star fixpoint contains EVERY vertex of the input graph: each
-    # non-minimum vertex has exactly one out-edge to its component
-    # minimum, and each minimum appears as that edge's target (every
-    # input vertex came from an edge, so no isolated vertices exist).
-    # Deriving labels from the final edges alone avoids holding a live
-    # reference to the released first-round checkpoint.
+    # The star fixpoint contains every vertex that survived the
+    # self-loop filter: each non-minimum vertex has exactly one
+    # out-edge to its component minimum, and each minimum appears as
+    # that edge's target. Deriving labels from the final edges alone
+    # avoids holding a live reference to the released first-round
+    # checkpoint. Vertices that appeared ONLY in self-loop edges were
+    # filtered before round one, so they are restored as singleton
+    # components via an anti-join against the labeled set — matching
+    # the propagation twin, which labels them from its symmetrized
+    # vertex frame (same (v, comp) output on ANY edge input).
     nonroot = cur.select(F.col("u").alias("v"), F.col("v").alias("comp"))
     roots = (
         cur.select(F.col("v").alias("v"))
         .distinct()
         .select("v", F.col("v").alias("comp"))
     )
-    return nonroot.unionAll(roots)
+    labeled = nonroot.unionAll(roots)
+    selfloop_singletons = (
+        raw.where(F.col("u") == F.col("v"))
+        .select("v")
+        .distinct()
+        .join(labeled.select("v"), "v", "left_anti")
+        .select("v", F.col("v").alias("comp"))
+    )
+    return labeled.unionAll(selfloop_singletons)
 
 
 def duplicate_clusters_bigstar(

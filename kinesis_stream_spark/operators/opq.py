@@ -90,7 +90,7 @@ def _rot_coord(row: tuple[float, ...], vec: Column) -> Column:
 #: per-term |x·r·2^40| under 2^54 and the 64-term int64 sum under 2^60
 #: (|r| ≤ 1 row-normalized). DEFENSIVE ONLY since the round-7 guard
 #: change: ``valid_vector``/``sql_valid_vector`` now enforce the
-#: strictly tighter repo-wide ``VEC_MAX_ABS`` (= 256) at the scan edge
+#: strictly tighter repo-wide ``VEC_MAX_ABS`` (= 64) at the scan edge
 #: on BOTH engines, so no guard-passing row can reach this branch — the
 #: contract is symmetric (the DuckDB ``sql_rotate_cte`` needs no
 #: mirrored NULL rule because its input is the same guarded scan).

@@ -78,8 +78,8 @@ def sql_subspace_variance(*, m: int = 4, dim: int = 64, rotated: bool = False,
 
     Per-term headroom: ``FLOOR(x²·2^40) AS BIGINT`` requires
     |x| < 2^11.5 ≈ 2896 — guaranteed by the scan guard's
-    ``VEC_MAX_ABS`` (= 256) magnitude bound, which both engines apply
-    before this CTE (x² ≤ 2^16 → per-term ≤ 2^56). The DECIMAL(38,0)
+    ``VEC_MAX_ABS`` (= 64) magnitude bound, which both engines apply
+    before this CTE (x² ≤ 2^12 → per-term ≤ 2^52). The DECIMAL(38,0)
     note in ``subspace_variance`` covers the row-count dimension; this
     bound covers the per-term one."""
     assert dim % m == 0

@@ -101,6 +101,20 @@ def test_bigstar_empty_edges(spark):
     assert duplicate_clusters_bigstar(_df(spark, [])).count() == 0
 
 
+def test_bigstar_selfloop_only_vertices_kept_as_singletons(spark):
+    """Drop-in contract on ANY edge input: a vertex appearing only in
+    self-loop edges is a singleton component in the propagation twin,
+    so bigstar must return it too (round-7 review finding)."""
+    pairs = [(1, 2), (5, 5), (9, 9), (2, 2)]  # 2 also has real edges
+    df = _df(spark, pairs)
+    got = _labels(connected_components_bigstar(df))
+    assert got == _labels(connected_components(df))
+    assert got == {1: 1, 2: 1, 5: 5, 9: 9}
+    # all-self-loop input: every vertex is its own component
+    only = _df(spark, [(3, 3), (4, 4)])
+    assert _labels(connected_components_bigstar(only)) == {3: 3, 4: 4}
+
+
 def test_cluster_summary_matches_twin(spark):
     pairs = GRAPHS["two_cliques_bridged"] + [(200, 201), (300, 301), (301, 302)]
     df = _df(spark, pairs)

@@ -19,8 +19,8 @@ DIM = 4
 
 ROWS = [
     (0, [0.5, -0.25, 0.125, 1.0], True),            # clean
-    (1, [256.0, 0.0, 0.0, 1.0], True),              # exactly at the bound
-    (2, [256.0000305175781, 0.0, 0.0, 1.0], False), # just past (float32-exact)
+    (1, [64.0, 0.0, 0.0, 1.0], True),               # exactly at the bound
+    (2, [64.00000762939453, 0.0, 0.0, 1.0], False), # just past (float32-exact)
     (3, [-300.0, 0.5, 0.5, 0.5], False),            # negative out-of-headroom
     (4, [float("inf"), 0.5, 0.5, 0.5], False),      # +inf (isnan misses it)
     (5, [float("-inf"), 0.5, 0.5, 0.5], False),     # -inf
@@ -64,9 +64,13 @@ def test_magnitude_clause_duckdb():
 
 
 def test_bound_value_headroom():
-    """The documented invariant behind every fixed-point path: worst-case
-    64-term product sums stay inside int64."""
-    assert VEC_MAX_ABS**2 * (1 << 40) * 64 < 2**63
+    """The documented invariant behind every fixed-point path: the WORST
+    compound expression — residual k-means assignment, elements up to
+    2·VEC_MAX_ABS after centroid subtraction, A − 2B + C expansion
+    (coefficient sum 4), up to 64 terms — stays inside int64."""
+    assert 4 * (2 * VEC_MAX_ABS) ** 2 * (1 << 40) * 64 < 2**63
+    # and the re-rank / ADC 2·q·v − ‖v‖² shape on residuals (coeff 3)
+    assert 3 * (2 * VEC_MAX_ABS) ** 2 * (1 << 40) * 64 < 2**63
 
 
 def test_guard_oracles_rewrites_table_positions():
