@@ -1,0 +1,197 @@
+"""Sparse text retrieval: inverted-index BM25 top-k and tokenizer
+vocabulary-coverage profiling.
+
+The dense half of the retrieval surface lives in operators/similarity.py
+/ quantization.py (brute force, LSH, IVF, PQ); this module is the SPARSE
+half — term-based ranking over an inverted index, the classic lexical
+retrieval an LLM-data pipeline runs for decontamination lookups, seed-
+query corpus mining, and hybrid (sparse + dense) retrieval. Reference
+scope note: the reference (`500px/kinesis-stream`) ships no query
+processing at all — payloads are opaque bytes decoded user-side
+(`Record.scala:15`); this is north-star extension surface.
+
+BM25 with exact rational arithmetic
+-----------------------------------
+Classic BM25 (k1 = 1.2, b = 0.75) is transcendental-free EXCEPT the
+usual ``ln`` idf. We use the Robertson–Spärck Jones idf WITHOUT the
+log — the rational core ``(N − df + ½)/(df + ½)`` — which preserves
+the idf ORDERING exactly and keeps every factor a ratio of integers,
+so both engines replay it bit-identically (the log variant is a
+monotone transform applied per-term; score ordering differs only when
+term contributions trade off, which a ranking-parity oracle cannot
+replay without in-engine transcendentals — same trade the NDCG tables
+in operators/evaluation.py make, documented there).
+
+With k1 = 6/5 and b = 3/4 the per-term weight clears to one ratio of
+integer-valued quantities (avgdl = T/N multiplied through):
+
+    w(t, d) = tf·(k1+1) / (tf + k1·(1 − b + b·len_d·N/T))
+            = 22·T·tf / (10·T·tf + 3·T + 9·len_d·N)
+
+    score(q, d) = Σ_t idf(t) · w(t, d),
+    idf(t) = (2·(N − df) + 1) / (2·df + 1)
+
+N = corpus docs, T = total tokens, len_d = doc tokens, tf/df as usual.
+Every factor is computed in DOUBLE with a pinned left-associative op
+order (products of exact integers round identically in both engines),
+each per-term contribution is floored to 2^20 fixed point, and the
+per-document sum is exact BIGINT — order-independent, so results
+survive any partitioning/AQE decision and hash-match the DuckDB twin.
+Headroom: idf ≤ 2N+1, w < 11/5, so per-term fx < (2N+1)·2.2·2^20
+(≈ 2^45 at N = 10^7); ≤ dozens of query terms keeps sums ≪ 2^63.
+
+Scale shape (100 TB):
+- postings are filtered to the QUERY VOCABULARY before any wide state
+  (broadcast semi-join on ≤ dozens of terms) — the tf/df aggregates and
+  the scoring join see only matching postings, not the corpus;
+- df, query terms, and the 1-row corpus totals are broadcast; the only
+  shuffle over corpus-sized data is the map-side-combinable (doc, term)
+  tf count on the pre-filtered explode;
+- top-k is a per-query-id window over candidate docs only.
+
+Vocabulary coverage uses the distributed prefix sum
+(operators/skew.py) over per-term counts — no single-reducer global
+window at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_spark.functions.hashing import tokens
+from kinesis_stream_spark.operators.skew import distributed_cumsum
+
+#: fixed-point scale for per-term BM25 contributions (2^20 — scores are
+#: O(N) rational ratios, not unit-scale; 20 fractional bits leave 43
+#: integer bits of headroom)
+BM25_SCALE = 1 << 20
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Top-``k`` documents per query under rational-idf BM25 (module
+    docstring). Returns (query_id, doc_id, score, rank); ties break to
+    the lower doc_id; queries matching nothing return no rows."""
+    toks = tokens(F.col(text_col))
+    posted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dlen"),
+        F.explode(toks).alias("term"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+    )
+    # query-vocabulary prefilter FIRST: nothing corpus-sized past here
+    hits = posted.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = hits.groupBy("term", "doc_id", "dlen").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    nd = F.col("n_docs").cast("double")
+    td = F.col("n_tokens").cast("double")
+    tfd = F.col("tf").cast("double")
+    dlend = F.col("dlen").cast("double")
+    # integer idf numerator/denominator (×2 clears the ±0.5), ONE divide
+    idf = (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    # op order pinned left-associative — the SQL twin mirrors it exactly
+    wnum = F.lit(22.0) * td * tfd
+    wden = F.lit(10.0) * td * tfd + F.lit(3.0) * td + F.lit(9.0) * dlend * nd
+    fx = F.floor(idf * (wnum / wden) * F.lit(float(BM25_SCALE))).cast("bigint")
+
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(fx).alias("sfx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sfx"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("sfx").cast("double") / BM25_SCALE).alias("score"),
+            "rank",
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    thresholds: tuple[int, ...] = (50, 90, 99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer vocabulary sizing: for each percent threshold, the
+    smallest top-k vocabulary (terms ranked by frequency desc, term asc)
+    whose occurrences cover ≥ that share of all token occurrences.
+
+    One row per threshold: (pct, n_terms, covered_tokens, total_tokens,
+    vocab_size, coverage). The coverage rule is pure integer arithmetic
+    (``cum·100 ≥ pct·total``); the final ratio is one IEEE divide.
+
+    Shape: per-term counts (map-side combined explode+agg), a
+    DISTRIBUTED running sum over the ranked vocabulary
+    (:func:`~kinesis_stream_spark.operators.skew.distributed_cumsum` —
+    no single-partition window over the vocab), then a ~|vocab|·|pcts|
+    conditional aggregate down to one row per threshold."""
+    toks = tokens(F.col(text_col))
+    counts = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    cum = distributed_cumsum(
+        counts, [F.col("n").desc(), F.col("term").asc()], "n", "cum"
+    )
+    per = cum.select(
+        "cum",
+        F.explode(F.array(*[F.lit(p) for p in thresholds])).alias("pct"),
+    ).crossJoin(F.broadcast(tot))
+    covered = F.min(
+        F.when(F.col("cum") * 100 >= F.col("pct") * F.col("total_tokens"), F.col("cum"))
+    )
+    return (
+        per.groupBy("pct")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("cum") * 100 < F.col("pct") * F.col("total_tokens"), 1
+                    ).otherwise(0)
+                )
+                + 1
+            ).alias("n_terms"),
+            covered.alias("covered_tokens"),
+            F.max("total_tokens").alias("total_tokens"),
+            F.max("vocab_size").alias("vocab_size"),
+            (covered.cast("double") / F.max("total_tokens").cast("double")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("pct")
+    )

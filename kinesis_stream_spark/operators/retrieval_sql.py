@@ -1,0 +1,138 @@
+"""DuckDB oracle twins of operators/retrieval.py.
+
+Replays the SAME algorithm, not a reference answer: identical
+whitespace tokenization (functions/hashing.py ``WS_RUN``), the same
+integer idf/weight rationals with the same left-associative double op
+order, the same floor-to-2^20 per-term fixed point, exact integer sums
+(DuckDB SUM(BIGINT) → HUGEINT, cast back), and the same (score desc,
+doc_id asc) tie rule. Parity validates the computation end to end.
+"""
+
+from __future__ import annotations
+
+from kinesis_stream_spark.functions.hashing import sql_tokens
+from kinesis_stream_spark.operators.retrieval import BM25_SCALE
+
+
+def sql_bm25_topk(
+    query_values: tuple[tuple[int, str], ...],
+    *,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for :func:`~kinesis_stream_spark.operators.retrieval.bm25_topk`
+    over literal (query_id, qtext) rows."""
+    toks = sql_tokens(text_col)
+    values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in query_values)
+    # op order mirrors the Spark expression exactly: integer idf ratio
+    # (one divide), left-assoc double products, (wnum / wden)
+    # parenthesized, then ×2^20 and floor
+    idf = (
+        "CAST(2*(x.n_docs - d.df) + 1 AS DOUBLE)"
+        " / CAST(2*d.df + 1 AS DOUBLE)"
+    )
+    wnum = "22.0 * CAST(x.n_tokens AS DOUBLE) * CAST(t.tf AS DOUBLE)"
+    wden = (
+        "10.0 * CAST(x.n_tokens AS DOUBLE) * CAST(t.tf AS DOUBLE)"
+        " + 3.0 * CAST(x.n_tokens AS DOUBLE)"
+        " + 9.0 * CAST(t.dlen AS DOUBLE) * CAST(x.n_docs AS DOUBLE)"
+    )
+    return f"""
+    WITH posted AS (
+      SELECT {id_col} AS doc_id, LEN(toks) AS dlen, UNNEST(toks) AS term
+      FROM (SELECT {id_col}, {toks} AS toks FROM {table})
+    ),
+    qraw AS (SELECT * FROM (VALUES {values}) AS q(query_id, qtext)),
+    qterms AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             UNNEST(LIST_DISTINCT({sql_tokens('qtext')})) AS term
+      FROM qraw
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN({toks})) AS BIGINT) AS n_tokens
+      FROM {table}
+    ),
+    tf AS (
+      SELECT term, doc_id, dlen, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM posted
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY 1, 2, 3
+    ),
+    dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(FLOOR(({idf}) * (({wnum}) / ({wden}))
+                        * {float(BM25_SCALE)!r}) AS BIGINT) AS fx
+      FROM tf t
+      JOIN dfc d USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN tot x
+    ),
+    scoresum AS (
+      SELECT query_id, doc_id, CAST(SUM(fx) AS BIGINT) AS sfx
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(sfx AS DOUBLE) / {BM25_SCALE} AS score, rank
+    FROM (
+      SELECT query_id, doc_id, sfx,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sfx DESC, doc_id) AS rank
+      FROM scoresum)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def sql_vocab_coverage(
+    *,
+    thresholds: tuple[int, ...] = (50, 90, 99),
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle for
+    :func:`~kinesis_stream_spark.operators.retrieval.vocab_coverage`.
+    The oracle's running sum is a plain global window (DuckDB needs no
+    scale-out); values match the distributed prefix sum because the
+    order key (n desc, term asc) is unique per row."""
+    toks = sql_tokens(text_col)
+    values = ", ".join(f"({p})" for p in thresholds)
+    return f"""
+    WITH counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST({toks}) AS term FROM {table})
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM counts
+    ),
+    cumt AS (
+      SELECT CAST(SUM(n) OVER (ORDER BY n DESC, term
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM counts
+    ),
+    per AS (
+      SELECT c.cum, p.pct, t.total_tokens, t.vocab_size
+      FROM cumt c
+      CROSS JOIN (VALUES {values}) AS p(pct)
+      CROSS JOIN tot t
+    )
+    SELECT CAST(pct AS INT) AS pct,
+           CAST(SUM(CASE WHEN cum*100 < pct*total_tokens THEN 1 ELSE 0 END)
+                + 1 AS BIGINT) AS n_terms,
+           MIN(CASE WHEN cum*100 >= pct*total_tokens THEN cum END)
+             AS covered_tokens,
+           MAX(total_tokens) AS total_tokens,
+           MAX(vocab_size) AS vocab_size,
+           CAST(MIN(CASE WHEN cum*100 >= pct*total_tokens THEN cum END)
+                AS DOUBLE)
+             / CAST(MAX(total_tokens) AS DOUBLE) AS coverage
+    FROM per
+    GROUP BY pct
+    ORDER BY pct
+    """

@@ -1,4 +1,5 @@
-"""Skew-mitigation primitives: salted two-phase aggregation.
+"""Skew-mitigation primitives: salted two-phase aggregation and a
+distributed (range-partitioned) prefix sum.
 
 The runbook prescribes "salt the key, aggregate twice" wherever a hot
 key would overload one reducer (empty-doc hashes, boilerplate bands,
@@ -27,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_stream_spark.functions.hashing import md5_int64
 
@@ -68,4 +70,71 @@ def salted_agg(
             F.min("_mn").alias(f"min_{sum_col}"),
             F.max("_mx").alias(f"max_{sum_col}"),
         )
+    )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    val_col: Column | str,
+    out_col: str,
+    *,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed running sum of ``val_col`` in ``order_cols`` order —
+    the scale-out replacement for the single-partition global-window
+    trick (``Window.partitionBy(<constant>)``), which funnels every row
+    through ONE reducer and caps the operator at one task's memory.
+
+    Shape: range-repartition on the order (contiguous, ordered ranges →
+    ascending partition ids), local per-partition running sums in an
+    ordinary ``_pid``-partitioned window, then one tiny
+    (``num_partitions``-row) exclusive prefix of the per-partition
+    totals broadcast back as offsets. Parallelism = ``num_partitions``;
+    no task ever sees more than its range slice. At 100 TB raise
+    ``num_partitions`` to the cluster's width — the offset frame stays
+    rows-per-partition tiny.
+
+    REQUIRES a unique order key: ties that straddled a range boundary
+    would make per-row prefixes depend on which side each tied row
+    landed. Both call sites (equi-depth boundaries, vocabulary
+    coverage) order on post-aggregation distinct keys.
+
+    The range-partitioned frame is ``localCheckpoint``-ed once so the
+    window branch and the totals branch read the SAME materialized
+    partition ids (exchange reuse makes that likely anyway; the
+    checkpoint makes it certain — partition-id-dependent results must
+    never depend on a sampler re-run). The checkpointed frame is
+    post-aggregation (distinct order keys), not corpus-sized.
+    """
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_ds_pid", F.spark_partition_id())
+        .withColumn("_ds_val", val)
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_ds_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_ds_loc", F.sum("_ds_val").over(w_local))
+    # exclusive prefix of per-partition totals: num_partitions rows —
+    # the one legitimately tiny single-partition window in this shape
+    w_off = Window.orderBy("_ds_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = (
+        part.groupBy("_ds_pid")
+        .agg(F.sum("_ds_val").alias("_ds_tot"))
+        .select(
+            "_ds_pid",
+            (F.sum("_ds_tot").over(w_off) - F.col("_ds_tot")).alias("_ds_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), "_ds_pid")
+        .withColumn(out_col, F.col("_ds_loc") + F.col("_ds_off"))
+        .drop("_ds_pid", "_ds_val", "_ds_loc", "_ds_off")
     )

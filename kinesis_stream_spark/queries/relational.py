@@ -1582,23 +1582,25 @@ def agg_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     an engine's own percentile implementation; 9 separate
     ``percentile_disc`` aggregates also each buffered the full column —
     measured 17 s vs ~3 s for this shape at sf0.1). Shape: distinct
-    value counts (map-side combined) → one cumulative window over the
-    ~N_distinct rows → 9 conditional MINs in one hash aggregate →
-    broadcast the 1-row boundary array; bucket assignment is a map-side
-    higher-order filter into a ~10-group aggregate. The cumulative
-    window is a deliberate single partition over the post-agg distinct
-    values; at 100 TB swap the boundary pass for approx_percentile (or
-    range-partitioned prefix sums) — the assignment pass is unchanged."""
+    value counts (map-side combined) → DISTRIBUTED running count over
+    the ~N_distinct rows (operators/skew.py ``distributed_cumsum`` —
+    range-partitioned local windows + broadcast offsets; this replaced
+    the earlier single-partition global window, which funneled the
+    whole distinct-value frame through one reducer and was this query's
+    only non-scaling stage) → 9 conditional MINs in one hash
+    aggregate → broadcast the 1-row boundary array; bucket assignment
+    is a map-side higher-order filter into a ~10-group aggregate.
+    ``v`` is unique post-agg, so the distributed prefix is exactly the
+    global one and the oracle is unchanged."""
+    from kinesis_stream_spark.operators.skew import distributed_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     vc = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = (
-        Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1)))
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cumt = distributed_cumsum(vc, [F.col("v").asc()], "cnt", "cum").select(
+        "v", "cum"
     )
-    cumt = vc.select("v", F.sum("cnt").over(w).alias("cum"))
     # N from a plain count over the scan — NOT from vc, whose distinct
     # shuffle would otherwise be computed twice (no subplan reuse
     # across the join)

@@ -49,6 +49,8 @@ SENSITIVE = [
     "similarity_rrpq_adc_topk",  # rotation fixed-point dots + PQ chains
     "similarity_subspace_variance",  # decimal moment sums + share divides
     "dedup_minhash_band_agreement",  # signature mins + agreement fold
+    "text_bm25_topk",  # double idf/weight chain + fixed-point term sums
+    "text_vocab_coverage",  # distributed prefix sum + coverage divide
 ]
 
 

@@ -452,3 +452,34 @@ def test_exact_rerank_broadcasts_shortlist_not_corpus(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_and_no_wide_joins(spark, sf_dir):
+    from kinesis_stream_spark.queries.retrieval import QUERIES
+
+    plan = _explain(QUERIES["text_bm25_topk"](spark, sf_dir))
+    # query terms / df / 1-row totals all broadcast; the corpus side
+    # must never sort-merge or cartesian against anything
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_cumsum_is_partitioned_not_global(spark, sf_dir):
+    from kinesis_stream_spark.queries.retrieval import QUERIES
+
+    plan = _explain(QUERIES["text_vocab_coverage"](spark, sf_dir))
+    # the vocabulary running sum must run as per-range-partition windows
+    # (hashpartitioning on the materialized partition id), never as one
+    # global single-partition window over the whole vocabulary
+    assert "hashpartitioning(_ds_pid" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_cumsum_is_partitioned_not_global(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["agg_equidepth_price"](spark, sf_dir))
+    # round-7 swap: the boundary pass's running count is the distributed
+    # prefix sum, not the former single-partition global window
+    assert "hashpartitioning(_ds_pid" in plan
