@@ -195,3 +195,55 @@ def vocab_coverage(
         )
         .orderBy("pct")
     )
+
+
+#: RRF rank constant (Cormack, Clarke & Buettcher, SIGIR 2009: k = 60)
+RRF_K = 60
+#: fixed-point scale for RRF contributions — 1/(60+rank) needs fine
+#: resolution; 2^40 integer division is exact floor on both engines
+RRF_SCALE = 1 << 40
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 10,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (hybrid
+    sparse + dense retrieval): fused score = Σ_lists 1/(k_rrf + rank),
+    the score-free rank combiner that needs NO calibration between
+    heterogeneous scorers (BM25 scores and cosine similarities are not
+    comparable; their RANKS are).
+
+    Each input frame carries (query_id, item_id, rank). The reciprocal
+    is computed as exact integer floor division ``2^40 div (k_rrf +
+    rank)`` — no float division, so the fused ordering is bit-identical
+    in any engine and under any partitioning; the final score is one
+    scale-back divide. An item missing from a list simply contributes
+    nothing (standard RRF). Ties break to the lower item_id.
+
+    Scale: inputs are top-k lists (k·Q rows each) — the union and the
+    (query_id, item_id) aggregate are trivially small next to the
+    retrieval passes that produced them. n_lists in the output exposes
+    how many rankings backed each fused item (consensus diagnostic)."""
+    allr = rankings[0].select("query_id", "item_id", "rank")
+    for r in rankings[1:]:
+        allr = allr.unionAll(r.select("query_id", "item_id", "rank"))
+    contrib = F.expr(f"{RRF_SCALE} div ({k_rrf} + rank)")
+    fused = allr.groupBy("query_id", "item_id").agg(
+        F.sum(contrib).alias("sfx"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sfx"), F.asc("item_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "item_id",
+            (F.col("sfx").cast("double") / RRF_SCALE).alias("rrf_score"),
+            "n_lists",
+            "fused_rank",
+        )
+    )

@@ -40,6 +40,7 @@ _PRIORITY = (
     # never-driver-verified round-7 registrations
     "text_bm25_topk",
     "text_vocab_coverage",
+    "retrieval_hybrid_rrf",
     "similarity_ivfpq_rerank",
     "dedup_clusters_bigstar",
     "dedup_prefix_filter_exact_pairs",
@@ -96,14 +97,14 @@ _PRIORITY = (
     "similarity_rrpq_adc_topk",
     "similarity_subspace_variance",
     "similarity_rank_quality",
-    "similarity_ivfpq_nprobe_sweep",
     # --- past the 50-cut (slipped, documented): the r7 additions and
-    # the equidepth edit displaced these two. similarity_embedding_drift
-    # has a fresh r6 row and re-proved green under the new guard in this
-    # session's driver_sim subset; agg_histogram_price is unedited since
-    # its r4 row. Both are re-verified every session by the sf0.001
-    # local backstop and the builder's full sf0.01 sweeps; they lead the
-    # r8 rotation.
+    # the equidepth edit displaced these three. The two r6-fresh
+    # embedding rows re-proved green under the new guard in this
+    # session's driver_sim subset (sf0.01) and full sf0.1 sweep;
+    # agg_histogram_price is unedited since its r4 row. All are
+    # re-verified every session by the sf0.001 local backstop and the
+    # builder's full-inventory sweeps; they lead the r8 rotation.
+    "similarity_ivfpq_nprobe_sweep",
     "similarity_embedding_drift",
     "agg_histogram_price",
 )

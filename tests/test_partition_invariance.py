@@ -51,6 +51,7 @@ SENSITIVE = [
     "dedup_minhash_band_agreement",  # signature mins + agreement fold
     "text_bm25_topk",  # double idf/weight chain + fixed-point term sums
     "text_vocab_coverage",  # distributed prefix sum + coverage divide
+    "retrieval_hybrid_rrf",  # two ranked chains + integer rank fusion
 ]
 
 

@@ -148,3 +148,43 @@ def test_distributed_cumsum_desc_composite_order(spark):
     )
     want = df.withColumn("cum", F.sum("n").over(w))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_rrf_fuse_matches_reference(spark):
+    from kinesis_stream_spark.operators.retrieval import RRF_SCALE, rrf_fuse
+
+    # two rankings with overlap, list-exclusive items, and a tie shape:
+    # item 30 is rank 1 in B only; items 10/20 appear in both
+    a = [(1, 10, 1), (1, 20, 2), (1, 40, 3), (2, 50, 1)]
+    b = [(1, 30, 1), (1, 10, 2), (1, 20, 3)]
+    sa = spark.createDataFrame(a, "query_id long, item_id long, rank long")
+    sb = spark.createDataFrame(b, "query_id long, item_id long, rank long")
+    got = {
+        (r.query_id, r.item_id): (r.rrf_score, r.n_lists, r.fused_rank)
+        for r in rrf_fuse([sa, sb], k=10).collect()
+    }
+
+    truth = {}
+    for qid, item, rank in a + b:
+        s, n = truth.get((qid, item), (0, 0))
+        truth[(qid, item)] = (s + RRF_SCALE // (60 + rank), n + 1)
+    want = {}
+    for qid in {1, 2}:
+        items = sorted(
+            ((k_, v) for k_, v in truth.items() if k_[0] == qid),
+            key=lambda kv: (-kv[1][0], kv[0][1]),
+        )
+        for fr, ((_, item), (sfx, n)) in enumerate(items, 1):
+            want[(qid, item)] = (sfx / RRF_SCALE, n, fr)
+    assert got == want
+    # both-list consensus outranks the single-list rank-1: items 10
+    # (1/61 + 1/62) and 20 (1/62 + 1/63) both beat item 30's lone 1/61
+    assert got[(1, 10)][2] == 1 and got[(1, 20)][2] == 2
+    assert got[(1, 30)][2] == 3 and got[(1, 30)][1] == 1
+
+
+def test_rrf_fuse_empty_inputs(spark):
+    from kinesis_stream_spark.operators.retrieval import rrf_fuse
+
+    e = spark.createDataFrame([], "query_id long, item_id long, rank long")
+    assert rrf_fuse([e, e]).count() == 0
