@@ -35,10 +35,14 @@ N = corpus docs, T = total tokens, len_d = doc tokens, tf/df as usual.
 Every factor is computed in DOUBLE with a pinned left-associative op
 order (products of exact integers round identically in both engines),
 each per-term contribution is floored to 2^20 fixed point, and the
-per-document sum is exact BIGINT — order-independent, so results
-survive any partitioning/AQE decision and hash-match the DuckDB twin.
-Headroom: idf ≤ 2N+1, w < 11/5, so per-term fx < (2N+1)·2.2·2^20
-(≈ 2^45 at N = 10^7); ≤ dozens of query terms keeps sums ≪ 2^63.
+per-document sum is EXACT WIDE-INTEGER — DECIMAL(38,0) in Spark,
+HUGEINT in DuckDB — order-independent, so results survive any
+partitioning/AQE decision and hash-match the DuckDB twin. Headroom:
+idf ≤ 2N+1 and w < 11/5 bound each per-term fx below (2N+1)·2.2·2^20
+(< 2^63 for any N < ~2·10^12 docs), and the 38-digit sums cannot wrap
+at ANY query length — a BIGINT sum would have wrapped SILENTLY on a
+long pasted-document query (Spark's non-ANSI SUM), which is exactly
+the failure mode the vectors.py admission guard exists to prevent.
 
 Scale shape (100 TB):
 - postings are filtered to the QUERY VOCABULARY before any wide state
@@ -121,7 +125,9 @@ def bm25_topk(
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(fx).alias("sfx"))
+        # DECIMAL(38,0): exact at any query length (HUGEINT on the
+        # oracle side) — see the module docstring's headroom paragraph
+        .agg(F.sum(fx.cast("decimal(38,0)")).alias("sfx"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sfx"), F.asc("doc_id"))
     return (
@@ -161,12 +167,15 @@ def vocab_coverage(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = counts.agg(
-        F.sum("n").cast("long").alias("total_tokens"),
-        F.count(F.lit(1)).cast("long").alias("vocab_size"),
-    )
     cum = distributed_cumsum(
         counts, [F.col("n").desc(), F.col("term").asc()], "n", "cum"
+    )
+    # totals from the (checkpointed, vocabulary-sized) cumsum frame —
+    # aggregating `counts` directly would re-run the corpus explode +
+    # shuffle a second time (the equidepth "NOT from vc" rule)
+    tot = cum.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
     )
     per = cum.select(
         "cum",
@@ -227,6 +236,8 @@ def rrf_fuse(
     (query_id, item_id) aggregate are trivially small next to the
     retrieval passes that produced them. n_lists in the output exposes
     how many rankings backed each fused item (consensus diagnostic)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking frame required")
     allr = rankings[0].select("query_id", "item_id", "rank")
     for r in rankings[1:]:
         allr = allr.unionAll(r.select("query_id", "item_id", "rank"))

@@ -25,7 +25,12 @@ def sql_bm25_topk(
     """Oracle for :func:`~kinesis_stream_spark.operators.retrieval.bm25_topk`
     over literal (query_id, qtext) rows."""
     toks = sql_tokens(text_col)
-    values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in query_values)
+    # single-quote doubling: query text is data, not SQL — an apostrophe
+    # must not break (or rewrite) the oracle
+    values = ", ".join(
+        "({}, '{}')".format(qid, qtext.replace("'", "''"))
+        for qid, qtext in query_values
+    )
     # op order mirrors the Spark expression exactly: integer idf ratio
     # (one divide), left-assoc double products, (wnum / wden)
     # parenthesized, then ×2^20 and floor
@@ -72,7 +77,10 @@ def sql_bm25_topk(
       CROSS JOIN tot x
     ),
     scoresum AS (
-      SELECT query_id, doc_id, CAST(SUM(fx) AS BIGINT) AS sfx
+      -- SUM(BIGINT) -> HUGEINT: exact at any query length, mirroring
+      -- Spark's DECIMAL(38,0) accumulation; sfx is ordered on and
+      -- scaled back to DOUBLE, never returned raw
+      SELECT query_id, doc_id, SUM(fx) AS sfx
       FROM contrib GROUP BY 1, 2
     )
     SELECT query_id, doc_id,

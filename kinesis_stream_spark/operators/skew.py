@@ -100,19 +100,25 @@ def distributed_cumsum(
     landed. Both call sites (equi-depth boundaries, vocabulary
     coverage) order on post-aggregation distinct keys.
 
-    The range-partitioned frame is ``localCheckpoint``-ed once so the
+    The range-partitioned frame is LAZILY ``localCheckpoint``-ed so the
     window branch and the totals branch read the SAME materialized
-    partition ids (exchange reuse makes that likely anyway; the
-    checkpoint makes it certain — partition-id-dependent results must
-    never depend on a sampler re-run). The checkpointed frame is
-    post-aggregation (distinct order keys), not corpus-sized.
+    partition ids (within one action the shared range exchange already
+    guarantees that — the sampler runs once per shuffle
+    materialization; the checkpoint extends the guarantee across
+    actions and plan re-optimizations without running any job at
+    CONSTRUCTION time, so explain-only and dry-run paths stay free).
+    The checkpointed frame is post-aggregation (distinct order keys),
+    not corpus-sized; its blocks are non-replicated executor-local
+    storage released by the ContextCleaner when the frame is dropped —
+    on a real cluster with executor churn, point the job at a durable
+    ``checkpoint()`` dir instead (same note as operators/components.py).
     """
     val = F.col(val_col) if isinstance(val_col, str) else val_col
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_ds_pid", F.spark_partition_id())
         .withColumn("_ds_val", val)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("_ds_pid")

@@ -61,10 +61,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=K).orderBy("query_id", "rank")
 
 
-#: the BM25 query set re-keyed 0..2 so sparse query ids line up with the
-#: dense side's query vectors (vec_id < N_QUERIES)
+#: the fusion query set: ids 0..4 line up with ALL FIVE of the dense
+#: side's query vectors (vec_id < N_QUERIES = 5), so every fused group
+#: is a real two-list fusion — three re-keyed BM25 queries plus two
+#: more from the same corpus vocabulary
 RRF_QUERIES: tuple[tuple[int, str], ...] = tuple(
     (i, t) for i, (_, t) in enumerate(BM25_QUERIES)
+) + (
+    (3, "vector group window table"),
+    (4, "customer order line slow dup"),
 )
 
 

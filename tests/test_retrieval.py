@@ -87,7 +87,7 @@ def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
     qs = spark.createDataFrame(
         [(1, "rare common")], "query_id long, qtext string"
     )
-    rows = bm25_topk(sdf, qs, k=2).collect()
+    rows = bm25_topk(sdf, qs, k=2).orderBy("rank").collect()
     assert rows[0].doc_id == 9 and rows[0].rank == 1
     assert rows[0].score > rows[1].score
 
