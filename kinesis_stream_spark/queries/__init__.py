@@ -41,6 +41,7 @@ _PRIORITY = (
     "text_bm25_topk",
     "text_vocab_coverage",
     "retrieval_hybrid_rrf",
+    "graph_pagerank_purchases",
     "similarity_ivfpq_rerank",
     "dedup_clusters_bigstar",
     "dedup_prefix_filter_exact_pairs",
@@ -96,14 +97,14 @@ _PRIORITY = (
     "similarity_ivfpq_route_census",
     "similarity_rrpq_adc_topk",
     "similarity_subspace_variance",
-    "similarity_rank_quality",
     # --- past the 50-cut (slipped, documented): the r7 additions and
-    # the equidepth edit displaced these three. The two r6-fresh
-    # embedding rows re-proved green under the new guard in this
-    # session's driver_sim subset (sf0.01) and full sf0.1 sweep;
+    # the equidepth edit displaced these four. The r6-fresh embedding
+    # rows re-proved green under the new guard in this session's
+    # driver_sim subset (sf0.01) and full sf0.1 sweep;
     # agg_histogram_price is unedited since its r4 row. All are
     # re-verified every session by the sf0.001 local backstop and the
     # builder's full-inventory sweeps; they lead the r8 rotation.
+    "similarity_rank_quality",
     "similarity_ivfpq_nprobe_sweep",
     "similarity_embedding_drift",
     "agg_histogram_price",
@@ -135,6 +136,7 @@ def _modules():
     from kinesis_stream_spark.queries import (
         dedup,
         evaluation,
+        graph,
         minhash_profile,
         multimodal,
         quantization,
@@ -158,6 +160,7 @@ def _modules():
         quantization,
         evaluation,
         minhash_profile,
+        graph,
         retrieval,
         text,
         multimodal,

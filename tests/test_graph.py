@@ -1,0 +1,82 @@
+"""PageRank (operators/graph.py): exact-integer equality with a Python
+reference implementing the same fixed-point semantics, dangling-mass
+and self-loop handling, mass accounting, and empty edges. Cross-engine
+parity for the registered query runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from kinesis_stream_spark.operators.graph import PR_SCALE, pagerank
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _truth(pairs, iterations=3):
+    e = sorted({(str(a), str(b)) for a, b in pairs})
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    out = Counter(u for u, _ in e)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iterations):
+        c = Counter()
+        for u, v in e:
+            c[v] += (17 * r[u]) // (20 * out[u])
+        ds = sum(r[v] for v in nodes if out[v] == 0)
+        t = (3 * PR_SCALE) // (20 * n)
+        d = (17 * ds) // (20 * n)
+        r = {v: t + d + c[v] for v in nodes}
+    return r
+
+
+GRAPHS = {
+    "chain_with_sink": [(1, 2), (2, 3), (3, 4)],  # 4 is dangling
+    "star_into_hub": [(1, 9), (2, 9), (3, 9), (4, 9)],  # hub dangles
+    "ring_no_dangling": [(1, 2), (2, 3), (3, 1)],
+    "self_loop_and_dup_edges": [(1, 1), (1, 2), (1, 2), (2, 1)],
+    "two_components": [(1, 2), (2, 1), (10, 11)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_pagerank_matches_integer_reference(spark, name):
+    pairs = GRAPHS[name]
+    got = {r.node: r.rank_fx for r in pagerank(_df(spark, pairs)).collect()}
+    assert got == _truth(pairs)
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    got = {
+        r.node: r.rank_fx
+        for r in pagerank(_df(spark, GRAPHS["star_into_hub"])).collect()
+    }
+    assert got["9"] > max(v for k, v in got.items() if k != "9")
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    """Floor division may only LOSE mass, bounded by (edges + 2·N) units
+    per round at 2^-40 granularity — never create it."""
+    pairs = GRAPHS["ring_no_dangling"]
+    got = pagerank(_df(spark, pairs)).collect()
+    total = sum(r.rank_fx for r in got)
+    n, n_edges, rounds = 3, 3, 3
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE - rounds * (n_edges + 2 * n) - n
+
+
+def test_pagerank_empty_edges(spark):
+    assert pagerank(_df(spark, [])).count() == 0
+
+
+def test_pagerank_null_endpoints_dropped(spark):
+    df = spark.createDataFrame(
+        [("1", "2"), (None, "3"), ("4", None)], "src string, dst string"
+    )
+    got = {r.node for r in pagerank(df).collect()}
+    assert got == {"1", "2"}

@@ -52,6 +52,7 @@ SENSITIVE = [
     "text_bm25_topk",  # double idf/weight chain + fixed-point term sums
     "text_vocab_coverage",  # distributed prefix sum + coverage divide
     "retrieval_hybrid_rrf",  # two ranked chains + integer rank fusion
+    "graph_pagerank_purchases",  # iterative checkpointed integer rounds
 ]
 
 

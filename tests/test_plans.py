@@ -483,3 +483,13 @@ def test_equidepth_cumsum_is_partitioned_not_global(spark, sf_dir):
     # round-7 swap: the boundary pass's running count is the distributed
     # prefix sum, not the former single-partition global window
     assert "hashpartitioning(_ds_pid" in plan
+
+
+def test_pagerank_scalars_broadcast_no_cartesian(spark, sf_dir):
+    from kinesis_stream_spark.queries.graph import QUERIES
+
+    plan = _explain(QUERIES["graph_pagerank_purchases"](spark, sf_dir))
+    # per-round N and dangling-mass ride as broadcast 1-row frames; the
+    # rank/outdeg joins are hash joins — nothing may cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
