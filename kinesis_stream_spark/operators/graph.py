@@ -24,14 +24,16 @@ any real ranking gap. Headroom: total mass ≈ PR_SCALE, so every
 per-node sum is ≤ ~2^40 regardless of graph size — BIGINT-safe at any
 N (contributions CONSERVE mass; no N-proportional blowup anywhere).
 
-Scale shape (100 TB): the edge list is the only large input; each
-round is one broadcast-joined map over edges (rank and outdeg joins on
-src — co-partitioned after the first shuffle) plus a dst-keyed sum —
-the same shuffle the next round reuses. N and the per-round dangling
-sum ride as broadcast 1-row frames (NO driver collect; the loop builds
-one lazy plan, checkpoint-cut per round). Rounds are a fixed constant:
-power iteration converges geometrically (damping 0.85 → ~5 rounds for
-ranking stability), so the plan depth is bounded and known.
+Scale shape (100 TB): the edge list is the only large input,
+checkpointed once (at deployment scale a durable checkpoint dir, as
+everywhere in the repo); each round is one broadcast-joined map over
+edges (rank and checkpointed outdeg joins on src) plus a dst-keyed
+sum. N and the per-round dangling sum ride as broadcast 1-row frames —
+NO driver collect anywhere. Rounds checkpoint eagerly and superseded
+blocks are released as the loop advances (see :func:`pagerank`).
+Rounds are a fixed constant: power iteration converges geometrically
+(damping 0.85 → ~5 rounds for ranking stability), so the job count is
+bounded and known.
 """
 
 from __future__ import annotations
@@ -39,7 +41,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_stream_spark.operators.dedup import _release_local_checkpoint
+
 PR_SCALE = 1 << 40
+
+
+def _pagerank_round(
+    e: DataFrame,
+    nodes: DataFrame,
+    outdeg: DataFrame,
+    nn: DataFrame,
+    r: DataFrame,
+) -> DataFrame:
+    """One power-iteration round (module docstring for the integer
+    semantics) — factored out so plan tests can pin the round SHAPE
+    (broadcast scalars, hash joins, no cartesian) directly: inside
+    :func:`pagerank` every round's output is an eager checkpoint, which
+    truncates the explainable plan."""
+    contribs = (
+        e.join(r.select(F.col("v").alias("src"), "r"), "src")
+        .join(outdeg.select(F.col("v").alias("src"), "deg"), "src")
+        .select("dst", F.expr("(17 * r) div (20 * deg)").alias("c"))
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum("c").alias("csum"))
+    )
+    dang = r.join(outdeg, "v", "left_anti").agg(
+        F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("ds")
+    )
+    return (
+        nodes.join(contribs, "v", "left")
+        .crossJoin(F.broadcast(dang))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "v",
+            F.expr(
+                f"(3 * {PR_SCALE}) div (20 * n)"
+                " + (17 * ds) div (20 * n)"
+                " + coalesce(csum, 0)"
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
 
 
 def pagerank(
@@ -54,60 +97,47 @@ def pagerank(
     node: (node, rank_fx BIGINT, rank double = rank_fx / 2^40).
     Duplicate edges collapse (simple graph); self-loops count as
     ordinary edges; nodes appearing only as destinations are dangling
-    and their mass redistributes uniformly each round."""
+    and their mass redistributes uniformly each round.
+
+    Block-manager hygiene (the components-family discipline): rounds
+    checkpoint EAGERLY and every superseded checkpoint — the previous
+    round's ranks, and after the final round the edge list, node frame,
+    and out-degrees — is released before return, so a completed call
+    retains ONE node-sized block (the final ranks), never the
+    corpus-sized edge checkpoint. The cost is that construction runs
+    the computation (standard for the iterative operators here;
+    connected_components does the same)."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("v"))
         .unionAll(e.select(F.col("dst").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    outdeg = e.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # out-degrees feed two joins per round; checkpoint once instead of
+    # re-aggregating the edge list up to 2x per round
+    outdeg = (
+        e.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
     )
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "v", F.expr(f"{PR_SCALE} div n").alias("r")
+    r = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("v", F.expr(f"{PR_SCALE} div n").alias("r"))
+        .localCheckpoint()
     )
-    for i in range(iterations):
-        # lineage cut at round START (not end): plan depth stays one
-        # round regardless of iteration count, and the RETURNED frame
-        # keeps its final round visible to .explain/plan tests; the
-        # checkpoint is shared by the round's two consumers (the edge
-        # contribution join and the dangling-mass aggregate)
-        if i:
-            r = r.localCheckpoint(eager=False)
-        contribs = (
-            e.join(r.select(F.col("v").alias("src"), "r"), "src")
-            .join(outdeg.select(F.col("v").alias("src"), "deg"), "src")
-            .select("dst", F.expr("(17 * r) div (20 * deg)").alias("c"))
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum("c").alias("csum"))
-        )
-        dang = (
-            r.join(outdeg, "v", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("ds"))
-        )
-        r = (
-            nodes.join(contribs, "v", "left")
-            .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "v",
-                F.expr(
-                    f"(3 * {PR_SCALE}) div (20 * n)"
-                    " + (17 * ds) div (20 * n)"
-                    " + coalesce(csum, 0)"
-                )
-                .cast("long")
-                .alias("r"),
-            )
-        )
+    for _ in range(iterations):
+        prev = r
+        r = _pagerank_round(e, nodes, outdeg, nn, prev).localCheckpoint()
+        _release_local_checkpoint(prev)
+    for frame in (e, nodes, outdeg):
+        _release_local_checkpoint(frame)
     return r.select(
         F.col("v").alias("node"),
         F.col("r").alias("rank_fx"),

@@ -27,8 +27,9 @@ bulk, and prefix-filter where false negatives are not acceptable
 
 Measured at sf0.1 (near-copy corpus, 10k docs): the exploded-token and
 prefix frames feed 4 and 2 plan branches; lazy localCheckpoints on
-them cut end-to-end time ~17% (53.8 s → 44.6 s) by materializing the
-shingling regex once. On that corpus candidate verification still
+them, plus deriving set sizes from the checkpointed explode instead of
+a second shingling pass, cut end-to-end time ~33% (53.8 s → 36.2 s) by
+running the shingling regex exactly once. On that corpus candidate verification still
 dominates (each original shares its whole prefix with its truncated
 copy — ~310k candidates for ~6k true pairs on the plain corpus); the
 documented next upgrade is PPJoin's POSITIONAL filter (per-token
@@ -83,7 +84,11 @@ def prefix_filter_jaccard_pairs(
         eager=False
     )
     dfc = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh_sets.select("id", F.size("sh").alias("sz"))
+    # shingles() is distinct, so per-id token count == set size; derive
+    # sizes from the checkpointed explode rather than from sh_sets,
+    # whose tokenize+shingle regex would otherwise run a second full
+    # corpus pass
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("id").orderBy("df", md5_int64(F.col("tok")), "tok")
     ordered = ex.join(dfc, "tok").withColumn("pos", F.row_number().over(w))
     prefix = (

@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.graph import pagerank, sql_pagerank
+from kinesis_stream_spark.queries._emb_family import make_q
 from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
 ORACLE = {}
+_q = make_q(QUERIES, ORACLE)
 
 ITERATIONS = 3
 
@@ -26,16 +28,6 @@ _EDGES_CTE = """
          's' || CAST(l.l_suppkey AS VARCHAR) AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
-
-
-def _q(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql
-        return fn
-
-    return deco
 
 
 @_q(

@@ -23,10 +23,12 @@ from kinesis_stream_spark.operators.retrieval_sql import (
     sql_bm25_topk,
     sql_vocab_coverage,
 )
+from kinesis_stream_spark.queries._emb_family import make_q
 from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
 ORACLE = {}
+_q = make_q(QUERIES, ORACLE)
 
 #: literal query set, shared verbatim by both engines
 BM25_QUERIES: tuple[tuple[int, str], ...] = (
@@ -36,16 +38,6 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
 )
 
 K = 10
-
-
-def _q(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql
-        return fn
-
-    return deco
 
 
 @_q("text_bm25_topk", sql_bm25_topk(BM25_QUERIES, k=K))

@@ -485,10 +485,21 @@ def test_equidepth_cumsum_is_partitioned_not_global(spark, sf_dir):
     assert "hashpartitioning(_ds_pid" in plan
 
 
-def test_pagerank_scalars_broadcast_no_cartesian(spark, sf_dir):
-    from kinesis_stream_spark.queries.graph import QUERIES
+def test_pagerank_round_scalars_broadcast_no_cartesian(spark):
+    from pyspark.sql import functions as F
 
-    plan = _explain(QUERIES["graph_pagerank_purchases"](spark, sf_dir))
+    from kinesis_stream_spark.operators.graph import PR_SCALE, _pagerank_round
+
+    # pin the ROUND body directly — inside pagerank() every round is an
+    # eager checkpoint, which truncates the explainable plan
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    outdeg = e.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", F.expr(f"{PR_SCALE} div n").alias("r")
+    )
+    plan = _explain(_pagerank_round(e, nodes, outdeg, nn, r))
     # per-round N and dangling-mass ride as broadcast 1-row frames; the
     # rank/outdeg joins are hash joins — nothing may cartesian
     assert "CartesianProduct" not in plan
