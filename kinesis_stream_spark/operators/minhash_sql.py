@@ -40,7 +40,13 @@ def sql_minhash_candidate_ctes(
     - ``sig(doc_id, sig)`` — MinHash signatures
     - ``cands(id_a, id_b)`` — distinct LSH candidate pairs
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # a bare assert is stripped under `python -O`, silently
+        # truncating the band slices — fail loudly instead
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands})"
+        )
     rows = num_hashes // bands
     sig_elems = ", ".join(
         f"MIN((h * {a} + {b}) % {MINHASH_MOD})"

@@ -544,9 +544,13 @@ def exact_rerank(
     plan ``ann_recall`` uses for its truth join. At 100 TB the corpus
     side is the only large input and it streams map-side through the
     join."""
+    # distinct: a shortlist with duplicate (qid, vid) rows would score
+    # the same candidate twice, each copy burning a row_number rank and
+    # displacing a genuine candidate from the top-k (round-8 ADVICE fix;
+    # cost is negligible at R·Q broadcast-side rows)
     sl = shortlist.select(
         F.col(query_id_col).alias("qid"), F.col(id_col).alias("vid")
-    )
+    ).distinct()
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     )

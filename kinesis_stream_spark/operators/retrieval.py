@@ -142,6 +142,70 @@ def bm25_topk(
     )
 
 
+def rsj_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Top-``k`` documents per query under the binary-independence
+    (Robertson–Spärck Jones) model: each DISTINCT matched query term
+    contributes the corpus idf ``(2·(N − df) + 1)/(2·df + 1)`` and
+    nothing else — the k1 → 0 limit of BM25 (no tf saturation, no
+    length normalization). A genuinely different ranking model over
+    the SAME doc_id space as :func:`bm25_topk`, which makes the pair
+    a meaningful input to :func:`rrf_fuse` (same-corpus consensus,
+    not accidental id collisions — the round-8 ADVICE fix).
+
+    Same exactness discipline as BM25: one double divide per term with
+    pinned op order, floor to 2^20 fixed point, DECIMAL(38,0)/HUGEINT
+    order-free sums; ties break to the lower doc_id. Same scale shape:
+    postings prefiltered to the broadcast query vocabulary before any
+    shuffle; df here counts docs containing the term (identical to the
+    BM25 df since tf ≥ 1 ⇔ present)."""
+    toks = tokens(F.col(text_col))
+    posted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        # binary model: presence only — one row per (doc, distinct term)
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    matched = posted.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfc = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    fx = F.floor(idf * F.lit(float(BM25_SCALE))).cast("bigint")
+
+    scored = (
+        matched.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(fx.cast("decimal(38,0)")).alias("sfx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sfx"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("sfx").cast("double") / BM25_SCALE).alias("score"),
+            "rank",
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     *,

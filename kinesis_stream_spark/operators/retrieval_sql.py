@@ -95,6 +95,68 @@ def sql_bm25_topk(
     """
 
 
+def sql_rsj_topk(
+    query_values: tuple[tuple[int, str], ...],
+    *,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for :func:`~kinesis_stream_spark.operators.retrieval.rsj_topk`
+    over literal (query_id, qtext) rows: idf-only binary-independence
+    scoring, same rational idf / floor-fx / HUGEINT-sum discipline as
+    the BM25 twin."""
+    toks = sql_tokens(text_col)
+    values = ", ".join(
+        "({}, '{}')".format(qid, qtext.replace("'", "''"))
+        for qid, qtext in query_values
+    )
+    idf = (
+        "CAST(2*(x.n_docs - d.df) + 1 AS DOUBLE)"
+        " / CAST(2*d.df + 1 AS DOUBLE)"
+    )
+    return f"""
+    WITH posted AS (
+      SELECT {id_col} AS doc_id, UNNEST(LIST_DISTINCT(toks)) AS term
+      FROM (SELECT {id_col}, {toks} AS toks FROM {table})
+    ),
+    qraw AS (SELECT * FROM (VALUES {values}) AS q(query_id, qtext)),
+    qterms AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             UNNEST(LIST_DISTINCT({sql_tokens('qtext')})) AS term
+      FROM qraw
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+    matched AS (
+      SELECT term, doc_id FROM posted
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+    ),
+    dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM matched GROUP BY 1),
+    contrib AS (
+      SELECT q.query_id, m.doc_id,
+             CAST(FLOOR(({idf}) * {float(BM25_SCALE)!r}) AS BIGINT) AS fx
+      FROM matched m
+      JOIN dfc d USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN tot x
+    ),
+    scoresum AS (
+      SELECT query_id, doc_id, SUM(fx) AS sfx
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(sfx AS DOUBLE) / {BM25_SCALE} AS score, rank
+    FROM (
+      SELECT query_id, doc_id, sfx,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sfx DESC, doc_id) AS rank
+      FROM scoresum)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
 def sql_vocab_coverage(
     *,
     thresholds: tuple[int, ...] = (50, 90, 99),

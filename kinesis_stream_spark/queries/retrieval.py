@@ -17,10 +17,12 @@ from kinesis_stream_spark.operators.retrieval import (
     RRF_SCALE,
     bm25_topk,
     rrf_fuse,
+    rsj_topk,
     vocab_coverage,
 )
 from kinesis_stream_spark.operators.retrieval_sql import (
     sql_bm25_topk,
+    sql_rsj_topk,
     sql_vocab_coverage,
 )
 from kinesis_stream_spark.queries._emb_family import make_q
@@ -53,10 +55,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=K).orderBy("query_id", "rank")
 
 
-#: the fusion query set: ids 0..4 line up with ALL FIVE of the dense
-#: side's query vectors (vec_id < N_QUERIES = 5), so every fused group
-#: is a real two-list fusion — three re-keyed BM25 queries plus two
-#: more from the same corpus vocabulary
+#: the fusion query set: the three BM25 queries re-keyed 0..2 plus two
+#: more from the same corpus vocabulary — both fused rankings (BM25 and
+#: RSJ) run over THIS set against the documents table, so every item_id
+#: is a doc_id and an n_lists = 2 row is genuine two-model consensus on
+#: one corpus, not an accidental cross-table id collision (the round-8
+#: ADVICE fix)
 RRF_QUERIES: tuple[tuple[int, str], ...] = tuple(
     (i, t) for i, (_, t) in enumerate(BM25_QUERIES)
 ) + (
@@ -66,20 +70,18 @@ RRF_QUERIES: tuple[tuple[int, str], ...] = tuple(
 
 
 def _rrf_sql() -> str:
-    # compose the two REGISTERED retrieval oracles verbatim (the dense
-    # one post-guard) and fuse their ranks with exact integer floor
-    # division — the recall-oracle composition pattern
-    # (queries/similarity.py _RECALL_SQL)
-    from kinesis_stream_spark.queries.similarity import ORACLE as SIM_ORACLE
-
-    sparse = sql_bm25_topk(RRF_QUERIES, k=K)
-    dense = SIM_ORACLE["similarity_topk_bruteforce"]
+    # compose the two registered sparse-retrieval oracles verbatim and
+    # fuse their ranks with exact integer floor division — the
+    # recall-oracle composition pattern (queries/similarity.py
+    # _RECALL_SQL)
+    bm25 = sql_bm25_topk(RRF_QUERIES, k=K)
+    rsj = sql_rsj_topk(RRF_QUERIES, k=K)
     return f"""
-    WITH sparse AS (SELECT query_id, doc_id AS item_id, rank
-                    FROM ({sparse})),
-    dense AS (SELECT query_id, neighbor_id AS item_id, rank
-              FROM ({dense})),
-    allr AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+    WITH bm AS (SELECT query_id, doc_id AS item_id, rank
+                FROM ({bm25})),
+    rj AS (SELECT query_id, doc_id AS item_id, rank
+           FROM ({rsj})),
+    allr AS (SELECT * FROM bm UNION ALL SELECT * FROM rj),
     fused AS (
       SELECT query_id, item_id,
              CAST(SUM({RRF_SCALE} // ({RRF_K} + rank)) AS BIGINT) AS sfx,
@@ -98,25 +100,39 @@ def _rrf_sql() -> str:
     """
 
 
+@_q("text_rsj_topk", sql_rsj_topk(BM25_QUERIES, k=K))
+def text_rsj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-independence (RSJ) idf-only top-10 per query — the k1→0
+    limit of BM25: presence of a rare term outranks any pile of common
+    ones, with no tf or length effects. Same inverted-index scale shape
+    as BM25 (operator docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id long, qtext string"
+    )
+    return rsj_topk(docs, queries, k=K).orderBy("query_id", "rank")
+
+
 @_q("retrieval_hybrid_rrf", _rrf_sql())
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: reciprocal-rank fusion of the sparse BM25
-    ranking (documents) and the dense exact-cosine ranking (embeddings)
-    — the standard score-free combiner for heterogeneous retrievers.
-    Both input rankings are the registered, independently-verified
-    chains; the fusion itself is exact integer arithmetic (operator
-    docstring), so the whole hybrid stack replays in the oracle."""
-    from kinesis_stream_spark.queries.similarity import QUERIES as SIM_QUERIES
-
+    """Hybrid retrieval: reciprocal-rank fusion of two retrieval models
+    over the SAME corpus — tf/length-normalized BM25 and idf-only RSJ,
+    both ranking documents.doc_id — the standard score-free combiner
+    for heterogeneous scorers. Fusing one id space makes n_lists = 2
+    rows genuine cross-model consensus (round-8 ADVICE fix; the prior
+    registration fused disjoint doc_id/vec_id spaces). Both input
+    rankings are registered, independently-verified chains; the fusion
+    is exact integer arithmetic (operator docstring), so the whole
+    hybrid stack replays in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     qs = spark.createDataFrame(list(RRF_QUERIES), "query_id long, qtext string")
-    sparse = bm25_topk(docs, qs, k=K).select(
+    bm = bm25_topk(docs, qs, k=K).select(
         "query_id", F.col("doc_id").alias("item_id"), "rank"
     )
-    dense = SIM_QUERIES["similarity_topk_bruteforce"](spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("item_id"), "rank"
+    rj = rsj_topk(docs, qs, k=K).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
     )
-    return rrf_fuse([sparse, dense], k=K).orderBy("query_id", "fused_rank")
+    return rrf_fuse([bm, rj], k=K).orderBy("query_id", "fused_rank")
 
 
 @_q("text_vocab_coverage", sql_vocab_coverage())

@@ -33,18 +33,41 @@ from kinesis_stream_spark.streaming.errors import checkpoint_with_taxonomy
 BatchFn = Callable[[DataFrame, int], None]
 
 
+#: Kinesis sequence numbers are decimal strings of up to 128 digits
+#: (~56 in practice) — far past DECIMAL(38,0), whose non-ANSI cast
+#: would NULL them out. Zero-padding to a fixed width makes string
+#: ordering coincide with numeric ordering for non-negative integers.
+_SEQ_PAD_WIDTH = 160
+
+
 def _shard_range_summaries(df: DataFrame) -> list:
     """One fixed-width row per shard: (shardId, lo, hi, n) where lo/hi
     are the min/max (seq, sub) structs and n the record count. The
     collected payload is O(shards) by construction — min/max/count are
     map-side-combinable partial aggregates, and no per-record value
-    survives the aggregation. Sequence numbers compare NUMERICALLY
-    (decimal cast, then struct-lexicographic on (seq, sub)):
-    "10" < "9" as strings would corrupt the tracker's
-    contiguous-prefix arithmetic."""
+    survives the aggregation. Sequence numbers compare NUMERICALLY:
+    the struct's leading field is the sequence string zero-padded to
+    ``_SEQ_PAD_WIDTH`` (lexicographic == numeric for equal-width
+    non-negative decimals), so "10" < "9"-style string corruption of
+    the tracker's contiguous-prefix arithmetic is impossible, and —
+    unlike a DECIMAL(38,0) cast, which silently NULLs realistic
+    ~56-digit Kinesis ids — no width limit short of the pad is hit.
+    The unpadded string rides along as a payload field; the driver
+    converts it with Python's arbitrary-precision ``int``."""
+    seq_str = F.col("sequenceNumber").cast("string")
+    too_wide = F.length(seq_str) > _SEQ_PAD_WIDTH
     pair = F.struct(
-        F.col("sequenceNumber").cast("decimal(38,0)").alias("seq"),
+        # fail loudly rather than let lpad truncate an oversize id
+        F.when(
+            too_wide,
+            F.raise_error(
+                F.concat(F.lit("sequenceNumber wider than pad: "), seq_str)
+            ),
+        )
+        .otherwise(F.lpad(seq_str, _SEQ_PAD_WIDTH, "0"))
+        .alias("seqkey"),
         F.col("subSequenceNumber").alias("sub"),
+        seq_str.alias("seq"),
     )
     return (
         df.groupBy("shardId")

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from kinesis_stream_spark.operators.retrieval import (
     BM25_SCALE,
     bm25_topk,
+    rsj_topk,
     vocab_coverage,
 )
 from kinesis_stream_spark.operators.skew import distributed_cumsum
@@ -96,6 +97,72 @@ def test_bm25_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     qs = spark.createDataFrame([(1, "apple")], "query_id long, qtext string")
     assert bm25_topk(docs, qs).count() == 0
+
+
+def _rsj_truth(docs, queries, k=10):
+    """Reference RSJ: idf-only, presence-based — same rational idf and
+    floor-fx as the operator, no tf/length terms."""
+    toks = {d: set(_toks(t)) for d, t in docs}
+    n = len(docs)
+    out = {}
+    for qid, qtext in queries:
+        scores = Counter()
+        for term in dict.fromkeys(_toks(qtext)):
+            matched = [d for d, v in toks.items() if term in v]
+            df = len(matched)
+            if not df:
+                continue
+            idf = float(2 * (n - df) + 1) / float(2 * df + 1)
+            for d in matched:
+                scores[d] += math.floor(idf * float(BM25_SCALE))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rank, (d, sfx) in enumerate(ranked, 1):
+            out[(qid, d)] = (sfx / BM25_SCALE, rank)
+    return out
+
+
+def test_rsj_matches_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in rsj_topk(docs, qs, k=10).collect()
+    }
+    assert got == _rsj_truth(DOCS, QUERIES)
+    assert {q for q, _ in got} == {1, 2}  # "missing" query yields no rows
+
+
+def test_rsj_ignores_tf_and_length(spark):
+    """Binary model: tf and doc length must NOT move the score — a doc
+    repeating the term 5× in a long body ties a doc mentioning it once,
+    and the tie breaks to the lower doc_id."""
+    docs = [
+        (3, "apple " * 5 + "pad " * 20),
+        (7, "apple"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "apple")], "query_id long, qtext string")
+    rows = rsj_topk(sdf, qs, k=2).orderBy("rank").collect()
+    assert rows[0].score == rows[1].score
+    assert rows[0].doc_id == 3 and rows[1].doc_id == 7
+
+
+def test_rsj_rare_term_dominates_many_common(spark):
+    """idf-only: one rare-term match outranks a doc matching two
+    ubiquitous query terms."""
+    docs = [(i, "common filler extra") for i in range(9)] + [(9, "rare body")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "rare common filler")], "query_id long, qtext string"
+    )
+    rows = rsj_topk(sdf, qs, k=1).collect()
+    assert rows[0].doc_id == 9
+
+
+def test_rsj_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "apple")], "query_id long, qtext string")
+    assert rsj_topk(docs, qs).count() == 0
 
 
 def _vocab_truth(docs, thresholds=(50, 90, 99)):

@@ -310,8 +310,9 @@ def test_commit_flow_collects_o_shards_not_o_records(spark):
         assert len(rows) == 4  # one row per shard, regardless of records
         for r in rows:
             assert set(r.asDict()) == {"shardId", "lo", "hi", "n"}
-            assert isinstance(r["lo"], Row) and set(r["lo"].asDict()) == {"seq", "sub"}
-            assert isinstance(r["hi"], Row) and set(r["hi"].asDict()) == {"seq", "sub"}
+            fields = {"seqkey", "sub", "seq"}
+            assert isinstance(r["lo"], Row) and set(r["lo"].asDict()) == fields
+            assert isinstance(r["hi"], Row) and set(r["hi"].asDict()) == fields
             assert r["n"] == n
     # numeric, not lexicographic: seq "9" < seq "10" must order correctly
     two = spark.createDataFrame(
@@ -320,6 +321,26 @@ def test_commit_flow_collects_o_shards_not_o_records(spark):
     )
     (row,) = _shard_range_summaries(two)
     assert int(row["lo"]["seq"]) == 9 and int(row["hi"]["seq"]) == 10
+
+
+def test_commit_flow_orders_realistic_kinesis_sequence_numbers(spark):
+    """Real Kinesis sequence numbers are ~56-digit decimal strings —
+    wider than DECIMAL(38,0), which would cast them to NULL and break
+    the endpoint pick (the round-8 ADVICE fix). The padded-string key
+    must order them numerically and round-trip through Python int."""
+    from kinesis_stream_spark.streaming.delivery import _shard_range_summaries
+
+    lo = 49_590_338_271_490_256_608_559_692_538_361_571_095_921_575_989_136_588_898
+    hi = lo + 10**40  # forces a carry well past 38 digits
+    rows = [("s", str(hi), 1), ("s", str(lo), 7), ("s", str(lo + 1), 0)]
+    (row,) = _shard_range_summaries(
+        spark.createDataFrame(
+            rows, "shardId string, sequenceNumber string, subSequenceNumber int"
+        )
+    )
+    assert int(row["lo"]["seq"]) == lo and row["lo"]["sub"] == 7
+    assert int(row["hi"]["seq"]) == hi and row["hi"]["sub"] == 1
+    assert row["n"] == 3
 
 
 def test_commit_flow_parallel_acks_every_shard(spark, stream_dir, tmp_path):
