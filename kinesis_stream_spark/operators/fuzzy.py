@@ -1,0 +1,152 @@
+"""Fuzzy (approximate-string) self-join: blocked Levenshtein pairs.
+
+Record-linkage / entity-resolution primitive: find all pairs of rows
+whose string field is within edit distance ``max_dist``, without the
+all-pairs O(n²) cross join. Candidate generation is BLOCKING — only
+rows sharing a cheap deterministic block key (default: the first
+whitespace token) are compared — followed by a length-band prefilter
+(|len(a) − len(b)| ≤ d is a necessary condition for distance ≤ d) and
+the exact banded Levenshtein with early-exit threshold. The blocking
+is part of the operator's declared semantics (pairs WITHIN A BLOCK at
+distance ≤ d), as in every production linkage pipeline; recall beyond
+the block is a knob (pick a coarser key), not a correctness gap.
+
+Reference scope note: the reference (`500px/kinesis-stream`) ships no
+query operators (`Record.scala:15` — opaque payloads); this extends
+the dedup/linkage family (SURVEY.md §2.3) with the edit-distance
+metric the MinHash/shingle operators cannot express.
+
+Scale shape:
+- one shuffle, on the block key (the self-join's equi-key); block
+  sizes bound the quadratic term — Σ_b |b|², not n²;
+- the length-band filter runs BEFORE the DP, codegen-side;
+- the distance itself is Spark's built-in ``levenshtein(l, r, d)``
+  with the threshold argument — the banded O(d·min(m,n)) DP that
+  bails out early, not the full O(m·n) matrix; JVM codegen, no UDF;
+- hot blocks are the skew hazard: mitigate with a finer ``block_expr``
+  (more leading tokens) — the knob trades recall for balance.
+
+Cross-engine parity: Levenshtein is exact integer arithmetic; Spark's
+threshold variant returns −1 past the cap and is filtered out, which
+equals DuckDB's unbounded ``levenshtein() <= d`` filter row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def default_block(col: Column) -> Column:
+    """First whitespace-delimited token — the default block key."""
+    return F.substring_index(col, " ", 1)
+
+
+def sql_default_block(expr: str) -> str:
+    """DuckDB twin of :func:`default_block`."""
+    return f"SPLIT_PART({expr}, ' ', 1)"
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    block: Column | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """All (id_a < id_b) pairs sharing a block key with
+    ``levenshtein(text_a, text_b) ≤ max_dist``. Returns
+    (block_key, id_a, id_b, dist).
+
+    ``salt_buckets`` spreads each block's quadratic pair work: the few
+    distinct block keys would otherwise hash to a handful of fat
+    partitions and serialize the whole DP bill on that many cores. One
+    side carries ``hash(id) % salt_buckets``, the other is replicated
+    to every salt — the standard skew-salting shape (operators/
+    skew.py); pair SEMANTICS are salt-free (every (a, b) meets in
+    exactly one bucket), so the knob never changes results, only
+    balance. Replication cost is rows × salt_buckets on the build
+    side — per-partition input, not per-pair."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    blk = block if block is not None else default_block(F.col(text_col))
+    side = df.select(
+        blk.alias("block_key"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("s"),
+        F.length(text_col).alias("slen"),
+    )
+    # round-robin spread of the probe side: when the build side
+    # broadcasts (small dims), parallelism equals PROBE partition
+    # count — a single-file scan would run the whole quadratic bill
+    # in one task regardless of salting
+    a = (
+        side.withColumn(
+            "_salt", F.pmod(F.hash(F.col("id")), F.lit(salt_buckets))
+        )
+        .repartition(salt_buckets)
+        .alias("a")
+    )
+    b = side.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    ).alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a._salt") == F.col("b._salt"))
+        & (F.col("a.id") < F.col("b.id"))
+        # necessary condition, checked before any DP work
+        & (F.abs(F.col("a.slen") - F.col("b.slen")) <= max_dist),
+    )
+    dist = F.levenshtein(F.col("a.s"), F.col("b.s"), max_dist)
+    return (
+        joined.select(
+            F.col("a.block_key").alias("block_key"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        # threshold variant flags "past the cap" as -1
+        .where(F.col("dist") >= 0)
+    )
+
+
+def sql_fuzzy_pair_histogram(
+    *,
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+) -> str:
+    """Oracle for the pair-count histogram over :func:`fuzzy_pairs`
+    (per block key and distance), via DuckDB's unbounded levenshtein —
+    a different evaluation strategy for the same declared pair set."""
+    blk = sql_default_block(text_col)
+    return f"""
+    WITH side AS (
+      SELECT {blk} AS block_key, {id_col} AS id, {text_col} AS s,
+             LENGTH({text_col}) AS slen
+      FROM {table}
+    ),
+    pairs AS (
+      SELECT a.block_key, a.id AS id_a, b.id AS id_b,
+             levenshtein(a.s, b.s) AS dist
+      FROM side a
+      JOIN side b
+        ON a.block_key = b.block_key
+       AND a.id < b.id
+       AND ABS(a.slen - b.slen) <= {max_dist}
+    )
+    SELECT block_key, CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(id_a) AS BIGINT) AS sample_id_a,
+           CAST(MIN(id_b) AS BIGINT) AS sample_id_b
+    FROM pairs
+    WHERE dist <= {max_dist}
+    GROUP BY 1, 2
+    """

@@ -201,3 +201,97 @@ def sql_pagerank(
                CAST(r AS DOUBLE) / {PR_SCALE} AS rank
                FROM r{iterations}"""
     )
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling over an undirected view of the edge list: for a
+    fixed number of ``rounds``, drop every node whose current degree is
+    below ``k`` (with all its incident edges), then recompute degrees —
+    the standard core-decomposition step that isolates the densely
+    connected subgraph. Returns (node, degree) for the survivors after
+    the last round. Self-loops and NULL endpoints are dropped up
+    front; degree counts DISTINCT neighbors.
+
+    Fixed-round discipline (the :func:`pagerank` pattern): peeling is
+    monotone — the surviving set only shrinks — so ``rounds`` bounds
+    the cascade depth deterministically and the DuckDB oracle replays
+    the exact same rounds as unrolled CTEs. Integer counts and
+    comparisons only; nothing engine-dependent anywhere.
+
+    Scale shape: the doubled adjacency is the only corpus-sized frame,
+    localCheckpoint-pinned once (durable checkpoint at deployment
+    scale) and re-pinned per round as it shrinks, with superseded
+    blocks released (the components/pagerank release discipline). Each
+    round is one map-side-combinable degree aggregate plus two
+    shuffle-keyed semi joins against the (node-sized, much smaller)
+    survivor set. Rounds are a small constant — each extra round costs
+    one aggregate + two joins, never a growing lineage."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k ({k}) and rounds ({rounds}) must be >= 1")
+    e = (
+        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .where(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("a")
+        prev = und
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(prev)
+    out = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("a").alias("node"), "degree")
+    )
+    return out
+
+
+def sql_kcore(
+    edges_cte: str,
+    *,
+    k: int,
+    rounds: int,
+) -> str:
+    """DuckDB oracle twin of :func:`kcore`: the same peel rounds
+    unrolled as CTEs over ``edges_cte → (src, dst)``."""
+    ctes = [
+        f"rawe AS ({edges_cte})",
+        "e AS (SELECT DISTINCT src AS a, dst AS b FROM rawe"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "und0 AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"deg{i} AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS degree"
+            f" FROM und{i} GROUP BY 1)"
+        )
+        ctes.append(
+            f"keep{i} AS (SELECT a FROM deg{i} WHERE degree >= {k})"
+        )
+        ctes.append(
+            f"""und{i + 1} AS (
+              SELECT u.a, u.b FROM und{i} u
+              WHERE u.a IN (SELECT a FROM keep{i})
+                AND u.b IN (SELECT a FROM keep{i})
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""" SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+               FROM und{rounds} GROUP BY 1"""
+    )

@@ -438,3 +438,61 @@ def simpson_diversity(
         simpson.alias("simpson"),
         (F.lit(1.0) - simpson).alias("diversity"),
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Mann-Kendall trend statistic per key: S = Σ_{i<j} sign(v_j − v_i)
+    over the key's bucketed period sums — the standard non-parametric
+    monotone-trend test statistic (Mann 1945; Kendall's tau numerator).
+    Output per key: n_periods, n_pairs, s_stat, and a sign
+    classification ('increasing' / 'decreasing' / 'flat').
+
+    Exactness: period values are order-independent DECIMAL(27,6) sums
+    (queries/_util.py discipline) and S touches them ONLY through
+    comparisons (CASE, not float signum/subtraction) — integer
+    arithmetic end to end, so any engine replays it bit-identically.
+
+    Scale shape: the per-(key, bucket) aggregate is the one corpus-
+    sized pass (map-side combinable); the pair join shuffles the
+    ALREADY-COLLAPSED period frame on key, and per-key work is
+    P·(P−1)/2 with P bounded by the bucketing grid (days in the data
+    window), not by event count — the classic way MK stays tractable:
+    coarsen ``unit_us`` as the horizon grows. Keys with one period
+    have no pairs and classify 'flat'."""
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
+    ).agg(dsum(value_col, "v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.bucket") < F.col("b.bucket")),
+    ).select(F.col("a.key").alias("key"), sgn.alias("sgn"))
+    stats = pairs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("s_stat"),
+    )
+    periods = daily.groupBy("key").agg(F.count(F.lit(1)).alias("n_periods"))
+    s = F.coalesce(F.col("s_stat"), F.lit(0))
+    return periods.join(stats, "key", "left").select(
+        "key",
+        "n_periods",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        s.alias("s_stat"),
+        F.when(s > 0, "increasing")
+        .when(s < 0, "decreasing")
+        .otherwise("flat")
+        .alias("trend"),
+    )

@@ -625,7 +625,89 @@ def pack_sequences(
     )
 
 
+def chunk_windows(
+    docs: DataFrame,
+    *,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into chunks of
+    ``window`` tokens starting every ``stride`` tokens (overlap =
+    window − stride) — the standard RAG-indexing / pretraining chunker,
+    complementing :func:`pack_sequences` (which concatenates ACROSS
+    docs; this splits WITHIN them). Output: one row per (doc, chunk)
+    with the chunk's ordinal, token offset, token count (the tail chunk
+    may be short), and re-joined text.
+
+    Scale shape: per-row array ops only (split/sequence/slice/join —
+    whole-stage codegen, no UDF, no shuffle at all); the explode fans
+    each doc out to ⌈n/stride⌉ rows, so output bytes ≈ window/stride ×
+    corpus — the overlap factor a chunking pass inherently costs. A
+    NULL text yields no chunks (sequence(NULL) explodes to nothing on
+    both engines)."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window ({window}) and stride ({stride}) must be > 0")
+    toks = tokens(F.col(text_col))
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("n_toks")
+    )
+    starts = sized.select(
+        "doc_id",
+        "toks",
+        "n_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_toks") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST(start DIV {stride} AS BIGINT)").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(F.lit(window), F.col("n_toks") - F.col("start"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, F.lit(window)), " "
+        ).alias("chunk_text"),
+    )
+
+
 # --- DuckDB twins ------------------------------------------------------------
+
+
+def sql_chunk_windows(
+    *,
+    window: int,
+    stride: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunk_windows` (same 1-based slice, same
+    inclusive-end stepped series, same clamped tail length)."""
+    toks = sql_tokens(text_col)
+    return f"""
+    WITH sized AS (
+      SELECT {id_col} AS doc_id, {toks} AS toks, LEN({toks}) AS n_toks
+      FROM {table}
+    ),
+    st AS (
+      SELECT doc_id, toks, n_toks,
+             UNNEST(generate_series(0, n_toks - 1, {stride})) AS start
+      FROM sized
+    )
+    SELECT doc_id,
+           start // {stride} AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST({window}, n_toks - start) AS BIGINT) AS chunk_tokens,
+           ARRAY_TO_STRING(
+             LIST_SLICE(toks, CAST(start + 1 AS BIGINT),
+                        CAST(start + {window} AS BIGINT)), ' ')
+             AS chunk_text
+    FROM st
+    """
 
 
 def sql_count_in_set(toks_expr: str, words: tuple[str, ...]) -> str:

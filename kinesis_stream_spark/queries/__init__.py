@@ -136,9 +136,11 @@ def _modules():
     from kinesis_stream_spark.queries import (
         dedup,
         evaluation,
+        fuzzy,
         graph,
         minhash_profile,
         multimodal,
+        pareto,
         quantization,
         relational,
         retrieval,
@@ -162,6 +164,8 @@ def _modules():
         minhash_profile,
         graph,
         retrieval,
+        pareto,
+        fuzzy,
         text,
         multimodal,
         streaming_batch,

@@ -1,0 +1,59 @@
+"""Fuzzy-join query inventory (part table).
+
+TPC-H part names are 5-token color soup, so near-identical names are
+plentiful — good stress for the blocked Levenshtein join. The
+registered query aggregates the pair stream into a per-block distance
+histogram (the operator's full pair output at sf0.1 is ~3M rows; the
+histogram keeps the driver compare small while still depending on
+every underlying distance value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_spark.operators.fuzzy import (
+    fuzzy_pairs,
+    sql_fuzzy_pair_histogram,
+)
+from kinesis_stream_spark.queries._emb_family import make_q
+from kinesis_stream_spark.sources.batch import load_table
+
+QUERIES = {}
+ORACLE = {}
+_q = make_q(QUERIES, ORACLE)
+
+_MAX_DIST = 2
+
+
+@_q(
+    "fuzzy_part_name_histogram",
+    sql_fuzzy_pair_histogram(
+        table="part",
+        id_col="p_partkey",
+        text_col="p_name",
+        max_dist=_MAX_DIST,
+    )
+    + " ORDER BY block_key, dist",
+)
+def fuzzy_part_name_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein self-join on part names (block = first
+    color word, distance ≤ 2), aggregated to (block, distance) pair
+    counts with deterministic sample ids. One shuffle on the block
+    key; banded threshold DP with length-band prefilter (operator
+    docstring). The histogram depends on every pairwise distance, so
+    parity here is parity on the full join."""
+    part = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_pairs(
+        part, id_col="p_partkey", text_col="p_name", max_dist=_MAX_DIST
+    )
+    return (
+        pairs.groupBy("block_key", "dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("id_a").alias("sample_id_a"),
+            F.min("id_b").alias("sample_id_b"),
+        )
+        .orderBy("block_key", "dist")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.operators.graph import pagerank, sql_pagerank
+from kinesis_stream_spark.operators.graph import kcore, pagerank, sql_kcore, sql_pagerank
 from kinesis_stream_spark.queries._emb_family import make_q
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -51,3 +51,27 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=ITERATIONS).orderBy(
         F.desc("rank_fx"), F.asc("node")
     )
+
+
+_KCORE_K, _KCORE_ROUNDS = 40, 3
+
+
+@_q(
+    "graph_kcore_purchases",
+    sql_kcore(_EDGES_CTE, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    + " ORDER BY node",
+)
+def graph_kcore_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the customer↔supplier purchase graph (k = 40, 3 peel
+    rounds): the buyers and suppliers still mutually dense after
+    low-degree nodes cascade out — the dense-subgraph extraction that
+    complements PageRank's per-node scores. Fixed-round peeling with
+    integer degrees only; the oracle unrolls the identical rounds
+    (operators/graph.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")

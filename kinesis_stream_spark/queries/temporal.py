@@ -12,6 +12,7 @@ from kinesis_stream_spark.operators.temporal import (
     DAY_US,
     HOUR_US,
     gap_fill_forward,
+    mann_kendall,
     scd2_compact,
 )
 from kinesis_stream_spark.sources.batch import load_table
@@ -258,3 +259,40 @@ def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpson_diversity(load_table(spark, sf_dir, "events")).orderBy(
         "user_id"
     )
+
+
+@_q(
+    "events_mann_kendall_trend",
+    f"""
+    WITH daily AS (
+      SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.key,
+             CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.key = b.key AND a.bucket < b.bucket),
+    stats AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(SUM(sgn) AS BIGINT) AS s_stat
+              FROM pairs GROUP BY 1),
+    per AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_periods
+            FROM daily GROUP BY 1)
+    SELECT p.key, p.n_periods,
+           COALESCE(s.n_pairs, 0) AS n_pairs,
+           COALESCE(s.s_stat, 0) AS s_stat,
+           CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 'increasing'
+                WHEN COALESCE(s.s_stat, 0) < 0 THEN 'decreasing'
+                ELSE 'flat' END AS trend
+    FROM per p LEFT JOIN stats s USING (key)
+    ORDER BY p.key
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Mann-Kendall monotone-trend statistic over daily value
+    sums — S = pairwise sign sum, comparison-only arithmetic on exact
+    decimal period sums (operator docstring for the P-bounded pair-join
+    scale shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return mann_kendall(ev, unit_us=DAY_US).orderBy("key")

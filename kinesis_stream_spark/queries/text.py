@@ -16,11 +16,13 @@ from kinesis_stream_spark.operators.text import (
     BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    chunk_windows,
     decontaminate_ngram_overlap,
     language_id,
     pack_sequences,
     quality_features,
     rolling_fingerprint,
+    sql_chunk_windows,
     sql_count_in_set,
     sql_rolling_fingerprint,
     sql_winnowed_fingerprints,
@@ -774,3 +776,23 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, min_count=2).orderBy(
         F.desc("lift"), "tok_a", "tok_b"
     )
+
+
+_CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
+
+
+@_q(
+    "text_chunk_windows",
+    sql_chunk_windows(window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+    + " ORDER BY doc_id, chunk_id",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking of the documents corpus (64-token
+    windows every 48 tokens, 16-token overlap) — the RAG-indexing /
+    pretraining chunker. Pure per-row array codegen, zero shuffles;
+    output size = overlap factor × corpus by construction (operator
+    docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_windows(
+        docs, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")

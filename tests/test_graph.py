@@ -80,3 +80,38 @@ def test_pagerank_null_endpoints_dropped(spark):
     )
     got = {r.node for r in pagerank(df).collect()}
     assert got == {"1", "2"}
+
+
+def test_kcore_peels_cascade(spark):
+    """A triangle core survives k=2 peeling; a pendant chain cascades
+    out over successive rounds (round 1 removes the leaf, round 2 the
+    newly exposed degree-1 node)."""
+    from kinesis_stream_spark.operators.graph import kcore
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # triangle: degree 2 each
+        ("c", "d"), ("d", "e"),               # chain hanging off c
+        ("x", "x"),                           # self-loop: dropped
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # one round: only the leaf e (and isolated-by-self-loop x) go;
+    # d survives round 1 with degree 2 (c and e) before e's removal
+    one = {r.node: r.degree for r in kcore(df, k=2, rounds=1).collect()}
+    assert set(one) == {"a", "b", "c", "d"}
+    # two rounds: e's removal exposes d (degree 1) -> removed
+    two = {r.node: r.degree for r in kcore(df, k=2, rounds=2).collect()}
+    assert two == {"a": 2, "b": 2, "c": 2}
+    # fixpoint: further rounds change nothing
+    three = {r.node: r.degree for r in kcore(df, k=2, rounds=3).collect()}
+    assert three == two
+
+
+def test_kcore_rejects_bad_params(spark):
+    import pytest
+    from kinesis_stream_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        kcore(df, k=0, rounds=1)
+    with pytest.raises(ValueError):
+        kcore(df, k=2, rounds=0)

@@ -242,3 +242,36 @@ def test_simpson_diversity_invariants(spark):
         assert n * n // k <= ss <= n * n
         assert 0.0 < r.simpson <= 1.0
         assert r.diversity == 1.0 - r.simpson
+
+
+def test_mann_kendall_known_series(spark):
+    """Hand-computable series: strictly increasing, strictly decreasing,
+    constant, and single-period keys."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import mann_kendall
+
+    def ev(uid, day, val):
+        return (uid, dt.datetime(2024, 1, day, 12, 0, 0), val)
+
+    rows = (
+        [ev(1, d, float(d)) for d in range(1, 5)]        # up: S = 6
+        + [ev(2, d, float(10 - d)) for d in range(1, 4)]  # down: S = -3
+        + [ev(3, d, 5.0) for d in range(1, 4)]            # flat: S = 0
+        + [ev(4, 1, 1.0)]                                 # one period
+        # key 5: two events same day sum to tie day 2 -> one up, one tie
+        + [ev(5, 1, 2.0), ev(5, 1, 3.0), ev(5, 2, 5.0), ev(5, 3, 1.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.key: (r.n_periods, r.n_pairs, r.s_stat, r.trend)
+        for r in mann_kendall(df).collect()
+    }
+    assert got[1] == (4, 6, 6, "increasing")
+    assert got[2] == (3, 3, -3, "decreasing")
+    assert got[3] == (3, 3, 0, "flat")
+    assert got[4] == (1, 0, 0, "flat")
+    # key 5 daily sums: d1=5, d2=5, d3=1 -> pairs (1,2)=0, (1,3)=-1,
+    # (2,3)=-1 -> S=-2
+    assert got[5] == (3, 3, -2, "decreasing")

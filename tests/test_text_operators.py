@@ -235,3 +235,38 @@ def test_collocations_count_identities(spark):
         assert r.lift == (float(r.n_ab) * float(n_total)) / (
             float(r.n_a) * float(r.n_b)
         )
+
+
+def test_chunk_windows_shapes_and_text(spark):
+    """Window/stride arithmetic: a 10-token doc at window=4, stride=3
+    yields starts 0,3,6,9 with tail clamping; chunk text re-joins the
+    exact token slice."""
+    from kinesis_stream_spark.operators.text import chunk_windows
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = {
+        r.chunk_id: r
+        for r in chunk_windows(docs, window=4, stride=3).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert [rows[i].start_tok for i in range(4)] == [0, 3, 6, 9]
+    assert [rows[i].chunk_tokens for i in range(4)] == [4, 4, 4, 1]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[3].chunk_text == "t9"
+
+
+def test_chunk_windows_edges(spark):
+    """A doc shorter than one window yields exactly one chunk; NULL text
+    yields none; bad params raise."""
+    import pytest
+    from kinesis_stream_spark.operators.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, None)], "doc_id long, text string"
+    )
+    rows = chunk_windows(docs, window=64, stride=48).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    assert rows[0].chunk_tokens == 2 and rows[0].chunk_text == "only two"
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window=0, stride=48)
