@@ -295,3 +295,214 @@ def sql_kcore(
         + f""" SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
                FROM und{rounds} GROUP BY 1"""
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round semi-synchronous label propagation (community
+    detection): every node starts labeled with its own id; each round,
+    every node simultaneously adopts the most frequent label among its
+    neighbors, ties broken to the LEXICOGRAPHICALLY SMALLEST label —
+    a fully deterministic variant of LPA (Raghavan et al. 2007, whose
+    random tie-breaks and vertex orderings are replaced by total
+    orders so any engine replays the rounds bit-identically). Returns
+    (node, label) after the last round. Self-loops and NULL endpoints
+    drop up front (a self-loop-only node has no neighbors to vote).
+
+    On bipartite graphs synchronous LPA can oscillate between sides —
+    the fixed round count makes the snapshot deterministic either way,
+    same contract as :func:`pagerank`'s fixed iterations.
+
+    Scale shape: the doubled adjacency is checkpointed once; each
+    round is one edge-sized join (neighbor label lookup), one
+    map-side-combinable (node, label) count, and two node-sized
+    aggregates (max count, then min label among the argmax) — the
+    argmax-by-(count, label) is expressed as aggregate-join-aggregate
+    instead of a window so every step is combinable and shuffle keys
+    stay on node id. Labels are checkpointed per round with the
+    superseded block released (the pagerank discipline)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .where(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            lab.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        cnts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        mx = cnts.groupBy("node").agg(F.max("c").alias("m"))
+        prev = lab
+        lab = (
+            cnts.join(mx, "node")
+            .where(F.col("c") == F.col("m"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(prev)
+    return lab
+
+
+def sql_label_propagation(
+    edges_cte: str,
+    *,
+    rounds: int,
+) -> str:
+    """DuckDB oracle twin of :func:`label_propagation`: identical
+    rounds unrolled as CTEs over ``edges_cte → (src, dst)``."""
+    ctes = [
+        f"rawe AS ({edges_cte})",
+        "e AS (SELECT DISTINCT src AS a, dst AS b FROM rawe"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e)",
+        "lab0 AS (SELECT DISTINCT a AS node, a AS label FROM und)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""cnt{i} AS (
+              SELECT u.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+              FROM und u JOIN lab{i} l ON l.node = u.b
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"mx{i} AS (SELECT node, MAX(c) AS m FROM cnt{i} GROUP BY 1)"
+        )
+        ctes.append(
+            f"""lab{i + 1} AS (
+              SELECT c.node, MIN(c.label) AS label
+              FROM cnt{i} c JOIN mx{i} m
+                ON m.node = c.node AND c.c = m.m
+              GROUP BY 1
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, label FROM lab{rounds}"
+    )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected simple graph:
+    (node, degree, n_triangles, clustering_coeff), where the local
+    clustering coefficient is 2·T/(d·(d−1)) (0.0 when d < 2 — a
+    single exact-integer ratio, the only float op anywhere).
+
+    Triangles are enumerated once each via the id-ordered orientation
+    (u < v < w): canonical edges join on the shared middle vertex and
+    the closing edge — the standard distributed triangle join. Scale
+    note: the join cost is Σ_v deg(v)² on the ORIENTED graph; at
+    deployment scale the classic refinement is degree-based
+    orientation (point edges from low to high degree, bounding the
+    quadratic term by arboricity) — id-orientation is kept here
+    because it is total-order deterministic and oracle-replayable;
+    swapping the comparator is a one-line deployment knob. The edge
+    list is checkpointed once and reused by all three join legs and
+    the degree count."""
+    uu, vv = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.where(uu.isNotNull() & vv.isNotNull())
+        .where(uu != vv)
+        .select(F.least(uu, vv).alias("u"), F.greatest(uu, vv).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    d = F.col("degree")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    cc = F.when(
+        d >= 2,
+        (2.0 * t.cast("double"))
+        / (d.cast("double") * (d - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        cc.alias("clustering_coeff"),
+    )
+
+
+def sql_triangle_stats(edges_cte: str) -> str:
+    """DuckDB oracle twin of :func:`triangle_stats` (same id-ordered
+    orientation, same count identities, same single-divide cc)."""
+    return f"""
+    WITH rawe AS ({edges_cte}),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM rawe WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pern AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT d.node, d.degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN (2.0 * CAST(COALESCE(p.n_triangles, 0) AS DOUBLE))
+                     / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN pern p USING (node)
+    """

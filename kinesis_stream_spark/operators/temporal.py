@@ -496,3 +496,61 @@ def mann_kendall(
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+#: fixed-point scale for EWMA state (2^20 fractional bits)
+EWMA_SCALE = 1 << 20
+
+
+def ewma(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (α = 1/4) over the
+    bucketed period sums, in exact integer fixed point: the recurrence
+    ``s ← ⌊(3·s + v)/4⌋`` folds over the key's periods in bucket order,
+    seeded with the first period's value. Transcendental-free smoothing
+    — the α = 1/4 decay makes every step a multiply-add and one
+    floor-divide by 4 (computed as ``FLOOR(x / 4.0)``: a power-of-two
+    double divide is exact, and floor — unlike integer ``DIV`` — agrees
+    across engines on negative inputs too).
+
+    Exactness chain: period sums are DECIMAL(27,6) (order-free), the
+    2^20 scale-up is a power-of-two double multiply (exponent shift,
+    no rounding), and the fold is integers thereafter — bit-identical
+    on any engine, any partitioning.
+
+    Scale shape: one map-side-combinable (key, bucket) aggregate, then
+    one per-key collect of the PERIOD list — bounded by the bucket
+    grid (e.g. days in window), never by event count; the fold is a
+    per-row array op on that bounded list. The sequential recurrence
+    lives entirely inside one row — no cross-row window, no
+    serialized global pass."""
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
+    ).agg(dsum(value_col, "v"))
+    vfx = F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")
+    per_key = daily.select("key", F.struct("bucket", vfx.alias("vfx")).alias("p")).groupBy(
+        "key"
+    ).agg(
+        F.array_sort(F.collect_list("p")).alias("s"),
+        F.count(F.lit(1)).alias("n_periods"),
+    )
+    rest = F.transform(
+        F.slice(F.col("s"), 2, F.size("s") - 1), lambda x: x["vfx"]
+    )
+    folded = F.aggregate(
+        rest,
+        F.element_at(F.col("s"), 1)["vfx"],
+        lambda acc, x: F.floor((3 * acc + x) / F.lit(4.0)).cast("long"),
+    )
+    return per_key.select(
+        "key",
+        "n_periods",
+        folded.alias("ewma_fx"),
+        (folded.cast("double") / EWMA_SCALE).alias("ewma"),
+    )

@@ -13,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.operators.graph import kcore, pagerank, sql_kcore, sql_pagerank
+from kinesis_stream_spark.operators.graph import (
+    kcore,
+    label_propagation,
+    pagerank,
+    sql_kcore,
+    sql_label_propagation,
+    sql_pagerank,
+    sql_triangle_stats,
+    triangle_stats,
+)
 from kinesis_stream_spark.queries._emb_family import make_q
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -75,3 +84,69 @@ def graph_kcore_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+_LPA_ROUNDS = 3
+
+
+@_q(
+    "graph_label_propagation",
+    sql_label_propagation(_EDGES_CTE, rounds=_LPA_ROUNDS)
+    + " ORDER BY node",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-round label propagation over the
+    customer↔supplier purchase graph — which demand communities
+    emerge when every node adopts its neighbors' majority label
+    (ties to the smallest label). Three semi-synchronous rounds,
+    integer counts and string min-aggregates only (operator
+    docstring)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return label_propagation(edges, rounds=_LPA_ROUNDS).orderBy("node")
+
+
+_TRI_MIN_SUPPORT = 5
+
+_COPURCHASE_CTE = f"""
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+"""
+
+
+@_q(
+    "graph_triangles_copurchase",
+    sql_triangle_stats(_COPURCHASE_CTE) + " ORDER BY node",
+)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts and local clustering coefficient
+    over the co-purchase graph (suppliers appearing in >= 5 shared
+    orders) — how clique-ish each supplier's neighborhood is. The
+    support threshold is the density knob that keeps the edge set
+    sparse as order volume grows; triangles enumerate once each via
+    the id-ordered three-way join (operator docstring)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= _TRI_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    return triangle_stats(edges).orderBy("node")

@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from kinesis_stream_spark.operators.temporal import (
     DAY_US,
     HOUR_US,
+    EWMA_SCALE,
+    ewma,
     gap_fill_forward,
     mann_kendall,
     scd2_compact,
@@ -296,3 +298,36 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape)."""
     ev = load_table(spark, sf_dir, "events")
     return mann_kendall(ev, unit_us=DAY_US).orderBy("key")
+
+
+@_q(
+    "events_ewma_daily",
+    f"""
+    WITH daily AS (
+      SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    fx AS (SELECT key, bucket,
+                  CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS vfx
+           FROM daily),
+    arr AS (SELECT key, LIST(vfx ORDER BY bucket) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_periods
+            FROM fx GROUP BY key),
+    folded AS (
+      SELECT key, n_periods,
+             LIST_REDUCE(s, (acc, x) ->
+               CAST(FLOOR((3 * acc + x) / 4.0) AS BIGINT)) AS ewma_fx
+      FROM arr)
+    SELECT key, n_periods, ewma_fx,
+           CAST(ewma_fx AS DOUBLE) / {EWMA_SCALE} AS ewma
+    FROM folded
+    ORDER BY key
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 1/4) of daily value sums in exact 2^20 fixed
+    point — transcendental-free smoothing whose integer fold replays
+    bit-identically in the oracle (operator docstring for the
+    bounded-period scale shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(ev, unit_us=DAY_US).orderBy("key")

@@ -115,3 +115,51 @@ def test_kcore_rejects_bad_params(spark):
         kcore(df, k=0, rounds=1)
     with pytest.raises(ValueError):
         kcore(df, k=2, rounds=0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: each triangle converges
+    to its minimum member label; deterministic tie-breaks."""
+    from kinesis_stream_spark.operators.graph import label_propagation
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # clique 1
+        ("x", "y"), ("y", "z"), ("z", "x"),      # clique 2
+        ("c", "x"),                               # bridge
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in label_propagation(df, rounds=4).collect()}
+    assert set(got) == {"a", "b", "c", "x", "y", "z"}
+    # hand-traced 4 rounds: clique 1 converges to "a"; clique 2 to "c"
+    # ("c" enters via the bridge in round 1 — x's neighbor set {y,z,c}
+    # ties at count 1 and "c" is the min — and then outvotes "x")
+    assert {got[n] for n in "abc"} == {"a"}
+    assert {got[n] for n in "xyz"} == {"c"}
+
+
+def test_label_propagation_round1_is_neighbor_min_majority(spark):
+    """One round on a star: leaves adopt the hub's label, the hub
+    adopts the smallest leaf label (all neighbor labels tie at 1)."""
+    from kinesis_stream_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("hub", "l1"), ("hub", "l2"), ("hub", "l3")], "src string, dst string"
+    )
+    got = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
+    assert got == {"hub": "l1", "l1": "hub", "l2": "hub", "l3": "hub"}
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 minus one edge: two triangles share an edge; degrees and
+    local clustering coefficients are hand-checkable."""
+    from kinesis_stream_spark.operators.graph import triangle_stats
+
+    # nodes 1-4, all edges except (3,4): triangles (1,2,3) and (1,2,4)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 2), (9, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in triangle_stats(df).collect()}
+    assert {n: r.n_triangles for n, r in got.items()} == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert {n: r.degree for n, r in got.items()} == {1: 3, 2: 3, 3: 2, 4: 2}
+    assert got[1].clustering_coeff == 2 * 2 / (3 * 2)
+    assert got[3].clustering_coeff == 1.0
+    assert 9 not in got  # self-loop-only node has no simple edges

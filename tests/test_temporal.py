@@ -275,3 +275,40 @@ def test_mann_kendall_known_series(spark):
     # key 5 daily sums: d1=5, d2=5, d3=1 -> pairs (1,2)=0, (1,3)=-1,
     # (2,3)=-1 -> S=-2
     assert got[5] == (3, 3, -2, "decreasing")
+
+
+def test_ewma_fold_known_values(spark):
+    """Hand-computable fold: values 4, 8, 16 on consecutive days with
+    alpha = 1/4 -> s1 = 4, s2 = (3*4+8)/4 = 5, s3 = (3*5+16)/4 = 7.75
+    (floored in 2^20 fx)."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import EWMA_SCALE, ewma
+
+    rows = [
+        (1, dt.datetime(2024, 1, d, 1, 0, 0), float(v))
+        for d, v in ((1, 4), (2, 8), (3, 16))
+    ] + [(2, dt.datetime(2024, 1, 9, 1, 0, 0), 3.25)]  # single period: seed
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.key: r for r in ewma(df).collect()}
+    s1 = 4 * EWMA_SCALE
+    s2 = (3 * s1 + 8 * EWMA_SCALE) // 4
+    s3 = (3 * s2 + 16 * EWMA_SCALE) // 4
+    assert got[1].n_periods == 3 and got[1].ewma_fx == s3
+    assert abs(got[1].ewma - 7.75) < 1e-5
+    assert got[2].n_periods == 1 and got[2].ewma_fx == int(3.25 * EWMA_SCALE)
+
+
+def test_ewma_order_is_bucket_order_not_arrival(spark):
+    """The fold must follow bucket (time) order even when input rows
+    arrive reversed."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import ewma
+
+    fwd = [(1, dt.datetime(2024, 1, d, 1), float(d * d)) for d in (1, 2, 3, 4)]
+    df_fwd = spark.createDataFrame(fwd, "user_id long, ts timestamp, value double")
+    df_rev = spark.createDataFrame(
+        list(reversed(fwd)), "user_id long, ts timestamp, value double"
+    )
+    a = ewma(df_fwd).collect()[0]
+    b = ewma(df_rev).collect()[0]
+    assert a.ewma_fx == b.ewma_fx
