@@ -28,7 +28,12 @@ Scale shape:
 
 Cross-engine parity: Levenshtein is exact integer arithmetic; Spark's
 threshold variant returns −1 past the cap and is filtered out, which
-equals DuckDB's unbounded ``levenshtein() <= d`` filter row-for-row.
+equals DuckDB's unbounded ``levenshtein() <= d`` filter row-for-row —
+ON ASCII TEXT. DuckDB's ``levenshtein`` counts UTF-8 BYTES while
+Spark's counts codepoints ('héllo'→'hallo' is 1 edit to Spark, 2 to
+DuckDB), so the oracle scopes itself to ASCII rows (char length =
+byte length) and the registered query applies the same guard; the
+operator itself stays codepoint-correct on any input.
 """
 
 from __future__ import annotations
@@ -83,12 +88,17 @@ def fuzzy_pairs(
     # round-robin spread of the probe side: when the build side
     # broadcasts (small dims), parallelism equals PROBE partition
     # count — a single-file scan would run the whole quadratic bill
-    # in one task regardless of salting
+    # in one task regardless of salting. Spread to at least the
+    # cluster's default parallelism so salt_buckets (a semantics-free
+    # balance knob) never CAPS task count on a wide cluster; under a
+    # shuffle join the exchange re-partitions on the join keys anyway
+    # and this pass is redundant but cheap relative to the DP bill.
+    n_spread = max(salt_buckets, df.sparkSession.sparkContext.defaultParallelism)
     a = (
         side.withColumn(
             "_salt", F.pmod(F.hash(F.col("id")), F.lit(salt_buckets))
         )
-        .repartition(salt_buckets)
+        .repartition(n_spread)
         .alias("a")
     )
     b = side.withColumn(
@@ -125,13 +135,18 @@ def sql_fuzzy_pair_histogram(
 ) -> str:
     """Oracle for the pair-count histogram over :func:`fuzzy_pairs`
     (per block key and distance), via DuckDB's unbounded levenshtein —
-    a different evaluation strategy for the same declared pair set."""
+    a different evaluation strategy for the same declared pair set.
+    Scoped to ASCII rows (char length = byte length): DuckDB's
+    levenshtein is UTF-8-byte-based while Spark's is codepoint-based,
+    so the parity contract only holds where the two coincide; the
+    registered Spark query applies the identical guard."""
     blk = sql_default_block(text_col)
     return f"""
     WITH side AS (
       SELECT {blk} AS block_key, {id_col} AS id, {text_col} AS s,
              LENGTH({text_col}) AS slen
       FROM {table}
+      WHERE LENGTH({text_col}) = STRLEN({text_col})
     ),
     pairs AS (
       SELECT a.block_key, a.id AS id_a, b.id AS id_b,

@@ -44,8 +44,8 @@ def sql_minhash_candidate_ctes(
         # a bare assert is stripped under `python -O`, silently
         # truncating the band slices — fail loudly instead
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into "
-            f"bands ({bands})"
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            f"evenly"
         )
     rows = num_hashes // bands
     sig_elems = ", ".join(

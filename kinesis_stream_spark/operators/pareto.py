@@ -63,10 +63,22 @@ def skyline_2d(
         .where(F.col("_prefix").isNull() | (F.col("_prefix") < F.col("_best")))
         .select(*gb, min_col, "_best")
     )
+    # join back with NULL-SAFE equality on the group key: groupBy and
+    # the window both bucket NULL group keys together, but a plain
+    # equi-join would silently drop every NULL-group row here (min_col
+    # is non-null by the `clean` filter, so only the group needs <=>)
+    fr = frontier.select(
+        *([F.col(group_col).alias("_f_grp")] if group_col else []),
+        F.col(min_col).alias("_f_min"),
+        "_best",
+    )
+    cond = F.col(min_col) == F.col("_f_min")
+    if group_col:
+        cond = F.col(group_col).eqNullSafe(F.col("_f_grp")) & cond
     return (
-        clean.join(F.broadcast(frontier), gb + [min_col])
+        clean.join(F.broadcast(fr), cond)
         .where(F.col(max_col) == F.col("_best"))
-        .drop("_best")
+        .drop("_f_min", "_best", *(["_f_grp"] if group_col else []))
     )
 
 
@@ -79,8 +91,15 @@ def sql_skyline_2d(
     select_cols: tuple[str, ...] = ("*",),
 ) -> str:
     """Oracle for :func:`skyline_2d` via the independent quadratic
-    NOT-EXISTS dominance definition."""
-    same_group = f"AND q.{group_col} = p.{group_col}" if group_col else ""
+    NOT-EXISTS dominance definition. The group compare is NULL-safe
+    (IS NOT DISTINCT FROM) to match Spark's groupBy, which buckets
+    NULL group keys together — plain ``=`` would exempt NULL-group
+    rows from dominance entirely."""
+    same_group = (
+        f"AND q.{group_col} IS NOT DISTINCT FROM p.{group_col}"
+        if group_col
+        else ""
+    )
     cols = ", ".join(f"p.{c}" if c != "*" else "p.*" for c in select_cols)
     return f"""
     SELECT {cols}

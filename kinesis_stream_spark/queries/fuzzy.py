@@ -43,8 +43,13 @@ def fuzzy_part_name_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts with deterministic sample ids. One shuffle on the block
     key; banded threshold DP with length-band prefilter (operator
     docstring). The histogram depends on every pairwise distance, so
-    parity here is parity on the full join."""
-    part = load_table(spark, sf_dir, "part")
+    parity here is parity on the full join. Scoped to ASCII names
+    (char length = byte length) to mirror the oracle's guard — the
+    DuckDB levenshtein is byte-based, Spark's codepoint-based, and the
+    two only coincide on ASCII (operator docstring)."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.length("p_name") == F.octet_length("p_name")
+    )
     pairs = fuzzy_pairs(
         part, id_col="p_partkey", text_col="p_name", max_dist=_MAX_DIST
     )

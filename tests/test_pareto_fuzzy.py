@@ -143,3 +143,46 @@ def test_fuzzy_pairs_rejects_bad_params(spark):
         fuzzy_pairs(df, id_col="id", text_col="name", max_dist=-1)
     with pytest.raises(ValueError):
         fuzzy_pairs(df, id_col="id", text_col="name", max_dist=1, salt_buckets=0)
+
+
+def test_skyline_null_group_is_its_own_group(spark):
+    """Spark groupBy buckets NULL group keys together — dominance must
+    apply WITHIN the NULL group (the oracle mirrors this with a
+    NULL-safe compare), and never across named and NULL groups."""
+    df = spark.createDataFrame(
+        [(None, 1, 1.0, 5), (None, 2, 2.0, 4), ("A", 3, 9.0, 1)],
+        "grp string, id long, price double, size int",
+    )
+    rows = skyline_2d(df, min_col="price", max_col="size", group_col="grp").collect()
+    # id 2 is dominated by id 1 inside the NULL group; id 3 is alone in A
+    assert sorted(r.id for r in rows) == [1, 3]
+
+
+def test_fuzzy_nonascii_codepoint_semantics_and_ascii_guard(spark):
+    """The operator is codepoint-correct on non-ASCII text (Spark
+    levenshtein counts codepoints: héllo→hallo is ONE edit), while the
+    DuckDB oracle's levenshtein counts UTF-8 bytes (two) — so the
+    registered query and oracle both scope to ASCII rows via the
+    char-length == byte-length guard. Pins both halves."""
+    df = spark.createDataFrame(
+        [(1, "x héllo"), (2, "x hallo"), (3, "x hillo")],
+        "id long, name string",
+    )
+    # operator alone: codepoint distance 1 pairs all three names
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(
+            df, id_col="id", text_col="name", max_dist=1
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    # the registration's ASCII guard drops the multibyte row, matching
+    # the oracle-side LENGTH = STRLEN filter
+    kept = df.where(F.length("name") == F.octet_length("name"))
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(
+            kept, id_col="id", text_col="name", max_dist=1
+        ).collect()
+    }
+    assert guarded == {(2, 3)}
