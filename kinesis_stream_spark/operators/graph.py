@@ -46,6 +46,27 @@ from kinesis_stream_spark.operators.dedup import _release_local_checkpoint
 PR_SCALE = 1 << 40
 
 
+def _undirected_edges(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Cleaned, doubled, deduped adjacency, checkpoint-pinned: NULL
+    endpoints and self-loops drop; every undirected edge appears as
+    both (a, b) and (b, a). Shared by the fixed-round operators
+    (:func:`kcore`, :func:`label_propagation`) so the graph-cleaning
+    invariant lives in exactly one place — callers release the
+    returned checkpoint when done."""
+    e = (
+        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .where(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    )
+    return (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def _pagerank_round(
     e: DataFrame,
     nodes: DataFrame,
@@ -235,13 +256,7 @@ def kcore(
     one aggregate + two joins, never a growing lineage."""
     if k < 1 or rounds < 1:
         raise ValueError(f"k ({k}) and rounds ({rounds}) must be >= 1")
-    e = (
-        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
-        .where(F.col(src_col) != F.col(dst_col))
-        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    und = und.localCheckpoint(eager=True)
+    und = _undirected_edges(edges, src_col, dst_col)
     for _ in range(rounds):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.where(F.col("degree") >= k).select("a")
@@ -328,16 +343,7 @@ def label_propagation(
     superseded block released (the pagerank discipline)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    e = (
-        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
-        .where(F.col(src_col) != F.col(dst_col))
-        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    )
-    und = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _undirected_edges(edges, src_col, dst_col)
     lab = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -359,6 +365,9 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         _release_local_checkpoint(prev)
+    # the returned labels are checkpointed, so the adjacency block is
+    # no longer reachable — release it (the pagerank discipline)
+    _release_local_checkpoint(und)
     return lab
 
 
@@ -506,3 +515,98 @@ def sql_triangle_stats(edges_cte: str) -> str:
                 ELSE 0.0 END AS clustering_coeff
     FROM deg d LEFT JOIN pern p USING (node)
     """
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distance over the undirected view of the
+    edge list: every node in ``sources`` starts at distance 0; each
+    round relaxes one hop (dist'(v) = min(dist(v), min over neighbors
+    u of dist(u) + 1)). Returns (node, dist) for every node REACHED
+    within ``rounds`` hops — the k-hop neighborhood / blast-radius
+    primitive (who is within k steps of the seed cohort).
+
+    Fixed-round contract (the :func:`pagerank` / :func:`kcore`
+    discipline): ``rounds`` bounds the frontier depth deterministically
+    and the DuckDB oracle unrolls the identical rounds as CTEs.
+    Distances are small integers; MIN is the only aggregate — nothing
+    engine-dependent anywhere.
+
+    Scale shape: the doubled adjacency is the only corpus-sized frame
+    (checkpoint-pinned once, released on return); each round is one
+    edge-sized hash join (frontier lookup — at deployment scale the
+    classic refinement joins only the LAST round's frontier, since
+    older distances can't improve; kept whole-set here for oracle
+    symmetry) plus a node-keyed MIN. Sources that aren't graph nodes
+    are dropped by the semi join (distance to a non-node is
+    undefined)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _undirected_edges(edges, src_col, dst_col)
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    dist = (
+        nodes.join(
+            sources.select(F.col(node_col).alias("node")).distinct(),
+            "node",
+            "left_semi",
+        )
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = und.join(
+            dist.select(F.col("node").alias("a"), "dist"), "a"
+        ).select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        prev = dist
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(prev)
+    _release_local_checkpoint(und)
+    return dist
+
+
+def sql_bfs_hops(
+    edges_cte: str,
+    sources_cte: str,
+    *,
+    rounds: int,
+) -> str:
+    """DuckDB oracle twin of :func:`bfs_hops`: identical relaxation
+    rounds unrolled as CTEs. ``sources_cte`` must yield a ``node``
+    column."""
+    ctes = [
+        f"rawe AS ({edges_cte})",
+        "e AS (SELECT DISTINCT src AS a, dst AS b FROM rawe"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e)",
+        f"srcs AS ({sources_cte})",
+        "d0 AS (SELECT DISTINCT n.node, CAST(0 AS BIGINT) AS dist"
+        " FROM (SELECT DISTINCT a AS node FROM und) n"
+        " JOIN (SELECT DISTINCT node FROM srcs) s USING (node))",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""d{i + 1} AS (
+              SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT u.b AS node, d.dist + 1 AS dist
+                FROM und u JOIN d{i} d ON d.node = u.a
+              ) GROUP BY 1
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, dist FROM d{rounds}"
+    )

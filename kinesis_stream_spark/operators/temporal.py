@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.queries._util import dsum
+from kinesis_stream_spark.queries._util import DEC, dsum
 
 #: microseconds per hour / per day
 HOUR_US = 3_600_000_000
@@ -455,9 +455,11 @@ def mann_kendall(
     classification ('increasing' / 'decreasing' / 'flat').
 
     Exactness: period values are order-independent DECIMAL(27,6) sums
-    (queries/_util.py discipline) and S touches them ONLY through
-    comparisons (CASE, not float signum/subtraction) — integer
-    arithmetic end to end, so any engine replays it bit-identically.
+    kept AS DECIMALS (no double cast — two sums differing only past
+    double precision must still sign correctly) and S touches them
+    ONLY through comparisons (CASE, not float signum/subtraction) —
+    integer arithmetic end to end, so any engine replays it
+    bit-identically.
 
     Scale shape: the per-(key, bucket) aggregate is the one corpus-
     sized pass (map-side combinable); the pair join shuffles the
@@ -468,7 +470,7 @@ def mann_kendall(
     have no pairs and classify 'flat'."""
     daily = events.groupBy(
         F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
-    ).agg(dsum(value_col, "v"))
+    ).agg(F.sum(F.col(value_col).cast(DEC)).alias("v"))
     a, b = daily.alias("a"), daily.alias("b")
     sgn = (
         F.when(F.col("b.v") > F.col("a.v"), 1)
@@ -553,4 +555,104 @@ def ewma(
         "n_periods",
         folded.alias("ewma_fx"),
         (folded.cast("double") / EWMA_SCALE).alias("ewma"),
+    )
+
+
+def cusum(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Per-key two-sided CUSUM drift detection (Page 1954) over the
+    bucketed period sums, in exact integer fixed point: with per-key
+    center μ (floor-mean of the period values) and scale m (floor-mean
+    absolute deviation — integer-only, no σ/sqrt), fold in bucket
+    order with allowance k = ⌊m/2⌋ and alarm threshold h = 4·m:
+
+        S⁺ ← max(0, S⁺ + (x − μ − k))      upward drift
+        S⁻ ← max(0, S⁻ + (μ − x − k))      downward drift
+        alarms += [S⁺ > h or S⁻ > h]
+
+    Output per key: n_periods, mu_fx, mad_fx, final S⁺/S⁻, alarm
+    count, and max excursions — every column BIGINT fixed point
+    (2^20), so cross-engine parity is trivial.
+
+    Exactness chain (the :func:`ewma` discipline): DECIMAL(27,6)
+    period sums, one exact power-of-two double multiply into 2^20
+    fixed point, then integers only. μ uses ``FLOOR(sum/n)`` via a
+    deterministic IEEE divide of exactly-cast integers — identical in
+    any engine; everything after is integer compare/add/max.
+
+    Scale shape: one map-side-combinable (key, bucket) aggregate over
+    the corpus; the center/scale pass and the fold run on the
+    PERIOD-grid-bounded frame (two small aggregates + one per-row
+    array fold) — the sequential recurrence lives inside one row, no
+    cross-row window, no serialized pass. State is a 5-long BIGINT
+    array; headroom: |x−μ| ≤ 2·max|v|·2^20 and the fold caps S at
+    max excursion ≤ Σ|x−μ| ≤ P·2^42-ish for bounded values — far
+    inside BIGINT for any bucket grid."""
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
+    ).agg(dsum(value_col, "v"))
+    vfx = F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")
+    per = daily.select("key", "bucket", vfx.alias("vfx"))
+    center = per.groupBy("key").agg(
+        F.floor(
+            F.sum("vfx").cast("double") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mu_fx"),
+    )
+    scale = (
+        per.join(center, "key")
+        .groupBy("key")
+        .agg(
+            F.floor(
+                F.sum(F.abs(F.col("vfx") - F.col("mu_fx"))).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("mad_fx"),
+        )
+    )
+    arr = (
+        per.select("key", F.struct("bucket", "vfx").alias("p"))
+        .groupBy("key")
+        .agg(
+            F.array_sort(F.collect_list("p")).alias("s"),
+            F.count(F.lit(1)).alias("n_periods"),
+        )
+        .join(center, "key")
+        .join(scale, "key")
+    )
+    vals = F.transform(F.col("s"), lambda x: x["vfx"])
+    mu, mad = F.col("mu_fx"), F.col("mad_fx")
+    k = F.floor(mad / F.lit(2.0)).cast("long")
+    h = (4 * mad).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def _step(acc, x):
+        sp = F.greatest(zero, acc[0] + (x - mu - k))
+        sn = F.greatest(zero, acc[1] + (mu - x - k))
+        alarm = F.when((sp > h) | (sn > h), 1).otherwise(0).cast("long")
+        return F.array(
+            sp, sn, acc[2] + alarm, F.greatest(acc[3], sp), F.greatest(acc[4], sn)
+        )
+
+    st = F.aggregate(
+        vals, F.array(zero, zero, zero, zero, zero), _step
+    )
+    return arr.select(
+        "key",
+        "n_periods",
+        "mu_fx",
+        "mad_fx",
+        st[0].alias("cusum_pos_fx"),
+        st[1].alias("cusum_neg_fx"),
+        st[2].alias("n_alarms"),
+        st[3].alias("max_pos_fx"),
+        st[4].alias("max_neg_fx"),
     )

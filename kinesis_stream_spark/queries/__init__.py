@@ -25,89 +25,95 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 6 window (first 50), stale-first per the round-5 verdict:
-# text_top_terms_per_lang first (the one r2-latest row, displaced from
-# the r5 window by the edited-query policy), then the never-verified
-# round-6 registrations (the PQ/IVF-PQ family staged in round 5, plus
-# this round's new operators), then the oldest driver rows — the 49
-# queries whose latest row is round 3. The window holds 50, so the
-# tail of the r3 block slips to round 7; every query past the cut is
-# driver-green at its latest sampling, untouched since, and re-verified
-# every session by the local backstop (tests/test_oracle_parity.py at
-# sf0.001 + the builder's full driver_sim sweeps at sf0.01).
+# Round 8 window (first 50), stale-first: the nine never-verified
+# round-8 registrations (RSJ retrieval, chunking, skyline, fuzzy join,
+# Mann-Kendall, EWMA, k-core, label propagation, triangles), then the
+# reworked RRF fusion and every family whose operator file changed
+# this round (retrieval, quantization, graph, temporal, minhash SQL,
+# text), interleaved with the four queries that slipped past the r7
+# cut. Everything past the cut is driver-green at its latest sampling
+# and re-verified every session by the local backstop.
 _PRIORITY = (
-    # --- round-7 window (first 50 = the driver's check set) ---------
-    # never-driver-verified round-7 registrations
+    # --- round-8 window (first 50 = the driver's check set) ---------
+    # never-driver-verified round-8 registrations
+    "events_cusum_drift",
+    "graph_bfs_hops",
+    "text_cms_heavy_hitters",
+    "text_rsj_topk",
+    "text_chunk_windows",
+    "skyline_parts_price_size",
+    "fuzzy_part_name_histogram",
+    "events_mann_kendall_trend",
+    "events_ewma_daily",
+    "graph_kcore_purchases",
+    "graph_label_propagation",
+    "graph_triangles_copurchase",
+    # edited-since-row: the RRF fusion was reworked onto one id space
+    # (BM25 + RSJ over documents); BM25/vocab cross the edited
+    # operators/retrieval{,_sql}.py
+    "retrieval_hybrid_rrf",
     "text_bm25_topk",
     "text_vocab_coverage",
-    "retrieval_hybrid_rrf",
-    "graph_pagerank_purchases",
-    "similarity_ivfpq_rerank",
-    "dedup_clusters_bigstar",
-    "dedup_prefix_filter_exact_pairs",
-    # edited-since-row: cumulative-boundary pass swapped onto the
-    # distributed prefix sum (operators/skew.py)
-    "agg_equidepth_price",
-    # r3-latest rows — the 10 oldest in the inventory (verdict order)
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "q02_min_cost_supplier",
-    "q09_product_type_profit",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_types",
-    "q21_suppliers_kept_waiting",
-    "q20_excess_shipping_suppliers",
-    # edited-since-row: queries/dedup.py (guard helper + bigstar
-    # registration) — the whole dedup module re-verifies
-    "dedup_exact_hash",
-    "dedup_minhash_lsh_exact_copies",
-    "dedup_minhash_lsh_near_copies",
-    "dedup_simhash_blocks",
-    "dedup_pair_distance_histogram",
-    "dedup_ngram_jaccard_grouped",
-    "dedup_connected_components",
-    "dedup_embedding_cosine_pairs",
-    "dedup_pipeline_survivors",
-    "dedup_containment_prefix_copies",
-    "dedup_exact_incremental",
-    "dedup_duplicate_chunks",
-    "dedup_bloom_prefilter",
-    "text_leakage_safe_split",
-    "dedup_lsh_recall",
-    # edited-since-row: minhash SQL consolidation
-    "dedup_minhash_band_agreement",
-    # edited-since-row: valid_vector magnitude bound (functions/
-    # vectors.py) + the similarity.py fold onto _emb_family — every
-    # embeddings-family query re-verifies under the new guard
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "similarity_ann_recall",
-    "similarity_kmeans_fit",
-    "similarity_ivf_nprobe_sweep",
-    "similarity_semantic_dedup",
-    "similarity_topk_ivf_trained",
-    "similarity_topk_sq8",
-    "similarity_cluster_balance",
+    # edited-since-row: exact_rerank shortlist dedup touched
+    # operators/quantization.py — every query crossing that file
     "similarity_pq_adc_topk",
     "similarity_pq_reconstruction_mse",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_route_census",
+    "similarity_ivfpq_rerank",
     "similarity_rrpq_adc_topk",
     "similarity_subspace_variance",
-    # --- past the 50-cut (slipped, documented): the r7 additions and
-    # the equidepth edit displaced these four. The r6-fresh embedding
-    # rows re-proved green under the new guard in this session's
-    # driver_sim subset (sf0.01) and full sf0.1 sweep;
-    # agg_histogram_price is unedited since its r4 row. All are
-    # re-verified every session by the sf0.001 local backstop and the
-    # builder's full-inventory sweeps; they lead the r8 rotation.
-    "similarity_rank_quality",
     "similarity_ivfpq_nprobe_sweep",
+    # the r7 slips (promised to lead r8): ivfpq_nprobe_sweep rides in
+    # the quantization group just above; the other three follow
+    "similarity_rank_quality",
     "similarity_embedding_drift",
     "agg_histogram_price",
+    # edited-since-row: operators/graph.py gained kcore/LPA/triangles
+    "graph_pagerank_purchases",
+    # edited-since-row: operators/temporal.py gained MK + EWMA — the
+    # whole events family re-verifies
+    "events_gap_fill_hourly",
+    "events_scd2_status_history",
+    "events_multires_rollup",
+    "events_mad_outliers",
+    "events_transition_matrix",
+    "events_winsorized_stats",
+    "events_user_diversity",
+    # edited-since-row: operators/minhash_sql.py (assert -> ValueError)
+    "dedup_minhash_lsh_exact_copies",
+    "dedup_minhash_lsh_near_copies",
+    "dedup_minhash_band_agreement",
+    # edited-since-row (operators/text.py + queries/text.py appends) +
+    # oldest rows in the text family (r4/r5)
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint_rolling",
+    "text_fingerprint_winnowed",
+    "text_curation_pipeline",
+    "text_decontaminate_overlap",
+    "text_stratified_sample",
+    "text_pack_sequences",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "text_boilerplate_fraction",
+    "text_token_rarity",
+    "text_domain_cap",
+    "text_weighted_mixture",
+    "text_substring_decontaminate",
+    # --- past the 50-cut (slipped, documented): the three late-round
+    # registrations above (cusum/bfs/cms) displaced the tail of the
+    # edited text family — text_domain_cap, text_weighted_mixture and
+    # text_substring_decontaminate now sit at positions 51-53, ahead
+    # of text_top_terms_per_lang (r6 row, the newest in the family),
+    # text_normalize_summary and text_collocation_lift (r4/r5 rows).
+    # All six are re-verified every session by the sf0.001 local
+    # backstop and this round's full sf0.01 driver_sim sweep; they
+    # lead the r9 rotation together with whatever r9 edits stale.
+    "text_top_terms_per_lang",
+    "text_normalize_summary",
+    "text_collocation_lift",
 )
 
 

@@ -14,9 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.graph import (
+    bfs_hops,
     kcore,
     label_propagation,
     pagerank,
+    sql_bfs_hops,
     sql_kcore,
     sql_label_propagation,
     sql_pagerank,
@@ -39,6 +41,20 @@ _EDGES_CTE = """
 """
 
 
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer→supplier purchase edges — the Spark twin of
+    ``_EDGES_CTE``, shared by every query over this graph so the edge
+    derivation (and its sync with the oracle CTE) lives in one place.
+    Node ids are type-prefixed strings ('c…'/'s…') because customer
+    and supplier keys share a numeric range."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+
+
 @_q(
     "graph_pagerank_purchases",
     sql_pagerank(_EDGES_CTE, iterations=ITERATIONS)
@@ -51,13 +67,7 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     range. The extraction join is the only corpus-sized work; each of
     the 3 power-iteration rounds is one edge-map + dst-keyed sum with
     the corpus-independent mass bound (operators/graph.py)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    return pagerank(edges, iterations=ITERATIONS).orderBy(
+    return pagerank(_purchase_edges(spark, sf_dir), iterations=ITERATIONS).orderBy(
         F.desc("rank_fx"), F.asc("node")
     )
 
@@ -77,13 +87,9 @@ def graph_kcore_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements PageRank's per-node scores. Fixed-round peeling with
     integer degrees only; the oracle unrolls the identical rounds
     (operators/graph.py)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+    return kcore(
+        _purchase_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).orderBy("node")
 
 
 _LPA_ROUNDS = 3
@@ -101,13 +107,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties to the smallest label). Three semi-synchronous rounds,
     integer counts and string min-aggregates only (operator
     docstring)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    return label_propagation(edges, rounds=_LPA_ROUNDS).orderBy("node")
+    return label_propagation(
+        _purchase_edges(spark, sf_dir), rounds=_LPA_ROUNDS
+    ).orderBy("node")
 
 
 _TRI_MIN_SUPPORT = 5
@@ -118,7 +120,7 @@ _COPURCHASE_CTE = f"""
   JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
   GROUP BY 1, 2
-  HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+  HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_MIN_SUPPORT}
 """
 
 
@@ -128,11 +130,14 @@ _COPURCHASE_CTE = f"""
 )
 def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier triangle counts and local clustering coefficient
-    over the co-purchase graph (suppliers appearing in >= 5 shared
-    orders) — how clique-ish each supplier's neighborhood is. The
-    support threshold is the density knob that keeps the edge set
-    sparse as order volume grows; triangles enumerate once each via
-    the id-ordered three-way join (operator docstring)."""
+    over the co-purchase graph (suppliers appearing together in >= 5
+    DISTINCT shared orders — COUNT(DISTINCT orderkey) support, so a
+    supplier shipping several lineitems inside one order can't inflate
+    the pair past the threshold) — how clique-ish each supplier's
+    neighborhood is. The support threshold is the density knob that
+    keeps the edge set sparse as order volume grows; triangles
+    enumerate once each via the id-ordered three-way join (operator
+    docstring)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
     edges = (
@@ -145,8 +150,42 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("src"),
             F.col("b.l_suppkey").alias("dst"),
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.countDistinct("a.l_orderkey").alias("n_orders"))
         .where(F.col("n_orders") >= _TRI_MIN_SUPPORT)
         .select("src", "dst")
     )
     return triangle_stats(edges).orderBy("node")
+
+
+_BFS_ROUNDS = 3
+
+_BFS_SOURCES_CTE = """
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+  FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+@_q(
+    "graph_bfs_hops",
+    sql_bfs_hops(_EDGES_CTE, _BFS_SOURCES_CTE, rounds=_BFS_ROUNDS)
+    + " ORDER BY node",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the purchase graph: hop distance from a
+    deterministic seed cohort (every 97th customer) — the k-hop
+    blast-radius query (1 hop = the cohort's suppliers, 2 = co-buying
+    customers, 3 = THEIR suppliers). Fixed 3 relaxation rounds with
+    min-distance semantics; the oracle unrolls the identical rounds
+    (operator docstring)."""
+    sources = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return bfs_hops(
+        _purchase_edges(spark, sf_dir), sources, rounds=_BFS_ROUNDS
+    ).orderBy("node")

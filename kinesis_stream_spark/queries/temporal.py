@@ -12,6 +12,7 @@ from kinesis_stream_spark.operators.temporal import (
     DAY_US,
     HOUR_US,
     EWMA_SCALE,
+    cusum,
     ewma,
     gap_fill_forward,
     mann_kendall,
@@ -267,8 +268,10 @@ def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_mann_kendall_trend",
     f"""
     WITH daily AS (
+      -- the sum stays DECIMAL (no double cast): S only compares, and
+      -- sums differing past double precision must still sign
       SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+             SUM(CAST(value AS DECIMAL(27,6))) AS v
       FROM events GROUP BY 1, 2),
     pairs AS (
       SELECT a.key,
@@ -331,3 +334,75 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-period scale shape)."""
     ev = load_table(spark, sf_dir, "events")
     return ewma(ev, unit_us=DAY_US).orderBy("key")
+
+
+@_q(
+    "events_cusum_drift",
+    f"""
+    WITH daily AS (
+      SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    fx AS (SELECT key, bucket,
+                  CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS vfx
+           FROM daily),
+    center AS (
+      SELECT key,
+             CAST(FLOOR(CAST(SUM(vfx) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mu_fx
+      FROM fx GROUP BY key),
+    sc AS (
+      SELECT f.key,
+             CAST(FLOOR(CAST(SUM(ABS(f.vfx - c.mu_fx)) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS mad_fx
+      FROM fx f JOIN center c USING (key) GROUP BY f.key),
+    arr AS (SELECT key, LIST(vfx ORDER BY bucket) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_periods
+            FROM fx GROUP BY key),
+    folded AS (
+      SELECT a.key, a.n_periods, c.mu_fx, s.mad_fx,
+             LIST_REDUCE(
+               LIST_PREPEND([CAST(0 AS BIGINT), 0, 0, 0, 0]::BIGINT[],
+                            LIST_TRANSFORM(a.s, v -> [v])),
+               (acc, x) -> [
+                 GREATEST(CAST(0 AS BIGINT),
+                          acc[1] + (x[1] - c.mu_fx
+                                    - CAST(FLOOR(s.mad_fx / 2.0) AS BIGINT))),
+                 GREATEST(CAST(0 AS BIGINT),
+                          acc[2] + (c.mu_fx - x[1]
+                                    - CAST(FLOOR(s.mad_fx / 2.0) AS BIGINT))),
+                 acc[3] + CASE WHEN
+                   GREATEST(CAST(0 AS BIGINT),
+                            acc[1] + (x[1] - c.mu_fx
+                                      - CAST(FLOOR(s.mad_fx / 2.0) AS BIGINT)))
+                     > 4 * s.mad_fx
+                   OR GREATEST(CAST(0 AS BIGINT),
+                               acc[2] + (c.mu_fx - x[1]
+                                         - CAST(FLOOR(s.mad_fx / 2.0) AS BIGINT)))
+                     > 4 * s.mad_fx
+                   THEN 1 ELSE 0 END,
+                 GREATEST(acc[4],
+                          GREATEST(CAST(0 AS BIGINT),
+                                   acc[1] + (x[1] - c.mu_fx
+                                             - CAST(FLOOR(s.mad_fx / 2.0) AS BIGINT)))),
+                 GREATEST(acc[5],
+                          GREATEST(CAST(0 AS BIGINT),
+                                   acc[2] + (c.mu_fx - x[1]
+                                             - CAST(FLOOR(s.mad_fx / 2.0) AS BIGINT))))
+               ]) AS st
+      FROM arr a JOIN center c USING (key) JOIN sc s USING (key))
+    SELECT key, n_periods, mu_fx, mad_fx,
+           st[1] AS cusum_pos_fx, st[2] AS cusum_neg_fx,
+           st[3] AS n_alarms, st[4] AS max_pos_fx, st[5] AS max_neg_fx
+    FROM folded
+    ORDER BY key
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided CUSUM drift/changepoint summary of daily
+    value sums — integer fixed-point fold with per-key floor-mean
+    center and mean-absolute-deviation scale, k = ⌊MAD/2⌋ allowance
+    and h = 4·MAD alarm threshold (operator docstring for the
+    exactness chain and bounded-fold scale shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum(ev, unit_us=DAY_US).orderBy("key")

@@ -32,6 +32,7 @@ from kinesis_stream_spark.operators.text import (
     winnowed_fingerprints,
 )
 from kinesis_stream_spark.functions.hashing import sql_md5_int64, sql_shingles, sql_tokens
+from kinesis_stream_spark.operators.cms import cm_heavy_hitters, sql_cm_heavy_hitters
 from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
@@ -796,3 +797,21 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(
         docs, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE
     ).orderBy("doc_id", "chunk_id")
+
+
+@_q(
+    "text_cms_heavy_hitters",
+    sql_cm_heavy_hitters(table="documents", text_col="text", top_k=20)
+    + " ORDER BY exact_cnt DESC, token",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters over document tokens: the exact
+    top-20 tokens with their fixed-size-sketch estimates and the
+    guaranteed-nonnegative overcount — the parity row-for-row check
+    also proves the sketch's est ≥ exact bound (operators/cms.py for
+    the 2-universal hashing and KB-sized mergeable-cell scale
+    story)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cm_heavy_hitters(docs, text_col="text", top_k=20).orderBy(
+        F.desc("exact_cnt"), F.asc("token")
+    )

@@ -163,3 +163,44 @@ def test_triangle_stats_known_graph(spark):
     assert got[1].clustering_coeff == 2 * 2 / (3 * 2)
     assert got[3].clustering_coeff == 1.0
     assert 9 not in got  # self-loop-only node has no simple edges
+
+
+def test_bfs_hops_chain_hand_traced(spark):
+    """Chain a-b-c-d-e with source {a}: dists 0,1,2,3 within 3 rounds;
+    e stays unreached (would need round 4). Off-graph sources drop."""
+    from kinesis_stream_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame(
+        [("a",), ("zzz_not_in_graph",)], "node string"
+    )
+    got = {r.node: r.dist for r in bfs_hops(edges, sources, rounds=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_hops_min_distance_over_multiple_sources(spark):
+    """Two sources; every node takes the NEARER source. Undirected:
+    reachability flows against edge direction too."""
+    from kinesis_stream_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "d")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("a",), ("x",)], "node string")
+    got = {r.node: r.dist for r in bfs_hops(edges, sources, rounds=3).collect()}
+    # d: 1 via x (not 3 via a); c: 2 via x (tie with 2 via a)
+    assert got == {"a": 0, "x": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_hops_rejects_bad_rounds(spark):
+    import pytest
+    from kinesis_stream_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    sources = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        bfs_hops(edges, sources, rounds=0)

@@ -312,3 +312,69 @@ def test_ewma_order_is_bucket_order_not_arrival(spark):
     a = ewma(df_fwd).collect()[0]
     b = ewma(df_rev).collect()[0]
     assert a.ewma_fx == b.ewma_fx
+
+
+def test_cusum_hand_traced_fold(spark):
+    """Python replay of the integer fold on a hand-built series with a
+    level shift — the alarm must fire after the shift, and every state
+    component must match the reference replay exactly."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import EWMA_SCALE, cusum
+
+    # 16 quiet periods then a large spike: MAD ≈ 2X/17 so the spike
+    # excursion (≈ 0.89·X) clears h = 4·MAD (≈ 0.44·X) decisively
+    vals = [10.0] * 16 + [10000.0]
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 6, 0, 0) + dt.timedelta(days=d), v)
+        for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = cusum(df).collect()[0]
+
+    # reference replay in exact ints
+    vfx = [int(v * EWMA_SCALE) for v in vals]
+    mu = sum(vfx) // len(vfx)
+    mad = sum(abs(v - mu) for v in vfx) // len(vfx)
+    k, h = mad // 2, 4 * mad
+    sp = sn = al = mx_p = mx_n = 0
+    for x in vfx:
+        sp = max(0, sp + (x - mu - k))
+        sn = max(0, sn + (mu - x - k))
+        al += 1 if (sp > h or sn > h) else 0
+        mx_p, mx_n = max(mx_p, sp), max(mx_n, sn)
+    assert (
+        got.n_periods,
+        got.mu_fx,
+        got.mad_fx,
+        got.cusum_pos_fx,
+        got.cusum_neg_fx,
+        got.n_alarms,
+        got.max_pos_fx,
+        got.max_neg_fx,
+    ) == (len(vals), mu, mad, sp, sn, al, mx_p, mx_n)
+    # the spike must drive the upward arm past h exactly once
+    assert got.n_alarms >= 1 and got.max_pos_fx > 4 * mad
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    """A constant series has mu = value, MAD = 0, k = 0, h = 0; both
+    arms stay at 0, which never EXCEEDS h — zero alarms."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import cusum
+
+    rows = [
+        (7, dt.datetime(2024, 2, d, 1, 0, 0), 42.5) for d in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = cusum(df).collect()[0]
+    assert got.n_alarms == 0
+    assert got.cusum_pos_fx == 0 and got.cusum_neg_fx == 0
+    assert got.mad_fx == 0
+
+
+def test_cusum_empty_input(spark):
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import cusum
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert cusum(df).count() == 0
