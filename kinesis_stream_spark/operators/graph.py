@@ -610,3 +610,182 @@ def sql_bfs_hops(
         "WITH " + ", ".join(ctes)
         + f" SELECT node, dist FROM d{rounds}"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank: the :func:`pagerank` power iteration with
+    the teleport (and dangling) mass concentrated on the ``seeds`` set
+    instead of spread uniformly — the standard graph-proximity score
+    behind seed-cohort recommendation ("rank everything by closeness
+    to these nodes"). Same exact integer semantics (PR_SCALE = 2^40,
+    d = 17/20); the only change is WHERE the 3/20 teleport and the
+    dangling redistribution land:
+
+        r⁰(v)  = [v ∈ S] · PR_SCALE div |S|
+        r'(v)  = [v ∈ S] · ((3·PR_SCALE) div (20·|S|)
+                            + (17·D) div (20·|S|))  +  Σ_{u→v} c(u→v)
+
+    Mass still conserves (≤ PR_SCALE up to floor loss), so the BIGINT
+    headroom argument is unchanged at any graph size. Seeds outside
+    the graph drop via the semi join (they can hold no mass). Returns
+    (node, rank_fx, rank) for every node — zero-rank nodes included,
+    so the output schema matches :func:`pagerank`.
+
+    Scale shape: identical to :func:`pagerank` (edge-sized join +
+    dst-keyed sum per round, broadcast 1-row scalars, eager round
+    checkpoints with release); the seed flag rides as one extra
+    node-sized left join per round."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seedset = (
+        nodes.join(
+            seeds.select(F.col(node_col).alias("v")).distinct(),
+            "v",
+            "left_semi",
+        )
+        .select("v", F.lit(1).alias("is_seed"))
+        .localCheckpoint()
+    )
+    ns = seedset.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    outdeg = (
+        e.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    r = (
+        nodes.join(seedset, "v", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "v",
+            F.expr(
+                f"case when is_seed = 1 then {PR_SCALE} div n else 0 end"
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(r.select(F.col("v").alias("src"), "r"), "src")
+            .join(outdeg.select(F.col("v").alias("src"), "deg"), "src")
+            .select("dst", F.expr("(17 * r) div (20 * deg)").alias("c"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("c").alias("csum"))
+        )
+        dang = r.join(outdeg, "v", "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("ds")
+        )
+        prev = r
+        r = (
+            nodes.join(contribs, "v", "left")
+            .join(seedset, "v", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "v",
+                F.expr(
+                    f"case when is_seed = 1 then"
+                    f" (3 * {PR_SCALE}) div (20 * n)"
+                    " + (17 * ds) div (20 * n) else 0 end"
+                    " + coalesce(csum, 0)"
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+        _release_local_checkpoint(prev)
+    for frame in (e, nodes, outdeg, seedset):
+        _release_local_checkpoint(frame)
+    return r.select(
+        F.col("v").alias("node"),
+        F.col("r").alias("rank_fx"),
+        (F.col("r").cast("double") / PR_SCALE).alias("rank"),
+    )
+
+
+def sql_personalized_pagerank(
+    edges_cte: str,
+    seeds_cte: str,
+    *,
+    iterations: int = 3,
+) -> str:
+    """DuckDB oracle twin of :func:`personalized_pagerank` — unrolled
+    CTEs, seed-concentrated teleport/dangling. ``seeds_cte`` must
+    yield a ``node`` column."""
+    ctes = [
+        f"rawe AS ({edges_cte})",
+        "e AS (SELECT DISTINCT src, dst FROM rawe"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "nodes AS (SELECT DISTINCT v FROM"
+        " (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e))",
+        f"rawseed AS ({seeds_cte})",
+        "seedset AS (SELECT DISTINCT n.v FROM nodes n"
+        " JOIN (SELECT DISTINCT node FROM rawseed) s ON s.node = n.v)",
+        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seedset)",
+        "outdeg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM e GROUP BY 1)",
+        f"""r0 AS (
+          SELECT n.v,
+                 CAST(CASE WHEN s.v IS NOT NULL THEN {PR_SCALE} // x.n
+                      ELSE 0 END AS BIGINT) AS r
+          FROM nodes n LEFT JOIN seedset s ON s.v = n.v CROSS JOIN ns x)""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT e.dst AS v, CAST(SUM((17 * r.r) // (20 * o.deg))
+                                      AS BIGINT) AS csum
+              FROM e
+              JOIN r{i} r ON r.v = e.src
+              JOIN outdeg o ON o.v = e.src
+              GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+              SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS ds
+              FROM r{i} r LEFT JOIN outdeg o ON o.v = r.v
+              WHERE o.v IS NULL
+            )"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+              SELECT n.v,
+                     CAST(CASE WHEN s.v IS NOT NULL THEN
+                            (3 * {PR_SCALE}) // (20 * x.n)
+                            + (17 * d.ds) // (20 * x.n)
+                          ELSE 0 END
+                          + COALESCE(c.csum, 0) AS BIGINT) AS r
+              FROM nodes n
+              LEFT JOIN seedset s ON s.v = n.v
+              LEFT JOIN c{i} c ON c.v = n.v
+              CROSS JOIN d{i} d
+              CROSS JOIN ns x
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""" SELECT v AS node, r AS rank_fx,
+               CAST(r AS DOUBLE) / {PR_SCALE} AS rank
+               FROM r{iterations}"""
+    )

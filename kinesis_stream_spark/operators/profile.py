@@ -126,3 +126,70 @@ def sql_profile_columns(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(selects)
+
+
+def fd_profile(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency check for a list of (determinant,
+    dependent) column pairs: does every determinant value map to
+    exactly one dependent value? The schema-discovery / data-quality
+    primitive behind key inference and denormalization audits.
+
+    Output per pair: (determinant, dependent, n_groups,
+    n_violating_groups, max_dependents, fd_holds) — a violating group
+    is a determinant value seen with ≥ 2 distinct dependent values.
+
+    Scale shape: one combinable groupBy per pair over its 2-column
+    projection (column pruning reaches the scan), then a 1-row
+    aggregate; the pair list is a workload constant, so the Python
+    loop builds a UNION plan of independent branches — each prunable
+    and parallel. NULL dependents are ignored by COUNT(DISTINCT) on
+    both engines; a NULL determinant forms its own group (same
+    convention as groupBy everywhere)."""
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for det, dep in pairs:
+        per = df.groupBy(F.col(det)).agg(
+            F.count_distinct(F.col(dep)).alias("nd")
+        )
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.max("nd").alias("max_dependents"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "n_violating_groups",
+                "max_dependents",
+                (F.col("n_violating_groups") == 0).alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def sql_fd_profile(table: str, pairs: list[tuple[str, str]]) -> str:
+    """DuckDB oracle twin of :func:`fd_profile`."""
+    selects = [
+        f"""
+        SELECT '{det}' AS determinant, '{dep}' AS dependent,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_groups,
+               CAST(MAX(nd) AS BIGINT) AS max_dependents,
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        FROM (
+          SELECT {det}, CAST(COUNT(DISTINCT {dep}) AS BIGINT) AS nd
+          FROM {table} GROUP BY {det}
+        )"""
+        for det, dep in pairs
+    ]
+    return " UNION ALL ".join(selects)

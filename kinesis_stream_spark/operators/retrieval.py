@@ -322,3 +322,100 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over positional postings: for each query
+    phrase (a space-joined word sequence), count the documents and
+    occurrences where the words appear CONSECUTIVELY in token order —
+    the inverted-index-with-positions primitive behind quoted-query
+    search (`"slow query"` must not match "slow ... query").
+
+    Returns (phrase, n_docs, n_occurrences, sample_doc_id); phrases
+    with no match emit no row.
+
+    Scale shape: one posexplode builds the positional postings frame,
+    immediately FILTERED to the phrase vocabulary (a broadcast
+    isin — the postings that survive are |vocab-hits|, not corpus
+    tokens); each phrase then chains k−1 equi-joins on
+    (doc, pos + offset), every join keyed on doc_id so one shuffle
+    partitioning serves the whole chain. The phrase list is a query
+    workload (a handful), not data — the Python loop builds a UNION
+    plan, not a driver-side computation. The oracle deliberately uses
+    the per-row array-scan formulation (slice-compare inside each
+    document) — two different evaluation strategies must agree."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    words = sorted({w for p in phrases for w in p.split()})
+    post = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        .where(F.col("tok").isin(words))
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for phrase in phrases:
+        ws = phrase.split()
+        m = (
+            post.where(F.col("tok") == ws[0])
+            .select("doc", F.col("pos").alias("p0"))
+        )
+        for off, w in enumerate(ws[1:], start=1):
+            nxt = post.where(F.col("tok") == w).select(
+                "doc", (F.col("pos") - off).alias("p0")
+            )
+            m = m.join(nxt, ["doc", "p0"])
+        outs.append(
+            m.groupBy()
+            .agg(
+                F.count_distinct("doc").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.min("doc").alias("sample_doc_id"),
+            )
+            .where(F.col("n_occurrences") > 0)
+            .select(F.lit(phrase).alias("phrase"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def sql_phrase_search(
+    *,
+    table: str,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for :func:`phrase_search` via the INDEPENDENT per-row
+    array-scan strategy: slide a window over each document's token
+    array and compare the slice to the phrase."""
+    from kinesis_stream_spark.functions.hashing import sql_tokens
+
+    toks = sql_tokens(text_col)
+    branches = []
+    for phrase in phrases:
+        ws = phrase.split()
+        lit = "', '".join(w.replace("'", "''") for w in ws)
+        branches.append(f"""
+        SELECT '{phrase.replace("'", "''")}' AS phrase,
+               CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN({id_col}) AS BIGINT) AS sample_doc_id
+        FROM (
+          SELECT {id_col}, i
+          FROM (SELECT {id_col}, {toks} AS arr FROM {table}),
+               UNNEST(RANGE(1, LEN(arr) - {len(ws) - 1} + 1)) AS t(i)
+          WHERE arr[i:i+{len(ws) - 1}] = ['{lit}']
+        )
+        HAVING COUNT(*) > 0""")
+    return " UNION ALL ".join(branches)

@@ -144,3 +144,97 @@ def distributed_cumsum(
         .withColumn(out_col, F.col("_ds_loc") + F.col("_ds_off"))
         .drop("_ds_pid", "_ds_val", "_ds_loc", "_ds_off")
     )
+
+
+def key_concentration_deciles(
+    df: DataFrame,
+    key_col: str,
+    *,
+    buckets: int = 10,
+) -> DataFrame:
+    """Key-skew concentration profile: rank the distinct values of
+    ``key_col`` by descending row count, cut the ranking into
+    ``buckets`` equal-width rank bands, and report each band's share
+    of the total rows — the "top 10% of keys hold X% of rows"
+    diagnostic that decides whether a shuffle needs salting BEFORE it
+    burns a cluster (the operational companion to :func:`salted_agg`).
+
+    Output per band: (decile, n_keys, band_rows, cum_rows,
+    cum_share_ppm) — cum_share_ppm is the integer parts-per-million of
+    all rows covered by this band and every hotter one. Integer
+    arithmetic end to end.
+
+    Scale shape: the corpus-sized pass is the per-key count
+    (map-side combinable); ranking and the running row total go
+    through :func:`distributed_cumsum` on the post-aggregation key
+    frame — range-partitioned local windows, NO single-reducer global
+    window — and the band summary is a ``buckets``-row aggregate. The
+    oracle deliberately uses the textbook single-window formulation —
+    two different prefix-sum strategies must agree."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    cnts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cnts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    order = [F.desc("cnt"), F.asc("key")]
+    cum = distributed_cumsum(cnts, order, "cnt", "cum_rows")
+    ranked = distributed_cumsum(cum, order, F.lit(1), "rank")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"((rank - 1) * {buckets}) div n_keys").alias("decile"),
+            F.col("cnt"),
+            F.col("cum_rows"),
+            F.col("total"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").cast("long").alias("band_rows"),
+            F.max("cum_rows").cast("long").alias("cum_rows"),
+            F.expr("max(cum_rows) * 1000000 div max(total)")
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+    )
+
+
+def sql_key_concentration_deciles(
+    *,
+    table: str,
+    key_col: str,
+    buckets: int = 10,
+) -> str:
+    """Oracle for :func:`key_concentration_deciles` via the textbook
+    single global window — an INDEPENDENT prefix-sum strategy."""
+    return f"""
+    WITH cnts AS (
+      SELECT {key_col} AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM cnts
+    ),
+    ranked AS (
+      SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rows
+      FROM cnts
+    )
+    SELECT ((rank - 1) * {buckets}) // n_keys AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS band_rows,
+           CAST(MAX(cum_rows) AS BIGINT) AS cum_rows,
+           CAST(MAX(cum_rows) * 1000000 // MAX(total) AS BIGINT)
+             AS cum_share_ppm
+    FROM ranked CROSS JOIN tot
+    GROUP BY 1
+    """

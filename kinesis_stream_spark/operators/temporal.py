@@ -656,3 +656,69 @@ def cusum(
         st[3].alias("max_pos_fx"),
         st[4].alias("max_neg_fx"),
     )
+
+
+def holt(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Per-key Holt linear (double-exponential) smoothing of the
+    bucketed period sums — the trend-aware upgrade of :func:`ewma`,
+    in the same exact integer fixed point (α = β = 1/4):
+
+        l ← ⌊(x + 3·(l + b)) / 4⌋        level
+        b ← ⌊((l − l_prev) + 3·b) / 4⌋   trend
+
+    seeded l₀ = x₀, b₀ = 0 and folded in bucket order; the one-step
+    forecast is l + b. Output per key: n_periods, level_fx, trend_fx,
+    forecast_fx (2^20 fixed point BIGINTs) plus the three as doubles.
+
+    Exactness chain and scale shape are :func:`cusum`'s: DECIMAL
+    period sums, one exact power-of-two double multiply into fixed
+    point, then an integer 2-state fold over the grid-bounded period
+    list inside one row — ``FLOOR(x / 4.0)`` divides (power-of-two
+    double divide is exact; floor agrees across engines on
+    negatives). Headroom: l tracks the data range and b its per-step
+    delta — both bounded by max|v|·2^21-ish, far inside BIGINT."""
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
+    ).agg(dsum(value_col, "v"))
+    vfx = F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")
+    per_key = (
+        daily.select("key", F.struct("bucket", vfx.alias("vfx")).alias("p"))
+        .groupBy("key")
+        .agg(
+            F.array_sort(F.collect_list("p")).alias("s"),
+            F.count(F.lit(1)).alias("n_periods"),
+        )
+    )
+    rest = F.transform(
+        F.slice(F.col("s"), 2, F.size("s") - 1), lambda x: x["vfx"]
+    )
+    zero = F.lit(0).cast("long")
+
+    def _step(acc, x):
+        lvl = F.floor((x + 3 * (acc[0] + acc[1])) / F.lit(4.0)).cast("long")
+        tr = F.floor(((lvl - acc[0]) + 3 * acc[1]) / F.lit(4.0)).cast("long")
+        return F.array(lvl, tr)
+
+    st = F.aggregate(
+        rest,
+        F.array(F.element_at(F.col("s"), 1)["vfx"], zero),
+        _step,
+    )
+    fc = st[0] + st[1]
+    return per_key.select(
+        "key",
+        "n_periods",
+        st[0].alias("level_fx"),
+        st[1].alias("trend_fx"),
+        fc.alias("forecast_fx"),
+        (st[0].cast("double") / EWMA_SCALE).alias("level"),
+        (st[1].cast("double") / EWMA_SCALE).alias("trend"),
+        (fc.cast("double") / EWMA_SCALE).alias("forecast"),
+    )

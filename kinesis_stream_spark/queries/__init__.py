@@ -37,8 +37,13 @@ _PRIORITY = (
     # --- round-8 window (first 50 = the driver's check set) ---------
     # never-driver-verified round-8 registrations
     "events_cusum_drift",
+    "events_holt_forecast",
     "graph_bfs_hops",
+    "graph_ppr_seed_cohort",
     "text_cms_heavy_hitters",
+    "text_phrase_search",
+    "agg_supplier_skew_deciles",
+    "profile_orders_fds",
     "text_rsj_topk",
     "text_chunk_windows",
     "skyline_parts_price_size",
@@ -102,14 +107,15 @@ _PRIORITY = (
     "text_domain_cap",
     "text_weighted_mixture",
     "text_substring_decontaminate",
-    # --- past the 50-cut (slipped, documented): the three late-round
-    # registrations above (cusum/bfs/cms) displaced the tail of the
-    # edited text family — text_domain_cap, text_weighted_mixture and
-    # text_substring_decontaminate now sit at positions 51-53, ahead
-    # of text_top_terms_per_lang (r6 row, the newest in the family),
-    # text_normalize_summary and text_collocation_lift (r4/r5 rows).
-    # All six are re-verified every session by the sf0.001 local
-    # backstop and this round's full sf0.01 driver_sim sweep; they
+    # --- past the 50-cut (slipped, documented): the eight late-round
+    # registrations above (cusum/holt/bfs/ppr/cms/phrase/skew-deciles/
+    # fd-profile) displaced the tail of the edited text family — the
+    # window now cuts inside it after text_repetition_stats, so
+    # text_pii_scrub through text_substring_decontaminate plus
+    # text_top_terms_per_lang (r6 row, the newest in the family),
+    # text_normalize_summary and text_collocation_lift sit past the
+    # cut. All are re-verified every session by the sf0.001 local
+    # backstop and this round's full sf0.01 driver_sim sweeps; they
     # lead the r9 rotation together with whatever r9 edits stale.
     "text_top_terms_per_lang",
     "text_normalize_summary",

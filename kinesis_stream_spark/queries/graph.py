@@ -18,10 +18,12 @@ from kinesis_stream_spark.operators.graph import (
     kcore,
     label_propagation,
     pagerank,
+    personalized_pagerank,
     sql_bfs_hops,
     sql_kcore,
     sql_label_propagation,
     sql_pagerank,
+    sql_personalized_pagerank,
     sql_triangle_stats,
     triangle_stats,
 )
@@ -189,3 +191,29 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(
         _purchase_edges(spark, sf_dir), sources, rounds=_BFS_ROUNDS
     ).orderBy("node")
+
+
+@_q(
+    "graph_ppr_seed_cohort",
+    sql_personalized_pagerank(_EDGES_CTE, _BFS_SOURCES_CTE, iterations=ITERATIONS)
+    + " ORDER BY rank_fx DESC, node",
+)
+def graph_ppr_seed_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the same seed cohort as the BFS query
+    (every 97th customer): graph-proximity recommendation scores —
+    suppliers and co-buying customers ranked by closeness to the
+    cohort, with teleport and dangling mass returning to the seeds.
+    Exact integer power iteration, mass-conserving at any N (operator
+    docstring)."""
+    sources = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return personalized_pagerank(
+        _purchase_edges(spark, sf_dir), sources, iterations=ITERATIONS
+    ).orderBy(F.desc("rank_fx"), F.asc("node"))

@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_stream_spark.operators.profile import fd_profile, sql_fd_profile
+from kinesis_stream_spark.operators.skew import (
+    key_concentration_deciles,
+    sql_key_concentration_deciles,
+)
 from kinesis_stream_spark.queries._util import davg, dsum, sql_davg, sql_dsum
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -2404,3 +2409,50 @@ def integrity_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     )
     return snapshot_diff(old, new, key_col="doc_id").orderBy("status")
+
+
+@_q(
+    "agg_supplier_skew_deciles",
+    sql_key_concentration_deciles(table="lineitem", key_col="l_suppkey")
+    + " ORDER BY decile",
+)
+def agg_supplier_skew_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew concentration profile of lineitem over supplier keys:
+    suppliers ranked by row count, cut into 10 rank deciles, each with
+    its key count, row share, and cumulative parts-per-million of all
+    rows — the "does this shuffle need salting" diagnostic, computed
+    WITHOUT a single-reducer global window (distributed prefix sum;
+    operators/skew.py). The oracle replays the textbook single-window
+    formulation — two different prefix-sum strategies must agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_concentration_deciles(li, "l_suppkey").orderBy("decile")
+
+
+@_q(
+    "profile_orders_fds",
+    sql_fd_profile(
+        "orders",
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ],
+    )
+    + " ORDER BY determinant, dependent",
+)
+def profile_orders_fds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit on orders: o_orderkey→o_custkey must
+    hold (key), while o_custkey→o_orderpriority and
+    o_orderdate→o_orderstatus are expected violations — the profiler
+    reports group counts, violating-group counts, and the max fan-out
+    per pair (operators/profile.py for the per-pair combinable
+    shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return fd_profile(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ],
+    ).orderBy("determinant", "dependent")

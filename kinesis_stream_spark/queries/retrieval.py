@@ -13,9 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.retrieval import (
+    sql_phrase_search,
     RRF_K,
     RRF_SCALE,
     bm25_topk,
+    phrase_search,
     rrf_fuse,
     rsj_topk,
     vocab_coverage,
@@ -143,3 +145,24 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     window at any corpus size)."""
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs).orderBy("pct")
+
+
+#: quoted-query workload over the corpus vocabulary: two bigrams, one
+#: trigram — consecutive-token semantics, not bag-of-words
+PHRASES = ("slow query", "fast scan", "value table part")
+
+
+@_q(
+    "text_phrase_search",
+    sql_phrase_search(table="documents", phrases=list(PHRASES))
+    + " ORDER BY phrase",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quoted-phrase search over positional postings: per phrase,
+    matching-document and occurrence counts with a deterministic
+    sample id. The Spark plan is the inverted-index position-join
+    chain (postings prefiltered to the phrase vocabulary); the oracle
+    is the independent per-document array-scan — two different
+    evaluation strategies must agree (operators/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, list(PHRASES)).orderBy("phrase")

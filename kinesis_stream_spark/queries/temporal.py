@@ -14,6 +14,7 @@ from kinesis_stream_spark.operators.temporal import (
     EWMA_SCALE,
     cusum,
     ewma,
+    holt,
     gap_fill_forward,
     mann_kendall,
     scd2_compact,
@@ -406,3 +407,47 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness chain and bounded-fold scale shape)."""
     ev = load_table(spark, sf_dir, "events")
     return cusum(ev, unit_us=DAY_US).orderBy("key")
+
+
+@_q(
+    "events_holt_forecast",
+    f"""
+    WITH daily AS (
+      SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    fx AS (SELECT key, bucket,
+                  CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS vfx
+           FROM daily),
+    arr AS (SELECT key, LIST(vfx ORDER BY bucket) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_periods
+            FROM fx GROUP BY key),
+    folded AS (
+      SELECT key, n_periods,
+             LIST_REDUCE(
+               LIST_PREPEND([s[1], CAST(0 AS BIGINT)]::BIGINT[],
+                            LIST_TRANSFORM(s[2:], v -> [v])),
+               (acc, x) -> [
+                 CAST(FLOOR((x[1] + 3 * (acc[1] + acc[2])) / 4.0) AS BIGINT),
+                 CAST(FLOOR((
+                   (CAST(FLOOR((x[1] + 3 * (acc[1] + acc[2])) / 4.0) AS BIGINT)
+                    - acc[1]) + 3 * acc[2]) / 4.0) AS BIGINT)
+               ]) AS st
+      FROM arr)
+    SELECT key, n_periods,
+           st[1] AS level_fx, st[2] AS trend_fx,
+           st[1] + st[2] AS forecast_fx,
+           CAST(st[1] AS DOUBLE) / {EWMA_SCALE} AS level,
+           CAST(st[2] AS DOUBLE) / {EWMA_SCALE} AS trend,
+           CAST(st[1] + st[2] AS DOUBLE) / {EWMA_SCALE} AS forecast
+    FROM folded
+    ORDER BY key
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear (level + trend) smoothing of daily value
+    sums with the one-step forecast, in exact 2^20 fixed point — the
+    trend-aware EWMA whose 2-state integer fold replays bit-identically
+    in the oracle (operator docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return holt(ev, unit_us=DAY_US).orderBy("key")

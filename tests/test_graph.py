@@ -204,3 +204,32 @@ def test_bfs_hops_rejects_bad_rounds(spark):
     sources = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError):
         bfs_hops(edges, sources, rounds=0)
+
+
+def test_ppr_mass_concentrates_near_seed(spark):
+    """Star graph seeded at the hub: the hub must outrank every leaf,
+    leaves (1 hop) must outrank a detached pair (unreachable -> 0),
+    and total mass stays <= PR_SCALE (conservation up to floor loss)."""
+    from kinesis_stream_spark.operators.graph import PR_SCALE, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(4)]
+        + [(f"leaf{i}", "hub") for i in range(4)]
+        + [("iso1", "iso2")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("hub",)], "node string")
+    got = {r.node: r.rank_fx for r in personalized_pagerank(edges, seeds, iterations=3).collect()}
+    assert got["hub"] > got["leaf0"] > 0
+    assert got["iso1"] == 0 and got["iso2"] == 0
+    assert sum(got.values()) <= PR_SCALE
+
+
+def test_ppr_offgraph_seed_drops_and_empty_seed_zeroes(spark):
+    from kinesis_stream_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {r.node: r.rank_fx for r in personalized_pagerank(edges, seeds, iterations=2).collect()}
+    # |S| = 1 (ghost dropped): a holds teleport mass, b gets contributions
+    assert got["a"] > 0 and got["b"] > 0

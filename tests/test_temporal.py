@@ -378,3 +378,44 @@ def test_cusum_empty_input(spark):
 
     df = spark.createDataFrame([], "user_id long, ts timestamp, value double")
     assert cusum(df).count() == 0
+
+
+def test_holt_hand_traced_fold(spark):
+    """Python replay of the 2-state Holt fold on a linear ramp — the
+    trend component must turn positive and the forecast must continue
+    the ramp direction."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import EWMA_SCALE, holt
+
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    rows = [
+        (1, dt.datetime(2024, 3, d + 1, 3, 0, 0), v)
+        for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = holt(df).collect()[0]
+
+    import math
+
+    lvl, tr = int(vals[0] * EWMA_SCALE), 0
+    for v in vals[1:]:
+        x = int(v * EWMA_SCALE)
+        new_lvl = math.floor((x + 3 * (lvl + tr)) / 4.0)
+        tr = math.floor(((new_lvl - lvl) + 3 * tr) / 4.0)
+        lvl = new_lvl
+    assert (got.level_fx, got.trend_fx, got.forecast_fx) == (lvl, tr, lvl + tr)
+    assert got.trend_fx > 0
+    assert got.forecast_fx > got.level_fx
+
+
+def test_holt_single_period_is_seed(spark):
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import EWMA_SCALE, holt
+
+    df = spark.createDataFrame(
+        [(5, dt.datetime(2024, 3, 1, 3), 7.5)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = holt(df).collect()[0]
+    assert got.level_fx == int(7.5 * EWMA_SCALE)
+    assert got.trend_fx == 0 and got.forecast_fx == got.level_fx
