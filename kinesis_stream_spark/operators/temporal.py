@@ -722,3 +722,129 @@ def holt(
         (st[1].cast("double") / EWMA_SCALE).alias("trend"),
         (fc.cast("double") / EWMA_SCALE).alias("forecast"),
     )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    duration_us: int = 15 * 60 * 1_000_000,
+) -> DataFrame:
+    """Peak concurrency per key via the classic sweep line: each event
+    opens an interval [ts, ts + duration) and the answer is the
+    maximum number of simultaneously open intervals — the
+    capacity-planning query (peak concurrent sessions / connections /
+    jobs) that a naive self-join answers in O(n²) and the sweep line
+    in one sort.
+
+    Semantics pinned for determinism: endpoints are integer
+    microseconds; at the same instant a CLOSE processes before an
+    OPEN (delta −1 sorts before +1), so back-to-back intervals never
+    double-count — and ties beyond (time, delta) cannot change the
+    running sum's maximum because addition commutes within a group of
+    identical deltas. NULL timestamps are excluded by contract.
+
+    Output per key: (key, n_events, peak_concurrency, peak_at_us —
+    the earliest sweep position where the peak is reached).
+
+    Scale shape: one shuffle on the key; the sweep is a per-key
+    ordered window over 2·n endpoint rows (time-bounded sessions at
+    100 TB are windowed per key anyway — a single global sort is never
+    needed because keys are independent). The endpoint frame is built
+    by one explode (±1 deltas), map-only."""
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    pts = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            us.alias("t0"),
+        )
+        .select(
+            "key",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("t0").alias("t"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        (F.col("t0") + duration_us).alias("t"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("key", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("t"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("open_now", F.sum("delta").over(w)).withColumn(
+        "key_max", F.max(F.col("open_now")).over(Window.partitionBy("key"))
+    )
+    return (
+        run.groupBy("key")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+            F.max("open_now").cast("long").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("open_now") == F.col("key_max"), F.col("t"))
+            )
+            .cast("long")
+            .alias("peak_at_us"),
+        )
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k behavioral paths: the ``depth``-step state sequences
+    (n-grams of the per-key event stream in time order) ranked by
+    global frequency — the generalization of :func:`transition_matrix`
+    from bigrams to full paths, the "what do users actually do"
+    mining query. Returns (path, n_occurrences, n_users) with the
+    deterministic (count desc, path asc) tie-break.
+
+    Ordering is the transition-matrix contract: (epoch micros, event
+    id asc-nulls-last) so same-timestamp bursts are deterministic on
+    both engines; NULL timestamps are excluded.
+
+    Scale shape: one shuffle on the entity key for the lag windows
+    (depth − 1 lags over the SAME window spec share one sort), then a
+    combinable path count; the top-k is a count-keyed sort of the
+    |distinct paths| frame, not the corpus."""
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth}")
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    w = Window.partitionBy(key_col).orderBy(
+        us.asc(), F.col(id_col).asc_nulls_last()
+    )
+    base = events.where(F.col(ts_col).isNotNull())
+    steps = [F.col(state_col)] + [
+        F.lag(state_col, i).over(w) for i in range(1, depth)
+    ]
+    # steps[j] is the state j positions BACK: reverse for left-to-right
+    path = F.concat_ws(" > ", *reversed(steps))
+    grams = base.select(
+        F.col(key_col).alias("key"),
+        F.when(steps[depth - 1].isNotNull(), path).alias("path"),
+    ).where(F.col("path").isNotNull())
+    return (
+        grams.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("key").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(k)
+    )

@@ -25,19 +25,23 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 8 window (first 50), stale-first: the nine never-verified
+# Round 8 window (first 50), stale-first: the nineteen never-verified
 # round-8 registrations (RSJ retrieval, chunking, skyline, fuzzy join,
-# Mann-Kendall, EWMA, k-core, label propagation, triangles), then the
-# reworked RRF fusion and every family whose operator file changed
-# this round (retrieval, quantization, graph, temporal, minhash SQL,
-# text), interleaved with the four queries that slipped past the r7
-# cut. Everything past the cut is driver-green at its latest sampling
-# and re-verified every session by the local backstop.
+# Mann-Kendall, EWMA, k-core, label propagation, triangles, plus the
+# late-round batch: CUSUM, Holt, peak concurrency, top paths, BFS,
+# personalized PageRank, Count-Min, phrase search, skew deciles, FD
+# audit), then the reworked RRF fusion and every family whose operator
+# file changed this round (retrieval, quantization, graph, temporal,
+# minhash SQL, text), interleaved with the r7 slips. Everything past
+# the cut is driver-green at its latest sampling and re-verified every
+# session by the local backstop.
 _PRIORITY = (
     # --- round-8 window (first 50 = the driver's check set) ---------
     # never-driver-verified round-8 registrations
     "events_cusum_drift",
     "events_holt_forecast",
+    "events_peak_concurrency",
+    "events_top_paths",
     "graph_bfs_hops",
     "graph_ppr_seed_cohort",
     "text_cms_heavy_hitters",
@@ -107,16 +111,17 @@ _PRIORITY = (
     "text_domain_cap",
     "text_weighted_mixture",
     "text_substring_decontaminate",
-    # --- past the 50-cut (slipped, documented): the eight late-round
-    # registrations above (cusum/holt/bfs/ppr/cms/phrase/skew-deciles/
-    # fd-profile) displaced the tail of the edited text family — the
-    # window now cuts inside it after text_repetition_stats, so
-    # text_pii_scrub through text_substring_decontaminate plus
-    # text_top_terms_per_lang (r6 row, the newest in the family),
-    # text_normalize_summary and text_collocation_lift sit past the
-    # cut. All are re-verified every session by the sf0.001 local
-    # backstop and this round's full sf0.01 driver_sim sweeps; they
-    # lead the r9 rotation together with whatever r9 edits stale.
+    # --- past the 50-cut (slipped, documented): the ten late-round
+    # registrations above (cusum/holt/peak-concurrency/top-paths/bfs/
+    # ppr/cms/phrase/skew-deciles/fd-profile) displaced the tail of
+    # the edited text family — the window now cuts after
+    # text_curation_pipeline, so text_decontaminate_overlap through
+    # text_substring_decontaminate plus text_top_terms_per_lang (r6
+    # row, the newest in the family), text_normalize_summary and
+    # text_collocation_lift sit past the cut. All are re-verified
+    # every session by the sf0.001 local backstop and this round's
+    # full sf0.01 driver_sim sweeps; they lead the r9 rotation
+    # together with whatever r9 edits stale.
     "text_top_terms_per_lang",
     "text_normalize_summary",
     "text_collocation_lift",

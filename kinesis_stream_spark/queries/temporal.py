@@ -15,6 +15,8 @@ from kinesis_stream_spark.operators.temporal import (
     cusum,
     ewma,
     holt,
+    peak_concurrency,
+    top_paths,
     gap_fill_forward,
     mann_kendall,
     scd2_compact,
@@ -451,3 +453,75 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle (operator docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return holt(ev, unit_us=DAY_US).orderBy("key")
+
+
+_SESSION_US = 15 * 60 * 1_000_000
+
+
+@_q(
+    "events_peak_concurrency",
+    f"""
+    WITH pts AS (
+      SELECT event_type AS key, EPOCH_US(ts) AS t, 1 AS delta
+      FROM events WHERE ts IS NOT NULL
+      UNION ALL
+      SELECT event_type AS key, EPOCH_US(ts) + {_SESSION_US} AS t, -1 AS delta
+      FROM events WHERE ts IS NOT NULL),
+    sweep AS (
+      SELECT key, t,
+             SUM(delta) OVER (PARTITION BY key ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+      FROM pts),
+    run AS (
+      SELECT key, t, open_now,
+             MAX(open_now) OVER (PARTITION BY key) AS key_max
+      FROM sweep)
+    SELECT key,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_events,
+           CAST(MAX(open_now) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(CASE WHEN open_now = key_max THEN t END) AS BIGINT)
+             AS peak_at_us
+    FROM run
+    GROUP BY key
+    ORDER BY key
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 15-minute sessions per event type via the
+    sweep line (close-before-open tie rule): maximum simultaneously
+    open intervals and the earliest instant the peak is reached —
+    the capacity-planning query a self-join answers quadratically
+    (operator docstring for the determinism argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    return peak_concurrency(ev, duration_us=_SESSION_US).orderBy("key")
+
+
+@_q(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id AS key, event_type,
+             LAG(event_type, 1) OVER w AS s1,
+             LAG(event_type, 2) OVER w AS s2
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY EPOCH_US(ts), event_id NULLS LAST)),
+    grams AS (
+      SELECT key, s2 || ' > ' || s1 || ' > ' || event_type AS path
+      FROM seq WHERE s2 IS NOT NULL)
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT key) AS BIGINT) AS n_users
+    FROM grams
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths over per-user event streams
+    (the transition matrix generalized to full n-gram paths), with
+    the deterministic (epoch-micros, event-id) ordering contract and
+    (count desc, path) tie-break (operator docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return top_paths(ev, depth=3, k=20)

@@ -419,3 +419,61 @@ def test_holt_single_period_is_seed(spark):
     got = holt(df).collect()[0]
     assert got.level_fx == int(7.5 * EWMA_SCALE)
     assert got.trend_fx == 0 and got.forecast_fx == got.level_fx
+
+
+def test_peak_concurrency_sweep_hand_traced(spark):
+    """Three overlapping intervals peak at 3; back-to-back intervals
+    (one ends exactly where the next starts) never double-count
+    because the close processes before the open."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import peak_concurrency
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = (
+        # key a: starts at 0, 5, 10 min with 15-min duration -> all
+        # three open in [10, 15) -> peak 3 at t0+10min
+        [("a", t0), ("a", t0 + 5 * m), ("a", t0 + 10 * m)]
+        # key b: back-to-back (15 min apart, duration 15 min) -> peak 1
+        + [("b", t0), ("b", t0 + 15 * m)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r.key: r
+        for r in peak_concurrency(
+            df, duration_us=15 * 60 * 1_000_000
+        ).collect()
+    }
+    us0 = int(t0.timestamp() * 1_000_000)
+    assert got["a"].peak_concurrency == 3
+    assert got["a"].peak_at_us == us0 + 10 * 60 * 1_000_000
+    assert got["a"].n_events == 3
+    assert got["b"].peak_concurrency == 1
+    assert got["b"].peak_at_us == us0
+
+
+def test_top_paths_orders_and_bounds(spark):
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import top_paths
+
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = []
+    eid = 0
+    # two users walk view>click>buy; one walks view>click>view
+    for uid, states in ((1, "vcb"), (2, "vcb"), (3, "vcv")):
+        for i, st in enumerate(states):
+            rows.append((eid, t + i * s, uid, {"v": "view", "c": "click", "b": "buy"}[st]))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = top_paths(df, depth=3, k=10).collect()
+    assert got[0].path == "view > click > buy"
+    assert got[0].n_occurrences == 2 and got[0].n_users == 2
+    assert got[1].path == "view > click > view"
+    assert got[1].n_occurrences == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        top_paths(df, depth=1)
