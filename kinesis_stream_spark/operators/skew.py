@@ -196,9 +196,12 @@ def key_concentration_deciles(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("cnt").cast("long").alias("band_rows"),
             F.max("cum_rows").cast("long").alias("cum_rows"),
-            F.expr("max(cum_rows) * 1000000 div max(total)")
-            .cast("long")
-            .alias("cum_share_ppm"),
+            # DECIMAL multiply: BIGINT cum_rows * 1e6 would wrap past
+            # ~9.2e12 total rows — a real 100 TB row count
+            F.expr(
+                "cast(cast(max(cum_rows) as decimal(38,0)) * 1000000"
+                " div max(total) as long)"
+            ).alias("cum_share_ppm"),
         )
     )
 
@@ -233,8 +236,8 @@ def sql_key_concentration_deciles(
            CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(SUM(cnt) AS BIGINT) AS band_rows,
            CAST(MAX(cum_rows) AS BIGINT) AS cum_rows,
-           CAST(MAX(cum_rows) * 1000000 // MAX(total) AS BIGINT)
-             AS cum_share_ppm
+           CAST(CAST(MAX(cum_rows) AS HUGEINT) * 1000000
+                // MAX(total) AS BIGINT) AS cum_share_ppm
     FROM ranked CROSS JOIN tot
     GROUP BY 1
     """

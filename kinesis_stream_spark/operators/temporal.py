@@ -817,7 +817,10 @@ def top_paths(
 
     Ordering is the transition-matrix contract: (epoch micros, event
     id asc-nulls-last) so same-timestamp bursts are deterministic on
-    both engines; NULL timestamps are excluded.
+    both engines; NULL timestamps AND NULL states are excluded before
+    sequencing (a NULL state would silently shorten the path under
+    Spark's NULL-skipping concat_ws while NULL-propagating in SQL's
+    ``||`` — excluding it keeps one contract on both engines).
 
     Scale shape: one shuffle on the entity key for the lag windows
     (depth − 1 lags over the SAME window spec share one sort), then a
@@ -829,7 +832,9 @@ def top_paths(
     w = Window.partitionBy(key_col).orderBy(
         us.asc(), F.col(id_col).asc_nulls_last()
     )
-    base = events.where(F.col(ts_col).isNotNull())
+    base = events.where(
+        F.col(ts_col).isNotNull() & F.col(state_col).isNotNull()
+    )
     steps = [F.col(state_col)] + [
         F.lag(state_col, i).over(w) for i in range(1, depth)
     ]

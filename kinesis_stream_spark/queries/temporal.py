@@ -503,7 +503,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id AS key, event_type,
              LAG(event_type, 1) OVER w AS s1,
              LAG(event_type, 2) OVER w AS s2
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY EPOCH_US(ts), event_id NULLS LAST)),
     grams AS (
