@@ -504,3 +504,61 @@ def test_pagerank_round_scalars_broadcast_no_cartesian(spark):
     # rank/outdeg joins are hash joins — nothing may cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cms_estimation_broadcasts_cells_no_cartesian(spark, sf_dir):
+    from kinesis_stream_spark.queries.text import QUERIES
+
+    plan = _explain(QUERIES["text_cms_heavy_hitters"](spark, sf_dir))
+    # the DEPTH×WIDTH cell frame must broadcast onto the candidates;
+    # nothing in the sketch may degrade to a nested-loop product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_prefilters_vocab_and_equi_joins(spark, sf_dir):
+    from kinesis_stream_spark.queries.retrieval import QUERIES
+
+    plan = _explain(QUERIES["text_phrase_search"](spark, sf_dir))
+    # the postings frame is vocabulary-prefiltered and localCheckpointed
+    # once, so every phrase branch scans the SAME materialized RDD (the
+    # IN-filter lives inside that lineage, not replayed per branch);
+    # the position chain stays broadcast equi-join — no nested-loop
+    assert "Scan ExistingRDD" in plan and "tok#" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_deciles_cumsum_is_partitioned_not_global(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["agg_supplier_skew_deciles"](spark, sf_dir))
+    # both distributed_cumsum passes run pid-partitioned local windows;
+    # the only single-partition window is the buckets-row offset frame
+    assert "hashpartitioning(_ds_pid" in plan
+
+
+def test_top_paths_windows_on_entity_key(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_top_paths"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_peak_concurrency_sweep_windows_on_key(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_peak_concurrency"](spark, sf_dir))
+    # the sweep and the key-max windows both partition by the key —
+    # a missing partitionBy would funnel every endpoint through one task
+    assert "hashpartitioning(key" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_fd_profile_is_joinless_union_of_aggregates(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["profile_orders_fds"](spark, sf_dir))
+    # independent per-pair aggregate branches unioned — no join anywhere
+    assert "Join" not in plan
+    assert plan.count("Union") >= 1
