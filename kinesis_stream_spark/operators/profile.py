@@ -146,7 +146,9 @@ def fd_profile(
     loop builds a UNION plan of independent branches — each prunable
     and parallel. NULL dependents are ignored by COUNT(DISTINCT) on
     both engines; a NULL determinant forms its own group (same
-    convention as groupBy everywhere)."""
+    convention as groupBy everywhere). On an EMPTY relation the FD
+    holds vacuously: n_violating_groups coalesces to 0 so fd_holds is
+    TRUE, never NULL (SUM over zero groups is NULL in both engines)."""
     if not pairs:
         raise ValueError("pairs must be non-empty")
     outs = []
@@ -157,7 +159,9 @@ def fd_profile(
         outs.append(
             per.agg(
                 F.count(F.lit(1)).alias("n_groups"),
-                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_violating_groups"),
                 F.max("nd").alias("max_dependents"),
@@ -182,10 +186,11 @@ def sql_fd_profile(table: str, pairs: list[tuple[str, str]]) -> str:
         f"""
         SELECT '{det}' AS determinant, '{dep}' AS dependent,
                CAST(COUNT(*) AS BIGINT) AS n_groups,
-               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_violating_groups,
+               CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_violating_groups,
                CAST(MAX(nd) AS BIGINT) AS max_dependents,
-               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+               COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0
+                 AS fd_holds
         FROM (
           SELECT {det}, CAST(COUNT(DISTINCT {dep}) AS BIGINT) AS nd
           FROM {table} GROUP BY {det}

@@ -113,37 +113,68 @@ def distributed_cumsum(
     on a real cluster with executor churn, point the job at a durable
     ``checkpoint()`` dir instead (same note as operators/components.py).
     """
-    val = F.col(val_col) if isinstance(val_col, str) else val_col
-    part = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("_ds_pid", F.spark_partition_id())
-        .withColumn("_ds_val", val)
-        .localCheckpoint(eager=False)
+    return distributed_cumsums(
+        df, order_cols, [(val_col, out_col)], num_partitions=num_partitions
     )
+
+
+def distributed_cumsums(
+    df: DataFrame,
+    order_cols: list[Column],
+    vals: list[tuple[Column | str, str]],
+    *,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """:func:`distributed_cumsum` for SEVERAL running sums that share
+    one ordering: every (val, out) pair rides the SAME range exchange,
+    the same pid-partitioned local window pass, and one broadcast
+    offset frame — n running sums for one shuffle, not n."""
+    if not vals:
+        raise ValueError("vals must be non-empty")
+    cols = [
+        (F.col(v) if isinstance(v, str) else v, out) for v, out in vals
+    ]
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_ds_pid", F.spark_partition_id()
+    )
+    for i, (val, _) in enumerate(cols):
+        part = part.withColumn(f"_ds_val{i}", val)
+    part = part.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("_ds_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("_ds_loc", F.sum("_ds_val").over(w_local))
+    local = part
+    for i in range(len(cols)):
+        local = local.withColumn(
+            f"_ds_loc{i}", F.sum(f"_ds_val{i}").over(w_local)
+        )
     # exclusive prefix of per-partition totals: num_partitions rows —
     # the one legitimately tiny single-partition window in this shape
     w_off = Window.orderBy("_ds_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    offs = (
-        part.groupBy("_ds_pid")
-        .agg(F.sum("_ds_val").alias("_ds_tot"))
-        .select(
-            "_ds_pid",
-            (F.sum("_ds_tot").over(w_off) - F.col("_ds_tot")).alias("_ds_off"),
+    offs = part.groupBy("_ds_pid").agg(
+        *[F.sum(f"_ds_val{i}").alias(f"_ds_tot{i}") for i in range(len(cols))]
+    )
+    offs = offs.select(
+        "_ds_pid",
+        *[
+            (
+                F.sum(f"_ds_tot{i}").over(w_off) - F.col(f"_ds_tot{i}")
+            ).alias(f"_ds_off{i}")
+            for i in range(len(cols))
+        ],
+    )
+    out = local.join(F.broadcast(offs), "_ds_pid")
+    drop = ["_ds_pid"]
+    for i, (_, out_col) in enumerate(cols):
+        out = out.withColumn(
+            out_col, F.col(f"_ds_loc{i}") + F.col(f"_ds_off{i}")
         )
-    )
-    return (
-        local.join(F.broadcast(offs), "_ds_pid")
-        .withColumn(out_col, F.col("_ds_loc") + F.col("_ds_off"))
-        .drop("_ds_pid", "_ds_val", "_ds_loc", "_ds_off")
-    )
+        drop += [f"_ds_val{i}", f"_ds_loc{i}", f"_ds_off{i}"]
+    return out.drop(*drop)
 
 
 def key_concentration_deciles(
@@ -165,12 +196,13 @@ def key_concentration_deciles(
     arithmetic end to end.
 
     Scale shape: the corpus-sized pass is the per-key count
-    (map-side combinable); ranking and the running row total go
-    through :func:`distributed_cumsum` on the post-aggregation key
-    frame — range-partitioned local windows, NO single-reducer global
-    window — and the band summary is a ``buckets``-row aggregate. The
-    oracle deliberately uses the textbook single-window formulation —
-    two different prefix-sum strategies must agree."""
+    (map-side combinable); rank AND the running row total ride ONE
+    :func:`distributed_cumsums` pass on the post-aggregation key
+    frame — one range exchange, range-partitioned local windows, NO
+    single-reducer global window — and the band summary is a
+    ``buckets``-row aggregate. The oracle deliberately uses the
+    textbook single-window formulation — two different prefix-sum
+    strategies must agree."""
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     cnts = df.groupBy(F.col(key_col).alias("key")).agg(
@@ -181,8 +213,9 @@ def key_concentration_deciles(
         F.sum("cnt").cast("long").alias("total"),
     )
     order = [F.desc("cnt"), F.asc("key")]
-    cum = distributed_cumsum(cnts, order, "cnt", "cum_rows")
-    ranked = distributed_cumsum(cum, order, F.lit(1), "rank")
+    ranked = distributed_cumsums(
+        cnts, order, [("cnt", "cum_rows"), (F.lit(1), "rank")]
+    )
     return (
         ranked.crossJoin(F.broadcast(tot))
         .select(

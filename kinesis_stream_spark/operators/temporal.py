@@ -531,8 +531,12 @@ def ewma(
     grid (e.g. days in window), never by event count; the fold is a
     per-row array op on that bounded list. The sequential recurrence
     lives entirely inside one row — no cross-row window, no
-    serialized global pass."""
-    daily = events.groupBy(
+    serialized global pass.
+
+    NULL timestamps are excluded by contract (a NULL bucket has no
+    position in the fold order, and engines disagree on where NULLs
+    sort — the oracle applies the same WHERE)."""
+    daily = events.where(F.col(ts_col).isNotNull()).groupBy(
         F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
     ).agg(dsum(value_col, "v"))
     vfx = F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")
@@ -593,8 +597,11 @@ def cusum(
     cross-row window, no serialized pass. State is a 5-long BIGINT
     array; headroom: |x−μ| ≤ 2·max|v|·2^20 and the fold caps S at
     max excursion ≤ Σ|x−μ| ≤ P·2^42-ish for bounded values — far
-    inside BIGINT for any bucket grid."""
-    daily = events.groupBy(
+    inside BIGINT for any bucket grid.
+
+    NULL timestamps are excluded by contract (:func:`ewma`'s rule —
+    a NULL bucket has no defined fold position)."""
+    daily = events.where(F.col(ts_col).isNotNull()).groupBy(
         F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
     ).agg(dsum(value_col, "v"))
     vfx = F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")
@@ -683,8 +690,11 @@ def holt(
     list inside one row — ``FLOOR(x / 4.0)`` divides (power-of-two
     double divide is exact; floor agrees across engines on
     negatives). Headroom: l tracks the data range and b its per-step
-    delta — both bounded by max|v|·2^21-ish, far inside BIGINT."""
-    daily = events.groupBy(
+    delta — both bounded by max|v|·2^21-ish, far inside BIGINT.
+
+    NULL timestamps are excluded by contract (:func:`ewma`'s rule —
+    a NULL bucket has no defined fold position)."""
+    daily = events.where(F.col(ts_col).isNotNull()).groupBy(
         F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
     ).agg(dsum(value_col, "v"))
     vfx = F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")

@@ -312,7 +312,7 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
              CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     fx AS (SELECT key, bucket,
                   CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS vfx
            FROM daily),
@@ -345,7 +345,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
              CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     fx AS (SELECT key, bucket,
                   CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS vfx
            FROM daily),
@@ -417,7 +417,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
              CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     fx AS (SELECT key, bucket,
                   CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS vfx
            FROM daily),

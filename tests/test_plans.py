@@ -533,9 +533,11 @@ def test_skew_deciles_cumsum_is_partitioned_not_global(spark, sf_dir):
     from kinesis_stream_spark.queries.relational import QUERIES
 
     plan = _explain(QUERIES["agg_supplier_skew_deciles"](spark, sf_dir))
-    # both distributed_cumsum passes run pid-partitioned local windows;
-    # the only single-partition window is the buckets-row offset frame
+    # rank + cum_rows ride ONE distributed_cumsums pass: a single
+    # pid-partitioned local window; the only single-partition window
+    # is the buckets-row offset frame
     assert "hashpartitioning(_ds_pid" in plan
+    assert plan.count("hashpartitioning(_ds_pid") == 1
 
 
 def test_top_paths_windows_on_entity_key(spark, sf_dir):

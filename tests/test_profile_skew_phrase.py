@@ -33,6 +33,16 @@ def test_fd_profile_holds_and_violates(spark):
         fd_profile(df, [])
 
 
+def test_fd_profile_empty_relation_holds_vacuously(spark):
+    """On an empty relation the FD holds vacuously: n_violating_groups
+    must be 0 and fd_holds TRUE — not NULL (SUM over zero groups)."""
+    df = spark.createDataFrame([], "k long, a string, b string")
+    r = fd_profile(df, [("a", "b")]).collect()[0]
+    assert r.n_groups == 0
+    assert r.n_violating_groups == 0
+    assert r.fd_holds is True
+
+
 def test_key_concentration_deciles_uniform_and_hot(spark):
     # 10 keys: key 0 has 91 rows, keys 1..9 have 1 row each -> 100 rows
     rows = [(0,)] * 91 + [(k,) for k in range(1, 10)]

@@ -9,6 +9,8 @@ from __future__ import annotations
 import math
 import random
 import re
+
+import pytest
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -202,6 +204,35 @@ def test_distributed_cumsum_equals_global_window(spark):
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want = df.withColumn("cum", F.sum("v").over(w))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_distributed_cumsums_two_sums_one_pass(spark):
+    """rank + running total from ONE range exchange, matching the
+    textbook global-window formulation of each."""
+    from kinesis_stream_spark.operators.skew import distributed_cumsums
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(1, 40)) for i in rng.sample(range(5_000), 300)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = distributed_cumsums(
+        df, order, [("v", "cum"), (F.lit(1), "rank")], num_partitions=6
+    )
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w)).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_distributed_cumsums_rejects_empty_vals(spark):
+    from kinesis_stream_spark.operators.skew import distributed_cumsums
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError):
+        distributed_cumsums(df, [F.col("k")], [])
 
 
 def test_distributed_cumsum_desc_composite_order(spark):

@@ -314,6 +314,29 @@ def test_ewma_order_is_bucket_order_not_arrival(spark):
     assert a.ewma_fx == b.ewma_fx
 
 
+def test_fold_operators_exclude_null_timestamps(spark):
+    """NULL-ts rows are excluded BY CONTRACT from ewma/cusum/holt: a
+    NULL bucket has no defined fold position, and the engines disagree
+    on where NULLs sort (Spark array_sort NULLS FIRST vs DuckDB LIST
+    ORDER BY NULLS LAST) — so the operator result with a NULL-ts row
+    present must equal the result with it dropped."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import cusum, ewma, holt
+
+    clean = [
+        (1, dt.datetime(2024, 1, d, 1), float(v))
+        for d, v in ((1, 10.0), (2, 20.0), (3, 30.0))
+    ]
+    dirty = clean + [(1, None, 1000.0)]
+    schema = "user_id long, ts timestamp, value double"
+    df_clean = spark.createDataFrame(clean, schema)
+    df_dirty = spark.createDataFrame(dirty, schema)
+    for op in (ewma, cusum, holt):
+        a = [tuple(r) for r in op(df_clean).collect()]
+        b = [tuple(r) for r in op(df_dirty).collect()]
+        assert a == b, op.__name__
+
+
 def test_cusum_hand_traced_fold(spark):
     """Python replay of the integer fold on a hand-built series with a
     level shift — the alarm must fire after the shift, and every state
