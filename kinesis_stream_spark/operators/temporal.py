@@ -863,3 +863,210 @@ def top_paths(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(k)
     )
+
+
+def linear_trend(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Per-key ordinary-least-squares linear trend of the bucketed
+    period sums: slope and intercept of yfx ~ x where x is the period
+    index RELATIVE to the key's first period (0, 1, 2, …) and yfx is
+    the 2^20 fixed-point period sum — the closed-form regression every
+    per-entity trend feature ("is this user's spend rising?") needs,
+    without an iterative solver.
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Output per key: (key, n_periods, slope_fx_per_period, slope,
+    intercept, forecast_next) — slope/intercept/forecast in value
+    units (an exact power-of-two divide of the fx quantities).
+    Single-period keys emit NULL slope (den = 0) by contract.
+
+    Exactness chain: the :func:`ewma` discipline — DECIMAL(27,6)
+    period sums, one exact power-of-two multiply into 2^20 BIGINT fx.
+    Centering x on the key's min bucket keeps x grid-sized (not
+    epoch-sized), so per-row products x·yfx fit BIGINT; the four
+    moment sums accumulate as DECIMAL(38,0) (order-free), the
+    slope/intercept arithmetic runs in DECIMAL(38,0) exactly, and the
+    ONLY floats are the final pinned-order divides (correctly-rounded
+    casts on both engines).
+
+    Scale shape: one map-side-combinable (key, bucket) aggregate over
+    the corpus, a key-partitioned MIN window on the period frame, then
+    one combinable moment aggregate per key — no per-row state, no
+    iteration, no driver math. NULL timestamps are excluded by
+    contract (:func:`ewma`'s rule)."""
+    daily = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
+    ).agg(dsum(value_col, "v"))
+    w0 = Window.partitionBy("key")
+    per = daily.select(
+        "key",
+        (F.col("bucket") - F.min("bucket").over(w0)).cast("long").alias("x"),
+        F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long").alias("yfx"),
+    )
+    d38 = "decimal(38,0)"
+    m = per.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yfx").cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("yfx")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n_d = F.col("n").cast(d38)
+    num = n_d * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")
+    den = n_d * F.col("sxx").cast(d38) - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    slope_fx = F.when(
+        den == 0, F.lit(None).cast("double")
+    ).otherwise(num.cast("double") / den.cast("double"))
+    # intercept_fx = (Σy − slope·Σx)/n, pinned order, fx units
+    icept_fx = (
+        F.col("sy").cast("double") - slope_fx * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    fcast_fx = slope_fx * (F.col("n").cast("double")) + icept_fx
+    s = float(EWMA_SCALE)
+    return m.select(
+        "key",
+        F.col("n").alias("n_periods"),
+        slope_fx.alias("slope_fx_per_period"),
+        (slope_fx / s).alias("slope"),
+        (icept_fx / s).alias("intercept"),
+        (fcast_fx / s).alias("forecast_next"),
+    )
+
+
+def sql_linear_trend(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`linear_trend` — identical fx
+    encoding, DECIMAL(38,0) moments, and pinned-order final divides."""
+    s = float(EWMA_SCALE)
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+             CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+    per AS (
+      SELECT key,
+             CAST(bucket - MIN(bucket) OVER (PARTITION BY key) AS BIGINT) AS x,
+             CAST(FLOOR(v * {s!r}) AS BIGINT) AS yfx
+      FROM daily),
+    m AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(yfx) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * yfx) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM per GROUP BY key),
+    fit AS (
+      SELECT key, n,
+             CASE WHEN CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                       - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) = 0
+                  THEN NULL
+                  ELSE CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                              - CAST(sx AS DECIMAL(38,0))
+                                * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+             END AS slope_fx,
+             CAST(sy AS DOUBLE) AS sy_d, CAST(sx AS DOUBLE) AS sx_d,
+             CAST(n AS DOUBLE) AS n_d
+      FROM m)
+    SELECT key, n AS n_periods,
+           slope_fx AS slope_fx_per_period,
+           slope_fx / {s!r} AS slope,
+           ((sy_d - slope_fx * sx_d) / n_d) / {s!r} AS intercept,
+           (slope_fx * n_d + ((sy_d - slope_fx * sx_d) / n_d)) / {s!r}
+             AS forecast_next
+    FROM fit
+    """
+
+
+def seasonal_profile(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key day-of-week seasonality profile: each weekday slot's
+    share of activity and its seasonal index (slot mean ÷ key mean) —
+    the calendar-pattern diagnostic behind load forecasting and
+    anomaly baselines ("is Monday always 2× Tuesday, or is this
+    Monday anomalous?").
+
+    The weekday slot is ``(EPOCH_US // DAY_US) % 7`` — epoch-day
+    modulo, NOT a calendar DAYOFWEEK: engines disagree on week-start
+    conventions (Spark 1 = Sunday, DuckDB 0 = Sunday) while integer
+    floor-div + mod is convention-free (slot 0 = Thursday, the epoch
+    day). Output per (key, dow_slot): n_events, sum_value, mean_value,
+    seasonal_index (pinned-order double divide of exact-decimal
+    means).
+
+    Scale shape: one map-side-combinable (key, slot) aggregate over
+    the corpus, a 7-rows-per-key reduction joined back broadcast —
+    never a second corpus pass. NULL timestamps are excluded by
+    contract."""
+    per = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            (_bucket(ts_col, DAY_US) % 7).cast("int").alias("dow_slot"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast(DEC)).alias("_s"),
+        )
+    )
+    tot = per.groupBy("key").agg(
+        F.sum("n_events").cast("long").alias("_tn"),
+        F.sum("_s").alias("_ts"),
+    )
+    mean_slot = F.col("_s").cast("double") / F.col("n_events").cast("double")
+    mean_key = F.col("_ts").cast("double") / F.col("_tn").cast("double")
+    return per.join(F.broadcast(tot), "key").select(
+        "key",
+        "dow_slot",
+        "n_events",
+        F.col("_s").cast("double").alias("sum_value"),
+        mean_slot.alias("mean_value"),
+        (mean_slot / mean_key).alias("seasonal_index"),
+    )
+
+
+def sql_seasonal_profile(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`seasonal_profile`."""
+    return f"""
+    WITH per AS (
+      SELECT {key_col} AS key,
+             CAST((EPOCH_US({ts_col}) // {DAY_US}) % 7 AS INT) AS dow_slot,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST({value_col} AS DECIMAL(27,6))) AS _s
+      FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT key, CAST(SUM(n_events) AS BIGINT) AS _tn, SUM(_s) AS _ts
+      FROM per GROUP BY key)
+    SELECT p.key, p.dow_slot, p.n_events,
+           CAST(p._s AS DOUBLE) AS sum_value,
+           CAST(p._s AS DOUBLE) / CAST(p.n_events AS DOUBLE) AS mean_value,
+           (CAST(p._s AS DOUBLE) / CAST(p.n_events AS DOUBLE))
+             / (CAST(t._ts AS DOUBLE) / CAST(t._tn AS DOUBLE))
+             AS seasonal_index
+    FROM per p JOIN tot t USING (key)
+    """

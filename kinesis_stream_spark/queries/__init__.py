@@ -162,6 +162,7 @@ def _modules():
         relational,
         retrieval,
         scalar,
+        sketch,
         similarity,
         streaming_batch,
         temporal,
@@ -187,5 +188,6 @@ def _modules():
         multimodal,
         streaming_batch,
         temporal,
+        sketch,
         udf,
     )

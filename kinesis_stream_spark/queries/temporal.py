@@ -18,8 +18,12 @@ from kinesis_stream_spark.operators.temporal import (
     peak_concurrency,
     top_paths,
     gap_fill_forward,
+    linear_trend,
     mann_kendall,
     scd2_compact,
+    seasonal_profile,
+    sql_linear_trend,
+    sql_seasonal_profile,
 )
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -525,3 +529,26 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, path) tie-break (operator docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return top_paths(ev, depth=3, k=20)
+
+
+@_q("events_linear_trend", sql_linear_trend() + " ORDER BY key")
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS linear trend (slope/intercept/one-step forecast)
+    of daily value sums — closed-form regression in exact DECIMAL(38,0)
+    moments with pinned-order final divides (operator docstring for
+    the grid-bounded centering and the combinable moment shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return linear_trend(ev, unit_us=DAY_US).orderBy("key")
+
+
+@_q(
+    "events_seasonal_profile",
+    sql_seasonal_profile() + " ORDER BY key, dow_slot",
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type day-of-week seasonality profile with seasonal
+    indexes — epoch-day modulo slots (convention-free across engines),
+    exact-decimal slot sums, one combinable corpus pass (operator
+    docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_profile(ev).orderBy("key", "dow_slot")
