@@ -789,3 +789,122 @@ def sql_personalized_pagerank(
                CAST(r AS DOUBLE) / {PR_SCALE} AS rank
                FROM r{iterations}"""
     )
+
+
+def cheapest_path(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source cheapest path (Bellman-Ford relaxation) over the
+    undirected view of a WEIGHTED edge list: every source starts at
+    cost 0; each round relaxes one edge step
+
+        cost'(v) = min(cost(v), min over neighbors u of cost(u) + w(u,v))
+
+    Returns (node, cost) for every node reached within ``rounds`` edge
+    steps — the weighted upgrade of :func:`bfs_hops` (hop counts answer
+    "how far"; this answers "how cheap"). Weights must be non-negative
+    BIGINTs (integer cents in the registered query — the engine's
+    fixed-point discipline: never float adds inside a fold).
+
+    Fixed-round contract (the :func:`pagerank` / :func:`bfs_hops`
+    discipline): ``rounds`` bounds the relaxation depth
+    deterministically — the result is the cheapest cost USING AT MOST
+    ``rounds`` edges, which the DuckDB oracle replays as unrolled CTEs.
+    Full Bellman-Ford convergence is rounds = |V| − 1; bounded-depth
+    is the deployment norm (blast radius, not all-pairs).
+
+    Scale shape: parallel (a, b) edges collapse to their MIN weight
+    map-side BEFORE any iteration (the only corpus-sized pass);
+    each round is one edge-sized hash join + node-keyed MIN, with
+    per-round ``localCheckpoint`` lineage cuts and release discipline.
+    Costs are bounded by rounds·max(w) — no N-proportional growth.
+    Sources that aren't graph nodes are dropped by the semi join."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.col(src_col).alias("a"),
+            F.col(dst_col).alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+    )
+    und = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    cost = (
+        nodes.join(
+            sources.select(F.col(node_col).alias("node")).distinct(),
+            "node",
+            "left_semi",
+        )
+        .select("node", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = und.join(
+            cost.select(F.col("node").alias("a"), "cost"), "a"
+        ).select(
+            F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        prev = cost
+        cost = (
+            cost.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(prev)
+    _release_local_checkpoint(und)
+    return cost
+
+
+def sql_cheapest_path(
+    edges_cte: str,
+    sources_cte: str,
+    *,
+    rounds: int,
+) -> str:
+    """DuckDB oracle twin of :func:`cheapest_path`: identical
+    min-weight edge collapse and relaxation rounds unrolled as CTEs.
+    ``edges_cte`` must yield (src, dst, w); ``sources_cte`` a ``node``
+    column."""
+    ctes = [
+        f"rawe AS ({edges_cte})",
+        "e AS (SELECT src AS a, dst AS b, CAST(w AS BIGINT) AS w FROM rawe"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "und AS (SELECT a, b, MIN(w) AS w FROM"
+        " (SELECT a, b, w FROM e UNION ALL SELECT b AS a, a AS b, w FROM e)"
+        " GROUP BY 1, 2)",
+        f"srcs AS ({sources_cte})",
+        "c0 AS (SELECT DISTINCT n.node, CAST(0 AS BIGINT) AS cost"
+        " FROM (SELECT DISTINCT a AS node FROM und) n"
+        " JOIN (SELECT DISTINCT node FROM srcs) s USING (node))",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""c{i + 1} AS (
+              SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM c{i}
+                UNION ALL
+                SELECT u.b AS node, c.cost + u.w AS cost
+                FROM und u JOIN c{i} c ON c.node = u.a
+              ) GROUP BY 1
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, cost FROM c{rounds}"
+    )

@@ -30,7 +30,9 @@ from pyspark.sql.window import Window
 from kinesis_stream_spark.functions.hashing import (
     WS_RUN,
     md5_int64,
+    shingles,
     sql_md5_int64,
+    sql_shingles,
     sql_tokens,
     tokens,
 )
@@ -1033,3 +1035,82 @@ def collocations(
             ).alias("lift"),
         )
     )
+
+
+def bigram_novelty(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document bigram novelty: what fraction of a document's
+    DISTINCT word bigrams appear in fewer than ``min_df`` documents
+    corpus-wide — the out-of-vocabulary / gibberish scorer that flags
+    both junk (random token soup → all bigrams novel) and genuinely
+    fresh content, the complement of the boilerplate fraction
+    (:func:`boilerplate_fraction` measures the over-shared tail; this
+    measures the never-shared one).
+
+    Output per document: (doc_id, n_bigrams, n_novel, novelty_ppm) —
+    integer parts-per-million (exact BIGINT arithmetic, no floats).
+    Documents with < 2 tokens contribute their whole text as one
+    pseudo-gram (the :func:`~kinesis_stream_spark.functions.hashing.shingles`
+    contract); NULL-text documents emit no row.
+
+    Scale shape: one explode of the per-doc DISTINCT bigram sets, one
+    map-side-combinable document-frequency aggregate over it, one
+    equi-join back on the gram, one per-doc aggregate — the standard
+    explode/agg/join diamond, every stage combinable and
+    skew-bounded (a bigram's df is capped by the corpus, and the join
+    key distribution IS the df distribution this operator measures)."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    grams = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), 2)).alias("g"),
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    per = (
+        grams.join(df, "g")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("gdf") < min_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        "n_bigrams",
+        "n_novel",
+        F.expr("(n_novel * 1000000) div n_bigrams").alias("novelty_ppm"),
+    )
+
+
+def sql_bigram_novelty(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> str:
+    """DuckDB oracle twin of :func:`bigram_novelty` (identical shingle
+    set, df counts, and integer ppm)."""
+    sh = sql_shingles(text_col, 2)
+    return f"""
+    WITH grams AS (
+      SELECT {id_col} AS doc, UNNEST({sh}) AS g
+      FROM {table} WHERE {text_col} IS NOT NULL),
+    gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf FROM grams GROUP BY g),
+    per AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN gdf < {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM grams JOIN gdf USING (g)
+      GROUP BY doc)
+    SELECT doc AS {id_col}, n_bigrams, n_novel,
+           (n_novel * 1000000) // n_bigrams AS novelty_ppm
+    FROM per
+    """

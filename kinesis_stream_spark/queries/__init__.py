@@ -153,6 +153,7 @@ def _modules():
     from kinesis_stream_spark.queries import (
         dedup,
         evaluation,
+        experiment,
         fuzzy,
         graph,
         minhash_profile,
@@ -189,5 +190,6 @@ def _modules():
         streaming_batch,
         temporal,
         sketch,
+        experiment,
         udf,
     )

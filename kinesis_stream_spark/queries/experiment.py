@@ -1,0 +1,41 @@
+"""Experiment-analysis query inventory (events table; SURVEY.md §2.3
+extension row "A/B two-proportion z-test"): deterministic hash-split
+assignment + per-metric conversion lift scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinesis_stream_spark.operators.experiment import (
+    ab_conversion_ztest,
+    sql_ab_conversion_ztest,
+)
+from kinesis_stream_spark.sources.batch import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "events_ab_test_zscore",
+    sql_ab_conversion_ztest() + " ORDER BY metric",
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type conversion A/B readout under a deterministic
+    md5 50/50 user split: unit counts, conversion counts, rates, lift,
+    and the pooled two-proportion z statistic — exact integer counts,
+    pinned-order double z arithmetic, one corpus pass (operator
+    docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ab_conversion_ztest(ev).orderBy("metric")

@@ -15,11 +15,13 @@ from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.graph import (
     bfs_hops,
+    cheapest_path,
     kcore,
     label_propagation,
     pagerank,
     personalized_pagerank,
     sql_bfs_hops,
+    sql_cheapest_path,
     sql_kcore,
     sql_label_propagation,
     sql_pagerank,
@@ -217,3 +219,50 @@ def graph_ppr_seed_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(
         _purchase_edges(spark, sf_dir), sources, iterations=ITERATIONS
     ).orderBy(F.desc("rank_fx"), F.asc("node"))
+
+
+_WEDGES_CTE = """
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+         MIN(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+"""
+
+
+@_q(
+    "graph_cheapest_path",
+    sql_cheapest_path(_WEDGES_CTE, _BFS_SOURCES_CTE, rounds=_BFS_ROUNDS)
+    + " ORDER BY node",
+)
+def graph_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source cheapest path over the purchase graph with edge
+    weights = the cheapest lineitem (integer cents) between that
+    customer and supplier: the weighted companion of graph_bfs_hops —
+    "how cheaply can the seed cohort reach each node in ≤ 3 edge
+    steps". Bellman-Ford relaxation, exact BIGINT costs; the oracle
+    unrolls the identical rounds (operator docstring). The cents
+    encoding is FLOOR(price·100 + 0.5) — one deterministic IEEE
+    multiply+add, identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+            ).alias("w")
+        )
+    )
+    sources = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return cheapest_path(edges, sources, rounds=_BFS_ROUNDS).orderBy("node")

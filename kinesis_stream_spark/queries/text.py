@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.text import (
     BPE_PATTERN,
+    sql_bigram_novelty,
     LANG_MARKERS,
     STOPWORDS,
     chunk_windows,
@@ -815,3 +816,18 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_heavy_hitters(docs, text_col="text", top_k=20).orderBy(
         F.desc("exact_cnt"), F.asc("token")
     )
+
+
+@_q(
+    "text_bigram_novelty",
+    sql_bigram_novelty() + " ORDER BY doc_id",
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty (ppm of distinct bigrams seen in
+    < 2 documents corpus-wide) — the OOV/gibberish scorer complementing
+    the boilerplate fraction; exact integer arithmetic end to end
+    (operator docstring for the explode/agg/join diamond)."""
+    from kinesis_stream_spark.operators.text import bigram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_novelty(docs).orderBy("doc_id")
