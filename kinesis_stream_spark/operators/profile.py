@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+D38 = "decimal(38,0)"
+
 
 def profile_columns(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
     """Per-column profile: (column_name, n_nulls, n_distinct).
@@ -198,3 +200,185 @@ def sql_fd_profile(table: str, pairs: list[tuple[str, str]]) -> str:
         for det, dep in pairs
     ]
     return " UNION ALL ".join(selects)
+
+
+def numeric_correlations(
+    df: DataFrame, pairs: list[tuple[str, str]], *, scale_bits: int = 20
+) -> DataFrame:
+    """Pearson correlation for a list of numeric column pairs, in the
+    engine's exact fixed-point discipline: values quantize to
+    ⌊x·2^scale_bits⌋ BIGINTs (one exact power-of-two multiply), the
+    five moment sums accumulate EXACTLY (per-row cross products as
+    DECIMAL(38,0) — a wide column squared at 2^20 overflows BIGINT
+    per-row), and
+
+        r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    runs as pinned-order doubles on the exact integer moments (two
+    correctly-rounded sqrts, one multiply, one divide). The result is
+    the correlation of the QUANTIZED columns — a deterministic,
+    engine-independent contract (Pearson is invariant to linear maps,
+    so quantization error is the only deviation from the real-valued r
+    and shrinks with scale_bits).
+
+    Output per pair: (col_x, col_y, n, r) — r NULL when either column
+    is constant (zero variance). Rows where either column is NULL are
+    excluded pairwise. One combinable aggregate per pair over its
+    pruned 2-column projection; the pair list is workload, so the
+    UNION branches are independent and parallel."""
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    s = float(1 << scale_bits)
+    outs = []
+    for cx, cy in pairs:
+        both = df.where(F.col(cx).isNotNull() & F.col(cy).isNotNull()).select(
+            F.floor(F.col(cx) * F.lit(s)).cast("long").alias("xfx"),
+            F.floor(F.col(cy) * F.lit(s)).cast("long").alias("yfx"),
+        )
+        d19 = "decimal(19,0)"
+        m = both.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xfx").cast(D38).alias("sx"),
+            F.sum("yfx").cast(D38).alias("sy"),
+            F.sum(
+                (F.col("xfx").cast(d19) * F.col("yfx").cast(d19)).cast(D38)
+            ).cast(D38).alias("sxy"),
+            F.sum(
+                (F.col("xfx").cast(d19) * F.col("xfx").cast(d19)).cast(D38)
+            ).cast(D38).alias("sxx"),
+            F.sum(
+                (F.col("yfx").cast(d19) * F.col("yfx").cast(d19)).cast(D38)
+            ).cast(D38).alias("syy"),
+        )
+        n_d = F.col("n").cast(D38)
+        num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+        vx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+        vy = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+        r = F.when(
+            (vx == 0) | (vy == 0), F.lit(None).cast("double")
+        ).otherwise(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        outs.append(
+            m.select(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                "n",
+                r.alias("r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def sql_numeric_correlations(
+    table: str, pairs: list[tuple[str, str]], *, scale_bits: int = 20
+) -> str:
+    """DuckDB oracle twin of :func:`numeric_correlations` — identical
+    quantization, HUGEINT-exact moments, pinned-order final floats."""
+    s = float(1 << scale_bits)
+    selects = []
+    for cx, cy in pairs:
+        selects.append(
+            f"""
+        SELECT '{cx}' AS col_x, '{cy}' AS col_y, n,
+               CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0
+                      OR CAST(n AS HUGEINT) * syy - sy * sy = 0 THEN NULL
+                    ELSE CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                         / (SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                      AS DOUBLE))
+                            * SQRT(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                        AS DOUBLE)))
+               END AS r
+        FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xfx) AS HUGEINT) AS sx,
+                 CAST(SUM(yfx) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(xfx AS HUGEINT) * yfx) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(xfx AS HUGEINT) * xfx) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(yfx AS HUGEINT) * yfx) AS HUGEINT) AS syy
+          FROM (
+            SELECT CAST(FLOOR({cx} * {s!r}) AS BIGINT) AS xfx,
+                   CAST(FLOOR({cy} * {s!r}) AS BIGINT) AS yfx
+            FROM {table}
+            WHERE {cx} IS NOT NULL AND {cy} IS NOT NULL
+          )
+        )"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    *,
+    key_col: str,
+    val_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change set to a snapshot — batch MERGE semantics
+    (the lakehouse ``MERGE INTO`` re-expressed as one full-outer join,
+    exactly how Delta/Iceberg execute it under the hood):
+
+        op = 'D'        delete the key (no-op if absent)
+        op = 'U' / 'I'  upsert: replace the row if present, insert if
+                        not (idempotent — replaying a change batch
+                        converges)
+
+    Returns the merged snapshot with ``key_col`` + ``val_cols``.
+    Multiple changes per key in one batch are a caller error (the
+    operator takes the change set as-is; sequence-collapse first —
+    the streaming SCD1 sink in streaming/delivery.py shows that
+    discipline); NULL keys on either side are excluded.
+
+    Scale shape: ONE full-outer shuffle join on the key and a CASE
+    projection — both sides hash-partition identically, so on
+    bucketed-by-key storage it degrades to a zipped merge with no
+    exchange; nothing driver-side; output size = |snapshot| +
+    |inserts| − |deletes|."""
+    s = snapshot.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        *[F.col(c).alias(f"_s_{c}") for c in val_cols],
+        F.lit(True).alias("_in_s"),
+    )
+    c = changes.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.col(op_col).alias("_op"),
+        *[F.col(col).alias(f"_c_{col}") for col in val_cols],
+    )
+    j = s.join(c, "k", "full")
+    keep = F.col("_op").isNull() | (F.col("_op") != "D")
+    out_cols = [
+        F.when(F.col("_op").isNotNull(), F.col(f"_c_{col}"))
+        .otherwise(F.col(f"_s_{col}"))
+        .alias(col)
+        for col in val_cols
+    ]
+    return j.where(keep).select(F.col("k").alias(key_col), *out_cols)
+
+
+def sql_cdc_apply(
+    snapshot_cte: str,
+    changes_cte: str,
+    *,
+    key_col: str,
+    val_cols: list[str],
+) -> str:
+    """DuckDB oracle twin of :func:`cdc_apply`. The CTEs must yield
+    ``key_col`` + ``val_cols`` (+ ``op`` for changes)."""
+    outs = ", ".join(
+        f"CASE WHEN c.op IS NOT NULL THEN c.{col} ELSE s.{col} END AS {col}"
+        for col in val_cols
+    )
+    return f"""
+    WITH snap AS ({snapshot_cte}),
+    chg AS ({changes_cte}),
+    s AS (SELECT * FROM snap WHERE {key_col} IS NOT NULL),
+    c AS (SELECT * FROM chg WHERE {key_col} IS NOT NULL)
+    SELECT COALESCE(s.{key_col}, c.{key_col}) AS {key_col}, {outs}
+    FROM s FULL JOIN c ON s.{key_col} = c.{key_col}
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """

@@ -274,3 +274,80 @@ def sql_key_concentration_deciles(
     FROM ranked CROSS JOIN tot
     GROUP BY 1
     """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    id_col: str,
+    val_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Quantile (rank) normalization of a numeric column: map every
+    value to its empirical CDF position in integer ppm — the
+    distribution-free feature transform (and the input to quantile
+    matching across datasets). Ties share one position: cdf_ppm(v) =
+    ⌊10^6 · |{rows ≤ v}| / N⌋, computed on the DISTINCT-value frame so
+    the heavy corpus never enters a window.
+
+    Output per input row: (id, value, cdf_ppm). NULL values emit no
+    row (no rank position).
+
+    Scale shape: one map-side-combinable value-count aggregate, a
+    :func:`distributed_cumsum` over the distinct-value frame (bounded
+    by the value domain, range-partitioned local windows — NO
+    single-reducer global window, the 100× answer to CUME_DIST), and
+    one equi-join back to the corpus on the value. The oracle
+    deliberately uses the textbook single-window formulation — two
+    different prefix-sum strategies must agree."""
+    vc = (
+        df.where(F.col(val_col).isNotNull())
+        .groupBy(F.col(val_col).alias("_qn_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_qn_cnt"))
+    )
+    cum = distributed_cumsum(
+        vc,
+        [F.col("_qn_v").asc()],
+        "_qn_cnt",
+        "_qn_cum",
+        num_partitions=num_partitions,
+    )
+    tot = vc.agg(F.sum("_qn_cnt").cast("long").alias("_qn_total"))
+    cdf = cum.crossJoin(F.broadcast(tot)).select(
+        "_qn_v",
+        F.expr(
+            "cast(cast(_qn_cum as decimal(38,0)) * 1000000 div _qn_total"
+            " as long)"
+        ).alias("cdf_ppm"),
+    )
+    return (
+        df.where(F.col(val_col).isNotNull())
+        .select(F.col(id_col), F.col(val_col))
+        .join(cdf, F.col(val_col) == F.col("_qn_v"))
+        .select(id_col, val_col, "cdf_ppm")
+    )
+
+
+def sql_quantile_normalize(
+    *,
+    table: str,
+    id_col: str,
+    val_col: str,
+) -> str:
+    """Oracle for :func:`quantile_normalize` via the textbook single
+    global window — an INDEPENDENT prefix-sum strategy."""
+    return f"""
+    WITH vc AS (
+      SELECT {val_col} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} WHERE {val_col} IS NOT NULL GROUP BY 1),
+    cum AS (
+      SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS total
+      FROM vc)
+    SELECT t.{id_col}, t.{val_col},
+           CAST(CAST(c.cum AS HUGEINT) * 1000000 // c.total AS BIGINT)
+             AS cdf_ppm
+    FROM {table} t JOIN cum c ON t.{val_col} = c.v
+    """

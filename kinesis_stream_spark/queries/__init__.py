@@ -151,6 +151,7 @@ def _prioritize(merged):
 
 def _modules():
     from kinesis_stream_spark.queries import (
+        basket,
         dedup,
         evaluation,
         experiment,
@@ -191,5 +192,6 @@ def _modules():
         temporal,
         sketch,
         experiment,
+        basket,
         udf,
     )

@@ -22,10 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesis_stream_spark.operators.profile import fd_profile, sql_fd_profile
+from kinesis_stream_spark.operators.profile import (
+    fd_profile,
+    sql_cdc_apply,
+    sql_fd_profile,
+    sql_numeric_correlations,
+)
 from kinesis_stream_spark.operators.skew import (
     key_concentration_deciles,
     sql_key_concentration_deciles,
+    sql_quantile_normalize,
 )
 from kinesis_stream_spark.queries._util import davg, dsum, sql_davg, sql_dsum
 from kinesis_stream_spark.sources.batch import load_table
@@ -2456,3 +2462,119 @@ def profile_orders_fds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_orderdate", "o_orderstatus"),
         ],
     ).orderBy("determinant", "dependent")
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+
+
+@_q(
+    "profile_lineitem_correlations",
+    sql_numeric_correlations("lineitem", _CORR_PAIRS)
+    + " ORDER BY col_x, col_y",
+)
+def profile_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between lineitem's numeric measures in the
+    engine's fixed-point contract: exact DECIMAL(38,0)/HUGEINT moment
+    sums over 2^20-quantized values, pinned-order sqrt/divide finals —
+    quantity and extendedprice must correlate strongly (price scales
+    with quantity), discount with neither (operators/profile.py)."""
+    from kinesis_stream_spark.operators.profile import numeric_correlations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_correlations(li, _CORR_PAIRS).orderBy("col_x", "col_y")
+
+
+_CDC_SNAP_CTE = """
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders
+"""
+
+# deterministic synthetic change set carved from orders itself:
+# every 13th key deletes, every 10th (not deleted) updates status/price,
+# every 17th spawns an insert at key + 1e9 (guaranteed-new key space)
+_CDC_CHG_CTE = """
+  SELECT o_orderkey AS k, 'D' AS op, NULL AS status, NULL AS price
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey AS k, 'U' AS op, 'X' AS status,
+         o_totalprice + 1.0 AS price
+  FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000 AS k, 'I' AS op, 'N' AS status,
+         CAST(o_orderkey AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+@_q(
+    "integrity_cdc_merge",
+    sql_cdc_apply(
+        _CDC_SNAP_CTE, _CDC_CHG_CTE, key_col="k", val_cols=["status", "price"]
+    )
+    + " ORDER BY k",
+)
+def integrity_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (CDC apply) semantics: a deterministic change set
+    (deletes every 13th order, updates every 10th, inserts a shifted
+    key for every 17th) applied to the orders snapshot via ONE
+    full-outer join + CASE — the lakehouse MERGE INTO shape
+    (operators/profile.py). Output is the merged snapshot itself, so
+    parity pins every surviving/updated/inserted row."""
+    from kinesis_stream_spark.operators.profile import cdc_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    dels = o.where(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    upds = o.where(
+        (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") + 1.0).alias("price"),
+    )
+    ins = o.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("status"),
+        F.col("o_orderkey").cast("double").alias("price"),
+    )
+    changes = dels.unionAll(upds).unionAll(ins)
+    return cdc_apply(
+        snap, changes, key_col="k", val_cols=["status", "price"]
+    ).orderBy("k")
+
+
+@_q(
+    "feature_quantile_normalize",
+    sql_quantile_normalize(
+        table="part", id_col="p_partkey", val_col="p_retailprice"
+    )
+    + " ORDER BY p_partkey",
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (empirical-CDF) normalization of part retail prices to
+    integer ppm — the distribution-free feature transform, built on
+    the distributed prefix sum over the DISTINCT-value frame (NO
+    single-reducer CUME_DIST window); the oracle replays the textbook
+    single-window formulation, so two prefix-sum strategies must agree
+    (operators/skew.py)."""
+    from kinesis_stream_spark.operators.skew import quantile_normalize
+
+    p = load_table(spark, sf_dir, "part")
+    return quantile_normalize(
+        p, id_col="p_partkey", val_col="p_retailprice"
+    ).orderBy("p_partkey")
