@@ -25,19 +25,39 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 8 window (first 50), stale-first: the nineteen never-verified
-# round-8 registrations (RSJ retrieval, chunking, skyline, fuzzy join,
-# Mann-Kendall, EWMA, k-core, label propagation, triangles, plus the
-# late-round batch: CUSUM, Holt, peak concurrency, top paths, BFS,
-# personalized PageRank, Count-Min, phrase search, skew deciles, FD
-# audit), then the reworked RRF fusion and every family whose operator
-# file changed this round (retrieval, quantization, graph, temporal,
-# minhash SQL, text), interleaved with the r7 slips. Everything past
-# the cut is driver-green at its latest sampling and re-verified every
-# session by the local backstop.
+# Round 8 window (first 50), stale-first: the twenty-nine
+# never-verified round-8 registrations — the ten from the third r8
+# session (HLL sketch, OLS linear trend, seasonal profile, cheapest
+# path, A/B z-test, bigram novelty, association rules, correlations,
+# CDC merge, quantile normalization) lead because their code is
+# newest, then the nineteen from the first two sessions (RSJ,
+# chunking, skyline, fuzzy join, Mann-Kendall, EWMA, k-core, LPA,
+# triangles, CUSUM, Holt, peak concurrency, top paths, BFS, PPR,
+# Count-Min, phrase search, skew deciles, FD audit) — followed by
+# edited-since-row fill: the reworked RRF fusion + BM25/vocab
+# (operators/retrieval edited), agg_equidepth_price and
+# text_vocab_coverage (distributed_cumsum rewritten to the multi-sum
+# core this session), graph_pagerank_purchases (operators/graph.py
+# grew cheapest_path), the events family (operators/temporal.py
+# gained the NULL-ts contract + linear trend/seasonal profile), the
+# minhash trio (minhash_sql edited in r8), and six quantization
+# queries (vector-guard + rerank-dedup edits). Everything past the
+# cut is driver-green at its latest sampling and re-verified every
+# session by the sf0.001 local backstop.
 _PRIORITY = (
     # --- round-8 window (first 50 = the driver's check set) ---------
-    # never-driver-verified round-8 registrations
+    # never-driver-verified: third-session registrations
+    "agg_hll_distinct",
+    "events_linear_trend",
+    "events_seasonal_profile",
+    "graph_cheapest_path",
+    "events_ab_test_zscore",
+    "text_bigram_novelty",
+    "basket_association_rules",
+    "profile_lineitem_correlations",
+    "integrity_cdc_merge",
+    "feature_quantile_normalize",
+    # never-driver-verified: first/second-session registrations
     "events_cusum_drift",
     "events_holt_forecast",
     "events_peak_concurrency",
@@ -57,31 +77,12 @@ _PRIORITY = (
     "graph_kcore_purchases",
     "graph_label_propagation",
     "graph_triangles_copurchase",
-    # edited-since-row: the RRF fusion was reworked onto one id space
-    # (BM25 + RSJ over documents); BM25/vocab cross the edited
-    # operators/retrieval{,_sql}.py
+    # edited-since-row fill to 50
     "retrieval_hybrid_rrf",
     "text_bm25_topk",
     "text_vocab_coverage",
-    # edited-since-row: exact_rerank shortlist dedup touched
-    # operators/quantization.py — every query crossing that file
-    "similarity_pq_adc_topk",
-    "similarity_pq_reconstruction_mse",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_route_census",
-    "similarity_ivfpq_rerank",
-    "similarity_rrpq_adc_topk",
-    "similarity_subspace_variance",
-    "similarity_ivfpq_nprobe_sweep",
-    # the r7 slips (promised to lead r8): ivfpq_nprobe_sweep rides in
-    # the quantization group just above; the other three follow
-    "similarity_rank_quality",
-    "similarity_embedding_drift",
-    "agg_histogram_price",
-    # edited-since-row: operators/graph.py gained kcore/LPA/triangles
+    "agg_equidepth_price",
     "graph_pagerank_purchases",
-    # edited-since-row: operators/temporal.py gained MK + EWMA — the
-    # whole events family re-verifies
     "events_gap_fill_hourly",
     "events_scd2_status_history",
     "events_multires_rollup",
@@ -89,12 +90,25 @@ _PRIORITY = (
     "events_transition_matrix",
     "events_winsorized_stats",
     "events_user_diversity",
-    # edited-since-row: operators/minhash_sql.py (assert -> ValueError)
     "dedup_minhash_lsh_exact_copies",
     "dedup_minhash_lsh_near_copies",
     "dedup_minhash_band_agreement",
-    # edited-since-row (operators/text.py + queries/text.py appends) +
-    # oldest rows in the text family (r4/r5)
+    "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_rerank",
+    "similarity_rrpq_adc_topk",
+    "similarity_ivfpq_route_census",
+    "similarity_pq_reconstruction_mse",
+    # --- past the 50-cut (ordering ballast, locally re-verified):
+    # the rest of the quantization/evaluation family, then the text
+    # family (r5 rows, operators/text.py appended this round so they
+    # lead the r9 rotation), then the r3-latest TPC-H rewrites'
+    # successors have fresh r7 rows and sit in module order.
+    "similarity_subspace_variance",
+    "similarity_ivfpq_nprobe_sweep",
+    "similarity_rank_quality",
+    "similarity_embedding_drift",
+    "agg_histogram_price",
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
@@ -111,17 +125,6 @@ _PRIORITY = (
     "text_domain_cap",
     "text_weighted_mixture",
     "text_substring_decontaminate",
-    # --- past the 50-cut (slipped, documented): the ten late-round
-    # registrations above (cusum/holt/peak-concurrency/top-paths/bfs/
-    # ppr/cms/phrase/skew-deciles/fd-profile) displaced the tail of
-    # the edited text family — the window now cuts after
-    # text_curation_pipeline, so text_decontaminate_overlap through
-    # text_substring_decontaminate plus text_top_terms_per_lang (r6
-    # row, the newest in the family), text_normalize_summary and
-    # text_collocation_lift sit past the cut. All are re-verified
-    # every session by the sf0.001 local backstop and this round's
-    # full sf0.01 driver_sim sweeps; they lead the r9 rotation
-    # together with whatever r9 edits stale.
     "text_top_terms_per_lang",
     "text_normalize_summary",
     "text_collocation_lift",
