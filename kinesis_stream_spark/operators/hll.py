@@ -69,6 +69,57 @@ HLL_LIN = tuple(
 HLL_SMALL_CUT = 2.5 * float(HLL_M)
 
 
+def _hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The (j, m) register frame for one column: register index = low
+    P hash bits, m = MAX leading-zero rank of the top W bits — ONE
+    map-side-combinable aggregate, the mergeable sketch state."""
+    h = md5_int64(F.col(col).cast("string"))
+    regs = df.where(F.col(col).isNotNull()).select(h.alias("h"))
+    w = F.expr(f"shiftright(h, {HLL_P})")
+    rho = (
+        F.when(w == 0, F.lit(HLL_W + 1))
+        .otherwise(
+            F.lit(HLL_W + 1)
+            - F.length(F.expr(f"bin(shiftright(h, {HLL_P}))"))
+        )
+        .cast("int")
+    )
+    return (
+        regs.select((F.col("h") % HLL_M).alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def _hll_sketch_row(reg: DataFrame, suffix: str) -> DataFrame:
+    """Collapse a register frame to its 1-row (s_hit, n_hit) summary."""
+    return reg.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m)")
+        ).alias(f"s_hit{suffix}"),
+        F.count(F.lit(1)).cast("long").alias(f"n_hit{suffix}"),
+    )
+
+
+def _hll_estimate(suffix: str):
+    """(s_fx, raw, corrected-estimate) column expressions over a
+    sketch row's (s_hit<suffix>, n_hit<suffix>) columns."""
+    s_fx = (
+        F.coalesce(F.col(f"s_hit{suffix}"), F.lit(0))
+        + (F.lit(HLL_M) - F.col(f"n_hit{suffix}"))
+        * F.lit(1 << (HLL_W + 1)).cast("long")
+    ).cast("long")
+    raw = F.lit(HLL_NUM) / s_fx.cast("double")
+    v_zero = (F.lit(HLL_M) - F.col(f"n_hit{suffix}")).cast("long")
+    lin = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LIN]), v_zero.cast("int")
+    )
+    est = F.when(
+        (v_zero > 0) & (raw <= F.lit(HLL_SMALL_CUT)), lin
+    ).otherwise(raw)
+    return s_fx, v_zero, raw, est
+
+
 def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column HLL cardinality estimate next to the exact count.
 
@@ -85,44 +136,14 @@ def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError("cols must be non-empty")
     outs = []
     for c in cols:
-        h = md5_int64(F.col(c).cast("string"))
-        regs = df.where(F.col(c).isNotNull()).select(h.alias("h"))
-        w = F.expr(f"shiftright(h, {HLL_P})")
-        rho = (
-            F.when(w == 0, F.lit(HLL_W + 1))
-            .otherwise(F.lit(HLL_W + 1) - F.length(F.expr(f"bin(shiftright(h, {HLL_P}))")))
-            .cast("int")
-        )
-        reg = (
-            regs.select((F.col("h") % HLL_M).alias("j"), rho.alias("rho"))
-            .groupBy("j")
-            .agg(F.max("rho").alias("m"))
-        )
-        sketch = reg.agg(
-            F.sum(
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m)")
-            ).alias("s_hit"),
-            F.count(F.lit(1)).cast("long").alias("n_hit"),
-        )
+        sketch = _hll_sketch_row(_hll_registers(df, c), "")
         exact = df.agg(
             F.count(F.col(c)).cast("long").alias("n_rows"),
             F.count_distinct(F.col(c)).cast("long").alias("exact_distinct"),
         )
-        s_fx = (
-            F.coalesce(F.col("s_hit"), F.lit(0))
-            + (F.lit(HLL_M) - F.col("n_hit"))
-            * F.lit(1 << (HLL_W + 1)).cast("long")
-        ).cast("long")
-        raw = F.lit(HLL_NUM) / s_fx.cast("double")
-        v_zero = (F.lit(HLL_M) - F.col("n_hit")).cast("long")
         # small-range correction: the V-indexed m·ln(m/V) literal table
         # (1-based element_at; V ≤ m by construction)
-        lin = F.element_at(
-            F.array(*[F.lit(x) for x in HLL_LIN]), v_zero.cast("int")
-        )
-        est = F.when(
-            (v_zero > 0) & (raw <= F.lit(HLL_SMALL_CUT)), lin
-        ).otherwise(raw)
+        s_fx, v_zero, raw, est = _hll_estimate("")
         outs.append(
             sketch.crossJoin(exact).select(
                 F.lit(c).alias("column_name"),
@@ -143,6 +164,92 @@ def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def hll_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Distinct-cardinality estimates for two sets AND their union and
+    intersection from merged HLL sketches — the mergeability property
+    made explicit: union registers are the register-wise MAX of the two
+    sides' registers (never a rescan of the union), and the
+    intersection estimate is inclusion–exclusion
+    est(A) + est(B) − est(A∪B). Exact counts ride alongside so every
+    estimate's error is oracle-checked.
+
+    Output: 4 rows (set_op ∈ a/b/union/intersection) with
+    (set_op, exact, estimate, rel_err); the intersection estimate can
+    be negative for tiny overlaps (inclusion–exclusion noise — the
+    documented limitation of HLL intersections) and rel_err is NULL
+    when exact = 0.
+
+    Scale shape: one combinable register aggregate per side, a
+    ≤ m-row full-outer register merge, three 1-row reductions; exact
+    counts are one distinct + one semi-join distinct (dropped at
+    deployment scale — they exist to grade the sketch)."""
+    ra = _hll_registers(a, col_a)
+    rb = _hll_registers(b, col_b)
+    merged = (
+        ra.select("j", F.col("m").alias("ma"))
+        .join(rb.select("j", F.col("m").alias("mb")), "j", "full")
+        .select(
+            "j",
+            F.greatest(
+                F.coalesce(F.col("ma"), F.lit(0)),
+                F.coalesce(F.col("mb"), F.lit(0)),
+            ).alias("m"),
+        )
+    )
+    rows = (
+        _hll_sketch_row(ra, "_a")
+        .crossJoin(_hll_sketch_row(rb, "_b"))
+        .crossJoin(_hll_sketch_row(merged, "_u"))
+    )
+    _, _, _, est_a = _hll_estimate("_a")
+    _, _, _, est_b = _hll_estimate("_b")
+    _, _, _, est_u = _hll_estimate("_u")
+    av = a.where(F.col(col_a).isNotNull()).select(F.col(col_a).alias("v")).distinct()
+    bv = b.where(F.col(col_b).isNotNull()).select(F.col(col_b).alias("v")).distinct()
+    exact = (
+        av.agg(F.count(F.lit(1)).cast("long").alias("x_a"))
+        .crossJoin(bv.agg(F.count(F.lit(1)).cast("long").alias("x_b")))
+        .crossJoin(
+            av.unionAll(bv)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("x_u"))
+        )
+        .crossJoin(
+            av.join(bv, "v", "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("x_i"))
+        )
+    )
+    est_i = est_a + est_b - est_u
+    base = rows.crossJoin(exact)
+
+    def _row(name, exact_col, est_expr):
+        err = F.when(
+            F.col(exact_col) == 0, F.lit(None).cast("double")
+        ).otherwise(
+            (est_expr - F.col(exact_col).cast("double"))
+            / F.col(exact_col).cast("double")
+        )
+        return base.select(
+            F.lit(name).alias("set_op"),
+            F.col(exact_col).alias("exact"),
+            est_expr.alias("estimate"),
+            err.alias("rel_err"),
+        )
+
+    return (
+        _row("a", "x_a", est_a)
+        .unionAll(_row("b", "x_b", est_b))
+        .unionAll(_row("union", "x_u", est_u))
+        .unionAll(_row("intersection", "x_i", est_i))
+    )
 
 
 def sql_h_expr(col: str) -> str:
@@ -212,3 +319,94 @@ def sql_hll_distinct(table: str, cols: list[str]) -> str:
         )"""
         )
     return " UNION ALL ".join(selects)
+
+
+def _sql_est(s_hit: str, n_hit: str) -> str:
+    """SQL text of the corrected estimate over (s_hit, n_hit) columns —
+    shared by the distinct and set-ops oracles (same literal table,
+    same exponent-notation discipline)."""
+    lin_list = "[" + ", ".join(f"{x:.17e}" for x in HLL_LIN) + "]"
+    s_fx = (
+        f"CAST(COALESCE({s_hit}, 0) + ({HLL_M} - {n_hit})"
+        f" * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS DOUBLE)"
+    )
+    raw = f"({HLL_NUM!r} / {s_fx})"
+    v = f"({HLL_M} - {n_hit})"
+    return (
+        f"CASE WHEN {v} > 0 AND {raw} <= {HLL_SMALL_CUT!r} "
+        f"THEN list_extract({lin_list}, CAST({v} AS INT)) "
+        f"ELSE {raw} END"
+    )
+
+
+def sql_hll_set_ops(
+    a_cte: str,
+    b_cte: str,
+) -> str:
+    """DuckDB oracle twin of :func:`hll_set_ops`. The CTEs must each
+    yield a single ``v`` column (the set elements)."""
+    def regs(src: str) -> str:
+        h = sql_md5_int64("CAST(v AS VARCHAR)")
+        return f"""
+          SELECT hv % {HLL_M} AS j,
+                 MAX(CASE WHEN (hv >> {HLL_P}) = 0 THEN {HLL_W + 1}
+                     ELSE {HLL_W + 1} - LENGTH(BIN(hv >> {HLL_P}))
+                     END) AS m
+          FROM (SELECT {h} AS hv FROM {src} WHERE v IS NOT NULL)
+          GROUP BY 1"""
+
+    def srow(src: str, sfx: str) -> str:
+        return f"""
+          SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - m)) AS BIGINT)
+                   AS s_hit{sfx},
+                 CAST(COUNT(*) AS BIGINT) AS n_hit{sfx}
+          FROM {src}"""
+
+    ea = _sql_est("s_hit_a", "n_hit_a")
+    eb = _sql_est("s_hit_b", "n_hit_b")
+    eu = _sql_est("s_hit_u", "n_hit_u")
+    ei = f"({ea} + {eb} - {eu})"
+    return f"""
+    WITH ca AS ({a_cte}),
+    cb AS ({b_cte}),
+    ra AS ({regs('ca')}),
+    rb AS ({regs('cb')}),
+    rm AS (
+      SELECT COALESCE(ra.j, rb.j) AS j,
+             GREATEST(COALESCE(ra.m, 0), COALESCE(rb.m, 0)) AS m
+      FROM ra FULL JOIN rb ON ra.j = rb.j),
+    rows_ AS (
+      SELECT * FROM ({srow('ra', '_a')})
+      CROSS JOIN ({srow('rb', '_b')})
+      CROSS JOIN ({srow('rm', '_u')})),
+    av AS (SELECT DISTINCT v FROM ca WHERE v IS NOT NULL),
+    bv AS (SELECT DISTINCT v FROM cb WHERE v IS NOT NULL),
+    exact AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM av) AS x_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bv) AS x_b,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT v FROM av UNION SELECT v FROM bv)) AS x_u,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM av
+              WHERE v IN (SELECT v FROM bv)) AS x_i),
+    base AS (SELECT * FROM rows_ CROSS JOIN exact)
+    SELECT 'a' AS set_op, x_a AS exact, {ea} AS estimate,
+           CASE WHEN x_a = 0 THEN NULL
+                ELSE ({ea} - CAST(x_a AS DOUBLE)) / CAST(x_a AS DOUBLE)
+           END AS rel_err
+    FROM base
+    UNION ALL
+    SELECT 'b', x_b, {eb},
+           CASE WHEN x_b = 0 THEN NULL
+                ELSE ({eb} - CAST(x_b AS DOUBLE)) / CAST(x_b AS DOUBLE) END
+    FROM base
+    UNION ALL
+    SELECT 'union', x_u, {eu},
+           CASE WHEN x_u = 0 THEN NULL
+                ELSE ({eu} - CAST(x_u AS DOUBLE)) / CAST(x_u AS DOUBLE) END
+    FROM base
+    UNION ALL
+    SELECT 'intersection', x_i, {ei},
+           CASE WHEN x_i = 0 THEN NULL
+                ELSE ({ei} - CAST(x_i AS DOUBLE)) / CAST(x_i AS DOUBLE) END
+    FROM base
+    """

@@ -1070,3 +1070,155 @@ def sql_seasonal_profile(
              AS seasonal_index
     FROM per p JOIN tot t USING (key)
     """
+
+
+#: Kaplan-Meier fixed-point scale: 2^30 keeps every fold product
+#: S·(n−d) ≤ 2^30·N inside BIGINT for any cohort under ~2^32 units
+KM_SCALE = 1 << 30
+
+
+def survival_curve(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of unit lifetimes (Kaplan & Meier
+    1958) — the churn/retention estimator that handles CENSORING
+    honestly: a unit's lifetime is the span (in buckets) between its
+    first and last event; units whose last event falls in the corpus's
+    final bucket are censored (still alive when observation ended),
+    not deaths. At each distinct lifetime t with d_t deaths out of n_t
+    still at risk:
+
+        S(t) = Π_{t' ≤ t, d_{t'} > 0} (n_{t'} − d_{t'}) / n_{t'}
+
+    folded in exact 2^30 fixed point (⌊S·(n−d)/n⌋ per step — integer
+    multiply + floor-div, bit-identical on both engines).
+
+    Output per distinct lifetime: (t, n_at_risk, n_deaths, n_censored,
+    survival_fx, survival) — survival is the exact fx value divided by
+    the power-of-two scale.
+
+    Scale shape: one map-side-combinable (unit → min/max bucket)
+    aggregate over the corpus, a lifetime-grid-bounded (t, d, c) frame
+    (the :func:`ewma` contract — bounded by the bucket grid, never by
+    units or events), then the whole curve folds inside ONE row over
+    the sorted grid array (O(T²) per-element prefix folds on a
+    grid-bounded T). NULL timestamps are excluded; the observation end
+    is the corpus max bucket (a deployment passes its own)."""
+    per_unit = (
+        events.where(F.col(ts_col).isNotNull() & F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.min(_bucket(ts_col, unit_us)).alias("fd"),
+            F.max(_bucket(ts_col, unit_us)).alias("ld"),
+        )
+    )
+    horizon = per_unit.agg(F.max("ld").alias("horizon"))
+    lifetimes = per_unit.crossJoin(F.broadcast(horizon)).select(
+        (F.col("ld") - F.col("fd")).cast("long").alias("t"),
+        F.when(F.col("ld") < F.col("horizon"), 1).otherwise(0).alias("death"),
+    )
+    grid = lifetimes.groupBy("t").agg(
+        F.sum("death").cast("long").alias("d"),
+        F.sum(1 - F.col("death")).cast("long").alias("c"),
+    )
+    one = grid.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "c"))
+        ).alias("s"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n"),
+    )
+    with_na = one.withColumn(
+        "na",
+        F.expr(
+            "transform(sequence(1, size(s)), i -> "
+            "n - aggregate(slice(s, 1, i - 1), CAST(0 AS BIGINT), "
+            "(a, x) -> a + x.d + x.c))"
+        ),
+    )
+    with_surv = with_na.withColumn(
+        "surv",
+        F.expr(
+            f"transform(sequence(1, size(s)), i -> "
+            f"aggregate(sequence(1, i), CAST({KM_SCALE} AS BIGINT), "
+            f"(acc, j) -> CASE WHEN element_at(s, j).d > 0 "
+            f"THEN CAST((acc * (element_at(na, j) - element_at(s, j).d)) "
+            f"div element_at(na, j) AS BIGINT) ELSE acc END))"
+        ),
+    )
+    return with_surv.select(
+        F.posexplode("s").alias("pos", "row"),
+        F.col("na"),
+        F.col("surv"),
+    ).select(
+        F.col("row.t").alias("t"),
+        F.expr("element_at(na, pos + 1)").alias("n_at_risk"),
+        F.col("row.d").alias("n_deaths"),
+        F.col("row.c").alias("n_censored"),
+        F.expr("element_at(surv, pos + 1)").alias("survival_fx"),
+        (
+            F.expr("element_at(surv, pos + 1)").cast("double")
+            / F.lit(float(KM_SCALE))
+        ).alias("survival"),
+    )
+
+
+def sql_survival_curve(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`survival_curve` — identical grid,
+    at-risk prefix arithmetic, and fx fold (LIST_REDUCE with the
+    prepended-seed packing, since DuckDB has no 3-arg reduce)."""
+    return f"""
+    WITH per_unit AS (
+      SELECT {unit_col} AS unit,
+             MIN(EPOCH_US({ts_col}) // {unit_us}) AS fd,
+             MAX(EPOCH_US({ts_col}) // {unit_us}) AS ld
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {unit_col} IS NOT NULL
+      GROUP BY 1),
+    hz AS (SELECT MAX(ld) AS horizon FROM per_unit),
+    lifetimes AS (
+      SELECT CAST(ld - fd AS BIGINT) AS t,
+             CASE WHEN ld < horizon THEN 1 ELSE 0 END AS death
+      FROM per_unit CROSS JOIN hz),
+    grid AS (
+      SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+             CAST(SUM(1 - death) AS BIGINT) AS c
+      FROM lifetimes GROUP BY t),
+    one AS (
+      SELECT LIST({{'t': t, 'd': d, 'c': c}} ORDER BY t) AS s,
+             CAST(SUM(d + c) AS BIGINT) AS n
+      FROM grid),
+    na_t AS (
+      SELECT s, n,
+             [n - COALESCE(LIST_SUM(LIST_TRANSFORM(s[1:i-1],
+                                                   x -> x.d + x.c)), 0)
+              FOR i IN RANGE(1, LEN(s) + 1)] AS na
+      FROM one),
+    sv AS (
+      SELECT s, na,
+             [LIST_REDUCE(
+                LIST_PREPEND([CAST({KM_SCALE} AS BIGINT), 0]::BIGINT[],
+                  [[na[j], s[j].d] FOR j IN RANGE(1, i + 1)]),
+                (acc, x) -> CASE WHEN x[2] > 0
+                  THEN [CAST(CAST(acc[1] AS HUGEINT) * (x[1] - x[2])
+                             // x[1] AS BIGINT), CAST(0 AS BIGINT)]
+                  ELSE acc END)[1]
+              FOR i IN RANGE(1, LEN(s) + 1)] AS surv
+      FROM na_t)
+    SELECT s[i].t AS t,
+           CAST(na[i] AS BIGINT) AS n_at_risk,
+           s[i].d AS n_deaths,
+           s[i].c AS n_censored,
+           CAST(surv[i] AS BIGINT) AS survival_fx,
+           CAST(surv[i] AS DOUBLE) / {float(KM_SCALE)!r} AS survival
+    FROM sv, UNNEST(RANGE(1, LEN(s) + 1)) AS u(i)
+    """

@@ -8,7 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kinesis_stream_spark.operators.hll import hll_distinct, sql_hll_distinct
+from kinesis_stream_spark.operators.hll import (
+    hll_distinct,
+    sql_hll_distinct,
+    sql_hll_set_ops,
+)
+from kinesis_stream_spark.operators.quantiles import sql_histogram_quantiles
 from kinesis_stream_spark.sources.batch import load_table
 
 QUERIES = {}
@@ -40,3 +45,51 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     register shape and the linear-counting deployment note)."""
     li = load_table(spark, sf_dir, "lineitem")
     return hll_distinct(li, _HLL_COLS).orderBy("column_name")
+
+
+_HLL_A_CTE = """
+  SELECT o_custkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+_HLL_B_CTE = """
+  SELECT o_custkey AS v FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@_q(
+    "agg_hll_set_ops",
+    sql_hll_set_ops(_HLL_A_CTE, _HLL_B_CTE)
+    + " ORDER BY set_op",
+)
+def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability made explicit: cardinality estimates for
+    urgent-order buyers, finished-order buyers, their UNION (register-
+    wise MAX of the two sketches — never a rescan), and their
+    intersection (inclusion–exclusion), each next to the exact count
+    (operators/hll.py)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.operators.hll import hll_set_ops
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT")
+    b = o.where(F.col("o_orderstatus") == "F")
+    return hll_set_ops(a, b, col_a="o_custkey", col_b="o_custkey").orderBy(
+        "set_op"
+    )
+
+
+@_q(
+    "agg_histogram_quantiles",
+    sql_histogram_quantiles("lineitem", "l_extendedprice")
+    + " ORDER BY q_ppm",
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch over lineitem prices:
+    p50/p90/p99 estimates from a 1024-cell equal-width histogram next
+    to the exact rank statistics — the exact side runs on the
+    distributed prefix sum, the oracle on the textbook global window,
+    so two rank strategies must agree (operators/quantiles.py)."""
+    from kinesis_stream_spark.operators.quantiles import histogram_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice").orderBy("q_ppm")

@@ -24,6 +24,8 @@ from kinesis_stream_spark.operators.temporal import (
     seasonal_profile,
     sql_linear_trend,
     sql_seasonal_profile,
+    sql_survival_curve,
+    survival_curve,
 )
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -552,3 +554,13 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return seasonal_profile(ev).orderBy("key", "dow_slot")
+
+
+@_q("events_survival_curve", sql_survival_curve() + " ORDER BY t")
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetimes (first→last event day),
+    censoring units still active in the corpus's final day — per
+    distinct lifetime: at-risk, deaths, censored, and the exact 2^30
+    fixed-point survival fold (operator docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return survival_curve(ev, unit_us=DAY_US).orderBy("t")
