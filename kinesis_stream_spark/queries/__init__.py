@@ -25,9 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 8 window (first 50), stale-first: the twenty-nine
-# never-verified round-8 registrations — the ten from the third r8
-# session (HLL sketch, OLS linear trend, seasonal profile, cheapest
+# Round 8 window (first 50), stale-first: the thirty-two
+# never-verified round-8 registrations — the thirteen from the third
+# r8 session (HLL sketch + set ops, histogram quantile sketch,
+# Kaplan-Meier survival, OLS linear trend, seasonal profile, cheapest
 # path, A/B z-test, bigram novelty, association rules, correlations,
 # CDC merge, quantile normalization) lead because their code is
 # newest, then the nineteen from the first two sessions (RSJ,
@@ -48,6 +49,9 @@ _PRIORITY = (
     # --- round-8 window (first 50 = the driver's check set) ---------
     # never-driver-verified: third-session registrations
     "agg_hll_distinct",
+    "agg_hll_set_ops",
+    "agg_histogram_quantiles",
+    "events_survival_curve",
     "events_linear_trend",
     "events_seasonal_profile",
     "graph_cheapest_path",
@@ -96,10 +100,13 @@ _PRIORITY = (
     "similarity_pq_adc_topk",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_rerank",
+    # --- past the 50-cut (displaced by the three new sketch/survival
+    # registrations; these three keep their r7/r8-era rows and the
+    # local backstop)
     "similarity_rrpq_adc_topk",
     "similarity_ivfpq_route_census",
     "similarity_pq_reconstruction_mse",
-    # --- past the 50-cut (ordering ballast, locally re-verified):
+    # --- ballast (ordering ballast, locally re-verified):
     # the rest of the quantization/evaluation family, then the text
     # family (r5 rows, operators/text.py appended this round so they
     # lead the r9 rotation), then the r3-latest TPC-H rewrites'
