@@ -382,3 +382,83 @@ def sql_cdc_apply(
     FROM s FULL JOIN c ON s.{key_col} = c.{key_col}
     WHERE c.op IS NULL OR c.op <> 'D'
     """
+
+
+#: Benford expected first-digit shares in integer ppm:
+#: floor(log10(1 + 1/d) · 10^6) — precomputed, injected as INTEGER
+#: literals into both engines (no in-engine log)
+import math as _math
+
+BENFORD_PPM = tuple(
+    int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1_000_000))
+    for d in range(1, 10)
+)
+
+
+def benford_audit(
+    df: DataFrame,
+    val_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive money column —
+    the fraud/synthetic-data smoke test: natural multi-scale amounts
+    follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    doesn't. Values quantize to integer cents (⌊x·100 + 0.5⌋ — one
+    deterministic IEEE multiply+add), the leading digit comes from the
+    BIGINT's decimal string (identical rendering on both engines; no
+    float formatting anywhere), and the output is ENTIRELY integer:
+    per digit (digit, n_obs, share_ppm, benford_ppm, excess_ppm) with
+    the Benford expectation injected as precomputed ppm literals.
+
+    Scale shape: one map-side-combinable 9-group aggregate over the
+    corpus — nothing else. NULL and non-positive values are excluded
+    (Benford is defined on positive magnitudes)."""
+    cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    digits = (
+        df.where(F.col(val_col).isNotNull() & (F.col(val_col) > 0))
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("total"))
+    bmap = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in BENFORD_PPM]), F.col("digit")
+    )
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("cast(cast(n_obs as decimal(38,0)) * 1000000 div total as long)")
+            .alias("share_ppm"),
+            bmap.alias("benford_ppm"),
+            (
+                F.expr(
+                    "cast(cast(n_obs as decimal(38,0)) * 1000000 div total as long)"
+                )
+                - bmap
+            ).alias("excess_ppm"),
+        )
+    )
+
+
+def sql_benford_audit(table: str, val_col: str) -> str:
+    """DuckDB oracle twin of :func:`benford_audit` (identical cents
+    quantization, string leading digit, integer ppm)."""
+    plist = "[" + ", ".join(str(p) for p in BENFORD_PPM) + "]"
+    return f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR({val_col} * 100.0 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM {table}
+      WHERE {val_col} IS NOT NULL AND {val_col} > 0
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM digits)
+    SELECT digit, n_obs,
+           CAST(CAST(n_obs AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS share_ppm,
+           CAST(list_extract({plist}, digit) AS BIGINT) AS benford_ppm,
+           CAST(CAST(n_obs AS HUGEINT) * 1000000 // total AS BIGINT)
+             - CAST(list_extract({plist}, digit) AS BIGINT) AS excess_ppm
+    FROM digits CROSS JOIN tot
+    """

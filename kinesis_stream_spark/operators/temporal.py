@@ -1222,3 +1222,106 @@ def sql_survival_curve(
            CAST(surv[i] AS DOUBLE) / {float(KM_SCALE)!r} AS survival
     FROM sv, UNNEST(RANGE(1, LEN(s) + 1)) AS u(i)
     """
+
+
+def active_user_windows(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Rolling distinct active units per day: for every day in the
+    corpus, the exact count of distinct units active that day (DAU)
+    and within the trailing ``window_days`` window (WAU), plus the
+    integer-ppm stickiness ratio DAU/WAU — the engagement query whose
+    naive form (COUNT(DISTINCT) OVER a RANGE frame) most engines
+    refuse or serialize.
+
+    Exact rolling distinct via the contribution-explode identity: a
+    (unit, day) activity pair contributes to the windows of days
+    day .. day + window_days − 1, so exploding each DISTINCT activity
+    pair into its ≤ window_days contribution days and counting
+    distinct units per contribution day IS the rolling distinct —
+    map-side arithmetic, no window function at all. Days are integer
+    epoch-day indexes; output days are restricted to the observed
+    [min, max] day span (partial leading windows are real; trailing
+    spill beyond max day is dropped).
+
+    Scale shape: the corpus collapses to DISTINCT (unit, day) FIRST
+    (combinable); the explode multiplies that frame by ≤ window_days
+    (a constant); one count-distinct aggregate per contribution day.
+    At 100 TB this is the standard DAU/WAU shape — the window factor
+    is a constant, never a shuffle-per-day. NULL units/timestamps are
+    excluded."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    act = (
+        events.where(F.col(ts_col).isNotNull() & F.col(unit_col).isNotNull())
+        .select(
+            F.col(unit_col).alias("unit"),
+            _bucket(ts_col, unit_us).alias("day"),
+        )
+        .distinct()
+    )
+    span = act.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dau = act.groupBy("day").agg(
+        F.count_distinct("unit").cast("long").alias("dau")
+    )
+    wau = (
+        act.select(
+            "unit",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("unit").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(span))
+        .where((F.col("day") >= F.col("d0")) & (F.col("day") <= F.col("d1")))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("cast(cast(dau as decimal(38,0)) * 1000000 div wau as long)")
+            .alias("stickiness_ppm"),
+        )
+    )
+
+
+def sql_active_user_windows(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`active_user_windows` — identical
+    contribution-explode identity."""
+    return f"""
+    WITH act AS (
+      SELECT DISTINCT {unit_col} AS unit,
+             EPOCH_US({ts_col}) // {unit_us} AS day
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {unit_col} IS NOT NULL),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM act),
+    dau AS (
+      SELECT day, CAST(COUNT(DISTINCT unit) AS BIGINT) AS dau
+      FROM act GROUP BY day),
+    wau AS (
+      SELECT c.day, CAST(COUNT(DISTINCT a.unit) AS BIGINT) AS wau
+      FROM act a, UNNEST(RANGE(a.day, a.day + {window_days})) AS c(day)
+      GROUP BY c.day)
+    SELECT d.day, d.dau, w.wau,
+           CAST(CAST(d.dau AS HUGEINT) * 1000000 // w.wau AS BIGINT)
+             AS stickiness_ppm
+    FROM dau d JOIN wau w USING (day) CROSS JOIN span s
+    WHERE d.day BETWEEN s.d0 AND s.d1
+    """

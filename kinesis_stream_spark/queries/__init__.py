@@ -25,11 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 8 window (first 50), stale-first: the thirty-two
-# never-verified round-8 registrations — the thirteen from the third
+# Round 8 window (first 50), stale-first: the thirty-four
+# never-verified round-8 registrations — the fifteen from the third
 # r8 session (HLL sketch + set ops, histogram quantile sketch,
-# Kaplan-Meier survival, OLS linear trend, seasonal profile, cheapest
-# path, A/B z-test, bigram novelty, association rules, correlations,
+# Kaplan-Meier survival, rolling-distinct DAU/WAU, Benford audit,
+# OLS linear trend, seasonal profile, cheapest path, A/B z-test,
+# bigram novelty, association rules, correlations,
 # CDC merge, quantile normalization) lead because their code is
 # newest, then the nineteen from the first two sessions (RSJ,
 # chunking, skyline, fuzzy join, Mann-Kendall, EWMA, k-core, LPA,
@@ -52,6 +53,8 @@ _PRIORITY = (
     "agg_hll_set_ops",
     "agg_histogram_quantiles",
     "events_survival_curve",
+    "events_active_user_windows",
+    "profile_benford_prices",
     "events_linear_trend",
     "events_seasonal_profile",
     "graph_cheapest_path",
@@ -98,11 +101,11 @@ _PRIORITY = (
     "dedup_minhash_lsh_near_copies",
     "dedup_minhash_band_agreement",
     "similarity_pq_adc_topk",
+    # --- past the 50-cut (displaced by the five new sketch/survival/
+    # engagement/audit registrations; these keep their r7/r8-era rows
+    # and the local backstop)
     "similarity_ivfpq_topk",
     "similarity_ivfpq_rerank",
-    # --- past the 50-cut (displaced by the three new sketch/survival
-    # registrations; these three keep their r7/r8-era rows and the
-    # local backstop)
     "similarity_rrpq_adc_topk",
     "similarity_ivfpq_route_census",
     "similarity_pq_reconstruction_mse",

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from kinesis_stream_spark.operators.profile import (
     fd_profile,
+    sql_benford_audit,
     sql_cdc_apply,
     sql_fd_profile,
     sql_numeric_correlations,
@@ -2578,3 +2579,18 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(
         p, id_col="p_partkey", val_col="p_retailprice"
     ).orderBy("p_partkey")
+
+
+@_q(
+    "profile_benford_prices",
+    sql_benford_audit("orders", "o_totalprice") + " ORDER BY digit",
+)
+def profile_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed vs expected
+    leading-digit shares in integer ppm (expectations injected as
+    precomputed literals — no in-engine log) — the fraud / synthetic-
+    data smoke test (operators/profile.py)."""
+    from kinesis_stream_spark.operators.profile import benford_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice").orderBy("digit")

@@ -26,6 +26,8 @@ from kinesis_stream_spark.operators.temporal import (
     sql_seasonal_profile,
     sql_survival_curve,
     survival_curve,
+    active_user_windows,
+    sql_active_user_windows,
 )
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -564,3 +566,16 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point survival fold (operator docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return survival_curve(ev, unit_us=DAY_US).orderBy("t")
+
+
+@_q(
+    "events_active_user_windows",
+    sql_active_user_windows() + " ORDER BY day",
+)
+def events_active_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling distinct actives per day — DAU, trailing-7-day
+    WAU via the contribution-explode identity (NO count-distinct
+    window function), and integer-ppm stickiness (operator
+    docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return active_user_windows(ev, window_days=7).orderBy("day")

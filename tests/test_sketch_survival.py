@@ -113,3 +113,67 @@ def test_survival_curve_excludes_null_ts_and_units(spark):
     # units 1 (lifetime 2, censored at horizon) and 2 (lifetime 0,
     # censored — its last day IS the horizon)
     assert sum(r.n_deaths + r.n_censored for r in got) == 2
+
+
+def test_active_user_windows_hand_traced(spark):
+    """Unit A active days 1,3; unit B day 3. window=2:
+      day1: DAU {A}=1, WAU(day0..1)={A}=1
+      day2: DAU absent (no activity) -> no row (inner join on dau)
+      day3: DAU {A,B}=2, WAU(day2..3)={A,B}=2
+    """
+    from kinesis_stream_spark.operators.temporal import active_user_windows
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 5)),
+        ("A", dt.datetime(2024, 1, 3, 5)),
+        ("B", dt.datetime(2024, 1, 3, 9)),
+        (None, dt.datetime(2024, 1, 2, 1)),
+        ("C", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r.day: r for r in active_user_windows(df, window_days=2).collect()}
+    days = sorted(got)
+    assert len(days) == 2
+    d1, d3 = days
+    assert d3 - d1 == 2
+    assert (got[d1].dau, got[d1].wau) == (1, 1)
+    assert (got[d3].dau, got[d3].wau) == (2, 2)
+    assert got[d1].stickiness_ppm == 1_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        active_user_windows(df, window_days=0)
+
+
+def test_active_user_windows_wau_is_trailing(spark):
+    """Unit active ONLY on day 1 must appear in day-2's WAU (trailing
+    window) but not in day-2's DAU; day 2 has its own active unit so
+    the day-2 row exists."""
+    from kinesis_stream_spark.operators.temporal import active_user_windows
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 5)),
+        ("B", dt.datetime(2024, 1, 2, 5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = sorted(active_user_windows(df, window_days=7).collect(), key=lambda r: r.day)
+    assert (got[0].dau, got[0].wau) == (1, 1)
+    assert (got[1].dau, got[1].wau) == (1, 2)  # A still in the window
+    assert got[1].stickiness_ppm == 500_000
+
+
+def test_benford_audit_shares_and_expectations(spark):
+    from kinesis_stream_spark.operators.profile import BENFORD_PPM, benford_audit
+
+    # 60 values leading with 1 (1.00..), 40 leading with 9 (9.xx)
+    rows = [(1.0,)] * 60 + [(9.5,)] * 40 + [(None,), (0.0,), (-3.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert set(got) == {1, 9}
+    assert got[1].n_obs == 60 and got[1].share_ppm == 600_000
+    assert got[9].n_obs == 40 and got[9].share_ppm == 400_000
+    assert got[1].benford_ppm == BENFORD_PPM[0]
+    assert got[9].benford_ppm == BENFORD_PPM[8]
+    assert got[1].excess_ppm == 600_000 - BENFORD_PPM[0]
+    # Benford ppm table sums to ~1e6 (floor rounding loses < 9 ppm)
+    assert 1_000_000 - 9 <= sum(BENFORD_PPM) <= 1_000_000
