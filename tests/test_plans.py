@@ -533,11 +533,12 @@ def test_skew_deciles_cumsum_is_partitioned_not_global(spark, sf_dir):
     from kinesis_stream_spark.queries.relational import QUERIES
 
     plan = _explain(QUERIES["agg_supplier_skew_deciles"](spark, sf_dir))
-    # rank + cum_rows ride ONE distributed_cumsums pass: a single
-    # pid-partitioned local window; the only single-partition window
-    # is the buckets-row offset frame
+    # rank + cum_rows ride ONE distributed_cumsums pass: exactly one
+    # range exchange feeds both the pid-local window and the offsets
+    # aggregate; the only single-partition window is the buckets-row
+    # offset frame
     assert "hashpartitioning(_ds_pid" in plan
-    assert plan.count("hashpartitioning(_ds_pid") == 1
+    assert plan.count("rangepartitioning(") == 1
 
 
 def test_top_paths_windows_on_entity_key(spark, sf_dir):
@@ -564,3 +565,64 @@ def test_fd_profile_is_joinless_union_of_aggregates(spark, sf_dir):
     # independent per-pair aggregate branches unioned — no join anywhere
     assert "Join" not in plan
     assert plan.count("Union") >= 1
+
+
+def test_hll_distinct_is_combinable_no_cartesian(spark, sf_dir):
+    from kinesis_stream_spark.queries.sketch import QUERIES
+
+    plan = _explain(QUERIES["agg_hll_distinct"](spark, sf_dir))
+    # register build must be a partial+final hash aggregate (mergeable
+    # sketch state), and the exact/sketch row combine must not cartesian
+    # anything corpus-sized (1-row cross joins are BNLJ by design)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cheapest_path_no_cartesian(spark, sf_dir):
+    from kinesis_stream_spark.queries.graph import QUERIES
+
+    plan = _explain(QUERIES["graph_cheapest_path"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_association_rules_pair_join_is_equi(spark, sf_dir):
+    from kinesis_stream_spark.queries.basket import QUERIES
+
+    plan = _explain(QUERIES["basket_association_rules"](spark, sf_dir))
+    # the pair frame joins on the basket key (equi) and the supports
+    # join on the item key; the only nested-loop products are 1-row
+    # broadcast combines (the n_baskets total), never a corpus product
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin Inner" in plan
+
+
+def test_quantile_normalize_uses_distributed_cumsum(spark, sf_dir):
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["feature_quantile_normalize"](spark, sf_dir))
+    # the CDF prefix sum runs pid-partitioned local windows — never a
+    # single-partition global CUME_DIST over the value frame
+    assert "hashpartitioning(_ds_pid" in plan
+
+
+def test_active_user_windows_has_no_window_function(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_active_user_windows"](spark, sf_dir))
+    # the contribution-explode identity: rolling distinct WITHOUT any
+    # window operator (a COUNT(DISTINCT) OVER RANGE would either fail
+    # or serialize); explode + two count-distinct aggregates only
+    assert "Window" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ab_ztest_unit_frame_is_distinct_aggregate(spark, sf_dir):
+    from kinesis_stream_spark.queries.experiment import QUERIES
+
+    plan = _explain(QUERIES["events_ab_test_zscore"](spark, sf_dir))
+    # unit assignment and conversion counting are hash aggregates over
+    # distinct frames; the totals combine is a broadcast of ONE row
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
