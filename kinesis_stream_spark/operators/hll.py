@@ -154,10 +154,16 @@ def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
                 s_fx.alias("harmonic_sum_fx"),
                 raw.alias("raw_estimate"),
                 est.alias("hll_estimate"),
-                (
+                # empty/all-NULL column: exact = 0 -> NULL rel_err by
+                # contract (ANSI Spark raises on the bare divide)
+                F.when(
+                    F.col("exact_distinct") == 0, F.lit(None).cast("double")
+                )
+                .otherwise(
                     (est - F.col("exact_distinct").cast("double"))
                     / F.col("exact_distinct").cast("double")
-                ).alias("rel_err"),
+                )
+                .alias("rel_err"),
             )
         )
     out = outs[0]
@@ -259,14 +265,9 @@ def sql_h_expr(col: str) -> str:
 
 def sql_hll_distinct(table: str, cols: list[str]) -> str:
     """DuckDB oracle twin of :func:`hll_distinct` — identical hashing,
-    register MAX, exact integer harmonic sum, the same single pinned
-    float numerator literal, and the same injected m·ln(m/V)
-    linear-counting table (1-based list_extract)."""
-    # exponent notation, NOT repr: DuckDB parses a plain decimal
-    # literal as DECIMAL and the later DECIMAL→DOUBLE conversion
-    # double-rounds (1 ULP off Spark's exact float literal); an
-    # exponent forces DOUBLE, and 17 significant digits round-trip
-    lin_list = "[" + ", ".join(f"{x:.17e}" for x in HLL_LIN) + "]"
+    register MAX, exact integer harmonic sum, and ONE :func:`_sql_est`
+    estimate expansion per column (the single source of the pinned
+    numerator literal + injected m·ln(m/V) linear-counting table)."""
     selects = []
     for c in cols:
         h = sql_h_expr(c)
@@ -274,18 +275,11 @@ def sql_hll_distinct(table: str, cols: list[str]) -> str:
             f"""
         SELECT column_name, n_rows, exact_distinct, n_registers_hit,
                zero_registers, harmonic_sum_fx, raw_estimate,
-               CASE WHEN zero_registers > 0
-                         AND raw_estimate <= {HLL_SMALL_CUT!r}
-                    THEN list_extract({lin_list},
-                                      CAST(zero_registers AS INT))
-                    ELSE raw_estimate END AS hll_estimate,
-               (CASE WHEN zero_registers > 0
-                          AND raw_estimate <= {HLL_SMALL_CUT!r}
-                     THEN list_extract({lin_list},
-                                       CAST(zero_registers AS INT))
-                     ELSE raw_estimate END
-                - CAST(exact_distinct AS DOUBLE))
-                 / CAST(exact_distinct AS DOUBLE) AS rel_err
+               hll_estimate,
+               CASE WHEN exact_distinct = 0 THEN NULL
+                    ELSE (hll_estimate - CAST(exact_distinct AS DOUBLE))
+                         / CAST(exact_distinct AS DOUBLE)
+               END AS rel_err
         FROM (
           SELECT '{c}' AS column_name, e.n_rows, e.exact_distinct,
                  s.n_hit AS n_registers_hit,
@@ -297,7 +291,8 @@ def sql_hll_distinct(table: str, cols: list[str]) -> str:
                  {HLL_NUM!r} / CAST(COALESCE(s.s_hit, 0)
                       + ({HLL_M} - s.n_hit)
                         * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS DOUBLE)
-                   AS raw_estimate
+                   AS raw_estimate,
+                 {_sql_est("s.s_hit", "s.n_hit")} AS hll_estimate
           FROM (
             SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - m)) AS BIGINT)
                      AS s_hit,
@@ -319,7 +314,6 @@ def sql_hll_distinct(table: str, cols: list[str]) -> str:
         )"""
         )
     return " UNION ALL ".join(selects)
-
 
 def _sql_est(s_hit: str, n_hit: str) -> str:
     """SQL text of the corrected estimate over (s_hit, n_hit) columns —

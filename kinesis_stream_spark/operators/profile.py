@@ -413,9 +413,19 @@ def benford_audit(
     corpus — nothing else. NULL and non-positive values are excluded
     (Benford is defined on positive magnitudes)."""
     cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    # the positivity filter runs on the QUANTIZED cents, not the raw
+    # value: 0 < x < 0.005 quantizes to 0 cents, whose leading digit
+    # '0' has no Benford expectation (and would crash the 1-based
+    # table lookup) — sub-cent dust is excluded on both engines
     digits = (
-        df.where(F.col(val_col).isNotNull() & (F.col(val_col) > 0))
-        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        df.where(F.col(val_col).isNotNull())
+        .select(cents.alias("_cents"))
+        .where(F.col("_cents") > 0)
+        .select(
+            F.substring(F.col("_cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
@@ -446,12 +456,13 @@ def sql_benford_audit(table: str, val_col: str) -> str:
     quantization, string leading digit, integer ppm)."""
     plist = "[" + ", ".join(str(p) for p in BENFORD_PPM) + "]"
     return f"""
-    WITH digits AS (
-      SELECT CAST(SUBSTR(CAST(CAST(FLOOR({val_col} * 100.0 + 0.5) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS INT) AS digit,
+    WITH cents AS (
+      SELECT CAST(FLOOR({val_col} * 100.0 + 0.5) AS BIGINT) AS c
+      FROM {table} WHERE {val_col} IS NOT NULL),
+    digits AS (
+      SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
              CAST(COUNT(*) AS BIGINT) AS n_obs
-      FROM {table}
-      WHERE {val_col} IS NOT NULL AND {val_col} > 0
+      FROM cents WHERE c > 0
       GROUP BY 1),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM digits)
     SELECT digit, n_obs,

@@ -874,8 +874,9 @@ def linear_trend(
     unit_us: int = DAY_US,
 ) -> DataFrame:
     """Per-key ordinary-least-squares linear trend of the bucketed
-    period sums: slope and intercept of yfx ~ x where x is the period
-    index RELATIVE to the key's first period (0, 1, 2, …) and yfx is
+    period sums: slope and intercept of yfx ~ x where x is the BUCKET
+    OFFSET relative to the key's first occupied bucket (0-based, with
+    gaps where the key was silent) and yfx is
     the 2^20 fixed-point period sum — the closed-form regression every
     per-entity trend feature ("is this user's spend rising?") needs,
     without an iterative solver.
@@ -884,8 +885,11 @@ def linear_trend(
 
     Output per key: (key, n_periods, slope_fx_per_period, slope,
     intercept, forecast_next) — slope/intercept/forecast in value
-    units (an exact power-of-two divide of the fx quantities).
-    Single-period keys emit NULL slope (den = 0) by contract.
+    units (an exact power-of-two divide of the fx quantities);
+    forecast_next evaluates the fit at max(x) + 1, the bucket AFTER
+    the key's last observation (never inside the observed span, even
+    for gapped keys). Single-period keys emit NULL slope (den = 0) by
+    contract.
 
     Exactness chain: the :func:`ewma` discipline — DECIMAL(27,6)
     period sums, one exact power-of-two multiply into 2^20 BIGINT fx.
@@ -913,6 +917,7 @@ def linear_trend(
     d38 = "decimal(38,0)"
     m = per.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("x").cast("long").alias("xmax"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("yfx").cast(d38).alias("sy"),
         F.sum((F.col("x") * F.col("yfx")).cast(d38)).cast(d38).alias("sxy"),
@@ -928,7 +933,7 @@ def linear_trend(
     icept_fx = (
         F.col("sy").cast("double") - slope_fx * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
-    fcast_fx = slope_fx * (F.col("n").cast("double")) + icept_fx
+    fcast_fx = slope_fx * (F.col("xmax") + 1).cast("double") + icept_fx
     s = float(EWMA_SCALE)
     return m.select(
         "key",
@@ -963,6 +968,7 @@ def sql_linear_trend(
       FROM daily),
     m AS (
       SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(x) AS BIGINT) AS xmax,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(yfx) AS DECIMAL(38,0)) AS sy,
              CAST(SUM(x * yfx) AS DECIMAL(38,0)) AS sxy,
@@ -980,13 +986,14 @@ def sql_linear_trend(
                                 * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
              END AS slope_fx,
              CAST(sy AS DOUBLE) AS sy_d, CAST(sx AS DOUBLE) AS sx_d,
-             CAST(n AS DOUBLE) AS n_d
+             CAST(n AS DOUBLE) AS n_d,
+             CAST(xmax + 1 AS DOUBLE) AS xn_d
       FROM m)
     SELECT key, n AS n_periods,
            slope_fx AS slope_fx_per_period,
            slope_fx / {s!r} AS slope,
            ((sy_d - slope_fx * sx_d) / n_d) / {s!r} AS intercept,
-           (slope_fx * n_d + ((sy_d - slope_fx * sx_d) / n_d)) / {s!r}
+           (slope_fx * xn_d + ((sy_d - slope_fx * sx_d) / n_d)) / {s!r}
              AS forecast_next
     FROM fit
     """
@@ -1034,13 +1041,19 @@ def seasonal_profile(
     )
     mean_slot = F.col("_s").cast("double") / F.col("n_events").cast("double")
     mean_key = F.col("_ts").cast("double") / F.col("_tn").cast("double")
+    # a key whose values sum to exactly 0 has no meaningful baseline:
+    # NULL seasonal_index by contract (ANSI Spark raises on the bare
+    # double divide; DuckDB would return NULL/inf)
+    index = F.when(F.col("_ts") == 0, F.lit(None).cast("double")).otherwise(
+        mean_slot / mean_key
+    )
     return per.join(F.broadcast(tot), "key").select(
         "key",
         "dow_slot",
         "n_events",
         F.col("_s").cast("double").alias("sum_value"),
         mean_slot.alias("mean_value"),
-        (mean_slot / mean_key).alias("seasonal_index"),
+        index.alias("seasonal_index"),
     )
 
 
@@ -1065,9 +1078,10 @@ def sql_seasonal_profile(
     SELECT p.key, p.dow_slot, p.n_events,
            CAST(p._s AS DOUBLE) AS sum_value,
            CAST(p._s AS DOUBLE) / CAST(p.n_events AS DOUBLE) AS mean_value,
-           (CAST(p._s AS DOUBLE) / CAST(p.n_events AS DOUBLE))
-             / (CAST(t._ts AS DOUBLE) / CAST(t._tn AS DOUBLE))
-             AS seasonal_index
+           CASE WHEN t._ts = 0 THEN NULL
+                ELSE (CAST(p._s AS DOUBLE) / CAST(p.n_events AS DOUBLE))
+                     / (CAST(t._ts AS DOUBLE) / CAST(t._tn AS DOUBLE))
+           END AS seasonal_index
     FROM per p JOIN tot t USING (key)
     """
 
@@ -1237,7 +1251,10 @@ def active_user_windows(
     and within the trailing ``window_days`` window (WAU), plus the
     integer-ppm stickiness ratio DAU/WAU — the engagement query whose
     naive form (COUNT(DISTINCT) OVER a RANGE frame) most engines
-    refuse or serialize.
+    refuse or serialize. EVERY day in the observed [min, max] span
+    emits a row: zero-activity days carry DAU = 0 (their trailing WAU
+    may still be positive), and a day whose whole trailing window is
+    silent carries WAU = 0 with NULL stickiness.
 
     Exact rolling distinct via the contribution-explode identity: a
     (unit, day) activity pair contributes to the windows of days
@@ -1281,15 +1298,27 @@ def active_user_windows(
         .groupBy("day")
         .agg(F.count_distinct("unit").cast("long").alias("wau"))
     )
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
     return (
-        dau.join(wau, "day")
-        .crossJoin(F.broadcast(span))
-        .where((F.col("day") >= F.col("d0")) & (F.col("day") <= F.col("d1")))
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau"),
+        )
         .select(
             "day",
             "dau",
             "wau",
-            F.expr("cast(cast(dau as decimal(38,0)) * 1000000 div wau as long)")
+            F.when(F.col("wau") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr(
+                    "cast(cast(dau as decimal(38,0)) * 1000000 div wau as long)"
+                )
+            )
             .alias("stickiness_ppm"),
         )
     )
@@ -1312,6 +1341,7 @@ def sql_active_user_windows(
       FROM {table}
       WHERE {ts_col} IS NOT NULL AND {unit_col} IS NOT NULL),
     span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM act),
+    grid AS (SELECT g.day FROM span, UNNEST(RANGE(d0, d1 + 1)) AS g(day)),
     dau AS (
       SELECT day, CAST(COUNT(DISTINCT unit) AS BIGINT) AS dau
       FROM act GROUP BY day),
@@ -1319,9 +1349,14 @@ def sql_active_user_windows(
       SELECT c.day, CAST(COUNT(DISTINCT a.unit) AS BIGINT) AS wau
       FROM act a, UNNEST(RANGE(a.day, a.day + {window_days})) AS c(day)
       GROUP BY c.day)
-    SELECT d.day, d.dau, w.wau,
-           CAST(CAST(d.dau AS HUGEINT) * 1000000 // w.wau AS BIGINT)
-             AS stickiness_ppm
-    FROM dau d JOIN wau w USING (day) CROSS JOIN span s
-    WHERE d.day BETWEEN s.d0 AND s.d1
+    SELECT g.day,
+           COALESCE(d.dau, 0) AS dau,
+           COALESCE(w.wau, 0) AS wau,
+           CASE WHEN COALESCE(w.wau, 0) = 0 THEN NULL
+                ELSE CAST(CAST(COALESCE(d.dau, 0) AS HUGEINT) * 1000000
+                          // w.wau AS BIGINT)
+           END AS stickiness_ppm
+    FROM grid g
+    LEFT JOIN dau d USING (day)
+    LEFT JOIN wau w USING (day)
     """

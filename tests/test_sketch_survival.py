@@ -118,8 +118,9 @@ def test_survival_curve_excludes_null_ts_and_units(spark):
 def test_active_user_windows_hand_traced(spark):
     """Unit A active days 1,3; unit B day 3. window=2:
       day1: DAU {A}=1, WAU(day0..1)={A}=1
-      day2: DAU absent (no activity) -> no row (inner join on dau)
+      day2: DAU 0 (no activity) but WAU(day1..2)={A}=1 -> stickiness 0
       day3: DAU {A,B}=2, WAU(day2..3)={A,B}=2
+    EVERY day in [min, max] emits a row — the zero-DAU day included.
     """
     from kinesis_stream_spark.operators.temporal import active_user_windows
 
@@ -133,16 +134,36 @@ def test_active_user_windows_hand_traced(spark):
     df = spark.createDataFrame(rows, "user_id string, ts timestamp")
     got = {r.day: r for r in active_user_windows(df, window_days=2).collect()}
     days = sorted(got)
-    assert len(days) == 2
-    d1, d3 = days
-    assert d3 - d1 == 2
+    assert len(days) == 3
+    d1, d2, d3 = days
+    assert (d2 - d1, d3 - d1) == (1, 2)
     assert (got[d1].dau, got[d1].wau) == (1, 1)
+    assert (got[d2].dau, got[d2].wau) == (0, 1)
+    assert got[d2].stickiness_ppm == 0
     assert (got[d3].dau, got[d3].wau) == (2, 2)
     assert got[d1].stickiness_ppm == 1_000_000
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         active_user_windows(df, window_days=0)
+
+
+def test_active_user_windows_silent_window_null_stickiness(spark):
+    """A gap longer than the window: the silent day carries WAU = 0
+    and NULL stickiness (not a crash, not a dropped row)."""
+    from kinesis_stream_spark.operators.temporal import active_user_windows
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 5)),
+        ("A", dt.datetime(2024, 1, 4, 5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r.day: r for r in active_user_windows(df, window_days=1).collect()}
+    days = sorted(got)
+    assert len(days) == 4  # full grid
+    mid = days[1]
+    assert (got[mid].dau, got[mid].wau) == (0, 0)
+    assert got[mid].stickiness_ppm is None
 
 
 def test_active_user_windows_wau_is_trailing(spark):
@@ -177,3 +198,14 @@ def test_benford_audit_shares_and_expectations(spark):
     assert got[1].excess_ppm == 600_000 - BENFORD_PPM[0]
     # Benford ppm table sums to ~1e6 (floor rounding loses < 9 ppm)
     assert 1_000_000 - 9 <= sum(BENFORD_PPM) <= 1_000_000
+
+
+def test_benford_audit_subcent_values_excluded(spark):
+    """0 < x < 0.005 quantizes to 0 cents (leading digit '0', no
+    Benford expectation): excluded, never an INVALID_INDEX_OF_ZERO."""
+    from kinesis_stream_spark.operators.profile import benford_audit
+
+    rows = [(0.004,), (1.0,), (2.5,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {r.digit: r.n_obs for r in benford_audit(df, "x").collect()}
+    assert got == {1: 1, 2: 1}

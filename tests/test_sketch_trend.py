@@ -86,6 +86,20 @@ def test_linear_trend_recovers_exact_line(spark):
     assert r.slope_fx_per_period == pytest.approx(2.0 * EWMA_SCALE, abs=1.0)
 
 
+def test_linear_trend_forecast_beyond_gapped_span(spark):
+    """Gapped key (days 0 and 10): forecast_next must evaluate at
+    x = max(x) + 1 = 11 (after the LAST observation), never at
+    x = n_periods = 2 (inside the observed span)."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 0.0),
+        (1, dt.datetime(2024, 1, 11, 12), 20.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = linear_trend(df).collect()[0]
+    assert r.slope == pytest.approx(2.0, abs=1e-6)
+    assert r.forecast_next == pytest.approx(22.0, abs=1e-5)
+
+
 def test_linear_trend_single_period_null_slope(spark):
     df = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1), 7.0)],
@@ -127,3 +141,24 @@ def test_seasonal_profile_hand_fixture(spark):
     overall = 5.0 / 3.0
     assert got[4].seasonal_index == pytest.approx(2.0 / overall)
     assert got[5].seasonal_index == pytest.approx(1.0 / overall)
+
+
+def test_hll_empty_column_null_rel_err(spark):
+    """All-NULL column: exact = 0 -> NULL rel_err (not a DIVIDE_BY_ZERO
+    under the session's ANSI default)."""
+    df = spark.createDataFrame([(None,), (None,)], "k string")
+    r = hll_distinct(df, ["k"]).collect()[0]
+    assert r.exact_distinct == 0 and r.rel_err is None
+
+
+def test_seasonal_profile_zero_sum_null_index(spark):
+    """A key whose values sum to 0 has no baseline: NULL index."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), "a", 0.0),
+        (2, dt.datetime(2024, 1, 2, 1), "a", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    for r in seasonal_profile(df).collect():
+        assert r.seasonal_index is None
