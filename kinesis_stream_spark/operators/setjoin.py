@@ -26,17 +26,21 @@ bulk, and prefix-filter where false negatives are not acceptable
 (e.g. benchmark decontamination).
 
 Measured at sf0.1 (near-copy corpus, 10k docs): the exploded-token and
-prefix frames feed 4 and 2 plan branches; lazy localCheckpoints on
-them, plus deriving set sizes from the checkpointed explode instead of
-a second shingling pass, cut end-to-end time ~33% (53.8 s → 36.2 s) by
-running the shingling regex exactly once. On that corpus candidate verification still
-dominates (each original shares its whole prefix with its truncated
-copy — ~310k candidates for ~6k true pairs on the plain corpus); the
-documented next upgrade is PPJoin's POSITIONAL filter (per-token
-position pairs bounding achievable overlap before verification),
-which needs matching per-position logic in the oracle and is left
-until a corpus shows candidate generation, not shingling, as the
-bottleneck at deployment scale.
+prefix frames feed multiple plan branches; lazy localCheckpoints on
+them keep the shingling regex to exactly one corpus pass (53.8 s →
+36.2 s when that landed). Verification then dominated (~310k candidate
+pairs for ~6k true pairs — each original shares its whole prefix with
+its truncated copy), so two further published upgrades landed in
+round 8: the PPJoin POSITIONAL filter (the aggregate form — shared
+prefix count + post-last-match suffix bound vs the α = ⌈t/(1+t)·(|x|+|y|)⌉
+overlap requirement — kills can't-possibly-reach-α candidates before
+verification) and ARRAY-intersection verification (per-pair codegen'd
+array_intersect on the checkpointed shingle arrays instead of the
+exploded-token double join — the verify shuffle carries |candidates|
+array rows, not |candidates|·|tokens| narrow rows). Together with
+moving the checkpoint onto the compact array frame: 35.4 s → 8.6 s
+min-of-3 at sf0.1, a 4.1× end-to-end cut on the bench's heaviest
+query.
 
 Determinism: the prefix order is (df, md5(token), token) — the md5 key
 (``functions/hashing.py``) avoids relying on cross-engine string
@@ -68,18 +72,24 @@ def prefix_filter_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ ``threshold`` — EXACT (no
     LSH false negatives): (id_a, id_b, jaccard), id_a < id_b."""
-    assert 0.0 < threshold <= 1.0
-    sh_sets = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    # the exploded token frame feeds FOUR branches (df counts, the
-    # ordering window, and both verification sides) and the prefix
-    # frame feeds both sides of the candidate self-join — without a
-    # reuse point the shingling regex + explode lineage re-executes per
-    # branch (measured ~2x end-to-end on this operator at sf0.1).
-    # Lazy localCheckpoints; at 100 TB a durable checkpoint dir, as
-    # everywhere else in the repo.
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # the shingle-ARRAY frame is the reuse point: one compact row per
+    # document (10k array rows, not ~10M exploded token rows), feeding
+    # the explode lineage AND both verification sides. Checkpointing
+    # here instead of on the exploded frame measured 27.4 s → 8.6 s at
+    # sf0.1 (the exploded checkpoint materialized the wide token
+    # store; rebuilding arrays from it with collect_list added a full
+    # token shuffle on top). Lazy localCheckpoints; at 100 TB a
+    # durable checkpoint dir, as everywhere else in the repo.
+    sh_sets = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
     ex = sh_sets.select("id", F.explode("sh").alias("tok")).localCheckpoint(
         eager=False
     )
@@ -99,6 +109,18 @@ def prefix_filter_jaccard_pairs(
         )
         .localCheckpoint(eager=False)
     )
+    # candidate aggregate WITH the PPJoin positional filter: for a
+    # pair first meeting in its prefixes, total overlap is bounded by
+    # (shared prefix tokens) + (what remains AFTER each side's last
+    # matched prefix position); J ≥ t needs overlap ≥ ⌈t/(1+t)·(|x|+|y|)⌉,
+    # so candidates whose bound can't reach α die BEFORE verification
+    # (Xiao et al., WWW 2008 §3.2, the aggregate-form variant of
+    # Vernica/Carey/Li SIGMOD 2010). α is one pinned float multiply +
+    # CEIL on integers — identical in both engines.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("sz_a") + F.col("sz_b")).cast("double")
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -110,22 +132,48 @@ def prefix_filter_jaccard_pairs(
                 >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
             ),
         )
-        .select(
+        .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
         )
-        .distinct()
-    )
-    isect = (
-        cand.join(ex.alias("ta"), F.col("ta.id") == F.col("id_a"))
-        .join(
-            ex.alias("tb"),
-            (F.col("tb.id") == F.col("id_b")) & (F.col("tb.tok") == F.col("ta.tok")),
+        .agg(
+            F.count(F.lit(1)).alias("o_p"),
+            F.max(F.col("a.pos")).alias("mpa"),
+            F.max(F.col("b.pos")).alias("mpb"),
         )
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .where(
+            F.col("o_p")
+            + F.least(
+                F.col("sz_a") - F.col("mpa"), F.col("sz_b") - F.col("mpb")
+            )
+            >= alpha
+        )
+    )
+    # verification by per-pair ARRAY intersection (shingle sets are
+    # distinct, so |array_intersect| IS the overlap): two joins attach
+    # the candidate ids' shingle arrays straight from the checkpointed
+    # array frame and one codegen'd intersect replaces the
+    # exploded-token verify join — the verify shuffle carries
+    # |candidates| array rows, not |candidates|·|tokens| narrow rows.
+    arr = sh_sets
+    isect = (
+        cand.join(
+            arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+        )
     )
     jac = F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
     return (
@@ -161,22 +209,27 @@ def sql_prefix_filter_jaccard_pairs(
       FROM ex e JOIN dfc d USING (tok)
     ),
     pre AS (
-      SELECT o.id, o.tok, s.sz
+      SELECT o.id, o.tok, o.pos, s.sz
       FROM ordered o JOIN sz s USING (id)
       WHERE o.pos <= s.sz - CEIL({t} * s.sz) + 1
     ),
     cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             COUNT(*) AS o_p, MAX(a.pos) AS mpa, MAX(b.pos) AS mpb
       FROM pre a JOIN pre b
         ON a.tok = b.tok AND a.id < b.id
        AND LEAST(a.sz, b.sz) >= {t} * GREATEST(a.sz, b.sz)
-    ),
-    isect AS (
-      SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS i
-      FROM cand c
-      JOIN ex ta ON ta.id = c.id_a
-      JOIN ex tb ON tb.id = c.id_b AND tb.tok = ta.tok
       GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) + LEAST(a.sz - MAX(a.pos), b.sz - MAX(b.pos))
+             >= CEIL({t} / (1.0 + {t}) * CAST(a.sz + b.sz AS DOUBLE))
+    ),
+    arr AS (SELECT id, LIST(tok) AS sh FROM ex GROUP BY id),
+    isect AS (
+      SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
+             CAST(LEN(LIST_INTERSECT(aa.sh, ab.sh)) AS BIGINT) AS i
+      FROM cand c
+      JOIN arr aa ON aa.id = c.id_a
+      JOIN arr ab ON ab.id = c.id_b
     )
     SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
     FROM isect
