@@ -1066,6 +1066,11 @@ def bigram_novelty(
     key distribution IS the df distribution this operator measures)."""
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
+    # the gram frame feeds two branches (df aggregate + join-back);
+    # measured at sf0.1, a checkpoint here does NOT pay (6.5 s without
+    # vs 7.3 s with an array-frame checkpoint) — the df aggregate and
+    # the gram equi-join dominate, and re-running the cheap shingle
+    # map is faster than materializing it
     grams = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), 2)).alias("g"),
