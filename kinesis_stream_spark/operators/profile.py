@@ -284,14 +284,19 @@ def sql_numeric_correlations(
     for cx, cy in pairs:
         selects.append(
             f"""
+        -- HUGEINT -> DOUBLE casts route through VARCHAR: DuckDB's
+        -- direct int128 -> double conversion TRUNCATES (not correctly
+        -- rounded) past 2^63, 1 ULP off Spark's Decimal -> double;
+        -- strtod on the decimal string is correctly rounded
         SELECT '{cx}' AS col_x, '{cy}' AS col_y, n,
                CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0
                       OR CAST(n AS HUGEINT) * syy - sy * sy = 0 THEN NULL
-                    ELSE CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-                         / (SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
-                                      AS DOUBLE))
-                            * SQRT(CAST(CAST(n AS HUGEINT) * syy - sy * sy
-                                        AS DOUBLE)))
+                    ELSE CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+                                   AS VARCHAR) AS DOUBLE)
+                         / (SQRT(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                           AS VARCHAR) AS DOUBLE))
+                            * SQRT(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                             AS VARCHAR) AS DOUBLE)))
                END AS r
         FROM (
           SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -472,4 +477,85 @@ def sql_benford_audit(table: str, val_col: str) -> str:
            CAST(CAST(n_obs AS HUGEINT) * 1000000 // total AS BIGINT)
              - CAST(list_extract({plist}, digit) AS BIGINT) AS excess_ppm
     FROM digits CROSS JOIN tot
+    """
+
+
+def chisq_independence(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Chi-square independence audit between two categorical columns:
+    per contingency cell, the observed count, the independence
+    expectation row·col/N, and the cell's χ² contribution
+    (obs − exp)²/exp — the "are these dimensions actually related"
+    screen behind segmentation sanity checks and drift alarms (a flat
+    contribution surface ⇒ independent; hot cells point at the
+    dependent pairs).
+
+    The contributions are pinned-order doubles over exact integer
+    marginals (one multiply, one divide for exp; one subtract, one
+    multiply, one divide for the contribution — deterministic in both
+    engines at ANY table size, where an exact-integer χ² numerator
+    (N·obs − row·col)² would overflow DECIMAL(38) past N ≈ 10^9).
+    The total χ² is deliberately NOT emitted in-engine: a sum of
+    doubles is accumulation-order-dependent; consumers sum the
+    (deterministic) per-cell column themselves. NULL categories form
+    their own cells (groupBy convention).
+
+    Scale shape: ONE combinable (x, y) contingency aggregate over the
+    corpus; marginals reduce FROM the cell frame (never a second
+    scan); the cell frame is |x-domain|·|y-domain| rows — broadcast
+    joins end to end."""
+    cells = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    rowm = cells.groupBy("x").agg(F.sum("n_obs").cast("long").alias("row_n"))
+    colm = cells.groupBy("y").agg(F.sum("n_obs").cast("long").alias("col_n"))
+    tot = cells.agg(F.sum("n_obs").cast("long").alias("total"))
+    exp = (
+        F.col("row_n").cast("double") * F.col("col_n").cast("double")
+    ) / F.col("total").cast("double")
+    d = F.col("n_obs").cast("double") - exp
+    return (
+        cells.join(F.broadcast(rowm), "x")
+        .join(F.broadcast(colm), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x").alias(col_x),
+            F.col("y").alias(col_y),
+            "n_obs",
+            "row_n",
+            "col_n",
+            "total",
+            exp.alias("expected"),
+            (d * d / exp).alias("chi2_contrib"),
+        )
+    )
+
+
+def sql_chisq_independence(table: str, col_x: str, col_y: str) -> str:
+    """DuckDB oracle twin of :func:`chisq_independence`."""
+    return f"""
+    WITH cells AS (
+      SELECT {col_x} AS x, {col_y} AS y, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM {table} GROUP BY 1, 2),
+    rowm AS (SELECT x, CAST(SUM(n_obs) AS BIGINT) AS row_n FROM cells GROUP BY x),
+    colm AS (SELECT y, CAST(SUM(n_obs) AS BIGINT) AS col_n FROM cells GROUP BY y),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM cells)
+    SELECT c.x AS {col_x}, c.y AS {col_y}, c.n_obs, r.row_n, m.col_n, t.total,
+           CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE)
+             / CAST(t.total AS DOUBLE) AS expected,
+           (CAST(c.n_obs AS DOUBLE)
+            - CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE)
+              / CAST(t.total AS DOUBLE))
+           * (CAST(c.n_obs AS DOUBLE)
+              - CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE)
+                / CAST(t.total AS DOUBLE))
+           / (CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE)
+              / CAST(t.total AS DOUBLE)) AS chi2_contrib
+    FROM cells c
+    JOIN rowm r USING (x)
+    JOIN colm m USING (y)
+    CROSS JOIN tot t
     """

@@ -1360,3 +1360,291 @@ def sql_active_user_windows(
     LEFT JOIN dau d USING (day)
     LEFT JOIN wau w USING (day)
     """
+
+
+def lead_lag_correlation(
+    events: DataFrame,
+    *,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 2,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two event types' daily value
+    series: Pearson r of (a[t], b[t + lag]) for lag ∈ [−max_lag,
+    +max_lag] — the attribution/causality screen ("do clicks lead
+    purchases by a day?"). A positive-lag peak means ``type_a`` LEADS
+    ``type_b``.
+
+    Exactness chain: per-(type, bucket) DECIMAL(27,6) sums quantize to
+    2^scale_bits BIGINT fx; each lag's five moment sums accumulate as
+    DECIMAL(38,0) over the aligned bucket pairs (the
+    :func:`~kinesis_stream_spark.operators.profile.numeric_correlations`
+    discipline), finals are two correctly-rounded sqrts + one pinned
+    divide. Buckets where either side is absent are excluded pairwise
+    (missing ≠ zero — gap days carry no observation); r is NULL when
+    either aligned series is constant or fewer than 2 pairs align.
+
+    Output per lag: (lag, n_pairs, r).
+
+    Scale shape: ONE combinable (type, bucket) aggregate over the
+    corpus collapses everything to two grid-bounded series; the lag
+    loop is a workload constant (2·max_lag + 1 equi-joins on the
+    bucket, each grid-sized); no windows, no corpus re-scan. NULL
+    timestamps are excluded by contract (:func:`ewma`'s rule)."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    s = float(1 << scale_bits)
+    daily = (
+        events.where(
+            F.col(ts_col).isNotNull()
+            & F.col(type_col).isin([type_a, type_b])
+        )
+        .groupBy(
+            F.col(type_col).alias("t"), _bucket(ts_col, unit_us).alias("bucket")
+        )
+        .agg(dsum(value_col, "v"))
+        .select(
+            "t",
+            "bucket",
+            F.floor(F.col("v") * F.lit(s)).cast("long").alias("vfx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.where(F.col("t") == type_a).select(
+        F.col("bucket").alias("ab"), F.col("vfx").alias("x")
+    )
+    b = daily.where(F.col("t") == type_b).select(
+        F.col("bucket").alias("bb"), F.col("vfx").alias("y")
+    )
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    outs = []
+    for lag in range(-max_lag, max_lag + 1):
+        pairs = a.join(b, F.col("ab") + lag == F.col("bb"))
+        m = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast(d38).alias("sx"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum((F.col("x").cast(d19) * F.col("y").cast(d19)).cast(d38))
+            .cast(d38)
+            .alias("sxy"),
+            F.sum((F.col("x").cast(d19) * F.col("x").cast(d19)).cast(d38))
+            .cast(d38)
+            .alias("sxx"),
+            F.sum((F.col("y").cast(d19) * F.col("y").cast(d19)).cast(d38))
+            .cast(d38)
+            .alias("syy"),
+        )
+        n_d = F.col("n").cast(d38)
+        num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+        vx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+        vy = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+        r = F.when(
+            (F.col("n") < 2) | (vx == 0) | (vy == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        outs.append(
+            m.select(
+                F.lit(lag).cast("int").alias("lag"),
+                F.col("n").alias("n_pairs"),
+                r.alias("r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def sql_lead_lag_correlation(
+    *,
+    table: str = "events",
+    type_a: str,
+    type_b: str,
+    max_lag: int = 2,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    scale_bits: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`lead_lag_correlation`."""
+    s = float(1 << scale_bits)
+    selects = []
+    for lag in range(-max_lag, max_lag + 1):
+        selects.append(
+            f"""
+        -- VARCHAR-routed HUGEINT -> DOUBLE: the direct cast truncates
+        -- past 2^63 (operators/profile.py sql_numeric_correlations note)
+        SELECT CAST({lag} AS INT) AS lag, n AS n_pairs,
+               CASE WHEN n < 2
+                      OR CAST(n AS HUGEINT) * sxx - sx * sx = 0
+                      OR CAST(n AS HUGEINT) * syy - sy * sy = 0 THEN NULL
+                    ELSE CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+                                   AS VARCHAR) AS DOUBLE)
+                         / (SQRT(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                           AS VARCHAR) AS DOUBLE))
+                            * SQRT(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                             AS VARCHAR) AS DOUBLE)))
+               END AS r
+        FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM (
+            SELECT a.x, b.y
+            FROM (SELECT bucket AS ab, vfx AS x FROM daily
+                  WHERE t = '{type_a}') a
+            JOIN (SELECT bucket AS bb, vfx AS y FROM daily
+                  WHERE t = '{type_b}') b
+              ON a.ab + {lag} = b.bb
+          )
+        )"""
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH daily AS (
+      SELECT {type_col} AS t, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+             CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {type_col} IN ('{type_a}', '{type_b}')
+      GROUP BY 1, 2)
+    {body}
+    """
+
+
+def strict_funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    step_budget_us: int = DAY_US,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel with a PER-STEP time budget: a unit
+    reaches step k+1 only with an event of that type STRICTLY AFTER
+    its step-k completion and within ``step_budget_us`` of it — the
+    conversion readout where "signed up, then purchased a month later"
+    must NOT count. Earliest-completion semantics: each step binds to
+    the unit's EARLIEST qualifying event (greedy, deterministic; the
+    standard funnel contract).
+
+    Output per step: (step_idx, step_name, n_units, conversion_ppm) —
+    conversion is against step 1's cohort, integer ppm.
+
+    Scale shape: step 1 is one combinable per-unit MIN over its type
+    slice; each later step is one equi-join of the (unit-sized)
+    previous-step frame against that step's type slice + a combinable
+    MIN — k−1 joins total, every frame unit-sized after the first
+    aggregate, predicate pushdown sends each type filter to the scan.
+    NULL units/timestamps are excluded."""
+    if len(steps) < 2:
+        raise ValueError("steps must have at least 2 entries")
+    base = events.where(
+        F.col(ts_col).isNotNull() & F.col(unit_col).isNotNull()
+    ).select(
+        F.col(unit_col).alias("unit"),
+        F.col(type_col).alias("et"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+    )
+    reached = [
+        base.where(F.col("et") == steps[0])
+        .groupBy("unit")
+        .agg(F.min("us").alias("t"))
+    ]
+    for step in steps[1:]:
+        prev = reached[-1]
+        reached.append(
+            base.where(F.col("et") == step)
+            .join(prev.select("unit", F.col("t").alias("pt")), "unit")
+            .where(
+                (F.col("us") > F.col("pt"))
+                & (F.col("us") <= F.col("pt") + step_budget_us)
+            )
+            .groupBy("unit")
+            .agg(F.min("us").alias("t"))
+        )
+    counts = [
+        r.agg(F.count(F.lit(1)).cast("long").alias(f"n{i}"))
+        for i, r in enumerate(reached)
+    ]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(c)
+    outs = []
+    for i, step in enumerate(steps):
+        conv = F.when(F.col("n0") == 0, F.lit(None).cast("long")).otherwise(
+            F.expr(f"cast(cast(n{i} as decimal(38,0)) * 1000000 div n0 as long)")
+        )
+        outs.append(
+            row.select(
+                F.lit(i + 1).cast("int").alias("step_idx"),
+                F.lit(step).alias("step_name"),
+                F.col(f"n{i}").alias("n_units"),
+                conv.alias("conversion_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def sql_strict_funnel(
+    *,
+    table: str = "events",
+    steps: list[str],
+    step_budget_us: int = DAY_US,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB oracle twin of :func:`strict_funnel`."""
+    ctes = [
+        f"""base AS (
+      SELECT {unit_col} AS unit, {type_col} AS et, EPOCH_US({ts_col}) AS us
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {unit_col} IS NOT NULL)""",
+        f"""r0 AS (
+      SELECT unit, MIN(us) AS t FROM base
+      WHERE et = '{steps[0]}' GROUP BY unit)""",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT b.unit, MIN(b.us) AS t
+      FROM base b JOIN r{i - 1} p USING (unit)
+      WHERE b.et = '{step}' AND b.us > p.t
+        AND b.us <= p.t + {step_budget_us}
+      GROUP BY b.unit)"""
+        )
+    ctes.append(
+        "counts AS (SELECT "
+        + ", ".join(
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM r{i}) AS n{i}"
+            for i in range(len(steps))
+        )
+        + ")"
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({i + 1} AS INT) AS step_idx,
+           '{step}' AS step_name, n{i} AS n_units,
+           CASE WHEN n0 = 0 THEN NULL
+                ELSE CAST(CAST(n{i} AS HUGEINT) * 1000000 // n0 AS BIGINT)
+           END AS conversion_ppm
+        FROM counts"""
+        for i, step in enumerate(steps)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rows

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from kinesis_stream_spark.operators.profile import (
     fd_profile,
     sql_benford_audit,
+    sql_chisq_independence,
     sql_cdc_apply,
     sql_fd_profile,
     sql_numeric_correlations,
@@ -2594,3 +2595,21 @@ def profile_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return benford_audit(o, "o_totalprice").orderBy("digit")
+
+
+@_q(
+    "profile_orders_chisq",
+    sql_chisq_independence("orders", "o_orderpriority", "o_orderstatus")
+    + " ORDER BY o_orderpriority, o_orderstatus",
+)
+def profile_orders_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between order priority and order
+    status: per contingency cell, observed vs independence-expected
+    counts and the cell's χ² contribution in pinned-order doubles over
+    exact marginals (operators/profile.py)."""
+    from kinesis_stream_spark.operators.profile import chisq_independence
+
+    o = load_table(spark, sf_dir, "orders")
+    return chisq_independence(o, "o_orderpriority", "o_orderstatus").orderBy(
+        "o_orderpriority", "o_orderstatus"
+    )

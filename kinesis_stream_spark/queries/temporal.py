@@ -28,6 +28,10 @@ from kinesis_stream_spark.operators.temporal import (
     survival_curve,
     active_user_windows,
     sql_active_user_windows,
+    lead_lag_correlation,
+    sql_lead_lag_correlation,
+    sql_strict_funnel,
+    strict_funnel,
 )
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -579,3 +583,38 @@ def events_active_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return active_user_windows(ev, window_days=7).orderBy("day")
+
+
+@_q(
+    "events_lead_lag_correlation",
+    sql_lead_lag_correlation(type_a="click", type_b="purchase")
+    + " ORDER BY lag",
+)
+def events_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase daily
+    value series at lags -2..+2 — exact DECIMAL(38,0) moments over the
+    aligned grid-bounded series, pinned sqrt/divide finals (operator
+    docstring); a positive-lag peak means clicks lead purchases."""
+    ev = load_table(spark, sf_dir, "events")
+    return lead_lag_correlation(
+        ev, type_a="click", type_b="purchase", max_lag=2
+    ).orderBy("lag")
+
+
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+@_q(
+    "events_strict_funnel",
+    sql_strict_funnel(steps=_FUNNEL_STEPS, step_budget_us=DAY_US)
+    + " ORDER BY step_idx",
+)
+def events_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered signup→view→purchase funnel with a one-day
+    per-step budget and earliest-completion semantics — per step:
+    cohort size and integer-ppm conversion against step 1 (operator
+    docstring for the unit-sized join chain)."""
+    ev = load_table(spark, sf_dir, "events")
+    return strict_funnel(ev, _FUNNEL_STEPS, step_budget_us=DAY_US).orderBy(
+        "step_idx"
+    )

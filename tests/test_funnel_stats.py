@@ -1,0 +1,143 @@
+"""Strict time-budget funnel, lead-lag cross-correlation
+(operators/temporal.py), and the chi-square independence audit
+(operators/profile.py) against hand-built fixtures / Python
+references. Cross-engine parity for the registered queries runs in
+test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from kinesis_stream_spark.operators.profile import chisq_independence
+from kinesis_stream_spark.operators.temporal import (
+    DAY_US,
+    lead_lag_correlation,
+    strict_funnel,
+)
+
+_SCHEMA = "user_id long, ts timestamp, event_type string, value double"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, e, 1.0) for u, t, e in rows], _SCHEMA
+    )
+
+
+def test_strict_funnel_budget_and_order(spark):
+    """u1 completes all 3 steps inside budget; u2's purchase comes
+    BEFORE its view (order violation); u3's view exceeds the 1-day
+    budget. Only u1 converts past step 2."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "signup"),
+        (1, dt.datetime(2024, 1, 1, 6), "view"),
+        (1, dt.datetime(2024, 1, 1, 12), "purchase"),
+        (2, dt.datetime(2024, 1, 1, 0), "signup"),
+        (2, dt.datetime(2024, 1, 1, 1), "purchase"),  # before its view
+        (2, dt.datetime(2024, 1, 1, 2), "view"),
+        (3, dt.datetime(2024, 1, 1, 0), "signup"),
+        (3, dt.datetime(2024, 1, 3, 0), "view"),  # > 1 day after signup
+    ]
+    got = {
+        r.step_idx: r
+        for r in strict_funnel(
+            _ev(spark, rows), ["signup", "view", "purchase"],
+            step_budget_us=DAY_US,
+        ).collect()
+    }
+    assert got[1].n_units == 3 and got[1].conversion_ppm == 1_000_000
+    assert got[2].n_units == 2  # u1 and u2 view within budget
+    # u2's purchase precedes its earliest-view binding -> no step 3
+    assert got[3].n_units == 1
+    assert got[3].conversion_ppm == 1_000_000 // 3
+    with pytest.raises(ValueError):
+        strict_funnel(_ev(spark, rows), ["signup"])
+
+
+def test_strict_funnel_earliest_binding_is_greedy(spark):
+    """Step 2 binds to the EARLIEST qualifying view — a later view
+    inside whose budget the purchase would fall cannot rescue the
+    chain (deterministic greedy contract, not an any-path search)."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "signup"),
+        (1, dt.datetime(2024, 1, 1, 1), "view"),      # binds here
+        (1, dt.datetime(2024, 1, 1, 20), "view"),     # ignored
+        (1, dt.datetime(2024, 1, 2, 18), "purchase"), # >1d after 1st view
+    ]
+    got = {
+        r.step_idx: r.n_units
+        for r in strict_funnel(
+            _ev(spark, rows), ["signup", "view", "purchase"],
+            step_budget_us=DAY_US,
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 0}
+
+
+def test_lead_lag_detects_shifted_series(spark):
+    """b is a one-day-delayed copy of a (up to scale): r at lag +1 must
+    be ~1.0 and dominate the other lags."""
+    vals = [5.0, 9.0, 2.0, 7.0, 4.0, 8.0, 3.0]
+    rows = []
+    for d, v in enumerate(vals):
+        rows.append((1, dt.datetime(2024, 1, 1 + d, 12), "a", v))
+        rows.append((1, dt.datetime(2024, 1, 2 + d, 12), "b", 2.0 * v))
+    df = spark.createDataFrame(rows, _SCHEMA.replace("value double", "value double"))
+    got = {
+        r.lag: r
+        for r in lead_lag_correlation(
+            df, type_a="a", type_b="b", max_lag=2
+        ).collect()
+    }
+    assert got[1].r == pytest.approx(1.0, abs=1e-6)
+    assert got[1].n_pairs == len(vals)
+    for lag in (-2, -1, 0, 2):
+        assert got[lag].r is None or abs(got[lag].r) < 0.99
+
+
+def test_lead_lag_constant_series_null(spark):
+    rows = []
+    for d in range(4):
+        rows.append((1, dt.datetime(2024, 1, 1 + d), "a", 3.0))  # constant
+        rows.append((1, dt.datetime(2024, 1, 1 + d), "b", float(d)))
+    got = {
+        r.lag: r.r
+        for r in lead_lag_correlation(
+            _mk(spark, rows), type_a="a", type_b="b", max_lag=0
+        ).collect()
+    }
+    assert got[0] is None
+    with pytest.raises(ValueError):
+        lead_lag_correlation(_mk(spark, rows), type_a="a", type_b="b", max_lag=-1)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, e, v) for u, t, e, v in rows], _SCHEMA
+    )
+
+
+def test_chisq_independence_analytic(spark):
+    """Perfectly independent 2x2 table: every contribution is 0.
+    Then a fully dependent one: contributions are positive and the
+    per-cell expectation matches row*col/N."""
+    # construct exact independence: 2 x values x 2 y values, balanced
+    rows = []
+    for a in ("x", "y"):
+        for b in ("p", "q"):
+            rows += [(a, b)] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    for r in chisq_independence(df, "a", "b").collect():
+        assert r.expected == pytest.approx(3.0)
+        assert r.chi2_contrib == pytest.approx(0.0)
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string"
+    )
+    got = {(r.a, r.b): r for r in chisq_independence(dep, "a", "b").collect()}
+    # only the diagonal cells exist; exp = 5*5/10 = 2.5, contrib = 2.5
+    for cell, r in got.items():
+        assert r.expected == pytest.approx(2.5)
+        assert r.chi2_contrib == pytest.approx((5 - 2.5) ** 2 / 2.5)
