@@ -1648,3 +1648,76 @@ def sql_strict_funnel(
         for i, step in enumerate(steps)
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+def ohlc_bars(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """OHLC candlestick downsampling: per (key, bucket) the Open
+    (value at the earliest event), High, Low, Close (value at the
+    latest event), event count, and exact-decimal volume — the
+    market-data resample every time-series store ships, and the
+    lossy-but-shaped downsample that makes year-scale dashboards
+    readable.
+
+    Open/Close use the struct-extremum trick (MIN/MAX over
+    (epoch_us, id, value) structs — one aggregate, no window), with
+    the id as tiebreak so exact-timestamp ties resolve identically on
+    both engines; High/Low/volume are plain MIN/MAX/DECIMAL-SUM.
+
+    Scale shape: ONE map-side-combinable (key, bucket) aggregate over
+    the corpus — no window, no join, no second pass. NULL timestamps
+    are excluded by contract."""
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    return (
+        events.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+            us.alias("us"),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.struct("us", "eid", "v")).getField("v").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.struct("us", "eid", "v")).getField("v").alias("close"),
+            dsum("v", "volume"),
+        )
+    )
+
+
+def sql_ohlc_bars(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`ohlc_bars` (identical struct
+    extrema and decimal volume)."""
+    return f"""
+    SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (MIN({{'us': EPOCH_US({ts_col}), 'eid': {id_col},
+                  'v': {value_col}}})).v AS open,
+           MAX({value_col}) AS high,
+           MIN({value_col}) AS low,
+           (MAX({{'us': EPOCH_US({ts_col}), 'eid': {id_col},
+                  'v': {value_col}}})).v AS close,
+           CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS volume
+    FROM {table}
+    WHERE {ts_col} IS NOT NULL
+    GROUP BY 1, 2
+    """

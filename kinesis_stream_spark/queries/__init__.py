@@ -25,11 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 8 window (first 50), stale-first: the thirty-seven
-# never-verified round-8 registrations — the eighteen from the third
+# Round 8 window (first 50), stale-first: the thirty-eight
+# never-verified round-8 registrations — the nineteen from the third
 # r8 session (HLL sketch + set ops, histogram quantile sketch,
 # Kaplan-Meier survival, rolling-distinct DAU/WAU, Benford audit,
-# lead-lag correlation, strict funnel, chi-square audit,
+# lead-lag correlation, strict funnel, chi-square audit, OHLC bars,
 # OLS linear trend, seasonal profile, cheapest path, A/B z-test,
 # bigram novelty, association rules, correlations,
 # CDC merge, quantile normalization) lead because their code is
@@ -59,6 +59,7 @@ _PRIORITY = (
     "events_lead_lag_correlation",
     "events_strict_funnel",
     "profile_orders_chisq",
+    "events_ohlc_daily",
     "events_linear_trend",
     "events_seasonal_profile",
     "graph_cheapest_path",
@@ -101,10 +102,10 @@ _PRIORITY = (
     "events_transition_matrix",
     "events_winsorized_stats",
     "events_user_diversity",
-    "dedup_minhash_lsh_exact_copies",
     # --- past the 50-cut (displaced by the round-8 batch-5/6
     # registrations; these keep their r7/r8-era rows and the local
     # backstop)
+    "dedup_minhash_lsh_exact_copies",
     "dedup_minhash_lsh_near_copies",
     "dedup_minhash_band_agreement",
     "similarity_pq_adc_topk",

@@ -29,7 +29,9 @@ from kinesis_stream_spark.operators.temporal import (
     active_user_windows,
     sql_active_user_windows,
     lead_lag_correlation,
+    ohlc_bars,
     sql_lead_lag_correlation,
+    sql_ohlc_bars,
     sql_strict_funnel,
     strict_funnel,
 )
@@ -618,3 +620,12 @@ def events_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strict_funnel(ev, _FUNNEL_STEPS, step_budget_us=DAY_US).orderBy(
         "step_idx"
     )
+
+
+@_q("events_ohlc_daily", sql_ohlc_bars() + " ORDER BY key, bucket")
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks per event type: open/high/low/close via
+    struct extrema with (epoch, id) tiebreaks, exact-decimal volume —
+    ONE combinable aggregate, no window (operator docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, unit_us=DAY_US).orderBy("key", "bucket")

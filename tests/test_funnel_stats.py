@@ -141,3 +141,25 @@ def test_chisq_independence_analytic(spark):
     for cell, r in got.items():
         assert r.expected == pytest.approx(2.5)
         assert r.chi2_contrib == pytest.approx((5 - 2.5) ** 2 / 2.5)
+
+
+def test_ohlc_hand_traced(spark):
+    """Open = value at earliest ts, Close at latest, tie on ts breaks
+    by event id; NULL ts excluded."""
+    from kinesis_stream_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), "a", 10.0),
+        (2, dt.datetime(2024, 1, 1, 5), "a", 99.0),
+        (3, dt.datetime(2024, 1, 1, 9), "a", 7.0),
+        (4, dt.datetime(2024, 1, 1, 9), "a", 3.0),  # ties ts with 3 -> id 4 wins close
+        (5, None, "a", 1000.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ohlc_bars(df).collect()[0]
+    assert r.n_events == 4
+    assert r.open == 10.0 and r.close == 3.0
+    assert r.high == 99.0 and r.low == 3.0
+    assert r.volume == pytest.approx(119.0)
