@@ -517,9 +517,21 @@ def chisq_independence(
         F.col("row_n").cast("double") * F.col("col_n").cast("double")
     ) / F.col("total").cast("double")
     d = F.col("n_obs").cast("double") - exp
+    # null-SAFE marginal joins: a NULL category forms its own cell
+    # (the documented groupBy convention), and a null-rejecting
+    # equi-join would silently drop those cells while their rows still
+    # inflate the marginals every other cell's expectation divides by
     return (
-        cells.join(F.broadcast(rowm), "x")
-        .join(F.broadcast(colm), "y")
+        cells.join(
+            F.broadcast(rowm.withColumnRenamed("x", "_rx")),
+            F.col("x").eqNullSafe(F.col("_rx")),
+        )
+        .drop("_rx")
+        .join(
+            F.broadcast(colm.withColumnRenamed("y", "_cy")),
+            F.col("y").eqNullSafe(F.col("_cy")),
+        )
+        .drop("_cy")
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("x").alias(col_x),
@@ -555,7 +567,7 @@ def sql_chisq_independence(table: str, col_x: str, col_y: str) -> str:
            / (CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE)
               / CAST(t.total AS DOUBLE)) AS chi2_contrib
     FROM cells c
-    JOIN rowm r USING (x)
-    JOIN colm m USING (y)
+    JOIN rowm r ON c.x IS NOT DISTINCT FROM r.x
+    JOIN colm m ON c.y IS NOT DISTINCT FROM m.y
     CROSS JOIN tot t
     """

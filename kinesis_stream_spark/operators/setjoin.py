@@ -32,9 +32,10 @@ them keep the shingling regex to exactly one corpus pass (53.8 s →
 pairs for ~6k true pairs — each original shares its whole prefix with
 its truncated copy), so two further published upgrades landed in
 round 8: the PPJoin POSITIONAL filter (the aggregate form — shared
-prefix count + post-last-match suffix bound vs the α = ⌈t/(1+t)·(|x|+|y|)⌉
-overlap requirement — kills can't-possibly-reach-α candidates before
-verification) and ARRAY-intersection verification (per-pair codegen'd
+prefix count + post-last-match suffix bound u, tested with the SAME
+u/(|x|+|y|−u) ≥ t arithmetic as the final Jaccard filter so boundary
+pairs can never be rounded away — kills can't-reach-t candidates
+before verification) and ARRAY-intersection verification (per-pair codegen'd
 array_intersect on the checkpointed shingle arrays instead of the
 exploded-token double join — the verify shuffle carries |candidates|
 array rows, not |candidates|·|tokens| narrow rows). Together with
@@ -111,16 +112,15 @@ def prefix_filter_jaccard_pairs(
     )
     # candidate aggregate WITH the PPJoin positional filter: for a
     # pair first meeting in its prefixes, total overlap is bounded by
-    # (shared prefix tokens) + (what remains AFTER each side's last
-    # matched prefix position); J ≥ t needs overlap ≥ ⌈t/(1+t)·(|x|+|y|)⌉,
-    # so candidates whose bound can't reach α die BEFORE verification
-    # (Xiao et al., WWW 2008 §3.2, the aggregate-form variant of
-    # Vernica/Carey/Li SIGMOD 2010). α is one pinned float multiply +
-    # CEIL on integers — identical in both engines.
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("sz_a") + F.col("sz_b")).cast("double")
-    )
+    # u = (shared prefix tokens) + (what remains AFTER each side's
+    # last matched prefix position) — Xiao et al., WWW 2008 §3.2, the
+    # aggregate-form variant of Vernica/Carey/Li SIGMOD 2010. The
+    # bound test uses THE SAME arithmetic as the final Jaccard filter
+    # (u/(|x|+|y|−u) ≥ t, monotone in the overlap), NOT a separately
+    # rounded ⌈t/(1+t)·(|x|+|y|)⌉ threshold: float ceil rounds the
+    # α form UP at exact-boundary pairs (e.g. containment at J = t)
+    # and would silently drop true pairs, breaking the operator's
+    # no-false-negative contract.
     cand = (
         prefix.alias("a")
         .join(
@@ -143,13 +143,19 @@ def prefix_filter_jaccard_pairs(
             F.max(F.col("a.pos")).alias("mpa"),
             F.max(F.col("b.pos")).alias("mpb"),
         )
-        .where(
+        .withColumn(
+            "_ub",
             F.col("o_p")
             + F.least(
                 F.col("sz_a") - F.col("mpa"), F.col("sz_b") - F.col("mpb")
-            )
-            >= alpha
+            ),
         )
+        .where(
+            F.col("_ub").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("_ub"))
+            >= F.lit(threshold)
+        )
+        .drop("_ub")
     )
     # verification by per-pair ARRAY intersection (shingle sets are
     # distinct, so |array_intersect| IS the overlap): two joins attach
@@ -220,16 +226,18 @@ def sql_prefix_filter_jaccard_pairs(
         ON a.tok = b.tok AND a.id < b.id
        AND LEAST(a.sz, b.sz) >= {t} * GREATEST(a.sz, b.sz)
       GROUP BY 1, 2, 3, 4
-      HAVING COUNT(*) + LEAST(a.sz - MAX(a.pos), b.sz - MAX(b.pos))
-             >= CEIL({t} / (1.0 + {t}) * CAST(a.sz + b.sz AS DOUBLE))
+      HAVING CAST(COUNT(*) + LEAST(a.sz - MAX(a.pos), b.sz - MAX(b.pos))
+                  AS DOUBLE)
+             / (a.sz + b.sz
+                - (COUNT(*) + LEAST(a.sz - MAX(a.pos), b.sz - MAX(b.pos))))
+             >= {t}
     ),
-    arr AS (SELECT id, LIST(tok) AS sh FROM ex GROUP BY id),
     isect AS (
       SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
              CAST(LEN(LIST_INTERSECT(aa.sh, ab.sh)) AS BIGINT) AS i
       FROM cand c
-      JOIN arr aa ON aa.id = c.id_a
-      JOIN arr ab ON ab.id = c.id_b
+      JOIN ssn aa ON aa.id = c.id_a
+      JOIN ssn ab ON ab.id = c.id_b
     )
     SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
     FROM isect

@@ -1413,6 +1413,10 @@ def lead_lag_correlation(
             "bucket",
             F.floor(F.col("v") * F.lit(s)).cast("long").alias("vfx"),
         )
+        # a bucket whose events all carry NULL values has no
+        # observation (vfx NULL): drop it, or COUNT(*) in the moment
+        # aggregate would count pairs the NULL-skipping SUMs exclude
+        .where(F.col("vfx").isNotNull())
         .localCheckpoint(eager=False)
     )
     a = daily.where(F.col("t") == type_a).select(
@@ -1519,7 +1523,9 @@ def sql_lead_lag_correlation(
                              AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
       FROM {table}
       WHERE {ts_col} IS NOT NULL AND {type_col} IN ('{type_a}', '{type_b}')
-      GROUP BY 1, 2)
+      GROUP BY 1, 2
+      HAVING CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) IS NOT NULL)
     {body}
     """
 

@@ -85,7 +85,7 @@ def test_lead_lag_detects_shifted_series(spark):
     for d, v in enumerate(vals):
         rows.append((1, dt.datetime(2024, 1, 1 + d, 12), "a", v))
         rows.append((1, dt.datetime(2024, 1, 2 + d, 12), "b", 2.0 * v))
-    df = spark.createDataFrame(rows, _SCHEMA.replace("value double", "value double"))
+    df = spark.createDataFrame(rows, _SCHEMA)
     got = {
         r.lag: r
         for r in lead_lag_correlation(
@@ -163,3 +163,38 @@ def test_ohlc_hand_traced(spark):
     assert r.open == 10.0 and r.close == 3.0
     assert r.high == 99.0 and r.low == 3.0
     assert r.volume == pytest.approx(119.0)
+
+
+def test_chisq_null_categories_form_cells(spark):
+    """NULL categories are real cells (groupBy convention): they must
+    survive the marginal joins, and the emitted cells' marginals must
+    be consistent with the N used for expectations."""
+    df = spark.createDataFrame(
+        [("a", "p"), (None, "p"), ("a", None)], "a string, b string"
+    )
+    got = {(r.a, r.b): r for r in chisq_independence(df, "a", "b").collect()}
+    assert set(got) == {("a", "p"), (None, "p"), ("a", None)}
+    r = got[("a", "p")]
+    assert (r.row_n, r.col_n, r.total) == (2, 2, 3)
+    assert r.expected == pytest.approx(2 * 2 / 3)
+
+
+def test_lead_lag_all_null_value_bucket_excluded(spark):
+    """A bucket whose events all carry NULL values has NO observation:
+    it must not align as a pair (COUNT would include what the SUMs
+    skip, corrupting every moment)."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), "a", None),   # a: day-1 all-NULL
+        (1, dt.datetime(2024, 1, 2, 12), "a", 4.0),
+        (1, dt.datetime(2024, 1, 3, 12), "a", 9.0),
+        (1, dt.datetime(2024, 1, 1, 12), "b", 1.0),
+        (1, dt.datetime(2024, 1, 2, 12), "b", 2.0),
+        (1, dt.datetime(2024, 1, 3, 12), "b", 3.0),
+    ]
+    got = {
+        r.lag: r
+        for r in lead_lag_correlation(
+            _mk(spark, rows), type_a="a", type_b="b", max_lag=0
+        ).collect()
+    }
+    assert got[0].n_pairs == 2  # day 1's NULL bucket excluded

@@ -93,3 +93,19 @@ def test_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_keeps_exact_boundary_containment_pair(spark):
+    """Containment pair at EXACTLY J = t must be emitted: 28 shingles
+    fully inside 35 gives J = 28/35 = 0.8; a separately-rounded
+    positional threshold (ceil of a float alpha) silently dropped it
+    — the bound must be tested with the final filter's arithmetic."""
+    words_small = [f"w{i:03d}" for i in range(30)]   # 28 3-shingles
+    words_big = [f"w{i:03d}" for i in range(37)]     # 35 3-shingles
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_small)), (2, " ".join(words_big))],
+        "doc_id long, text string",
+    )
+    rows = prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == 28.0 / 35.0
