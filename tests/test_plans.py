@@ -626,3 +626,36 @@ def test_ab_ztest_unit_frame_is_distinct_aggregate(spark, sf_dir):
     # distinct frames; the totals combine is a broadcast of ONE row
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_is_single_aggregate_no_window_no_join(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_ohlc_daily"](spark, sf_dir))
+    # struct extrema replace the open/close window: one combinable
+    # aggregate, nothing else (struct MIN/MAX has no hash-agg buffer
+    # in Spark, so it plans as a partial+final SortAggregate — still
+    # map-side combinable, which is the property that matters)
+    assert "Window" not in plan and "Join" not in plan
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "partial" in plan.lower()
+
+
+def test_strict_funnel_pushes_type_filters_to_scan(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_strict_funnel"](spark, sf_dir))
+    # each step's type slice reaches the parquet scan as a pushed filter
+    assert "PushedFilters:" in plan
+    assert "EqualTo(event_type,signup)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lead_lag_collapses_before_lag_joins(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_lead_lag_correlation"](spark, sf_dir))
+    # the five lag branches all scan the SAME checkpointed daily frame
+    # (one corpus pass), and the bucket-alignment joins stay equi
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
