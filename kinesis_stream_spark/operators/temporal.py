@@ -1727,3 +1727,126 @@ def sql_ohlc_bars(
     WHERE {ts_col} IS NOT NULL
     GROUP BY 1, 2
     """
+
+
+def seasonal_residual_outliers(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted robust outliers: subtract each row's
+    (key, weekday-slot) baseline mean, then flag rows whose RESIDUAL
+    deviates more than k·MAD from the key's median residual — the
+    upgrade of :func:`mad_outliers` for metrics with calendar shape,
+    where a plain MAD rule either misses weekday anomalies or
+    false-alarms every weekend (the Monday spike is normal; the
+    Monday-sized spike on a Sunday is not).
+
+    Baselines are the :func:`seasonal_profile` slots (epoch-day % 7 —
+    convention-free across engines); the residual is one pinned
+    subtract of the exact-decimal slot mean; median/MAD of residuals
+    replay the :func:`mad_outliers` two-pass exact-percentile
+    discipline. Output per flagged row: (id, key, dow_slot, value,
+    baseline, residual, med_res, mad_res, score).
+
+    Scale shape: one combinable (key, slot) aggregate for baselines
+    (broadcast back — rows never shuffle), two per-key exact
+    percentile passes on the residual (the documented
+    approx_percentile swap at 100 TB), one broadcast flag join. NULL
+    timestamps are excluded by contract; keys whose MAD is 0 flag
+    nothing (degenerate scale — the mad_outliers convention)."""
+    base = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(id_col).alias("eid"),
+        F.col(key_col).alias("key"),
+        (_bucket(ts_col, DAY_US) % 7).cast("int").alias("dow_slot"),
+        F.col(value_col).alias("v"),
+    )
+    slots = base.groupBy("key", "dow_slot").agg(
+        (
+            F.sum(F.col("v").cast(DEC)).cast("double")
+            / F.count(F.col("v")).cast("double")
+        ).alias("baseline")
+    )
+    resid = base.join(F.broadcast(slots), ["key", "dow_slot"]).select(
+        "eid",
+        "key",
+        "dow_slot",
+        "v",
+        "baseline",
+        (F.col("v") - F.col("baseline")).alias("res"),
+    )
+    med = resid.groupBy("key").agg(
+        F.expr("percentile(res, 0.5)").alias("med_res")
+    )
+    mad = (
+        resid.join(F.broadcast(med), "key")
+        .select("key", F.abs(F.col("res") - F.col("med_res")).alias("adev"))
+        .groupBy("key")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad_res"))
+    )
+    stats = med.join(mad, "key")
+    return (
+        resid.join(F.broadcast(stats), "key")
+        .where(
+            F.abs(F.col("res") - F.col("med_res"))
+            > F.lit(k) * F.col("mad_res")
+        )
+        .select(
+            F.col("eid").alias(id_col),
+            F.col("key").alias(key_col),
+            "dow_slot",
+            F.col("v").alias(value_col),
+            "baseline",
+            F.col("res").alias("residual"),
+            "med_res",
+            "mad_res",
+            (
+                (F.col("res") - F.col("med_res")) / F.col("mad_res")
+            ).alias("score"),
+        )
+    )
+
+
+def sql_seasonal_residual_outliers(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> str:
+    """DuckDB oracle twin of :func:`seasonal_residual_outliers`."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS eid, {key_col} AS key,
+             CAST((EPOCH_US({ts_col}) // {DAY_US}) % 7 AS INT) AS dow_slot,
+             {value_col} AS v
+      FROM {table} WHERE {ts_col} IS NOT NULL),
+    slots AS (
+      SELECT key, dow_slot,
+             CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(COUNT(v) AS DOUBLE) AS baseline
+      FROM base GROUP BY 1, 2),
+    resid AS (
+      SELECT b.eid, b.key, b.dow_slot, b.v, s.baseline,
+             b.v - s.baseline AS res
+      FROM base b JOIN slots s USING (key, dow_slot)),
+    med AS (SELECT key, QUANTILE_CONT(res, 0.5) AS med_res
+            FROM resid GROUP BY key),
+    mad AS (
+      SELECT r.key, QUANTILE_CONT(ABS(r.res - m.med_res), 0.5) AS mad_res
+      FROM resid r JOIN med m USING (key) GROUP BY r.key),
+    stats AS (SELECT med.key, med.med_res, mad.mad_res
+              FROM med JOIN mad USING (key))
+    SELECT r.eid AS {id_col}, r.key AS {key_col}, r.dow_slot,
+           r.v AS {value_col}, r.baseline, r.res AS residual,
+           s.med_res, s.mad_res,
+           (r.res - s.med_res) / s.mad_res AS score
+    FROM resid r JOIN stats s USING (key)
+    WHERE ABS(r.res - s.med_res) > {k!r} * s.mad_res
+    """

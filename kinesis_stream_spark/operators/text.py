@@ -1119,3 +1119,110 @@ def sql_bigram_novelty(
            (n_novel * 1000000) // n_bigrams AS novelty_ppm
     FROM per
     """
+
+
+def keyword_extraction(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k tokens by tf·idf —
+    the corpus-tagging/labeling primitive behind search facets and
+    weak-label generation. Log-free idf in the BM25 rational form
+    (the :mod:`~kinesis_stream_spark.operators.retrieval` discipline):
+    idf_fx = ⌊(2(N−df)+1)/(2df+1) · 2^20⌋ — a single pinned IEEE
+    divide of exactly-cast integers per VOCABULARY term, never per
+    occurrence — and score_fx = tf · idf_fx, exact BIGINT thereafter.
+    Ties break (score desc, token asc); ranks are dense per document.
+
+    Output per (doc, keyword): (doc_id, rank, keyword, tf, df,
+    score_fx). Documents with NULL text emit no row.
+
+    Scale shape: one explode → per-(doc, token) tf (combinable) → df
+    reduces FROM the tf frame (never a second corpus pass) → idf join
+    back on the token (vocab-keyed, broadcastable) → top-k via a
+    doc-partitioned window (parallel across documents, k rows kept
+    per doc)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = tok.groupBy("doc", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    idf = dfc.crossJoin(F.broadcast(n)).select(
+        "tok",
+        "df",
+        F.floor(
+            (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double")
+            / (2 * F.col("df") + 1).cast("double")
+            * F.lit(float(1 << 20))
+        )
+        .cast("long")
+        .alias("idf_fx"),
+    )
+    scored = tf.join(idf, "tok").select(
+        "doc",
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf") * F.col("idf_fx")).alias("score_fx"),
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("score_fx"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("tok").alias("keyword"),
+            "tf",
+            "df",
+            "score_fx",
+        )
+    )
+
+
+def sql_keyword_extraction(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> str:
+    """DuckDB oracle twin of :func:`keyword_extraction`."""
+    toks = sql_tokens(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS doc, t.tok
+      FROM {table}, UNNEST({toks}) AS t(tok)),
+    tf AS (SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}
+           WHERE {text_col} IS NOT NULL),
+    idf AS (
+      SELECT tok, df,
+             CAST(FLOOR(CAST(2 * (n_docs - df) + 1 AS DOUBLE)
+                        / CAST(2 * df + 1 AS DOUBLE)
+                        * {float(1 << 20)!r}) AS BIGINT) AS idf_fx
+      FROM dfc CROSS JOIN nd),
+    scored AS (
+      SELECT t.doc, t.tok, t.tf, i.df, t.tf * i.idf_fx AS score_fx
+      FROM tf t JOIN idf i USING (tok)),
+    ranked AS (
+      SELECT doc, tok, tf, df, score_fx,
+             ROW_NUMBER() OVER (PARTITION BY doc
+                                ORDER BY score_fx DESC, tok) AS rank
+      FROM scored)
+    SELECT doc AS {id_col}, CAST(rank AS INT) AS rank, tok AS keyword,
+           tf, df, score_fx
+    FROM ranked WHERE rank <= {k}
+    """

@@ -25,11 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 8 window (first 50), stale-first: the thirty-eight
-# never-verified round-8 registrations — the nineteen from the third
+# Round 8 window (first 50), stale-first: the forty
+# never-verified round-8 registrations — the twenty-one from the third
 # r8 session (HLL sketch + set ops, histogram quantile sketch,
 # Kaplan-Meier survival, rolling-distinct DAU/WAU, Benford audit,
 # lead-lag correlation, strict funnel, chi-square audit, OHLC bars,
+# keyword extraction, seasonal-residual outliers,
 # OLS linear trend, seasonal profile, cheapest path, A/B z-test,
 # bigram novelty, association rules, correlations,
 # CDC merge, quantile normalization) lead because their code is
@@ -60,6 +61,8 @@ _PRIORITY = (
     "events_strict_funnel",
     "profile_orders_chisq",
     "events_ohlc_daily",
+    "text_keyword_extraction",
+    "events_seasonal_outliers",
     "events_linear_trend",
     "events_seasonal_profile",
     "graph_cheapest_path",
@@ -100,9 +103,10 @@ _PRIORITY = (
     "events_multires_rollup",
     "events_mad_outliers",
     "events_transition_matrix",
+    # --- past the 50-cut (displaced by the round-8 batch-5/6/7
     "events_winsorized_stats",
     "events_user_diversity",
-    # --- past the 50-cut (displaced by the round-8 batch-5/6
+    # (continued: displaced by the round-8 batch-5/6
     # registrations; these keep their r7/r8-era rows and the local
     # backstop)
     "dedup_minhash_lsh_exact_copies",

@@ -32,6 +32,8 @@ from kinesis_stream_spark.operators.temporal import (
     ohlc_bars,
     sql_lead_lag_correlation,
     sql_ohlc_bars,
+    seasonal_residual_outliers,
+    sql_seasonal_residual_outliers,
     sql_strict_funnel,
     strict_funnel,
 )
@@ -629,3 +631,16 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE combinable aggregate, no window (operator docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return ohlc_bars(ev, unit_us=DAY_US).orderBy("key", "bucket")
+
+
+@_q(
+    "events_seasonal_outliers",
+    sql_seasonal_residual_outliers() + " ORDER BY event_id",
+)
+def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust outliers: weekday-slot baselines
+    subtracted, then |residual − median| > 3·MAD per event type — the
+    calendar-aware upgrade of events_mad_outliers (operator
+    docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_residual_outliers(ev).orderBy("event_id")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from kinesis_stream_spark.operators.text import (
     BPE_PATTERN,
     sql_bigram_novelty,
+    sql_keyword_extraction,
     LANG_MARKERS,
     STOPWORDS,
     chunk_windows,
@@ -831,3 +832,18 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_novelty(docs).orderBy("doc_id")
+
+
+@_q(
+    "text_keyword_extraction",
+    sql_keyword_extraction() + " ORDER BY doc_id, rank",
+)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf keywords per document: log-free BM25-form idf in
+    2^20 fixed point (one pinned divide per VOCABULARY term), exact
+    BIGINT scores, (score desc, token) tie-break (operator
+    docstring)."""
+    from kinesis_stream_spark.operators.text import keyword_extraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_extraction(docs, k=3).orderBy("doc_id", "rank")

@@ -198,3 +198,61 @@ def test_lead_lag_all_null_value_bucket_excluded(spark):
         ).collect()
     }
     assert got[0].n_pairs == 2  # day 1's NULL bucket excluded
+
+
+def test_keyword_extraction_rare_term_wins(spark):
+    """A document's corpus-rare term must outrank its common terms;
+    ties break lexicographically; k caps rows per doc."""
+    from kinesis_stream_spark.operators.text import keyword_extraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared unique1"),
+            (2, "shared filler"),
+            (3, "shared filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): r
+        for r in keyword_extraction(docs, k=2).collect()
+    }
+    # doc 1: 'unique1' df=1 beats 'shared' df=3 despite tf 1 < 2
+    assert got[(1, 1)].keyword == "unique1"
+    assert got[(1, 2)].keyword == "shared"
+    # doc 2: 'filler' (df=2) beats 'shared' (df=3)
+    assert got[(2, 1)].keyword == "filler"
+    assert max(r for (_, r) in got) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        keyword_extraction(docs, k=0)
+
+
+def test_seasonal_outliers_flag_calendar_aware(spark):
+    """A value that is normal FOR ITS SLOT must not flag even though a
+    plain per-key MAD rule would flag it; a same-sized value on the
+    other slot must flag."""
+    from kinesis_stream_spark.operators.temporal import (
+        seasonal_residual_outliers,
+    )
+
+    rows = []
+    eid = 0
+    # slot A (2024-01-01 = slot 4): baseline 100; slot B (01-02 = slot 5): 1
+    for week in range(4):
+        for v in (99.0, 100.0, 101.0):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, eid % 12) + dt.timedelta(days=7 * week), "m", v))
+        for v in (0.0, 1.0, 2.0):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 2, eid % 12) + dt.timedelta(days=7 * week), "m", v))
+    # anomaly: a 100-sized reading on the LOW slot
+    rows.append((9999, dt.datetime(2024, 1, 9), "m", 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    flagged = {r.event_id for r in seasonal_residual_outliers(df).collect()}
+    assert 9999 in flagged
+    # none of the in-pattern high-slot readings flag
+    assert all(e == 9999 for e in flagged)
