@@ -368,7 +368,9 @@ def mad_outliers(
     join shape is unchanged. The only float ops per row are one
     subtract/abs/compare chain: single IEEE ops, deterministic
     everywhere; percentile interpolation parity is pinned by the
-    relational percentile oracles.
+    relational percentile oracles. Keys whose MAD is 0 flag nothing
+    (degenerate scale — also keeps the score divide off Spark 4's
+    ANSI double/0 error path).
     """
     med = events.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
@@ -382,7 +384,10 @@ def mad_outliers(
     stats = med.join(dev, key_col)
     return (
         events.join(F.broadcast(stats), key_col)
-        .where(F.abs(F.col(value_col) - F.col("med")) > k * F.col("mad"))
+        .where(
+            (F.col("mad") > 0)
+            & (F.abs(F.col(value_col) - F.col("med")) > k * F.col("mad"))
+        )
         .select(
             id_col,
             key_col,
@@ -467,10 +472,17 @@ def mann_kendall(
     P·(P−1)/2 with P bounded by the bucketing grid (days in the data
     window), not by event count — the classic way MK stays tractable:
     coarsen ``unit_us`` as the horizon grows. Keys with one period
-    have no pairs and classify 'flat'."""
-    daily = events.groupBy(
-        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
-    ).agg(F.sum(F.col(value_col).cast(DEC)).alias("v"))
+    have no pairs and classify 'flat'. NULL timestamps are excluded
+    by contract (the family convention shared with ewma/cusum/holt —
+    a NULL bucket is not a period)."""
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+        )
+        .agg(F.sum(F.col(value_col).cast(DEC)).alias("v"))
+    )
     a, b = daily.alias("a"), daily.alias("b")
     sgn = (
         F.when(F.col("b.v") > F.col("a.v"), 1)
@@ -1791,9 +1803,16 @@ def seasonal_residual_outliers(
     stats = med.join(mad, "key")
     return (
         resid.join(F.broadcast(stats), "key")
+        # mad_res > 0 implements the documented degenerate-scale
+        # contract AND keeps the score divide off Spark 4's ANSI
+        # double/0 error path (DuckDB would yield inf instead —
+        # guarding both engines identically pins parity)
         .where(
-            F.abs(F.col("res") - F.col("med_res"))
-            > F.lit(k) * F.col("mad_res")
+            (F.col("mad_res") > 0)
+            & (
+                F.abs(F.col("res") - F.col("med_res"))
+                > F.lit(k) * F.col("mad_res")
+            )
         )
         .select(
             F.col("eid").alias(id_col),
@@ -1848,5 +1867,6 @@ def sql_seasonal_residual_outliers(
            s.med_res, s.mad_res,
            (r.res - s.med_res) / s.mad_res AS score
     FROM resid r JOIN stats s USING (key)
-    WHERE ABS(r.res - s.med_res) > {k!r} * s.mad_res
+    WHERE s.mad_res > 0
+      AND ABS(r.res - s.med_res) > {k!r} * s.mad_res
     """

@@ -166,7 +166,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value, s.med, s.mad,
            (e.value - s.med) / s.mad AS mad_score
     FROM events e JOIN stats s USING (event_type)
-    WHERE ABS(e.value - s.med) > 3.0 * s.mad
+    WHERE s.mad > 0 AND ABS(e.value - s.med) > 3.0 * s.mad
     """,
 )
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +291,7 @@ def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- sums differing past double precision must still sign
       SELECT user_id AS key, EPOCH_US(ts) // {DAY_US} AS bucket,
              SUM(CAST(value AS DECIMAL(27,6))) AS v
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     pairs AS (
       SELECT a.key,
              CASE WHEN b.v > a.v THEN 1

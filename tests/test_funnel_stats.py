@@ -256,3 +256,25 @@ def test_seasonal_outliers_flag_calendar_aware(spark):
     assert 9999 in flagged
     # none of the in-pattern high-slot readings flag
     assert all(e == 9999 for e in flagged)
+
+
+def test_seasonal_outliers_degenerate_mad_flags_nothing(spark):
+    """Residual MAD 0 (constant value per slot, one spike -> >=50% of
+    residuals identical) flags nothing per the documented contract and
+    never reaches the ANSI double/0 score divide."""
+    from kinesis_stream_spark.operators.temporal import (
+        seasonal_residual_outliers,
+    )
+
+    # one weekday slot, constant value, one spike: every non-spike
+    # residual is identical -> med = that residual, MAD = 0
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=7 * (i % 5)),
+         "m", 7.0)
+        for i in range(20)
+    ]
+    rows.append((9999, dt.datetime(2024, 1, 8), "m", 1000.0))  # spike
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    assert seasonal_residual_outliers(df).count() == 0

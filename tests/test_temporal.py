@@ -134,6 +134,26 @@ def test_mad_outliers_flags_known_spike_and_resists_burst(spark):
     assert all(r.mad_score > 3 for r in out)
 
 
+def test_mad_outliers_degenerate_scale_flags_nothing(spark):
+    """A key whose values are >=50% identical has MAD 0; the documented
+    contract flags nothing there (and the score divide never runs —
+    Spark 4 ANSI would raise on double/0)."""
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import mad_outliers
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, "const", base, 7.0) for i in range(20)]
+    rows += [(99, "const", base, 1000.0)]  # outlier, but MAD = 0
+    rows += [(200 + i, "live", base, 10.0 + (i % 5)) for i in range(20)]
+    rows += [(299, "live", base, 9000.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id int, event_type string, ts timestamp, value double"
+    )
+    out = mad_outliers(ev).collect()
+    assert {r.event_id for r in out} == {299}
+
+
 def test_transition_matrix_hand_checked(spark):
     import datetime as dt
 
@@ -275,6 +295,23 @@ def test_mann_kendall_known_series(spark):
     # key 5 daily sums: d1=5, d2=5, d3=1 -> pairs (1,2)=0, (1,3)=-1,
     # (2,3)=-1 -> S=-2
     assert got[5] == (3, 3, -2, "decreasing")
+
+
+def test_mann_kendall_excludes_null_timestamps(spark):
+    """The family contract (shared with ewma/cusum/holt): a NULL ts is
+    not a period — it must not inflate n_periods or join into pairs."""
+    import datetime as dt
+    from kinesis_stream_spark.operators.temporal import mann_kendall
+
+    rows = [
+        (1, dt.datetime(2024, 1, d, 12), float(d)) for d in range(1, 4)
+    ] + [(1, None, 999.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = {r.key: (r.n_periods, r.n_pairs, r.s_stat) for r in
+           mann_kendall(df).collect()}
+    assert got[1] == (3, 3, 3)
 
 
 def test_ewma_fold_known_values(spark):
