@@ -25,109 +25,75 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 8 window (first 50), stale-first: the forty
-# never-verified round-8 registrations — the twenty-one from the third
-# r8 session (HLL sketch + set ops, histogram quantile sketch,
-# Kaplan-Meier survival, rolling-distinct DAU/WAU, Benford audit,
-# lead-lag correlation, strict funnel, chi-square audit, OHLC bars,
-# keyword extraction, seasonal-residual outliers,
-# OLS linear trend, seasonal profile, cheapest path, A/B z-test,
-# bigram novelty, association rules, correlations,
-# CDC merge, quantile normalization) lead because their code is
-# newest, then the nineteen from the first two sessions (RSJ,
-# chunking, skyline, fuzzy join, Mann-Kendall, EWMA, k-core, LPA,
-# triangles, CUSUM, Holt, peak concurrency, top paths, BFS, PPR,
-# Count-Min, phrase search, skew deciles, FD audit) — followed by
-# edited-since-row fill: the reworked RRF fusion + BM25/vocab
-# (operators/retrieval edited), agg_equidepth_price and
-# text_vocab_coverage (distributed_cumsum rewritten to the multi-sum
-# core this session), graph_pagerank_purchases (operators/graph.py
-# grew cheapest_path), the events family (operators/temporal.py
-# gained the NULL-ts contract + linear trend/seasonal profile), the
-# minhash trio (minhash_sql edited in r8), and six quantization
-# queries (vector-guard + rerank-dedup edits). Everything past the
-# cut is driver-green at its latest sampling and re-verified every
-# session by the sf0.001 local backstop.
+# Round 9 window (first 50), stale-first per the rotation policy:
+# the three queries edited this round lead (events_seasonal_outliers /
+# events_mad_outliers gained the MAD>0 degenerate-scale guard,
+# events_mann_kendall_trend the NULL-ts exclusion — rows must not
+# predate code), then ALL twenty-seven names whose newest driver row
+# is round 4 (the oldest rows in the inventory: the scalar/stream/
+# text/multimodal/integrity r4 cohort), then r5-latest fill to 50
+# (multimodal ×5, scalar ×9, the five streaming-window queries,
+# agg_approx_sketches). The remaining seventeen r5-latest names
+# (text ×12, udf ×4, events_user_diversity / events_winsorized_stats)
+# are the planned r10 window head. Everything past the cut is
+# driver-green at its latest sampling and re-verified every session
+# by the sf0.001 local backstop.
 _PRIORITY = (
-    # --- round-8 window (first 50 = the driver's check set) ---------
-    # never-driver-verified: third-session registrations
-    "agg_hll_distinct",
-    "agg_hll_set_ops",
-    "agg_histogram_quantiles",
-    "events_survival_curve",
-    "events_active_user_windows",
-    "profile_benford_prices",
-    "events_lead_lag_correlation",
-    "events_strict_funnel",
-    "profile_orders_chisq",
-    "events_ohlc_daily",
-    "text_keyword_extraction",
+    # --- round-9 window (first 50 = the driver's check set) ---------
+    # edited this round (code newer than last driver row)
     "events_seasonal_outliers",
-    "events_linear_trend",
-    "events_seasonal_profile",
-    "graph_cheapest_path",
-    "events_ab_test_zscore",
-    "text_bigram_novelty",
-    "basket_association_rules",
-    "profile_lineitem_correlations",
-    "integrity_cdc_merge",
-    "feature_quantile_normalize",
-    # never-driver-verified: first/second-session registrations
-    "events_cusum_drift",
-    "events_holt_forecast",
-    "events_peak_concurrency",
-    "events_top_paths",
-    "graph_bfs_hops",
-    "graph_ppr_seed_cohort",
-    "text_cms_heavy_hitters",
-    "text_phrase_search",
-    "agg_supplier_skew_deciles",
-    "profile_orders_fds",
-    "text_rsj_topk",
-    "text_chunk_windows",
-    "skyline_parts_price_size",
-    "fuzzy_part_name_histogram",
-    "events_mann_kendall_trend",
-    "events_ewma_daily",
-    "graph_kcore_purchases",
-    "graph_label_propagation",
-    "graph_triangles_copurchase",
-    # edited-since-row fill to 50
-    "retrieval_hybrid_rrf",
-    "text_bm25_topk",
-    "text_vocab_coverage",
-    "agg_equidepth_price",
-    "graph_pagerank_purchases",
-    "events_gap_fill_hourly",
-    "events_scd2_status_history",
-    "events_multires_rollup",
     "events_mad_outliers",
-    "events_transition_matrix",
-    # --- past the 50-cut (displaced by the round-8 batch-5/6/7
-    "events_winsorized_stats",
-    "events_user_diversity",
-    # (continued: displaced by the round-8 batch-5/6
-    # registrations; these keep their r7/r8-era rows and the local
-    # backstop)
-    "dedup_minhash_lsh_exact_copies",
-    "dedup_minhash_lsh_near_copies",
-    "dedup_minhash_band_agreement",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_rerank",
-    "similarity_rrpq_adc_topk",
-    "similarity_ivfpq_route_census",
-    "similarity_pq_reconstruction_mse",
-    # --- ballast (ordering ballast, locally re-verified):
-    # the rest of the quantization/evaluation family, then the text
-    # family (r5 rows, operators/text.py appended this round so they
-    # lead the r9 rotation), then the r3-latest TPC-H rewrites'
-    # successors have fresh r7 rows and sit in module order.
-    "similarity_subspace_variance",
-    "similarity_ivfpq_nprobe_sweep",
-    "similarity_rank_quality",
-    "similarity_embedding_drift",
+    "events_mann_kendall_trend",
+    # r4-latest rows (all 27 — oldest driver rows in the inventory)
     "agg_histogram_price",
+    "agg_salted_skew_safe",
+    "events_cohort_retention",
+    "integrity_referential_audit",
+    "integrity_snapshot_diff",
+    "integrity_table_checksum",
+    "join_lateral_top2_orders",
+    "multimodal_exact_dedup",
+    "profile_orders_columns",
+    "reshape_unpivot_part_dims",
+    "scalar_bitwise_funcs",
+    "scalar_map_funcs",
+    "stream_capped_sessions",
+    "stream_interval_join",
+    "stream_rate_anomaly",
+    "stream_session_funnel",
+    "stream_static_enrich",
+    "stream_time_range_rolling",
+    "text_boilerplate_fraction",
+    "text_domain_cap",
+    "text_normalize_summary",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_token_rarity",
+    "text_weighted_mixture",
+    "udf_map_in_arrow_char_stats",
+    "window_percent_rank_cume",
+    # r5-latest fill to 50
+    "multimodal_byte_stats",
+    "multimodal_catalog_stats",
+    "multimodal_decode_features",
+    "multimodal_frame_sampling",
+    "multimodal_payload_near_dup",
+    "scalar_array_funcs",
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_hash_funcs",
+    "scalar_higher_order_funcs",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "stream_dedup_first_per_key",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "stream_watermarked_tumbling",
+    "agg_approx_sketches",
+    # --- past the 50-cut: planned r10 head (r5-latest remainder)
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
@@ -137,16 +103,15 @@ _PRIORITY = (
     "text_decontaminate_overlap",
     "text_stratified_sample",
     "text_pack_sequences",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_boilerplate_fraction",
-    "text_token_rarity",
-    "text_domain_cap",
-    "text_weighted_mixture",
     "text_substring_decontaminate",
-    "text_top_terms_per_lang",
-    "text_normalize_summary",
     "text_collocation_lift",
+    "text_top_terms_per_lang",
+    "udf_apply_in_pandas_zscore",
+    "udf_grouped_agg_mean_quantity",
+    "udf_map_in_pandas_tokenize",
+    "udf_scalar_price_band",
+    "events_user_diversity",
+    "events_winsorized_stats",
 )
 
 
