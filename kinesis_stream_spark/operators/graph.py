@@ -525,6 +525,7 @@ def bfs_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
+    frontier_sizes: list | None = None,
 ) -> DataFrame:
     """Multi-source BFS hop distance over the undirected view of the
     edge list: every node in ``sources`` starts at distance 0; each
@@ -539,19 +540,31 @@ def bfs_hops(
     Distances are small integers; MIN is the only aggregate — nothing
     engine-dependent anywhere.
 
-    Scale shape: the doubled adjacency is the only corpus-sized frame
-    (checkpoint-pinned once, released on return); each round is one
-    edge-sized hash join (frontier lookup — at deployment scale the
-    classic refinement joins only the LAST round's frontier, since
-    older distances can't improve; kept whole-set here for oracle
-    symmetry) plus a node-keyed MIN. Sources that aren't graph nodes
-    are dropped by the semi join (distance to a non-node is
-    undefined)."""
+    Scale shape — FRONTIER-ONLY relaxation: a settled BFS distance
+    never improves, so each round joins the adjacency against only the
+    nodes discovered in the PREVIOUS round (the frontier), not the
+    whole distance frame — per round the edge join emits only
+    frontier-incident edges, so total relaxation work over the run is
+    O(E) instead of O(E·rounds) (each edge is relaxed once per
+    endpoint-discovery, not once per round). New discoveries are the
+    round's candidates minus the already-settled set (one node-keyed
+    anti join against the V-sized frame); the loop exits early once
+    the frontier empties (identical result — further rounds are
+    no-ops, which the whole-set oracle replays as fixed-point CTEs).
+    The doubled adjacency is the only corpus-sized frame
+    (checkpoint-pinned once, released on return). Sources that aren't
+    graph nodes are dropped by the semi join (distance to a non-node
+    is undefined). ``frontier_sizes``, when given, receives the
+    per-round frontier row counts (test / ops observability).
+    Equivalence to whole-set relaxation: any ≤k-edge path u→v has its
+    last edge relaxed the round after u is discovered (≤k), and every
+    relaxation corresponds to a real path — so round-k output is
+    exactly the ≤k-hop minimum, matching the unrolled oracle."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     und = _undirected_edges(edges, src_col, dst_col)
     nodes = und.select(F.col("a").alias("node")).distinct()
-    dist = (
+    frontier = (
         nodes.join(
             sources.select(F.col(node_col).alias("node")).distinct(),
             "node",
@@ -560,18 +573,33 @@ def bfs_hops(
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        relaxed = und.join(
-            dist.select(F.col("node").alias("a"), "dist"), "a"
-        ).select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
-        prev = dist
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+    dist = frontier
+    if frontier_sizes is not None:
+        frontier_sizes.append(frontier.count())
+    for hop in range(1, rounds + 1):
+        candidates = (
+            und.join(frontier.select(F.col("node").alias("a")), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new_frontier = (
+            candidates.join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        _release_local_checkpoint(prev)
+        prev_dist, prev_frontier = dist, frontier
+        dist = dist.unionAll(new_frontier).localCheckpoint(eager=True)
+        if prev_dist is not prev_frontier:
+            _release_local_checkpoint(prev_dist)
+        _release_local_checkpoint(prev_frontier)
+        frontier = new_frontier
+        n_new = frontier.count()
+        if frontier_sizes is not None:
+            frontier_sizes.append(n_new)
+        if n_new == 0:
+            break
+    if frontier is not dist:
+        _release_local_checkpoint(frontier)
     _release_local_checkpoint(und)
     return dist
 
@@ -800,6 +828,7 @@ def cheapest_path(
     dst_col: str = "dst",
     weight_col: str = "w",
     node_col: str = "node",
+    frontier_sizes: list | None = None,
 ) -> DataFrame:
     """Multi-source cheapest path (Bellman-Ford relaxation) over the
     undirected view of a WEIGHTED edge list: every source starts at
@@ -820,12 +849,28 @@ def cheapest_path(
     Full Bellman-Ford convergence is rounds = |V| − 1; bounded-depth
     is the deployment norm (blast radius, not all-pairs).
 
-    Scale shape: parallel (a, b) edges collapse to their MIN weight
-    map-side BEFORE any iteration (the only corpus-sized pass);
-    each round is one edge-sized hash join + node-keyed MIN, with
-    per-round ``localCheckpoint`` lineage cuts and release discipline.
-    Costs are bounded by rounds·max(w) — no N-proportional growth.
-    Sources that aren't graph nodes are dropped by the semi join."""
+    Scale shape — FRONTIER-ONLY relaxation (SPFA-style, round-
+    synchronous): a node's cost can only improve via a neighbor whose
+    cost improved in the previous round, so each round joins the
+    adjacency against only the JUST-IMPROVED nodes, not the whole
+    cost frame — frontier-incident edges per round instead of E·rounds
+    total. The round's candidate minima then update the V-sized cost
+    frame through one node-keyed left join (detect improvements) and
+    one anti join + union (apply them); the loop exits early once no
+    cost improves (identical result — further rounds are no-ops,
+    matching the unrolled fixed-point oracle). Parallel (a, b) edges
+    collapse to their MIN weight map-side BEFORE any iteration (the
+    only corpus-sized pass), with per-round ``localCheckpoint``
+    lineage cuts and release discipline. Costs are bounded by
+    rounds·max(w) — no N-proportional growth. Sources that aren't
+    graph nodes are dropped by the semi join. ``frontier_sizes``,
+    when given, receives per-round improved-node counts.
+    Equivalence to whole-set relaxation, by induction on rounds: for
+    any path q+(u,v) with |q| ≤ k−1, cost_{k−1}(u) ≤ cost(q) and u's
+    last improvement at round j ≤ k−1 relaxes v at round j+1 ≤ k with
+    that final value, so cost_k(v) ≤ cost(q)+w; conversely every
+    relaxation chain maps to a real ≤k-edge path — round-k output is
+    exactly the ≤k-edge minimum."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = (
@@ -844,7 +889,7 @@ def cheapest_path(
         .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
-    cost = (
+    frontier = (
         nodes.join(
             sources.select(F.col(node_col).alias("node")).distinct(),
             "node",
@@ -853,20 +898,48 @@ def cheapest_path(
         .select("node", F.lit(0).cast("long").alias("cost"))
         .localCheckpoint(eager=True)
     )
+    cost = frontier
+    if frontier_sizes is not None:
+        frontier_sizes.append(frontier.count())
     for _ in range(rounds):
-        relaxed = und.join(
-            cost.select(F.col("node").alias("a"), "cost"), "a"
-        ).select(
-            F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
-        )
-        prev = cost
-        cost = (
-            cost.unionAll(relaxed)
+        candidates = (
+            und.join(
+                frontier.select(F.col("node").alias("a"), "cost"), "a"
+            )
+            .select(
+                F.col("b").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cand"),
+            )
             .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            candidates.join(
+                cost.select("node", F.col("cost").alias("old")),
+                "node",
+                "left",
+            )
+            .where(F.col("old").isNull() | (F.col("cand") < F.col("old")))
+            .select("node", F.col("cand").alias("cost"))
             .localCheckpoint(eager=True)
         )
-        _release_local_checkpoint(prev)
+        prev_cost, prev_frontier = cost, frontier
+        cost = (
+            cost.join(improved, "node", "left_anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=True)
+        )
+        if prev_cost is not prev_frontier:
+            _release_local_checkpoint(prev_cost)
+        _release_local_checkpoint(prev_frontier)
+        frontier = improved
+        n_improved = frontier.count()
+        if frontier_sizes is not None:
+            frontier_sizes.append(n_improved)
+        if n_improved == 0:
+            break
+    if frontier is not cost:
+        _release_local_checkpoint(frontier)
     _release_local_checkpoint(und)
     return cost
 

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 # Round 9 window (first 50), stale-first per the rotation policy:
 # the three queries edited this round lead (events_seasonal_outliers /
 # events_mad_outliers gained the MAD>0 degenerate-scale guard,
-# events_mann_kendall_trend the NULL-ts exclusion — rows must not
+# events_mann_kendall_trend the NULL-ts exclusion, graph_bfs_hops /
+# graph_cheapest_path the frontier-only relaxation — rows must not
 # predate code), then ALL twenty-seven names whose newest driver row
 # is round 4 (the oldest rows in the inventory: the scalar/stream/
 # text/multimodal/integrity r4 cohort), then r5-latest fill to 50
@@ -44,6 +45,8 @@ _PRIORITY = (
     "events_seasonal_outliers",
     "events_mad_outliers",
     "events_mann_kendall_trend",
+    "graph_bfs_hops",
+    "graph_cheapest_path",
     # r4-latest rows (all 27 — oldest driver rows in the inventory)
     "agg_histogram_price",
     "agg_salted_skew_safe",
@@ -91,9 +94,10 @@ _PRIORITY = (
     "stream_session_window",
     "stream_sliding_window",
     "stream_tumbling_window",
+    # --- past the 50-cut: planned r10 head (r5-latest remainder,
+    # plus the two r5 fills displaced by this round's graph edits)
     "stream_watermarked_tumbling",
     "agg_approx_sketches",
-    # --- past the 50-cut: planned r10 head (r5-latest remainder)
     "text_token_stats",
     "text_quality_score",
     "text_language_id",

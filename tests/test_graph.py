@@ -206,6 +206,77 @@ def test_bfs_hops_rejects_bad_rounds(spark):
         bfs_hops(edges, sources, rounds=0)
 
 
+def test_bfs_hops_frontier_stays_frontier_sized(spark):
+    """On a chain, each round's relaxation input is ONE node — not the
+    whole discovered set. frontier_sizes exposes the per-round join
+    input; whole-set relaxation would read [1, 2, 3, 4, ...]."""
+    from kinesis_stream_spark.operators.graph import bfs_hops
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(n)], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("n0",)], "node string")
+    sizes: list[int] = []
+    got = {
+        r.node: r.dist
+        for r in bfs_hops(
+            edges, sources, rounds=4, frontier_sizes=sizes
+        ).collect()
+    }
+    assert got == {f"n{i}": i for i in range(5)}
+    assert sizes == [1, 1, 1, 1, 1]
+
+
+def test_bfs_hops_early_exit_on_empty_frontier(spark):
+    """rounds larger than the graph diameter: the frontier empties and
+    the loop stops relaxing (result unchanged vs the unrolled oracle,
+    which replays fixed-point no-op rounds)."""
+    from kinesis_stream_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    sizes: list[int] = []
+    got = {
+        r.node: r.dist
+        for r in bfs_hops(
+            edges, sources, rounds=10, frontier_sizes=sizes
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+    # seed, two discovery rounds, one empty round, then stop
+    assert sizes == [1, 1, 1, 0]
+
+
+def test_cheapest_path_frontier_is_improved_only(spark):
+    """Weighted chain with a shortcut that re-improves a settled node:
+    only just-improved nodes join the next round. Chain a-b-c (w=10
+    each) plus cheap path a-x-y-c (w=1 each): c first settles at 20
+    (round 2 via b), then improves to 3 (round 3 via y)."""
+    from kinesis_stream_spark.operators.graph import cheapest_path
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10), ("b", "c", 10),
+            ("a", "x", 1), ("x", "y", 1), ("y", "c", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    sizes: list[int] = []
+    got = {
+        r.node: r.cost
+        for r in cheapest_path(
+            edges, sources, rounds=5, frontier_sizes=sizes
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 10, "x": 1, "y": 2, "c": 3}
+    # r1: {b,x} improve; r2: {y,c(=20)}; r3: {c(=3)}; r4: {} -> stop
+    assert sizes == [1, 2, 2, 1, 0]
+
+
 def test_ppr_mass_concentrates_near_seed(spark):
     """Star graph seeded at the hub: the hub must outrank every leaf,
     leaves (1 hop) must outrank a detached pair (unreachable -> 0),
