@@ -442,6 +442,19 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     )
+    qlist = _route_queries(q, coarse, nprobe=nprobe)
+    return _adc_topk(
+        index, qlist, book, k=k, m=m, subdim=subdim,
+        query_id_col=query_id_col,
+    )
+
+
+def _route_queries(q, coarse: DataFrame, *, nprobe: int) -> DataFrame:
+    """Route each (qid, qv) query to its ``nprobe`` best inverted
+    lists: (qid, list_id, base_fx, qr) with the per-(query, list)
+    BIGINT base score and the query residual against the list
+    centroid. Output is Q·nprobe rows — broadcast-sized by
+    construction (queries are a serving batch, not a corpus)."""
     route_score = (
         2 * _dot_fx(F.col("qv"), F.col("centroid"))
         - _dot_fx(F.col("centroid"), F.col("centroid"))
@@ -449,7 +462,7 @@ def ivfpq_topk(
     w_route = Window.partitionBy("qid").orderBy(
         F.desc("base_fx"), F.asc("list_id")
     )
-    qlist = (
+    return (
         q.join(F.broadcast(coarse))
         .select("qid", "qv", F.col("cid").alias("list_id"), "centroid", route_score)
         .withColumn("pr", F.row_number().over(w_route))
@@ -461,6 +474,21 @@ def ivfpq_topk(
             _residual(F.col("qv"), F.col("centroid")).alias("qr"),
         )
     )
+
+
+def _adc_topk(
+    index: DataFrame,
+    qlist: DataFrame,
+    book: DataFrame,
+    *,
+    k: int,
+    m: int,
+    subdim: int,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC-score the (vid, list_id, codes) index rows against routed
+    queries and keep each query's top k (the scoring half shared by
+    :func:`ivfpq_topk` and :func:`ivfpq_topk_pruned`)."""
     q_subs = _exploded_subvectors(
         qlist, m, subdim, "qid", "qr", ("list_id", "base_fx")
     ).select(
@@ -511,6 +539,67 @@ def ivfpq_topk(
             "approx_score",
             "rank",
         )
+    )
+
+
+def write_partitioned_index(index: DataFrame, path: str) -> None:
+    """Persist the (vid, list_id, codes) IVF-PQ index as parquet
+    PARTITIONED BY list_id — the deployment layout the
+    :func:`ivfpq_topk` docstring prescribes: one directory per
+    inverted list, so nprobe routing becomes PHYSICAL partition
+    pruning (the scan never opens unprobed lists' files) instead of a
+    post-scan filter. k_coarse is sized so each list's partition is a
+    healthy parquet file count at the target corpus (at 100 TB,
+    k_coarse in the thousands keeps lists in the GB range)."""
+    index.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivfpq_topk_pruned(
+    spark,
+    index_path: str,
+    coarse: DataFrame,
+    book: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a :func:`write_partitioned_index` layout:
+    identical routing, scoring, and results to :func:`ivfpq_topk`, but
+    the corpus scan reads ONLY the probed lists' partition directories.
+
+    The routed list ids (Q·nprobe values — bounded by the serving
+    batch, never the corpus; the query vectors live on the driver in
+    any ANN service, so this collect is O(requests), not O(data)) are
+    planted as a literal IN predicate on the partition column, which
+    Catalyst turns into ``PartitionFilters`` at the scan: unprobed
+    lists contribute zero I/O, zero decode, zero rows — the physical
+    realization of "only nprobe/k_coarse of the corpus is touched".
+    The plan test pins the pruned scan shape; the oracle twin is
+    unchanged because pruning only removes rows the broadcast-filter
+    path discarded after the scan."""
+    assert dim % m == 0
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    )
+    # Q·nprobe rows; checkpointed because it is consumed twice (the
+    # probed-list collect and the scoring join) and its lineage holds
+    # the full routing window. Left pinned: the returned frame reads it
+    # lazily.
+    qlist = _route_queries(q, coarse, nprobe=nprobe).localCheckpoint()
+    probed = sorted(
+        r.list_id for r in qlist.select("list_id").distinct().collect()
+    )
+    index = spark.read.parquet(index_path).where(
+        F.col("list_id").isin(probed)
+    )
+    return _adc_topk(
+        index, qlist, book, k=k, m=m, subdim=dim // m,
+        query_id_col=query_id_col,
     )
 
 

@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 # by the sf0.001 local backstop.
 _PRIORITY = (
     # --- round-9 window (first 50 = the driver's check set) ---------
+    # never driver-verified (new this round)
+    "similarity_ivfpq_pruned_topk",
     # edited this round (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",
@@ -93,9 +95,9 @@ _PRIORITY = (
     "stream_dedup_first_per_key",
     "stream_session_window",
     "stream_sliding_window",
-    "stream_tumbling_window",
     # --- past the 50-cut: planned r10 head (r5-latest remainder,
-    # plus the two r5 fills displaced by this round's graph edits)
+    # plus the r5 fills displaced by this round's edits/additions)
+    "stream_tumbling_window",
     "stream_watermarked_tumbling",
     "agg_approx_sketches",
     "text_token_stats",

@@ -37,11 +37,13 @@ from kinesis_stream_spark.operators.quantization import (
     exact_rerank,
     ivfpq_encode,
     ivfpq_topk,
+    ivfpq_topk_pruned,
     ivfpq_train,
     pq_encode,
     pq_reconstruction_mse,
     pq_topk_adc,
     pq_train,
+    write_partitioned_index,
 )
 from kinesis_stream_spark.operators.opq import (
     rotate_embeddings,
@@ -138,6 +140,49 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
     return ivfpq_topk(
         index, coarse, book, queries_df(emb, N_QUERIES), k=K, nprobe=NPROBE, m=M, dim=DIM
+    ).orderBy("query_id", "rank")
+
+
+@_q(
+    "similarity_ivfpq_pruned_topk",
+    sql_ivfpq_topk(
+        k_coarse=K_COARSE,
+        m=M,
+        ksub=KSUB,
+        dim=DIM,
+        iterations=ITERATIONS,
+        n_queries=N_QUERIES,
+        nprobe=NPROBE,
+        k=K,
+    ),
+)
+def similarity_ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search against the PHYSICALLY PARTITIONED index layout:
+    the encoded corpus is written parquet PARTITION BY list_id and the
+    routed lists become a partition-pruning IN predicate on the scan —
+    unprobed lists cost zero I/O (plan-pinned in
+    tests/test_plans.py), where similarity_ivfpq_topk's in-memory twin
+    filters the same lists AFTER materializing them. Same routing,
+    same ADC arithmetic, same oracle: pruning only removes rows the
+    twin discarded post-scan, so the hash must match the broadcast
+    twin's driver rows bit-for-bit."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    emb = emb_scan(spark, sf_dir, DIM)
+    coarse, book = ivfpq_train(
+        emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
+    )
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = str(
+        Path(tempfile.gettempdir()) / "kinesis_stream_spark" / f"ivfpq_{tag}"
+    )
+    write_partitioned_index(index, path)
+    return ivfpq_topk_pruned(
+        spark, path, coarse, book, queries_df(emb, N_QUERIES),
+        k=K, nprobe=NPROBE, m=M, dim=DIM,
     ).orderBy("query_id", "rank")
 
 

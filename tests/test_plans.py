@@ -659,3 +659,20 @@ def test_lead_lag_collapses_before_lag_joins(spark, sf_dir):
     # (one corpus pass), and the bucket-alignment joins stay equi
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_pruned_scan_has_partition_filters(spark, sf_dir):
+    """The partitioned-index search must prune at the SCAN: the routed
+    list ids appear in PartitionFilters (directory-level pruning, zero
+    I/O for unprobed lists), not as a post-scan Filter, and the pruned
+    plan still broadcasts the ADC table like the in-memory twin."""
+    from kinesis_stream_spark.queries.quantization import QUERIES
+
+    df = QUERIES["similarity_ivfpq_pruned_topk"](spark, sf_dir)
+    plan = _explain(df)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, "partitioned parquet scan missing from plan"
+    assert any("list_id IN" in l or "list_id#" in l and " IN " in l
+               for l in pf_lines), pf_lines
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

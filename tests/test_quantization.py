@@ -429,3 +429,34 @@ def test_sql_pq_mse_empty_corpus_emits_zero_rows():
     rows = con.execute(sql_pq_mse(m=2, ksub=2, dim=8, iterations=1)).fetchall()
     con.close()
     assert rows == []
+
+
+def test_ivfpq_pruned_matches_broadcast_twin(spark, corpus, tmp_path):
+    """The PARTITION BY list_id layout + routed-IN pruned scan must
+    return exactly what the in-memory index returns — pruning only
+    removes rows the twin discarded after its scan."""
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_topk_pruned,
+        ivfpq_train,
+        write_partitioned_index,
+    )
+
+    emb, vecs = corpus
+    coarse, book = ivfpq_train(emb, k_coarse=2, m=M, ksub=KSUB, dim=DIM)
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    queries = _emb(spark, vecs[:2]).withColumnRenamed("vec_id", "query_id")
+    want = sorted(
+        map(tuple, ivfpq_topk(
+            index, coarse, book, queries, k=4, nprobe=1, m=M, dim=DIM
+        ).collect())
+    )
+    path = str(tmp_path / "ivfpq_idx")
+    write_partitioned_index(index, path)
+    got = sorted(
+        map(tuple, ivfpq_topk_pruned(
+            spark, path, coarse, book, queries, k=4, nprobe=1, m=M, dim=DIM
+        ).collect())
+    )
+    assert got == want and len(got) > 0
