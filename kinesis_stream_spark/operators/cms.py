@@ -21,15 +21,24 @@ assignment bit-identically. Every output column is a BIGINT.
 Scale shape: the one corpus-sized pass is the (token, count)
 aggregate (combinable); the sketch build explodes that frame ×DEPTH
 and re-aggregates into ≤ DEPTH·WIDTH cells (combinable, tiny result).
-Candidate selection here is the exact top-k frame (deterministic and
-oracle-checkable); at deployment scale the textbook swap is
-per-partition candidate pre-lists (the sketch itself never changes),
-and the estimation join stays a broadcast of the DEPTH·WIDTH cells.
+Candidate selection runs on CONTENT-SHARDED PRE-LISTS: tokens shard by
+their reduced hash (h % CM_SHARDS — content-defined, so a shard's
+local counts ARE global counts and any partitioning replays it), each
+shard keeps its top-k through a per-shard window (parallel, bounded
+work per shard), and the final exact top-k sorts only the
+≤ CM_SHARDS·k candidate union — never a global order over the full
+vocabulary frame. Superset proof: a global top-k token is outranked
+by at most k−1 tokens anywhere, in particular inside its own shard,
+so it survives its shard's pre-list. The estimation join stays a
+broadcast of the DEPTH·WIDTH cells. (The vocabulary-sized exact
+aggregate itself remains because exact_cnt/overcount are this
+operator's parity diagnostic; a pure-sketch deployment drops those
+columns and estimates candidates straight off the broadcast cells.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.functions.hashing import (
@@ -50,6 +59,10 @@ CM_B = (12345, 362437, 2531011, 1013904223)
 
 CM_WIDTH = 1024
 
+#: content-defined candidate shards — per-shard top-k pre-lists bound
+#: the final selection to CM_SHARDS·k rows (see module docstring)
+CM_SHARDS = 64
+
 
 def _cm_bucket_expr(h: str, i: int) -> str:
     """SQL expression for row ``i``'s bucket of reduced hash ``h``."""
@@ -66,7 +79,10 @@ def cm_heavy_hitters(
     Count-Min estimates: (token, exact_cnt, cm_est, overcount).
     ``overcount = cm_est − exact_cnt ≥ 0`` always (CM never
     undercounts) — the registered parity check therefore also verifies
-    the sketch's defining inequality on every row."""
+    the sketch's defining inequality on every row. Candidates come
+    from content-sharded per-shard top-k pre-lists (module docstring);
+    the result is identical to a direct global top-k, so the oracle
+    replays the direct form."""
     tok_counts = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .where(F.col("token") != "")
@@ -84,7 +100,16 @@ def cm_heavy_hitters(
         .groupBy("row_i", "bucket")
         .agg(F.sum("exact_cnt").alias("cell"))
     )
-    cand = hashed.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(top_k)
+    w_shard = Window.partitionBy("shard").orderBy(
+        F.desc("exact_cnt"), F.asc("token")
+    )
+    prelist = (
+        hashed.withColumn("shard", F.col("h") % CM_SHARDS)
+        .withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= top_k)
+        .drop("shard", "rn")
+    )
+    cand = prelist.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(top_k)
     est = (
         cand.select(
             "token",

@@ -49,6 +49,7 @@ _PRIORITY = (
     "events_mann_kendall_trend",
     "graph_bfs_hops",
     "graph_cheapest_path",
+    "text_cms_heavy_hitters",
     # r4-latest rows (all 27 — oldest driver rows in the inventory)
     "agg_histogram_price",
     "agg_salted_skew_safe",
@@ -94,9 +95,9 @@ _PRIORITY = (
     "scalar_string_funcs",
     "stream_dedup_first_per_key",
     "stream_session_window",
-    "stream_sliding_window",
     # --- past the 50-cut: planned r10 head (r5-latest remainder,
     # plus the r5 fills displaced by this round's edits/additions)
+    "stream_sliding_window",
     "stream_tumbling_window",
     "stream_watermarked_tumbling",
     "agg_approx_sketches",

