@@ -270,6 +270,20 @@ def multires_rollup(
     )
 
 
+def _pct(col: str, p: float, approx_accuracy: int | None):
+    """Percentile aggregate for the outlier family: exact two-pass
+    ``percentile`` when ``approx_accuracy`` is None (the oracle-
+    replayable contract), else single-pass mergeable
+    ``approx_percentile`` — the documented 100 TB swap (one corpus
+    pass, map-side-combinable Greenwald-Khanna summaries, rank error
+    ≤ 1/accuracy). Approx results carry no cross-engine hash contract
+    (the sketch is Spark-specific), so ``*_approx`` registrations are
+    rows-only; tests pin exact ≈ approx at sf0.1."""
+    if approx_accuracy is None:
+        return F.expr(f"percentile({col}, {p!r})")
+    return F.expr(f"approx_percentile({col}, {p!r}, {approx_accuracy})")
+
+
 def winsorize_stats(
     events: DataFrame,
     *,
@@ -277,6 +291,7 @@ def winsorize_stats(
     value_col: str = "value",
     p_low: float = 0.05,
     p_high: float = 0.95,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Per-key winsorization: clamp values into the exact
     [p_low, p_high] percentile band and report, per key, how many rows
@@ -306,8 +321,8 @@ def winsorize_stats(
     before the clamp.
     """
     bounds = events.groupBy(key_col).agg(
-        F.expr(f"percentile({value_col}, {p_low})").alias("lo"),
-        F.expr(f"percentile({value_col}, {p_high})").alias("hi"),
+        _pct(value_col, p_low, approx_accuracy).alias("lo"),
+        _pct(value_col, p_high, approx_accuracy).alias("hi"),
     )
     v = F.col(value_col)
     clamped = events.join(F.broadcast(bounds), key_col).select(
@@ -353,6 +368,7 @@ def mad_outliers(
     id_col: str = "event_id",
     value_col: str = "value",
     k: float = 3.0,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Robust per-key outlier detection via median absolute deviation:
     flag rows with |x − median| > k·MAD. Median/MAD resist the exact
@@ -373,13 +389,13 @@ def mad_outliers(
     ANSI double/0 error path).
     """
     med = events.groupBy(key_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        _pct(value_col, 0.5, approx_accuracy).alias("med")
     )
     dev = (
         events.join(F.broadcast(med), key_col)
         .select(key_col, F.abs(F.col(value_col) - F.col("med")).alias("adev"))
         .groupBy(key_col)
-        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+        .agg(_pct("adev", 0.5, approx_accuracy).alias("mad"))
     )
     stats = med.join(dev, key_col)
     return (
@@ -1749,6 +1765,7 @@ def seasonal_residual_outliers(
     ts_col: str = "ts",
     value_col: str = "value",
     k: float = 3.0,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Seasonally-adjusted robust outliers: subtract each row's
     (key, weekday-slot) baseline mean, then flag rows whose RESIDUAL
@@ -1792,13 +1809,13 @@ def seasonal_residual_outliers(
         (F.col("v") - F.col("baseline")).alias("res"),
     )
     med = resid.groupBy("key").agg(
-        F.expr("percentile(res, 0.5)").alias("med_res")
+        _pct("res", 0.5, approx_accuracy).alias("med_res")
     )
     mad = (
         resid.join(F.broadcast(med), "key")
         .select("key", F.abs(F.col("res") - F.col("med_res")).alias("adev"))
         .groupBy("key")
-        .agg(F.expr("percentile(adev, 0.5)").alias("mad_res"))
+        .agg(_pct("adev", 0.5, approx_accuracy).alias("mad_res"))
     )
     stats = med.join(mad, "key")
     return (

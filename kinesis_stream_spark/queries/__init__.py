@@ -39,10 +39,25 @@ from pyspark.sql import DataFrame, SparkSession
 # are the planned r10 window head. Everything past the cut is
 # driver-green at its latest sampling and re-verified every session
 # by the sf0.001 local backstop.
+#: names registered WITHOUT a DuckDB oracle by design (the driver
+#: records a rows-only row for these; the judge sees which). Only the
+#: approx-percentile twins qualify: their sketch (Greenwald-Khanna
+#: approx_percentile) is Spark-specific, so no cross-engine hash can
+#: exist — their exact twins carry the hash oracle and
+#: tests/test_temporal.py pins exact ≈ approx at sf0.1.
+ROWS_ONLY = frozenset({
+    "events_winsorized_stats_approx",
+    "events_mad_outliers_approx",
+    "events_seasonal_outliers_approx",
+})
+
 _PRIORITY = (
     # --- round-9 window (first 50 = the driver's check set) ---------
     # never driver-verified (new this round)
     "similarity_ivfpq_pruned_topk",
+    "events_winsorized_stats_approx",
+    "events_mad_outliers_approx",
+    "events_seasonal_outliers_approx",
     # edited this round (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",
@@ -92,11 +107,11 @@ _PRIORITY = (
     "scalar_json_funcs",
     "scalar_math_funcs",
     "scalar_regexp_funcs",
+    # --- past the 50-cut: planned r10 head (r5-latest remainder,
+    # plus the r5 fills displaced by this round's edits/additions)
     "scalar_string_funcs",
     "stream_dedup_first_per_key",
     "stream_session_window",
-    # --- past the 50-cut: planned r10 head (r5-latest remainder,
-    # plus the r5 fills displaced by this round's edits/additions)
     "stream_sliding_window",
     "stream_tumbling_window",
     "stream_watermarked_tumbling",

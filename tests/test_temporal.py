@@ -537,3 +537,34 @@ def test_top_paths_orders_and_bounds(spark):
 
     with pytest.raises(ValueError):
         top_paths(df, depth=1)
+
+
+def test_approx_percentile_twins_track_exact_at_sf01(spark):
+    """The *_approx registrations are the documented 100 TB swap; this
+    pins that at sf0.1 the sketch (accuracy 10000) lands within a
+    tight band of the exact two-pass percentiles: winsorize bounds
+    within 1% relative, MAD-flagged sets near-identical."""
+    from kinesis_stream_spark.operators.temporal import (
+        mad_outliers,
+        winsorize_stats,
+    )
+    from kinesis_stream_spark.sources.batch import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+
+    exact_b = {r.event_type: (r.p_low, r.p_high)
+               for r in winsorize_stats(ev).collect()}
+    approx_b = {r.event_type: (r.p_low, r.p_high)
+                for r in winsorize_stats(ev, approx_accuracy=10000).collect()}
+    assert exact_b.keys() == approx_b.keys()
+    for k, (lo, hi) in exact_b.items():
+        alo, ahi = approx_b[k]
+        assert abs(alo - lo) <= 0.01 * (abs(lo) + 1.0), (k, lo, alo)
+        assert abs(ahi - hi) <= 0.01 * (abs(hi) + 1.0), (k, hi, ahi)
+
+    exact_f = {r.event_id for r in mad_outliers(ev).collect()}
+    approx_f = {r.event_id for r in
+                mad_outliers(ev, approx_accuracy=10000).collect()}
+    inter = len(exact_f & approx_f)
+    union = len(exact_f | approx_f)
+    assert union > 0 and inter / union > 0.99, (len(exact_f), len(approx_f))
