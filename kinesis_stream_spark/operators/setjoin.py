@@ -40,8 +40,12 @@ array_intersect on the checkpointed shingle arrays instead of the
 exploded-token double join — the verify shuffle carries |candidates|
 array rows, not |candidates|·|tokens| narrow rows). Together with
 moving the checkpoint onto the compact array frame: 35.4 s → 8.6 s
-min-of-3 at sf0.1, a 4.1× end-to-end cut on the bench's heaviest
-query.
+min-of-3 at sf0.1 run SOLO, a 4.1× end-to-end cut on the bench's
+heaviest query. (Both measurement contexts, for reconciliation: the
+same code reads 17.0 s inside the driver's full-suite min-of-2 bench,
+where local[32] contention from neighboring queries inflates
+wall-clock ~2× — the r8 full-suite figure to compare against is the
+r7 full-suite 36.6 s, the solo figure against solo 35.4 s.)
 
 Determinism: the prefix order is (df, md5(token), token) — the md5 key
 (``functions/hashing.py``) avoids relying on cross-engine string
@@ -79,9 +83,11 @@ def prefix_filter_jaccard_pairs(
     # document (10k array rows, not ~10M exploded token rows), feeding
     # the explode lineage AND both verification sides. Checkpointing
     # here instead of on the exploded frame measured 27.4 s → 8.6 s at
-    # sf0.1 (the exploded checkpoint materialized the wide token
-    # store; rebuilding arrays from it with collect_list added a full
-    # token shuffle on top). Lazy localCheckpoints; at 100 TB a
+    # sf0.1 solo — 17.0 s in the contended full-suite bench; the
+    # module docstring reconciles the two contexts. (The exploded
+    # checkpoint materialized the wide token store; rebuilding arrays
+    # from it with collect_list added a full
+    # token shuffle on top.) Lazy localCheckpoints; at 100 TB a
     # durable checkpoint dir, as everywhere else in the repo.
     sh_sets = (
         docs.select(
