@@ -136,3 +136,109 @@ def sql_association_rules(
     JOIN sup sc ON sc.i = ru.c
     CROSS JOIN n
     """
+
+
+def item_jaccard(
+    baskets: DataFrame,
+    *,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_common: int = 2,
+    top_k: int = 30,
+) -> DataFrame:
+    """Item-item Jaccard similarity over basket co-membership — the
+    collaborative-filtering "customers who bought X also bought Y"
+    similarity (Sarwar et al. WWW 2001 item-based CF, with Jaccard as
+    the set-overlap kernel): with B(i) the set of baskets containing
+    item i,
+
+        jaccard(x, y) = |B(x) ∩ B(y)| / (|B(x)| + |B(y)| − |B(x) ∩ B(y)|)
+
+    Complements :func:`association_rules`: confidence/lift are
+    DIRECTIONAL co-occurrence rates; Jaccard is the symmetric
+    set-similarity a neighborhood-based recommender ranks by. Output:
+    the global top ``top_k`` pairs (item_a < item_b) by (jaccard desc,
+    item_a, item_b), each with common/deg/jaccard columns — the one
+    IEEE op per row is the Jaccard divide of two exact integers
+    (identical on both engines), so even the rank order is bit-stable.
+
+    Scale shape: same guardrails as the rules miner — DISTINCT
+    (basket, item) collapse first, pair counts from the id-ordered
+    self-join on the basket key (Σ|basket|²/2 work, bounded by basket
+    size; cap pathological baskets upstream), per-item degrees as a
+    combinable aggregate joined back on the pair frame (item-keyed
+    equi joins), ``min_common`` pruning BEFORE the degree joins, and
+    a top-k that is per-partition pre-list + driver merge
+    (TakeOrderedAndProject), never a full sort."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    bi = (
+        baskets.where(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+    )
+    deg = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    l, r = bi.alias("l"), bi.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.b") == F.col("r.b")) & (F.col("l.i") < F.col("r.i")),
+        )
+        .groupBy(F.col("l.i").alias("ia"), F.col("r.i").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("i").alias("ia"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("i").alias("ib"), F.col("deg").alias("deg_b"))
+    scored = (
+        pairs.join(da, "ia")
+        .join(db, "ib")
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("item_a"), F.asc("item_b")
+    ).limit(top_k)
+
+
+def sql_item_jaccard(
+    *,
+    baskets_cte: str,
+    min_common: int = 2,
+    top_k: int = 30,
+) -> str:
+    """DuckDB oracle twin of :func:`item_jaccard`. ``baskets_cte``
+    must yield (b, i) rows."""
+    return f"""
+    WITH rawbi AS ({baskets_cte}),
+    bi AS (SELECT DISTINCT b, i FROM rawbi
+           WHERE b IS NOT NULL AND i IS NOT NULL),
+    deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT l.i AS ia, r.i AS ib, CAST(COUNT(*) AS BIGINT) AS common
+      FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_common})
+    SELECT p.ia AS item_a, p.ib AS item_b, p.common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(p.common AS DOUBLE)
+             / CAST(da.deg + db.deg - p.common AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.i = p.ia
+    JOIN deg db ON db.i = p.ib
+    ORDER BY jaccard DESC, item_a ASC, item_b ASC
+    LIMIT {top_k}
+    """

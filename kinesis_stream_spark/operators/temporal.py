@@ -1887,3 +1887,208 @@ def sql_seasonal_residual_outliers(
     WHERE s.mad_res > 0
       AND ABS(r.res - s.med_res) > {k!r} * s.mad_res
     """
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average under last-observation-carried-
+    forward (LOCF) semantics — the TSDB ``time_weight`` operator
+    (TimescaleDB toolkit / InfluxDB integral): each observation's
+    value holds until the next observation, so
+
+        twa = Σ v_i · (t_{i+1} − t_i)  /  (t_N − t_1)
+
+    over the key's observations in (ts, id) order. The plain AVG is
+    wrong for irregularly sampled series — a sensor that reports
+    1000× more often while idle drags AVG toward idle; TWA weights by
+    holding time, not by report count.
+
+    Output per key: (key, n_points, dur_us, vdt_sum, twa) where
+    dur_us is the observed span in integer microseconds, vdt_sum the
+    exact Σ v·Δt as a string (DECIMAL(38,6) — exact, for downstream
+    re-aggregation), and twa one IEEE divide of the correctly-rounded
+    doubles. Keys with < 2 observations have zero span: NULL twa by
+    contract (lazily-evaluated CASE keeps the divide off Spark 4's
+    ANSI double/0 path).
+
+    Exactness: Δt is BIGINT microseconds (exact); v·Δt multiplies
+    DECIMAL(18,6) by DECIMAL(18,0) (precision 37 — inside both
+    engines' DECIMAL38, no double rounding anywhere before the final
+    two casts); the DuckDB twin routes its DECIMAL→DOUBLE casts
+    through VARCHAR (DuckDB's int128-backed cast truncates; strtod is
+    correctly rounded, matching Spark's BigDecimal cast). NULL ts or
+    NULL value rows are excluded by contract (a NULL has no position
+    in LOCF order / no holdable value).
+
+    Scale shape: one shuffle by key for the lead() window, then one
+    combinable per-key aggregate — no joins, no second corpus pass;
+    per-key work is linear in the key's rows."""
+    w = Window.partitionBy("key").orderBy("ts_us", "eid")
+    base = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias(
+                "ts_us"
+            ),
+            F.col(id_col).alias("eid"),
+            F.col(value_col).cast("decimal(19,6)").alias("v"),
+        )
+        .withColumn("next_us", F.lead("ts_us").over(w))
+    )
+    agg = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.when(
+                F.col("next_us").isNotNull(),
+                F.col("v")
+                * (F.col("next_us") - F.col("ts_us")).cast("decimal(19,0)"),
+            )
+        ).alias("vdt"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return agg.select(
+        "key",
+        "n_points",
+        "dur_us",
+        F.col("vdt").cast("string").alias("vdt_sum"),
+        F.when(
+            F.col("dur_us") > 0,
+            F.col("vdt").cast("double") / F.col("dur_us").cast("double"),
+        ).alias("twa"),
+    )
+
+
+def sql_time_weighted_avg(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`time_weighted_avg` (identical LOCF
+    lead chain and decimal products; VARCHAR-routed double casts)."""
+    return f"""
+    WITH base AS (
+      SELECT {key_col} AS key,
+             EPOCH_US({ts_col}) AS ts_us,
+             {id_col} AS eid,
+             CAST({value_col} AS DECIMAL(19,6)) AS v,
+             LEAD(EPOCH_US({ts_col})) OVER (
+               PARTITION BY {key_col}
+               ORDER BY EPOCH_US({ts_col}), {id_col}) AS next_us
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+    agg AS (
+      SELECT key,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             SUM(CASE WHEN next_us IS NOT NULL
+                 THEN v * CAST(next_us - ts_us AS DECIMAL(19,0)) END) AS vdt,
+             MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM base GROUP BY 1)
+    SELECT key, n_points, dur_us,
+           CAST(vdt AS VARCHAR) AS vdt_sum,
+           CASE WHEN dur_us > 0 THEN
+             CAST(CAST(vdt AS VARCHAR) AS DOUBLE)
+               / CAST(dur_us AS DOUBLE) END AS twa
+    FROM agg
+    """
+
+
+def state_durations(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state aggregate (the TSDB ``state_agg`` operator): each
+    entity's event stream is an LOCF state machine — the entity is "in"
+    a state from that event until its next event — and the output is,
+    per state, the total dwell time across all entities plus interval
+    counts and the integer-ppm share of all observed dwell time.
+
+    Output: (state, n_intervals, total_us, share_ppm), integer end to
+    end (microsecond arithmetic; ppm = ⌊10^6·total/grand⌋ in
+    DECIMAL(38,0) — no overflow at any corpus size that fits BIGINT
+    microseconds). Each entity's LAST event opens an interval with no
+    close: censored, excluded from totals by contract (the
+    Kaplan-Meier registration handles censoring where it matters).
+    NULL entity/ts rows are excluded (no position in LOCF order).
+
+    Scale shape: one shuffle by entity for the lead() window, one
+    combinable per-state aggregate, one broadcast of the one-row grand
+    total — per-entity work linear, no self-joins."""
+    w = Window.partitionBy("ent").orderBy("ts_us", "eid")
+    intervals = (
+        events.where(
+            F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(entity_col).alias("ent"),
+            F.col(state_col).alias("state"),
+            F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias(
+                "ts_us"
+            ),
+            F.col(id_col).alias("eid"),
+        )
+        .withColumn("next_us", F.lead("ts_us").over(w))
+        .where(F.col("next_us").isNotNull())
+        .select("state", (F.col("next_us") - F.col("ts_us")).alias("dur"))
+    )
+    per_state = intervals.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur").alias("total_us"),
+    )
+    grand = per_state.agg(F.sum("total_us").alias("grand_us"))
+    return per_state.join(F.broadcast(grand)).select(
+        "state",
+        "n_intervals",
+        "total_us",
+        F.expr(
+            "cast(cast(total_us as decimal(38,0)) * 1000000"
+            " div grand_us as long)"
+        ).alias("share_ppm"),
+    )
+
+
+def sql_state_durations(
+    *,
+    table: str = "events",
+    entity_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`state_durations` (identical LOCF
+    lead chain, closed-interval filter, and HUGEINT ppm floor)."""
+    return f"""
+    WITH iv AS (
+      SELECT {state_col} AS state,
+             LEAD(EPOCH_US({ts_col})) OVER (
+               PARTITION BY {entity_col}
+               ORDER BY EPOCH_US({ts_col}), {id_col})
+               - EPOCH_US({ts_col}) AS dur
+      FROM {table}
+      WHERE {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+    per_state AS (
+      SELECT state, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(dur) AS BIGINT) AS total_us
+      FROM iv WHERE dur IS NOT NULL GROUP BY 1),
+    grand AS (SELECT CAST(SUM(total_us) AS BIGINT) AS grand_us
+              FROM per_state)
+    SELECT s.state, s.n_intervals, s.total_us,
+           CAST(CAST(s.total_us AS HUGEINT) * 1000000
+                // g.grand_us AS BIGINT) AS share_ppm
+    FROM per_state s CROSS JOIN grand g
+    """

@@ -55,6 +55,11 @@ _PRIORITY = (
     # --- round-9 window (first 50 = the driver's check set) ---------
     # never driver-verified (new this round)
     "similarity_ivfpq_pruned_topk",
+    "events_time_weighted_avg",
+    "events_state_durations",
+    "events_touch_attribution",
+    "basket_item_jaccard",
+    "reshape_pivot_priority_year",
     "events_winsorized_stats_approx",
     "events_mad_outliers_approx",
     "events_seasonal_outliers_approx",
@@ -102,13 +107,13 @@ _PRIORITY = (
     "scalar_array_funcs",
     "scalar_conditional_funcs",
     "scalar_date_funcs",
+    # --- past the 50-cut: planned r10 head (r5-latest remainder,
+    # plus the r5 fills displaced by this round's edits/additions)
     "scalar_hash_funcs",
     "scalar_higher_order_funcs",
     "scalar_json_funcs",
     "scalar_math_funcs",
     "scalar_regexp_funcs",
-    # --- past the 50-cut: planned r10 head (r5-latest remainder,
-    # plus the r5 fills displaced by this round's edits/additions)
     "scalar_string_funcs",
     "stream_dedup_first_per_key",
     "stream_session_window",

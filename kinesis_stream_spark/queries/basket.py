@@ -56,3 +56,29 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(baskets, min_support=_MIN_SUPPORT).orderBy(
         "antecedent", "consequent"
     )
+
+from kinesis_stream_spark.operators.basket import sql_item_jaccard  # noqa: E402
+
+
+@_q(
+    "basket_item_jaccard",
+    sql_item_jaccard(
+        baskets_cte="SELECT basket AS b, item AS i FROM (" + _BASKETS_CTE + ")",
+        min_common=2,
+        top_k=30,
+    ),
+)
+def basket_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric brand-brand Jaccard similarity over order baskets —
+    the item-based collaborative-filtering neighbor metric next to the
+    directional rules: top-30 pairs by basket-set overlap, exact
+    integer counts, one IEEE divide per pair (operators/basket.py for
+    the basket-size-bounded pair-join shape)."""
+    from kinesis_stream_spark.operators.basket import item_jaccard
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return item_jaccard(baskets, min_common=2, top_k=30)

@@ -1207,6 +1207,71 @@ def reshape_unpivot_part_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "reshape_pivot_priority_year",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) FILTER (WHERE YEAR(o_orderdate) = 1995) AS y1995_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE YEAR(o_orderdate) = 1995) AS DOUBLE) AS y1995_rev,
+           COUNT(*) FILTER (WHERE YEAR(o_orderdate) = 1996) AS y1996_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE YEAR(o_orderdate) = 1996) AS DOUBLE) AS y1996_rev,
+           COUNT(*) FILTER (WHERE YEAR(o_orderdate) = 1997) AS y1997_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE YEAR(o_orderdate) = 1997) AS DOUBLE) AS y1997_rev,
+           COUNT(*) FILTER (WHERE YEAR(o_orderdate) = 1998) AS y1998_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE YEAR(o_orderdate) = 1998) AS DOUBLE) AS y1998_rev,
+           COUNT(*) FILTER (WHERE YEAR(o_orderdate) = 1999) AS y1999_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE YEAR(o_orderdate) = 1999) AS DOUBLE) AS y1999_rev,
+           COUNT(*) FILTER (WHERE YEAR(o_orderdate) = 2000) AS y2000_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE YEAR(o_orderdate) = 2000) AS DOUBLE) AS y2000_rev,
+           COUNT(*) FILTER (WHERE YEAR(o_orderdate) = 2001) AS y2001_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE YEAR(o_orderdate) = 2001) AS DOUBLE) AS y2001_rev
+    FROM orders
+    GROUP BY 1
+    ORDER BY priority
+    """,
+)
+def reshape_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape via the native ``pivot`` operator: order
+    counts and exact-decimal revenue per (priority × order-year) cell,
+    pivoted into one row per priority. The pivot values are EXPLICIT
+    (1995-2001) — with an enumerated domain Spark compiles the pivot
+    into ONE hash aggregate over the single scan (PivotFirst), instead
+    of first running a distinct-values job and then the aggregate; at
+    100 TB the enumerated form halves the scan count and keeps the
+    plan static. Rows with NULL order dates match no pivot cell on
+    either engine; empty count cells coalesce to 0 (the FILTER
+    aggregate convention), empty revenue cells stay NULL."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    )
+    pv = (
+        o.groupBy("priority")
+        .pivot("yr", [1995, 1996, 1997, 1998, 1999, 2000, 2001])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    cols = [F.col("priority")]
+    for y in [1995, 1996, 1997, 1998, 1999, 2000, 2001]:
+        cols.append(
+            F.coalesce(F.col(f"`{y}_n`"), F.lit(0)).alias(f"y{y}_n")
+        )
+        cols.append(F.col(f"`{y}_rev`").alias(f"y{y}_rev"))
+    return pv.select(*cols).orderBy("priority")
+
+
+@_q(
     "join_right_lineitem_part",
     """
     SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_lineitems

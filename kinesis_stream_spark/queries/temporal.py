@@ -688,3 +688,74 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return seasonal_residual_outliers(ev).orderBy("event_id")
+
+
+@_q(
+    "events_time_weighted_avg",
+    None,  # assigned below: sql twin lives next to the operator
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type LOCF time-weighted average (the TSDB time_weight
+    operator): Σ v·Δt in exact DECIMAL(38,6), the observed span in
+    integer microseconds, one final IEEE divide. The plain AVG
+    overweights chatty periods; TWA weights by holding time (operator
+    docstring for the exactness chain and the VARCHAR-routed DuckDB
+    casts)."""
+    from kinesis_stream_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(load_table(spark, sf_dir, "events")).orderBy(
+        "key"
+    )
+
+
+@_q(
+    "events_state_durations",
+    None,  # assigned below
+)
+def events_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state totals (the TSDB state_agg operator): each user's
+    event stream as an LOCF state machine; per state, closed-interval
+    dwell time in integer microseconds, interval counts, and the
+    integer-ppm share of all observed dwell time. Last-event intervals
+    are censored out by contract."""
+    from kinesis_stream_spark.operators.temporal import state_durations
+
+    return state_durations(load_table(spark, sf_dir, "events")).orderBy(
+        "state"
+    )
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_state_durations,
+    sql_time_weighted_avg,
+)
+
+ORACLE["events_time_weighted_avg"] = (
+    sql_time_weighted_avg() + " ORDER BY key"
+)
+ORACLE["events_state_durations"] = (
+    sql_state_durations() + " ORDER BY state"
+)
+
+
+@_q("events_touch_attribution", None)  # assigned below
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: purchases
+    credited to the user's earliest and latest non-purchase touch
+    inside a 7-day lookback, aggregated per touch type with
+    exact-decimal credited value (operator docstring in
+    operators/attribution.py for the bounded-join scale shape)."""
+    from kinesis_stream_spark.operators.attribution import first_last_touch
+
+    return first_last_touch(load_table(spark, sf_dir, "events")).orderBy(
+        "touch_type"
+    )
+
+
+from kinesis_stream_spark.operators.attribution import (  # noqa: E402
+    sql_first_last_touch,
+)
+
+ORACLE["events_touch_attribution"] = (
+    sql_first_last_touch() + " ORDER BY touch_type"
+)

@@ -1,0 +1,141 @@
+"""Hand-traced semantics for the round-9 batch: first/last-touch
+attribution, item-item basket Jaccard, TWA, and state durations —
+the oracle parity suite covers the events/lineitem tables; these pin
+boundary behavior (lookback edges, censoring, ties, degenerate keys)
+on fixtures built to hit it."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _t(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_first_last_touch_window_and_ties(spark):
+    from kinesis_stream_spark.operators.attribution import first_last_touch
+
+    rows = [
+        # user 1: view@1h, click@2h, purchase@3h -> first=view, last=click
+        (1, 1, "view", _t(1), 0.0),
+        (2, 1, "click", _t(2), 0.0),
+        (3, 1, "purchase", _t(3), 100.0),
+        # user 2: touch EXACTLY at conversion instant counts (<=)
+        (10, 2, "signup", _t(5), 0.0),
+        (11, 2, "purchase", _t(5), 40.0),
+        # user 3: touch outside the lookback -> organic, no row
+        (20, 3, "view", _t(1), 0.0),
+        (21, 3, "purchase", dt.datetime(2024, 1, 9), 7.0),
+        # user 4: two touches same instant -> event_id breaks the tie
+        (30, 4, "view", _t(8), 0.0),
+        (31, 4, "click", _t(8), 0.0),
+        (32, 4, "purchase", _t(9), 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    out = {r.touch_type: r for r in first_last_touch(ev).collect()}
+    assert out["view"].first_touch_convs == 2  # users 1 and 4
+    assert out["view"].last_touch_convs == 0
+    assert out["click"].first_touch_convs == 0
+    assert out["click"].last_touch_convs == 2  # users 1 and 4
+    assert out["signup"].first_touch_convs == 1
+    assert out["signup"].last_touch_convs == 1
+    assert out["view"].first_touch_value == 110.0  # 100 + 10
+    assert out["click"].last_touch_value == 110.0
+    assert out["signup"].last_touch_value == 40.0
+
+
+def test_first_last_touch_same_touch_credits_both_models(spark):
+    from kinesis_stream_spark.operators.attribution import first_last_touch
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "click", _t(1), 0.0),
+            (2, 1, "purchase", _t(2), 9.0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    out = first_last_touch(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.first_touch_convs, r.last_touch_convs) == (1, 1)
+    assert (r.first_touch_value, r.last_touch_value) == (9.0, 9.0)
+
+
+def test_item_jaccard_hand_computed(spark):
+    from kinesis_stream_spark.operators.basket import item_jaccard
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # dup (1,b) collapses
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "a"),
+    ]
+    bi = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.item_a, r.item_b): r for r in
+           item_jaccard(bi, min_common=1, top_k=10).collect()}
+    # deg: a=4, b=2, c=1; common: (a,b)=2, (a,c)=1
+    ab = out[("a", "b")]
+    assert (ab.common, ab.deg_a, ab.deg_b) == (2, 4, 2)
+    assert ab.jaccard == 2 / 4  # 2/(4+2-2)
+    ac = out[("a", "c")]
+    assert ac.jaccard == 1 / 4
+    assert ("b", "c") not in out  # no shared basket
+    # min_common prunes before ranking
+    assert set(
+        (r.item_a, r.item_b)
+        for r in item_jaccard(bi, min_common=2, top_k=10).collect()
+    ) == {("a", "b")}
+
+
+def test_time_weighted_avg_locf_hand_computed(spark):
+    from kinesis_stream_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        # key a: v=10 holds 1h, v=30 holds 3h, last point open
+        (1, "a", _t(0), 10.0),
+        (2, "a", _t(1), 30.0),
+        (3, "a", _t(4), 999.0),
+        # key b: single point -> zero span, NULL twa
+        (4, "b", _t(0), 5.0),
+        # NULL ts and NULL value excluded
+        (5, "a", None, 1e9),
+        (6, "a", _t(2), None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r.key: r for r in time_weighted_avg(ev).collect()}
+    a = out["a"]
+    # twa = (10*1h + 30*3h) / 4h = 100/4 = 25
+    assert a.n_points == 3 and a.twa == 25.0
+    assert a.dur_us == 4 * 3600 * 1_000_000
+    b = out["b"]
+    assert b.n_points == 1 and b.twa is None and b.dur_us == 0
+
+
+def test_state_durations_censors_last_event(spark):
+    from kinesis_stream_spark.operators.temporal import state_durations
+
+    rows = [
+        # user 1: A for 1h, B for 2h, A open (censored)
+        (1, 1, "A", _t(0)),
+        (2, 1, "B", _t(1)),
+        (3, 1, "A", _t(3)),
+        # user 2: only one event -> fully censored, contributes nothing
+        (4, 2, "B", _t(0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.state: r for r in state_durations(ev).collect()}
+    h = 3600 * 1_000_000
+    assert out["A"].total_us == 1 * h and out["A"].n_intervals == 1
+    assert out["B"].total_us == 2 * h and out["B"].n_intervals == 1
+    assert out["A"].share_ppm == 333_333  # floor(1e6/3)
+    assert out["B"].share_ppm == 666_666

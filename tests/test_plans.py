@@ -676,3 +676,43 @@ def test_ivfpq_pruned_scan_has_partition_filters(spark, sf_dir):
                for l in pf_lines), pf_lines
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_single_scan_no_values_prejob(spark, sf_dir):
+    """Explicit pivot values must compile to aggregates over ONE scan
+    of orders — no distinct-values pre-job, no self-join, no
+    cartesian."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    import re
+
+    df = QUERIES["reshape_pivot_priority_year"](spark, sf_dir)
+    plan = _explain(df)
+    # one scan NODE (formatted explain lists each node id once in the
+    # detail section)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_attribution_join_is_entity_keyed_equi(spark, sf_dir):
+    """The touch-candidate join must hash-join on the entity key with
+    the lookback bound as a post-join filter — never a cartesian or a
+    broadcast-nested-loop over the corpus."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_touch_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_item_jaccard_pairs_join_is_equi_on_basket(spark, sf_dir):
+    from kinesis_stream_spark.queries.basket import QUERIES
+
+    plan = _explain(QUERIES["basket_item_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # final top-k is a pre-list merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
