@@ -2092,3 +2092,264 @@ def sql_state_durations(
                 // g.grand_us AS BIGINT) AS share_ppm
     FROM per_state s CROSS JOIN grand g
     """
+
+
+def autocorrelation(
+    events: DataFrame,
+    *,
+    max_lag: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-key autocorrelation function (ACF): Pearson r of
+    (v[t], v[t + lag]) over the key's own daily value series for
+    lag ∈ [1, max_lag] — the seasonality/persistence screen read
+    before fitting any forecaster (a strong lag-7 spike says weekly
+    shape; fast decay says the EWMA family suffices). The self-series
+    twin of :func:`lead_lag_correlation`, sharing its exactness chain:
+    DECIMAL(27,6) daily sums quantized to 2^scale_bits BIGINT fx,
+    moment sums in DECIMAL(38,0), two correctly-rounded sqrts + one
+    pinned divide per output; r is NULL when fewer than 2 pairs align
+    or the aligned series is constant. Missing buckets are excluded
+    pairwise (gap days carry no observation). NULL timestamps are
+    excluded by contract.
+
+    Output: (key, lag, n_pairs, r), one row per key per lag.
+
+    Scale shape: ONE combinable (key, bucket) aggregate collapses the
+    corpus to grid-bounded series; each lag is one self-equi-join on
+    (key, bucket+lag) over that tiny frame — the lag loop is a
+    workload constant, never a corpus re-scan."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    s = float(1 << scale_bits)
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+        )
+        .agg(dsum(value_col, "v"))
+        .select(
+            "key",
+            "bucket",
+            F.floor(F.col("v") * F.lit(s)).cast("long").alias("vfx"),
+        )
+        .where(F.col("vfx").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("key", F.col("bucket").alias("ab"), F.col("vfx").alias("x"))
+    b = daily.select("key", F.col("bucket").alias("bb"), F.col("vfx").alias("y"))
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    outs = []
+    for lag in range(1, max_lag + 1):
+        pairs = a.join(b, ["key"]).where(F.col("ab") + lag == F.col("bb"))
+        m = pairs.groupBy("key").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast(d38).alias("sx"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum((F.col("x").cast(d19) * F.col("y").cast(d19)).cast(d38))
+            .cast(d38)
+            .alias("sxy"),
+            F.sum((F.col("x").cast(d19) * F.col("x").cast(d19)).cast(d38))
+            .cast(d38)
+            .alias("sxx"),
+            F.sum((F.col("y").cast(d19) * F.col("y").cast(d19)).cast(d38))
+            .cast(d38)
+            .alias("syy"),
+        )
+        n_d = F.col("n").cast(d38)
+        num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+        vx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+        vy = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+        r = F.when(
+            (F.col("n") < 2) | (vx == 0) | (vy == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        outs.append(
+            m.select(
+                "key",
+                F.lit(lag).cast("int").alias("lag"),
+                F.col("n").alias("n_pairs"),
+                r.alias("r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def sql_autocorrelation(
+    *,
+    table: str = "events",
+    max_lag: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    scale_bits: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`autocorrelation` (identical fx
+    quantization, HUGEINT moments, VARCHAR-routed double casts)."""
+    s = float(1 << scale_bits)
+    selects = []
+    for lag in range(1, max_lag + 1):
+        selects.append(
+            f"""
+        SELECT key, CAST({lag} AS INT) AS lag, n AS n_pairs,
+               CASE WHEN n < 2
+                      OR CAST(n AS HUGEINT) * sxx - sx * sx = 0
+                      OR CAST(n AS HUGEINT) * syy - sy * sy = 0 THEN NULL
+                    ELSE CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+                                   AS VARCHAR) AS DOUBLE)
+                         / (SQRT(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                           AS VARCHAR) AS DOUBLE))
+                            * SQRT(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                             AS VARCHAR) AS DOUBLE)))
+               END AS r
+        FROM (
+          SELECT a.key, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a.vfx) AS HUGEINT) AS sx,
+                 CAST(SUM(b.vfx) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(a.vfx AS HUGEINT) * b.vfx) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(a.vfx AS HUGEINT) * a.vfx) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(b.vfx AS HUGEINT) * b.vfx) AS HUGEINT) AS syy
+          FROM daily a JOIN daily b
+            ON a.key = b.key AND a.bucket + {lag} = b.bucket
+          GROUP BY 1
+        )"""
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+             CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL
+      GROUP BY 1, 2
+      HAVING CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) IS NOT NULL)
+    {body}
+    """
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-arrival burstiness (Goh & Barabási 2008): from
+    the gaps Δt between consecutive events, B = (σ − μ)/(σ + μ) —
+    −1 for a perfectly regular stream, → 0 for Poisson, → 1 for
+    extreme bursts — plus the coefficient of variation. The
+    arrival-PROCESS anomaly screen next to the value-based detectors
+    (a scraper firing metronome-regular requests scores B ≈ −1 while
+    passing every volume rule).
+
+    Exactness: gaps are BIGINT microseconds from the tie-free
+    (ts, id) lag chain; ΣΔt and ΣΔt² accumulate in DECIMAL(38,0)
+    (DuckDB HUGEINT), the variance numerator n·ΣΔt² − (ΣΔt)² stays
+    exact, and the finals are VARCHAR-routed correctly-rounded double
+    casts, one sqrt, two pinned divides. Keys with < 2 gaps, or a
+    zero-duration stream, yield NULL stats via lazily-evaluated CASE.
+
+    Output per key: (key, n_gaps, mean_gap_us, cv, burstiness).
+
+    Scale shape: one shuffle by key for the lag window, one combinable
+    per-key aggregate — no joins, no corpus re-scan."""
+    w = Window.partitionBy("key").orderBy("ts_us", "eid")
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    gaps = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias(
+                "ts_us"
+            ),
+            F.col(id_col).alias("eid"),
+        )
+        .withColumn("dt", F.col("ts_us") - F.lag("ts_us").over(w))
+        .where(F.col("dt").isNotNull())
+    )
+    m = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dt").cast(d38).alias("sdt"),
+        F.sum((F.col("dt").cast(d19) * F.col("dt").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("sdt2"),
+    )
+    n_d = F.col("n").cast(d38)
+    var_num = n_d * F.col("sdt2") - F.col("sdt") * F.col("sdt")
+    mean = F.col("sdt").cast("double") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        var_num.cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    return m.select(
+        "key",
+        F.col("n").alias("n_gaps"),
+        F.when(F.col("n") >= 1, mean).alias("mean_gap_us"),
+        F.when((F.col("n") >= 2) & (F.col("sdt") > 0), sigma / mean).alias(
+            "cv"
+        ),
+        F.when(
+            (F.col("n") >= 2) & (var_num + F.col("sdt") * F.col("sdt") > 0),
+            (sigma - mean) / (sigma + mean),
+        ).alias("burstiness"),
+    )
+
+
+def sql_interarrival_burstiness(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`interarrival_burstiness`."""
+    return f"""
+    WITH gaps AS (
+      SELECT {key_col} AS key,
+             EPOCH_US({ts_col}) - LAG(EPOCH_US({ts_col})) OVER (
+               PARTITION BY {key_col}
+               ORDER BY EPOCH_US({ts_col}), {id_col}) AS dt
+      FROM {table} WHERE {ts_col} IS NOT NULL),
+    m AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dt) AS HUGEINT) AS sdt,
+             CAST(SUM(CAST(dt AS HUGEINT) * dt) AS HUGEINT) AS sdt2
+      FROM gaps WHERE dt IS NOT NULL GROUP BY 1)
+    SELECT key, n AS n_gaps,
+           CASE WHEN n >= 1 THEN
+             CAST(CAST(sdt AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS mean_gap_us,
+           CASE WHEN n >= 2 AND sdt > 0 THEN
+             SQRT(CAST(CAST(CAST(n AS HUGEINT) * sdt2 - sdt * sdt
+                            AS VARCHAR) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (CAST(CAST(sdt AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           END AS cv,
+           CASE WHEN n >= 2
+                  AND CAST(n AS HUGEINT) * sdt2 - sdt * sdt
+                      + sdt * sdt > 0 THEN
+             (SQRT(CAST(CAST(CAST(n AS HUGEINT) * sdt2 - sdt * sdt
+                             AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              - CAST(CAST(sdt AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             / (SQRT(CAST(CAST(CAST(n AS HUGEINT) * sdt2 - sdt * sdt
+                             AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              + CAST(CAST(sdt AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           END AS burstiness
+    FROM m
+    """

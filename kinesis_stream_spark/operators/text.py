@@ -1226,3 +1226,104 @@ def sql_keyword_extraction(
            tf, df, score_fx
     FROM ranked WHERE rank <= {k}
     """
+
+
+def vocabulary_drift(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 30,
+) -> DataFrame:
+    """Vocabulary drift between two deterministic corpus halves (docs
+    with even vs odd id — in production, yesterday's snapshot vs
+    today's): per-token share of each half in integer ppm, and the
+    top ``top_k`` movers by absolute share delta. The distribution-
+    shift screen a training-data pipeline runs between crawl
+    snapshots — KL/PSI need in-engine logs, the total-variation-style
+    share delta doesn't (the Simpson-over-entropy trade this repo
+    makes everywhere), and the biggest |Δppm| movers are the
+    actionable output either way (what changed, not just how much).
+
+    Output: (token, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
+    delta_ppm) ordered by |Δppm| desc with (token) tiebreak —
+    integer arithmetic end to end (shares are ⌊10^6·cnt/total⌋ in
+    DECIMAL(38,0)/HUGEINT), so even the rank order is bit-stable.
+    Tokens absent from a half count 0 there (full outer alignment).
+
+    Scale shape: one tokenize+count aggregate per the corpus scan
+    (combinable, the half flag rides the group key), one full-outer
+    alignment on the token vocabulary, two one-row totals broadcast
+    back, and a top-k that is per-partition pre-list + driver merge."""
+    tok = (
+        docs.where(F.col(id_col).isNotNull())
+        .select(
+            (F.col(id_col) % 2 == 0).alias("in_a"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum(F.col("in_a").cast("long")).alias("cnt_a"),
+            F.sum((~F.col("in_a")).cast("long")).alias("cnt_b"),
+        )
+    )
+    totals = tok.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    d38 = "decimal(38,0)"
+    share_a = F.expr(
+        f"cast(cast(cnt_a as {d38}) * 1000000 div tot_a as long)"
+    )
+    share_b = F.expr(
+        f"cast(cast(cnt_b as {d38}) * 1000000 div tot_b as long)"
+    )
+    scored = tok.join(F.broadcast(totals)).select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        share_a.alias("share_a_ppm"),
+        share_b.alias("share_b_ppm"),
+        (share_a - share_b).alias("delta_ppm"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("delta_ppm")).desc(), F.asc("token")
+    ).limit(top_k)
+
+
+def sql_vocabulary_drift(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 30,
+) -> str:
+    """DuckDB oracle twin of :func:`vocabulary_drift`."""
+    toks = sql_tokens(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} % 2 = 0 AS in_a, t.token
+      FROM {table}, UNNEST({toks}) AS t(token)
+      WHERE {id_col} IS NOT NULL AND t.token <> ''),
+    counts AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM tok GROUP BY 1),
+    totals AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+      FROM counts),
+    scored AS (
+      SELECT c.token, c.cnt_a, c.cnt_b,
+             CAST(CAST(c.cnt_a AS HUGEINT) * 1000000 // t.tot_a AS BIGINT)
+               AS share_a_ppm,
+             CAST(CAST(c.cnt_b AS HUGEINT) * 1000000 // t.tot_b AS BIGINT)
+               AS share_b_ppm
+      FROM counts c CROSS JOIN totals t)
+    SELECT token, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
+           share_a_ppm - share_b_ppm AS delta_ppm
+    FROM scored
+    ORDER BY ABS(share_a_ppm - share_b_ppm) DESC, token ASC
+    LIMIT {top_k}
+    """

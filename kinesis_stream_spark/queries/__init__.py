@@ -60,6 +60,10 @@ _PRIORITY = (
     "events_touch_attribution",
     "basket_item_jaccard",
     "reshape_pivot_priority_year",
+    "events_autocorrelation",
+    "events_burstiness",
+    "layout_zorder_census_parts",
+    "text_vocab_drift",
     "events_winsorized_stats_approx",
     "events_mad_outliers_approx",
     "events_seasonal_outliers_approx",
@@ -103,12 +107,12 @@ _PRIORITY = (
     "multimodal_catalog_stats",
     "multimodal_decode_features",
     "multimodal_frame_sampling",
+    # --- past the 50-cut: planned r10 head (r5-latest remainder,
+    # plus the r5 fills displaced by this round's edits/additions)
     "multimodal_payload_near_dup",
     "scalar_array_funcs",
     "scalar_conditional_funcs",
     "scalar_date_funcs",
-    # --- past the 50-cut: planned r10 head (r5-latest remainder,
-    # plus the r5 fills displaced by this round's edits/additions)
     "scalar_hash_funcs",
     "scalar_higher_order_funcs",
     "scalar_json_funcs",

@@ -1272,6 +1272,35 @@ def reshape_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "layout_zorder_census_parts",
+    __import__("kinesis_stream_spark.operators.layout", fromlist=["sql_zorder_census"]).sql_zorder_census(
+        source_cte=(
+            "SELECT p_size AS x,"
+            " CAST(FLOOR(p_retailprice) AS BIGINT) AS y FROM part"
+        ),
+        bucket_bits=8,
+    )
+    + " ORDER BY zbucket",
+)
+def layout_zorder_census_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout census over part (size × price): bucket
+    rows by the interleaved key's high bits — each bucket's x/y
+    extents are the min/max file stats an OPTIMIZE ZORDER write would
+    give a reader, and the census shows they form rectangles (both
+    columns prune). Pure BIGINT bit arithmetic, map-only keying
+    (operators/layout.py)."""
+    from kinesis_stream_spark.operators.layout import zorder_census
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("x"),
+        F.floor("p_retailprice").cast("long").alias("y"),
+    )
+    return zorder_census(
+        part, x_col="x", y_col="y", bucket_bits=8
+    ).orderBy("zbucket")
+
+
+@_q(
     "join_right_lineitem_part",
     """
     SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_lineitems

@@ -759,3 +759,44 @@ from kinesis_stream_spark.operators.attribution import (  # noqa: E402
 ORACLE["events_touch_attribution"] = (
     sql_first_last_touch() + " ORDER BY touch_type"
 )
+
+
+@_q("events_autocorrelation", None)  # assigned below
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ACF at lags 1-3 over daily value sums — the
+    persistence/seasonality screen beside the lead-lag
+    cross-correlation, same fixed-point moment discipline (operator
+    docstring)."""
+    from kinesis_stream_spark.operators.temporal import autocorrelation
+
+    return autocorrelation(load_table(spark, sf_dir, "events")).orderBy(
+        "key", "lag"
+    )
+
+
+@_q("events_burstiness", None)  # assigned below
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival burstiness B = (σ−μ)/(σ+μ) and CV
+    — the arrival-process anomaly screen (metronome-regular scrapers
+    score B ≈ −1); exact HUGEINT/DECIMAL38 moments, VARCHAR-routed
+    finals (operator docstring)."""
+    from kinesis_stream_spark.operators.temporal import (
+        interarrival_burstiness,
+    )
+
+    return interarrival_burstiness(
+        load_table(spark, sf_dir, "events")
+    ).orderBy("key")
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_autocorrelation,
+    sql_interarrival_burstiness,
+)
+
+ORACLE["events_autocorrelation"] = (
+    sql_autocorrelation() + " ORDER BY key, lag"
+)
+ORACLE["events_burstiness"] = (
+    sql_interarrival_burstiness() + " ORDER BY key"
+)

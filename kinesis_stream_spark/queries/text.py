@@ -847,3 +847,22 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return keyword_extraction(docs, k=3).orderBy("doc_id", "rank")
+
+
+@_q("text_vocab_drift", None)  # assigned below
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between deterministic corpus halves (even/odd
+    doc id standing in for consecutive snapshots): per-token integer-
+    ppm shares and the top-30 |Δppm| movers — the log-free
+    distribution-shift screen (operator docstring in
+    operators/text.py)."""
+    from kinesis_stream_spark.operators.text import vocabulary_drift
+
+    return vocabulary_drift(load_table(spark, sf_dir, "documents"))
+
+
+from kinesis_stream_spark.operators.text import (  # noqa: E402
+    sql_vocabulary_drift,
+)
+
+ORACLE["text_vocab_drift"] = sql_vocabulary_drift()
