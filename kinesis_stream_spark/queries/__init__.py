@@ -64,6 +64,8 @@ _PRIORITY = (
     "events_burstiness",
     "layout_zorder_census_parts",
     "text_vocab_drift",
+    "integrity_sequence_gaps",
+    "events_daily_percentile_bands",
     "events_winsorized_stats_approx",
     "events_mad_outliers_approx",
     "events_seasonal_outliers_approx",
@@ -105,10 +107,10 @@ _PRIORITY = (
     # r5-latest fill to 50
     "multimodal_byte_stats",
     "multimodal_catalog_stats",
-    "multimodal_decode_features",
-    "multimodal_frame_sampling",
     # --- past the 50-cut: planned r10 head (r5-latest remainder,
     # plus the r5 fills displaced by this round's edits/additions)
+    "multimodal_decode_features",
+    "multimodal_frame_sampling",
     "multimodal_payload_near_dup",
     "scalar_array_funcs",
     "scalar_conditional_funcs",

@@ -7,6 +7,7 @@ gaps-and-islands run ids) — parity validates the computation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.temporal import (
     DAY_US,
@@ -800,3 +801,107 @@ ORACLE["events_autocorrelation"] = (
 ORACLE["events_burstiness"] = (
     sql_interarrival_burstiness() + " ORDER BY key"
 )
+
+
+@_q(
+    "integrity_sequence_gaps",
+    """
+    WITH ids AS (
+      SELECT event_id AS id FROM events WHERE event_type <> 'error'),
+    g AS (SELECT MIN(id) AS gmin, MAX(id) AS gmax FROM ids),
+    buckets AS (
+      SELECT id // 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS actual_n,
+             MIN(id) AS first_id, MAX(id) AS last_id
+      FROM ids GROUP BY 1)
+    SELECT b.bucket, b.first_id, b.last_id, b.actual_n,
+           LEAST((b.bucket + 1) * 256 - 1, g.gmax)
+             - GREATEST(b.bucket * 256, g.gmin) + 1 AS expected_n,
+           LEAST((b.bucket + 1) * 256 - 1, g.gmax)
+             - GREATEST(b.bucket * 256, g.gmin) + 1 - b.actual_n
+             AS missing_n
+    FROM buckets b CROSS JOIN g
+    ORDER BY bucket
+    """,
+)
+def integrity_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit WITHOUT a global sort: bucket the id
+    space (id div 256), compare each bucket's actual id count against
+    the bucket's expected span inside [global min, global max] — the
+    ingestion-loss detector for sequence-numbered streams (which ids
+    never landed, per bucket), shaped as one combinable aggregate plus
+    a one-row broadcast instead of the textbook lag-over-everything
+    window (a partition-less window serializes at 100 TB; this
+    doesn't). Run here on the ids surviving an event_type filter, so
+    the missing counts are non-trivial on both engines."""
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .select(F.col("event_id").alias("id"))
+    )
+    g = ids.agg(
+        F.min("id").alias("gmin"), F.max("id").alias("gmax")
+    )
+    buckets = ids.groupBy(
+        F.expr("id div 256").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("actual_n"),
+        F.min("id").alias("first_id"),
+        F.max("id").alias("last_id"),
+    )
+    expected = (
+        F.least((F.col("bucket") + 1) * 256 - 1, F.col("gmax"))
+        - F.greatest(F.col("bucket") * 256, F.col("gmin"))
+        + 1
+    )
+    return (
+        buckets.join(F.broadcast(g))
+        .select(
+            "bucket",
+            "first_id",
+            "last_id",
+            "actual_n",
+            expected.alias("expected_n"),
+            (expected - F.col("actual_n")).alias("missing_n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "events_daily_percentile_bands",
+    f"""
+    SELECT event_type AS key, EPOCH_US(ts) // {DAY_US} AS day,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           QUANTILE_CONT(value, 0.5) AS p50,
+           QUANTILE_CONT(value, 0.9) AS p90,
+           QUANTILE_CONT(value, 0.99) AS p99
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY key, day
+    """,
+)
+def events_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) exact percentile bands (p50/p90/p99) — the
+    latency-dashboard aggregate, one grouped percentile pass; the
+    interpolation parity between Spark percentile and DuckDB
+    QUANTILE_CONT is pinned by the relational percentile oracles. At
+    100 TB the approx_percentile swap applies (the *_approx family's
+    documented contract); NULL timestamps are excluded by the family
+    convention."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    from kinesis_stream_spark.operators.temporal import _bucket
+
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("key"),
+            _bucket("ts", DAY_US).alias("day"),
+        )
+        .agg(
+            F.count("value").alias("n"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("key", "day")
+    )
