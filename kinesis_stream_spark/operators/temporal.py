@@ -1918,9 +1918,14 @@ def time_weighted_avg(
     ANSI double/0 path).
 
     Exactness: Δt is BIGINT microseconds (exact); v·Δt multiplies
-    DECIMAL(18,6) by DECIMAL(18,0) (precision 37 — inside both
-    engines' DECIMAL38, no double rounding anywhere before the final
-    two casts); the DuckDB twin routes its DECIMAL→DOUBLE casts
+    DECIMAL(19,6) by DECIMAL(19,0) — width 19 is deliberate on BOTH
+    sides of the trade: width-18 operands keep DuckDB on its int64
+    path, which OVERFLOWS on realistic v·Δt products, while 19+19
+    lands exactly at DuckDB's width-38 multiply limit (int128 path,
+    zero headroom — widening either operand breaks the oracle) and
+    Spark caps the nominal 39 to (38,6). No double rounding anywhere
+    before the final two casts; the DuckDB twin routes its
+    DECIMAL→DOUBLE casts
     through VARCHAR (DuckDB's int128-backed cast truncates; strtod is
     correctly rounded, matching Spark's BigDecimal cast). NULL ts or
     NULL value rows are excluded by contract (a NULL has no position
@@ -2055,9 +2060,13 @@ def state_durations(
         "state",
         "n_intervals",
         "total_us",
+        # grand_us = 0 (every interval zero-length) leaves shares
+        # undefined: NULL by contract, via lazily-evaluated CASE on
+        # both engines (ANSI double-zero discipline)
         F.expr(
-            "cast(cast(total_us as decimal(38,0)) * 1000000"
-            " div grand_us as long)"
+            "case when grand_us > 0 then"
+            " cast(cast(total_us as decimal(38,0)) * 1000000"
+            " div grand_us as long) end"
         ).alias("share_ppm"),
     )
 
@@ -2088,8 +2097,10 @@ def sql_state_durations(
     grand AS (SELECT CAST(SUM(total_us) AS BIGINT) AS grand_us
               FROM per_state)
     SELECT s.state, s.n_intervals, s.total_us,
-           CAST(CAST(s.total_us AS HUGEINT) * 1000000
-                // g.grand_us AS BIGINT) AS share_ppm
+           CASE WHEN g.grand_us > 0 THEN
+             CAST(CAST(s.total_us AS HUGEINT) * 1000000
+                  // g.grand_us AS BIGINT)
+           END AS share_ppm
     FROM per_state s CROSS JOIN grand g
     """
 

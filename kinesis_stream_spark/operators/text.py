@@ -1250,6 +1250,10 @@ def vocabulary_drift(
     integer arithmetic end to end (shares are ⌊10^6·cnt/total⌋ in
     DECIMAL(38,0)/HUGEINT), so even the rank order is bit-stable.
     Tokens absent from a half count 0 there (full outer alignment).
+    An EMPTY half contributes zero shares by contract (drift against
+    nothing = the other half's full share — and the guard keeps the
+    ppm divide off Spark 4's ANSI divide-by-zero path; DuckDB's //
+    raises identically).
 
     Scale shape: one tokenize+count aggregate per the corpus scan
     (combinable, the half flag rides the group key), one full-outer
@@ -1273,10 +1277,14 @@ def vocabulary_drift(
     )
     d38 = "decimal(38,0)"
     share_a = F.expr(
-        f"cast(cast(cnt_a as {d38}) * 1000000 div tot_a as long)"
+        f"case when tot_a > 0 then"
+        f" cast(cast(cnt_a as {d38}) * 1000000 div tot_a as long)"
+        f" else cast(0 as long) end"
     )
     share_b = F.expr(
-        f"cast(cast(cnt_b as {d38}) * 1000000 div tot_b as long)"
+        f"case when tot_b > 0 then"
+        f" cast(cast(cnt_b as {d38}) * 1000000 div tot_b as long)"
+        f" else cast(0 as long) end"
     )
     scored = tok.join(F.broadcast(totals)).select(
         "token",
@@ -1316,10 +1324,12 @@ def sql_vocabulary_drift(
       FROM counts),
     scored AS (
       SELECT c.token, c.cnt_a, c.cnt_b,
-             CAST(CAST(c.cnt_a AS HUGEINT) * 1000000 // t.tot_a AS BIGINT)
-               AS share_a_ppm,
-             CAST(CAST(c.cnt_b AS HUGEINT) * 1000000 // t.tot_b AS BIGINT)
-               AS share_b_ppm
+             CASE WHEN t.tot_a > 0 THEN
+               CAST(CAST(c.cnt_a AS HUGEINT) * 1000000 // t.tot_a AS BIGINT)
+             ELSE 0 END AS share_a_ppm,
+             CASE WHEN t.tot_b > 0 THEN
+               CAST(CAST(c.cnt_b AS HUGEINT) * 1000000 // t.tot_b AS BIGINT)
+             ELSE 0 END AS share_b_ppm
       FROM counts c CROSS JOIN totals t)
     SELECT token, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
            share_a_ppm - share_b_ppm AS delta_ppm

@@ -26,19 +26,25 @@ from pyspark.sql import DataFrame, SparkSession
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
 # Round 9 window (first 50), stale-first per the rotation policy:
-# the three queries edited this round lead (events_seasonal_outliers /
-# events_mad_outliers gained the MAD>0 degenerate-scale guard,
-# events_mann_kendall_trend the NULL-ts exclusion, graph_bfs_hops /
-# graph_cheapest_path the frontier-only relaxation — rows must not
-# predate code), then ALL twenty-seven names whose newest driver row
-# is round 4 (the oldest rows in the inventory: the scalar/stream/
-# text/multimodal/integrity r4 cohort), then r5-latest fill to 50
-# (multimodal ×5, scalar ×9, the five streaming-window queries,
-# agg_approx_sketches). The remaining seventeen r5-latest names
-# (text ×12, udf ×4, events_user_diversity / events_winsorized_stats)
-# are the planned r10 window head. Everything past the cut is
-# driver-green at its latest sampling and re-verified every session
-# by the sf0.001 local backstop.
+# the FIFTEEN new round-9 registrations lead (never driver-verified:
+# the pruned IVF-PQ layout, the three rows-only approx twins, TWA,
+# state durations, touch attribution, item Jaccard, PIVOT, ACF,
+# burstiness, the Z-order census, vocab drift, the sequence-gap
+# audit, daily percentile bands), then the SIX queries edited this
+# round (events_seasonal_outliers / events_mad_outliers gained the
+# MAD>0 degenerate-scale guard, events_mann_kendall_trend the NULL-ts
+# exclusion, graph_bfs_hops / graph_cheapest_path the frontier-only
+# relaxation, text_cms_heavy_hitters the sharded candidate pre-lists
+# — rows must not predate code), then ALL twenty-seven names whose
+# newest driver row is round 4 (the oldest rows in the inventory),
+# then r5-latest fill for the final two slots (multimodal_byte_stats,
+# multimodal_catalog_stats). The remaining THIRTY-FIVE r5-latest
+# names (text ×11, scalar ×9, stream ×5, udf ×4, multimodal ×3,
+# events_user_diversity, events_winsorized_stats,
+# agg_approx_sketches) are the planned r10 window head, listed first
+# past the cut. Everything past the cut is driver-green at its latest
+# sampling and re-verified every session by the sf0.001 local
+# backstop.
 #: names registered WITHOUT a DuckDB oracle by design (the driver
 #: records a rows-only row for these; the judge sees which). Only the
 #: approx-percentile twins qualify: their sketch (Greenwald-Khanna

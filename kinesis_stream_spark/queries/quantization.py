@@ -166,19 +166,18 @@ def similarity_ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ADC arithmetic, same oracle: pruning only removes rows the
     twin discarded post-scan, so the hash must match the broadcast
     twin's driver rows bit-for-bit."""
-    import hashlib
     import tempfile
-    from pathlib import Path
 
     emb = emb_scan(spark, sf_dir, DIM)
     coarse, book = ivfpq_train(
         emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
     )
     index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = str(
-        Path(tempfile.gettempdir()) / "kinesis_stream_spark" / f"ivfpq_{tag}"
-    )
+    # per-call unique dir: a fixed shared path would let concurrent
+    # runs of the same sf_dir overwrite the index out from under each
+    # other's lazily-evaluated scans (solo verifies run beside
+    # full-suite benches in this repo's workflow)
+    path = tempfile.mkdtemp(prefix="kinesis_stream_spark_ivfpq_")
     write_partitioned_index(index, path)
     return ivfpq_topk_pruned(
         spark, path, coarse, book, queries_df(emb, N_QUERIES),

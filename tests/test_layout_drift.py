@@ -113,3 +113,34 @@ def test_vocabulary_drift_hand_counted(spark):
     # movers ordered by |delta| desc
     toks = [r.token for r in vocabulary_drift(docs, top_k=10).collect()]
     assert toks == ["apple", "banana", "cherry"]
+
+
+def test_vocabulary_drift_empty_half_zero_shares(spark):
+    """All-odd ids leave half A empty: shares for the empty half are 0
+    by contract — no ANSI divide-by-zero on either engine."""
+    from kinesis_stream_spark.operators.text import vocabulary_drift
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple"), (3, "banana")], "doc_id long, text string"
+    )
+    out = {r.token: r for r in vocabulary_drift(docs, top_k=10).collect()}
+    assert out["apple"].share_a_ppm == 0
+    assert out["apple"].share_b_ppm == 666_666
+    assert out["apple"].delta_ppm == -666_666
+
+
+def test_state_durations_all_zero_dwell_null_share(spark):
+    """Same-timestamp events give zero-length intervals everywhere:
+    grand total 0 -> share_ppm NULL by contract, no ANSI crash."""
+    import datetime as dt
+
+    from kinesis_stream_spark.operators.temporal import state_durations
+
+    t = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, "A", t), (2, 1, "B", t)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = state_durations(ev).collect()
+    assert len(out) == 1  # one closed zero-length interval (A -> B)
+    assert out[0].total_us == 0 and out[0].share_ppm is None
