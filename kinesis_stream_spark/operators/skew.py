@@ -351,3 +351,93 @@ def sql_quantile_normalize(
              AS cdf_ppm
     FROM {table} t JOIN cum c ON t.{val_col} = c.v
     """
+
+
+def abc_classification(
+    facts: DataFrame,
+    *,
+    key_col: str,
+    value_expr: str,
+    a_ppm: int = 800_000,
+    b_ppm: int = 950_000,
+) -> DataFrame:
+    """ABC / Pareto classification: rank keys by descending exact
+    revenue, take the running cumulative share, and classify — A while
+    the running share is ≤ ``a_ppm`` (the "vital few" holding the
+    first 80%), B to ``b_ppm``, C after (the long tail) — the
+    inventory/catalog segmentation every ops team runs, and the
+    concentration profile's per-key companion
+    (:func:`key_concentration_deciles` answers "how skewed"; this
+    answers "which keys").
+
+    Exactness: revenue is micro-unit integers
+    (``DECIMAL(27,6)·10^6 → DECIMAL(38,0)``/HUGEINT — exact at any
+    corpus size), the running sum and the ppm floor-divide stay
+    integer, and the class thresholds compare integers: bit-stable
+    classification on any engine, any partitioning.
+
+    Scale shape: one combinable per-key aggregate, then rank + running
+    sum ride :func:`distributed_cumsum` on the post-aggregation key
+    frame ((revenue desc, key) — a unique order, as the cumsum
+    requires) — no single-partition global window; the grand total is
+    a one-row broadcast. Output: (key, revenue_u, cum_ppm, abc_class).
+    """
+    d38 = "decimal(38,0)"
+    rev = facts.groupBy(F.col(key_col).alias("key")).agg(
+        F.expr(
+            f"cast(sum(cast(({value_expr})"
+            f" as decimal(27,6))) * 1000000 as {d38})"
+        ).alias("rev_u")
+    )
+    cum = distributed_cumsum(
+        rev, [F.desc("rev_u"), F.asc("key")], "rev_u", "cum_u"
+    )
+    grand = rev.agg(F.sum("rev_u").cast(d38).alias("grand_u"))
+    ppm = F.expr(
+        "case when grand_u > 0 then"
+        " cast(cast(cum_u as decimal(38,0)) * 1000000 div grand_u as long)"
+        " end"
+    )
+    return cum.join(F.broadcast(grand)).select(
+        "key",
+        F.col("rev_u").cast("long").alias("revenue_u"),
+        ppm.alias("cum_ppm"),
+        F.when(ppm <= a_ppm, "A")
+        .when(ppm <= b_ppm, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+def sql_abc_classification(
+    *,
+    facts_cte: str,
+    a_ppm: int = 800_000,
+    b_ppm: int = 950_000,
+) -> str:
+    """DuckDB oracle twin of :func:`abc_classification` (single-node
+    window replay of the distributed running sum). ``facts_cte`` must
+    yield (key, v)."""
+    return f"""
+    WITH facts AS ({facts_cte}),
+    rev AS (
+      SELECT key,
+             CAST(SUM(CAST(v AS DECIMAL(27,6))) * 1000000 AS HUGEINT)
+               AS rev_u
+      FROM facts GROUP BY 1),
+    cum AS (
+      SELECT key, rev_u,
+             SUM(rev_u) OVER (ORDER BY rev_u DESC, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u,
+             SUM(rev_u) OVER () AS grand_u
+      FROM rev)
+    SELECT key, CAST(rev_u AS BIGINT) AS revenue_u,
+           CASE WHEN grand_u > 0 THEN
+             CAST(cum_u * 1000000 // grand_u AS BIGINT) END AS cum_ppm,
+           CASE WHEN CAST(cum_u * 1000000 // grand_u AS BIGINT) <= {a_ppm}
+                  THEN 'A'
+                WHEN CAST(cum_u * 1000000 // grand_u AS BIGINT) <= {b_ppm}
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """

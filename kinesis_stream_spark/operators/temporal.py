@@ -2364,3 +2364,146 @@ def sql_interarrival_burstiness(
            END AS burstiness
     FROM m
     """
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994, the classic CRM model): per
+    entity, Recency (µs from the entity's last conversion to the
+    corpus's last conversion), Frequency (conversion count), Monetary
+    (exact-decimal value sum), plus 1-5 quintile scores per dimension
+    — 5 = best (most recent / most frequent / highest value).
+
+    Scoring is threshold-based, not rank-based: the four exact
+    p20/p40/p60/p80 boundaries of each dimension (computed over the
+    per-entity frame, broadcast back) are compared against each
+    entity's value with plain ``>`` — score = 1 + boundaries exceeded
+    (recency inverted: 6 − that). Rank-based quintiles (ntile) would
+    need a global sort AND make every score depend on tie placement;
+    boundary compares are one broadcast + four comparisons per row,
+    deterministic on any engine (percentile interpolation parity is
+    pinned by the relational percentile oracles; ties sit on whichever
+    side ``>`` puts them, identically everywhere).
+
+    Output: (entity, recency_us, frequency, monetary, r_score,
+    f_score, m_score). NULL entity/ts conversions are excluded by
+    contract.
+
+    Scale shape: one combinable per-entity aggregate over the filtered
+    conversion scan, one 1-row global-max + one 4-boundary-per-
+    dimension percentile aggregate on the PER-ENTITY frame (entity
+    count, not event count), both broadcast back — rows never
+    shuffle after the per-entity collapse."""
+    conv = events.where(
+        (F.col(type_col) == conversion_type)
+        & F.col(entity_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("ent"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+        F.col(value_col).alias("val"),
+    )
+    per_ent = conv.groupBy("ent").agg(
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        dsum("val", "monetary"),
+    )
+    gmax = per_ent.agg(F.max("last_us").alias("gmax_us"))
+    base = per_ent.join(F.broadcast(gmax)).select(
+        "ent",
+        (F.col("gmax_us") - F.col("last_us")).alias("recency_us"),
+        "frequency",
+        "monetary",
+    )
+    bounds = base.agg(
+        *[
+            F.expr(f"percentile({c}, {p!r})").alias(f"{a}{i}")
+            for c, a in (
+                ("recency_us", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ]
+    )
+
+    def _score(col: str, prefix: str):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(col).cast("double") > F.col(f"{prefix}{i}")).cast(
+                "int"
+            )
+        return s
+
+    return base.join(F.broadcast(bounds)).select(
+        F.col("ent").alias(entity_col),
+        "recency_us",
+        "frequency",
+        "monetary",
+        (F.lit(6) - _score("recency_us", "r")).cast("int").alias("r_score"),
+        _score("frequency", "f").cast("int").alias("f_score"),
+        _score("monetary", "m").cast("int").alias("m_score"),
+    )
+
+
+def sql_rfm_segments(
+    *,
+    table: str = "events",
+    conversion_type: str = "purchase",
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`rfm_segments` (identical boundary
+    compares against QUANTILE_CONT p20/p40/p60/p80)."""
+
+    def score(col: str, prefix: str) -> str:
+        parts = " + ".join(
+            f"CASE WHEN CAST({col} AS DOUBLE) > b.{prefix}{i}"
+            " THEN 1 ELSE 0 END"
+            for i in range(1, 5)
+        )
+        return f"(1 + {parts})"
+
+    bounds_cols = ", ".join(
+        f"QUANTILE_CONT({c}, {p!r}) AS {a}{i}"
+        for c, a in (
+            ("recency_us", "r"),
+            ("frequency", "f"),
+            ("monetary", "m"),
+        )
+        for i, p in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+    )
+    return f"""
+    WITH conv AS (
+      SELECT {entity_col} AS ent, EPOCH_US({ts_col}) AS us,
+             {value_col} AS val
+      FROM {table}
+      WHERE {type_col} = '{conversion_type}'
+        AND {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+    per_ent AS (
+      SELECT ent, MAX(us) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+      FROM conv GROUP BY 1),
+    gmax AS (SELECT MAX(last_us) AS gmax_us FROM per_ent),
+    base AS (
+      SELECT p.ent, g.gmax_us - p.last_us AS recency_us,
+             p.frequency, p.monetary
+      FROM per_ent p CROSS JOIN gmax g),
+    b AS (SELECT {bounds_cols} FROM base)
+    SELECT base.ent AS {entity_col}, base.recency_us, base.frequency,
+           base.monetary,
+           CAST(6 - {score('base.recency_us', 'r')} AS INT) AS r_score,
+           CAST({score('base.frequency', 'f')} AS INT) AS f_score,
+           CAST({score('base.monetary', 'm')} AS INT) AS m_score
+    FROM base CROSS JOIN b
+    """

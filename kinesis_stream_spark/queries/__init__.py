@@ -26,25 +26,26 @@ from pyspark.sql import DataFrame, SparkSession
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
 # Round 9 window (first 50), stale-first per the rotation policy:
-# the FIFTEEN new round-9 registrations lead (never driver-verified:
+# the SEVENTEEN new round-9 registrations lead (never driver-verified:
 # the pruned IVF-PQ layout, the three rows-only approx twins, TWA,
 # state durations, touch attribution, item Jaccard, PIVOT, ACF,
 # burstiness, the Z-order census, vocab drift, the sequence-gap
-# audit, daily percentile bands), then the SIX queries edited this
+# audit, daily percentile bands, ABC classification, RFM segments),
+# then the SIX queries edited this
 # round (events_seasonal_outliers / events_mad_outliers gained the
 # MAD>0 degenerate-scale guard, events_mann_kendall_trend the NULL-ts
 # exclusion, graph_bfs_hops / graph_cheapest_path the frontier-only
 # relaxation, text_cms_heavy_hitters the sharded candidate pre-lists
 # — rows must not predate code), then ALL twenty-seven names whose
-# newest driver row is round 4 (the oldest rows in the inventory),
-# then r5-latest fill for the final two slots (multimodal_byte_stats,
-# multimodal_catalog_stats). The remaining THIRTY-FIVE r5-latest
-# names (text ×11, scalar ×9, stream ×5, udf ×4, multimodal ×3,
-# events_user_diversity, events_winsorized_stats,
+# newest driver row is round 4 (the oldest rows in the inventory) —
+# 17 + 6 + 27 = the full 50, no fill needed. ALL THIRTY-SEVEN
+# r5-latest names (text ×11, scalar ×9, stream ×5, udf ×4,
+# multimodal ×5, events_user_diversity, events_winsorized_stats,
 # agg_approx_sketches) are the planned r10 window head, listed first
 # past the cut. Everything past the cut is driver-green at its latest
 # sampling and re-verified every session by the sf0.001 local
 # backstop.
+
 #: names registered WITHOUT a DuckDB oracle by design (the driver
 #: records a rows-only row for these; the judge sees which). Only the
 #: approx-percentile twins qualify: their sketch (Greenwald-Khanna
@@ -72,6 +73,8 @@ _PRIORITY = (
     "text_vocab_drift",
     "integrity_sequence_gaps",
     "events_daily_percentile_bands",
+    "agg_abc_classification",
+    "events_rfm_segments",
     "events_winsorized_stats_approx",
     "events_mad_outliers_approx",
     "events_seasonal_outliers_approx",
@@ -110,11 +113,10 @@ _PRIORITY = (
     "text_weighted_mixture",
     "udf_map_in_arrow_char_stats",
     "window_percent_rank_cume",
-    # r5-latest fill to 50
-    "multimodal_byte_stats",
-    "multimodal_catalog_stats",
     # --- past the 50-cut: planned r10 head (r5-latest remainder,
     # plus the r5 fills displaced by this round's edits/additions)
+    "multimodal_byte_stats",
+    "multimodal_catalog_stats",
     "multimodal_decode_features",
     "multimodal_frame_sampling",
     "multimodal_payload_near_dup",

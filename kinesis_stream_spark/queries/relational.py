@@ -1301,6 +1301,35 @@ def layout_zorder_census_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_abc_classification",
+    __import__("kinesis_stream_spark.operators.skew", fromlist=["sql_abc_classification"]).sql_abc_classification(
+        facts_cte=(
+            "SELECT l_partkey AS key,"
+            " l_extendedprice * (1 - l_discount) AS v FROM lineitem"
+        ),
+    )
+    + " ORDER BY key",
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue:
+    exact micro-unit integer revenue, running cumulative share via the
+    distributed prefix sum (no single-partition window), integer-ppm
+    thresholds A ≤ 80% / B ≤ 95% / C — bit-stable classification
+    (operators/skew.py)."""
+    from kinesis_stream_spark.operators.skew import abc_classification
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    return abc_classification(
+        li, key_col="l_partkey",
+        value_expr="l_extendedprice * (1 - l_discount)",
+    ).orderBy("key")
+
+
+@_q(
     "join_right_lineitem_part",
     """
     SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_lineitems

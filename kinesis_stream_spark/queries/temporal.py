@@ -905,3 +905,23 @@ def events_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("key", "day")
     )
+
+
+@_q("events_rfm_segments", None)  # assigned below
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM segmentation over purchases: recency/frequency/
+    monetary plus 1-5 quintile scores from broadcast exact-percentile
+    boundaries (threshold compares, not a global-sort ntile — operator
+    docstring)."""
+    from kinesis_stream_spark.operators.temporal import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id"
+    )
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_rfm_segments,
+)
+
+ORACLE["events_rfm_segments"] = sql_rfm_segments() + " ORDER BY user_id"

@@ -139,3 +139,54 @@ def test_state_durations_censors_last_event(spark):
     assert out["B"].total_us == 2 * h and out["B"].n_intervals == 1
     assert out["A"].share_ppm == 333_333  # floor(1e6/3)
     assert out["B"].share_ppm == 666_666
+
+
+def test_abc_classification_hand_traced(spark):
+    """Revenue 50/30/15/5 over four keys: cumulative shares 50/80/95/
+    100 percent -> classes A, A (<=80 inclusive), B (<=95 inclusive),
+    C."""
+    from kinesis_stream_spark.operators.skew import abc_classification
+
+    rows = [("k1", 50.0), ("k2", 30.0), ("k3", 15.0), ("k4", 5.0)]
+    df = spark.createDataFrame(rows, "pk string, v double")
+    out = {r.key: r for r in abc_classification(
+        df, key_col="pk", value_expr="v"
+    ).collect()}
+    assert {k: r.abc_class for k, r in out.items()} == {
+        "k1": "A", "k2": "A", "k3": "B", "k4": "C",
+    }
+    assert out["k2"].cum_ppm == 800_000
+    assert out["k3"].cum_ppm == 950_000
+    assert out["k1"].revenue_u == 50_000_000
+
+
+def test_rfm_scores_order_and_inversion(spark):
+    """Five users with strictly increasing frequency/monetary and
+    strictly DECREASING recency-goodness: f/m scores run 1..5 and the
+    most recent purchaser gets r_score 5."""
+    from kinesis_stream_spark.operators.temporal import rfm_segments
+
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        # user u: u purchases, value 10*u each, last on day u
+        for k in range(u):
+            eid += 1
+            rows.append(
+                (eid, u, "purchase",
+                 dt.datetime(2024, 1, u, 12) - dt.timedelta(hours=k),
+                 10.0 * u)
+            )
+    # noise rows of another type are ignored
+    rows.append((999, 1, "view", dt.datetime(2024, 1, 28), 1e9))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    out = {r.user_id: r for r in rfm_segments(ev).collect()}
+    assert [out[u].f_score for u in range(1, 6)] == [1, 2, 3, 4, 5]
+    assert [out[u].m_score for u in range(1, 6)] == [1, 2, 3, 4, 5]
+    # user 5 purchased last -> recency 0 -> best score
+    assert out[5].recency_us == 0 and out[5].r_score == 5
+    assert out[1].r_score == 1
