@@ -716,3 +716,24 @@ def test_item_jaccard_pairs_join_is_equi_on_basket(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # final top-k is a pre-list merge, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_abc_classification_uses_range_exchange_not_global_window(spark, sf_dir):
+    """The running share must ride the distributed prefix sum (range
+    exchange + pid-local windows + tiny offset frame), never a
+    corpus-sized single-partition window or a cartesian."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["agg_abc_classification"](spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_boundary_frames_broadcast(spark, sf_dir):
+    """Global max and percentile boundaries are 1-row frames joined by
+    broadcast — the per-entity frame never re-shuffles for scoring."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_rfm_segments"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # keyless 1-row broadcasts
+    assert "CartesianProduct" not in plan
