@@ -383,16 +383,26 @@ def abc_classification(
     a one-row broadcast. Output: (key, revenue_u, cum_ppm, abc_class).
     """
     d38 = "decimal(38,0)"
-    rev = facts.groupBy(F.col(key_col).alias("key")).agg(
-        F.expr(
-            f"cast(sum(cast(({value_expr})"
-            f" as decimal(27,6))) * 1000000 as {d38})"
-        ).alias("rev_u")
+    # NULL keys are excluded by contract (the sibling convention:
+    # rfm_segments, vocabulary_drift) — and necessarily: the tie-break
+    # order on key would otherwise diverge (Spark asc = NULLS FIRST,
+    # DuckDB ASC = NULLS LAST), moving a tied NULL group's running sum
+    rev = (
+        facts.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.expr(
+                f"cast(sum(cast(({value_expr})"
+                f" as decimal(27,6))) * 1000000 as {d38})"
+            ).alias("rev_u")
+        )
     )
     cum = distributed_cumsum(
         rev, [F.desc("rev_u"), F.asc("key")], "rev_u", "cum_u"
     )
-    grand = rev.agg(F.sum("rev_u").cast(d38).alias("grand_u"))
+    # the grand total IS the last running sum — aggregate the cumsum's
+    # checkpointed lineage instead of re-scanning facts
+    grand = cum.agg(F.max("cum_u").cast(d38).alias("grand_u"))
     ppm = F.expr(
         "case when grand_u > 0 then"
         " cast(cast(cum_u as decimal(38,0)) * 1000000 div grand_u as long)"
@@ -424,7 +434,7 @@ def sql_abc_classification(
       SELECT key,
              CAST(SUM(CAST(v AS DECIMAL(27,6))) * 1000000 AS HUGEINT)
                AS rev_u
-      FROM facts GROUP BY 1),
+      FROM facts WHERE key IS NOT NULL GROUP BY 1),
     cum AS (
       SELECT key, rev_u,
              SUM(rev_u) OVER (ORDER BY rev_u DESC, key

@@ -2410,10 +2410,15 @@ def rfm_segments(
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
         F.col(value_col).alias("val"),
     )
+    # COALESCE: an entity whose conversions all carry NULL values has
+    # monetary 0, not NULL — otherwise the score compare degrades to
+    # NULL on Spark while the oracle's CASE takes its ELSE branch
     per_ent = conv.groupBy("ent").agg(
         F.max("us").alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
-        dsum("val", "monetary"),
+        F.coalesce(
+            F.sum(F.col("val").cast(DEC)).cast("double"), F.lit(0.0)
+        ).alias("monetary"),
     )
     gmax = per_ent.agg(F.max("last_us").alias("gmax_us"))
     base = per_ent.join(F.broadcast(gmax)).select(
@@ -2492,7 +2497,8 @@ def sql_rfm_segments(
     per_ent AS (
       SELECT ent, MAX(us) AS last_us,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+             COALESCE(CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE), 0.0)
+               AS monetary
       FROM conv GROUP BY 1),
     gmax AS (SELECT MAX(last_us) AS gmax_us FROM per_ent),
     base AS (

@@ -65,6 +65,24 @@ QUERIES = {}
 ORACLE = {}
 _q = make_q(QUERIES, ORACLE)
 
+#: one partitioned-index temp dir per (process, sf_dir): unique dirs
+#: keep concurrent PROCESSES from overwriting each other's
+#: lazily-scanned index, while the memo bounds disk use to one index
+#: per sf_dir per process instead of leaking a directory per call
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir not in _IVFPQ_INDEX_DIRS:
+        path = tempfile.mkdtemp(prefix="kinesis_stream_spark_ivfpq_")
+        _IVFPQ_INDEX_DIRS[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return _IVFPQ_INDEX_DIRS[sf_dir]
+
 DIM = 64
 M = 4
 KSUB = 4
@@ -166,18 +184,12 @@ def similarity_ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ADC arithmetic, same oracle: pruning only removes rows the
     twin discarded post-scan, so the hash must match the broadcast
     twin's driver rows bit-for-bit."""
-    import tempfile
-
     emb = emb_scan(spark, sf_dir, DIM)
     coarse, book = ivfpq_train(
         emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
     )
     index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
-    # per-call unique dir: a fixed shared path would let concurrent
-    # runs of the same sf_dir overwrite the index out from under each
-    # other's lazily-evaluated scans (solo verifies run beside
-    # full-suite benches in this repo's workflow)
-    path = tempfile.mkdtemp(prefix="kinesis_stream_spark_ivfpq_")
+    path = _ivfpq_index_dir(sf_dir)
     write_partitioned_index(index, path)
     return ivfpq_topk_pruned(
         spark, path, coarse, book, queries_df(emb, N_QUERIES),

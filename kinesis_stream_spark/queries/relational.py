@@ -30,8 +30,10 @@ from kinesis_stream_spark.operators.profile import (
     sql_fd_profile,
     sql_numeric_correlations,
 )
+from kinesis_stream_spark.operators.layout import sql_zorder_census
 from kinesis_stream_spark.operators.skew import (
     key_concentration_deciles,
+    sql_abc_classification,
     sql_key_concentration_deciles,
     sql_quantile_normalize,
 )
@@ -1273,7 +1275,7 @@ def reshape_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "layout_zorder_census_parts",
-    __import__("kinesis_stream_spark.operators.layout", fromlist=["sql_zorder_census"]).sql_zorder_census(
+    sql_zorder_census(
         source_cte=(
             "SELECT p_size AS x,"
             " CAST(FLOOR(p_retailprice) AS BIGINT) AS y FROM part"
@@ -1302,7 +1304,7 @@ def layout_zorder_census_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "agg_abc_classification",
-    __import__("kinesis_stream_spark.operators.skew", fromlist=["sql_abc_classification"]).sql_abc_classification(
+    sql_abc_classification(
         facts_cte=(
             "SELECT l_partkey AS key,"
             " l_extendedprice * (1 - l_discount) AS v FROM lineitem"

@@ -725,7 +725,13 @@ def test_abc_classification_uses_range_exchange_not_global_window(spark, sf_dir)
     from kinesis_stream_spark.queries.relational import QUERIES
 
     plan = _explain(QUERIES["agg_abc_classification"](spark, sf_dir))
-    assert "rangepartitioning" in plan
+    # the _ds_pid-keyed window is distributed_cumsum's signature (the
+    # pid-LOCAL running-sum pass over the range-exchanged frame, which
+    # itself hides behind the lazy localCheckpoint barrier); a
+    # regression to a constant-key single-partition window would have
+    # no _ds_pid exchange. The bare 'rangepartitioning' the docstring
+    # used to rely on is vacuous — the final ORDER BY contributes one.
+    assert "hashpartitioning(_ds_pid" in plan
     assert "CartesianProduct" not in plan
 
 
