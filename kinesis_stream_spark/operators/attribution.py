@@ -13,14 +13,20 @@ total order (touch_us, touch_id) — event ids are unique, so the order
 is tie-free on both engines; credited values accumulate through the
 repo's DECIMAL(27,6) dsum discipline.
 
-Scale shape: one equi-join on the entity key (user) with the lookback
-bound as a join-side filter — candidates per conversion are bounded by
-the user's touch activity inside the window, never the corpus; the
-first/last windows partition by conversion id (already-joined frame);
-the final aggregate collapses to |touch types| rows. Hot users fatten
-their own partitions only — at crawl-scale skew the standard fix is
-salting the user key through the repo's salted two-phase aggregate
-(operators/skew.py), unchanged semantics.
+Scale shape — one value-RANGE window, no join: conversions and
+touches interleave in ONE per-entity frame ordered by epoch-µs, and
+first/last touch are MIN/MAX of a touch struct over ``RANGE BETWEEN
+lookback PRECEDING AND CURRENT ROW`` (conversion rows contribute NULL
+structs, which MIN/MAX skip). Per-entity cost is one sort — linear —
+where the textbook conversions⋈touches candidate join is
+touches×conversions PER USER: quadratic on exactly the power users
+that dominate event data (a 10^6-event user would emit 10^11 candidate
+pairs; here they cost 10^6 log 10^6). The value-based RANGE frame also
+gets the boundary semantics right for free: every row with the SAME
+microsecond as the conversion is in frame, matching the join
+formulation's ``touch_us <= conv_us`` inclusively — which is why the
+DuckDB oracle deliberately KEEPS the join+ROW_NUMBER formulation: two
+independent computations of the same contract, hash-compared.
 """
 
 from __future__ import annotations
@@ -58,7 +64,10 @@ def first_last_touch(
     conversions' values. Conversions with no in-window touch earn no
     row (organic — measured separately by subtracting attributed
     counts from the conversion total). NULL entity/ts rows carry no
-    position and are excluded by contract."""
+    position and are excluded by contract. Selection order is the
+    tie-free total order (touch_us, touch_id) — encoded here as a
+    struct MIN/MAX over the range frame, replayed by the oracle as a
+    join + ROW_NUMBER (identical results, independent plans)."""
     base = events.where(
         F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
@@ -68,49 +77,64 @@ def first_last_touch(
         F.col(id_col).alias("eid"),
         F.col(value_col).alias("val"),
     )
-    conv = base.where(F.col("etype") == conversion_type).select(
+    is_conv = F.col("etype") == conversion_type
+    tagged = base.select(
         "ent",
-        F.col("eid").alias("conv_id"),
-        F.col("us").alias("conv_us"),
-        F.col("val").alias("conv_val"),
+        "us",
+        is_conv.alias("is_conv"),
+        # touch rows carry an orderable struct; conversion rows carry
+        # NULL, which the frame's MIN/MAX skip
+        F.when(
+            ~is_conv,
+            F.struct(
+                F.col("us").alias("tus"),
+                F.col("eid").alias("tid"),
+                F.col("etype").alias("ttype"),
+            ),
+        ).alias("tch"),
+        F.when(is_conv, F.col("val")).alias("conv_val"),
     )
-    touch = base.where(F.col("etype") != conversion_type).select(
-        "ent",
-        F.col("etype").alias("touch_type"),
-        F.col("us").alias("touch_us"),
-        F.col("eid").alias("touch_id"),
+    w = (
+        Window.partitionBy("ent")
+        .orderBy("us")
+        .rangeBetween(-lookback_us, 0)
     )
-    cand = conv.join(touch, "ent").where(
-        (F.col("touch_us") <= F.col("conv_us"))
-        & (F.col("touch_us") >= F.col("conv_us") - F.lit(lookback_us))
+    conv_rows = (
+        tagged.select(
+            "is_conv",
+            "conv_val",
+            F.min("tch").over(w).alias("first_t"),
+            F.max("tch").over(w).alias("last_t"),
+        )
+        .where(F.col("is_conv") & F.col("first_t").isNotNull())
     )
-    w_first = Window.partitionBy("conv_id").orderBy(
-        F.asc("touch_us"), F.asc("touch_id")
-    )
-    w_last = Window.partitionBy("conv_id").orderBy(
-        F.desc("touch_us"), F.desc("touch_id")
-    )
-    ranked = cand.select(
-        "conv_id",
-        "conv_val",
-        "touch_type",
-        F.row_number().over(w_first).alias("rn_first"),
-        F.row_number().over(w_last).alias("rn_last"),
-    )
-    credited = ranked.where(
-        (F.col("rn_first") == 1) | (F.col("rn_last") == 1)
-    ).select(
-        "touch_type",
-        (F.col("rn_first") == 1).cast("long").alias("is_first"),
-        (F.col("rn_last") == 1).cast("long").alias("is_last"),
-        F.when(F.col("rn_first") == 1, F.col("conv_val")).alias("fv"),
-        F.when(F.col("rn_last") == 1, F.col("conv_val")).alias("lv"),
-    )
+    credited = conv_rows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.col("first_t.ttype").alias("touch_type"),
+                    F.col("conv_val").alias("val"),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.col("last_t.ttype").alias("touch_type"),
+                    F.col("conv_val").alias("val"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
     return credited.groupBy("touch_type").agg(
-        F.sum("is_first").alias("first_touch_convs"),
-        F.sum("is_last").alias("last_touch_convs"),
-        dsum("fv", "first_touch_value"),
-        dsum("lv", "last_touch_value"),
+        F.sum((F.col("model") == "first").cast("long")).alias(
+            "first_touch_convs"
+        ),
+        F.sum((F.col("model") == "last").cast("long")).alias(
+            "last_touch_convs"
+        ),
+        dsum(F.when(F.col("model") == "first", F.col("val")),
+             "first_touch_value"),
+        dsum(F.when(F.col("model") == "last", F.col("val")),
+             "last_touch_value"),
     )
 
 

@@ -694,18 +694,17 @@ def test_pivot_is_single_scan_no_values_prejob(spark, sf_dir):
     assert "CartesianProduct" not in plan and "Join" not in plan
 
 
-def test_attribution_join_is_entity_keyed_equi(spark, sf_dir):
-    """The touch-candidate join must hash-join on the entity key with
-    the lookback bound as a post-join filter — never a cartesian or a
-    broadcast-nested-loop over the corpus."""
+def test_attribution_is_one_range_window_no_join(spark, sf_dir):
+    """Attribution must be the single value-RANGE window over the
+    per-entity interleaved frame — NO conversions-x-touches join of any
+    kind (the join formulation is quadratic per power user; it lives
+    only in the DuckDB oracle as the independent replay)."""
     from kinesis_stream_spark.queries.temporal import QUERIES
 
     plan = _explain(QUERIES["events_touch_attribution"](spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
-        "BroadcastHashJoin" in plan
-    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "hashpartitioning(ent" in plan  # the one entity exchange
+    assert plan.count("Window") >= 1
 
 
 def test_item_jaccard_pairs_join_is_equi_on_basket(spark, sf_dir):
