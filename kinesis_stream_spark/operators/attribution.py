@@ -190,3 +190,102 @@ def sql_first_last_touch(
     WHERE rn_first = 1 OR rn_last = 1
     GROUP BY 1
     """
+
+
+def conversion_lag_histogram(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    lookback_us: int = LOOKBACK_US,
+    bucket_us: int = 3_600_000_000,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-to-convert distribution: for every conversion, the lag from
+    the entity's FIRST in-window touch, bucketed (hours by default) —
+    the funnel-velocity readout next to :func:`first_last_touch`
+    (who gets credit) answering the other question (how long the path
+    takes). Conversions with NO in-window touch land in the
+    ``lag_bucket = -1`` organic row, closing the loop the attribution
+    operator's output leaves open.
+
+    Output: (lag_bucket, n_conversions), integer end to end
+    (lag_bucket = ⌊(conv_us − first_touch_us) / bucket_us⌋).
+
+    Scale shape: the same single value-RANGE window as
+    :func:`first_last_touch` (one per-entity sort, no join), then one
+    combinable bucket count."""
+    base = events.where(
+        F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("ent"),
+        F.col(type_col).alias("etype"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+        F.col(id_col).alias("eid"),
+    )
+    is_conv = F.col("etype") == conversion_type
+    tagged = base.select(
+        "ent",
+        "us",
+        is_conv.alias("is_conv"),
+        F.when(~is_conv, F.col("us")).alias("touch_us"),
+    )
+    w = (
+        Window.partitionBy("ent")
+        .orderBy("us")
+        .rangeBetween(-lookback_us, 0)
+    )
+    conv_rows = tagged.select(
+        "is_conv",
+        "us",
+        F.min("touch_us").over(w).alias("first_us"),
+    ).where(F.col("is_conv"))
+    bucket = F.when(
+        F.col("first_us").isNotNull(),
+        F.expr(f"(us - first_us) div {bucket_us}"),
+    ).otherwise(F.lit(-1))
+    return (
+        conv_rows.select(bucket.cast("long").alias("lag_bucket"))
+        .groupBy("lag_bucket")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+def sql_conversion_lag_histogram(
+    *,
+    table: str = "events",
+    conversion_type: str = "purchase",
+    lookback_us: int = LOOKBACK_US,
+    bucket_us: int = 3_600_000_000,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`conversion_lag_histogram` — the
+    independent join formulation (MIN over the candidate join)."""
+    return f"""
+    WITH base AS (
+      SELECT {entity_col} AS ent, {type_col} AS etype,
+             EPOCH_US({ts_col}) AS us
+      FROM {table}
+      WHERE {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+    conv AS (SELECT ent, us AS conv_us FROM base
+             WHERE etype = '{conversion_type}'),
+    touch AS (SELECT ent, us AS touch_us FROM base
+              WHERE etype <> '{conversion_type}'),
+    firsts AS (
+      SELECT c.ent, c.conv_us, MIN(t.touch_us) AS first_us
+      FROM conv c LEFT JOIN touch t
+        ON t.ent = c.ent
+       AND t.touch_us <= c.conv_us
+       AND t.touch_us >= c.conv_us - {lookback_us}
+      GROUP BY 1, 2)
+    SELECT CASE WHEN first_us IS NOT NULL
+                THEN (conv_us - first_us) // {bucket_us}
+                ELSE -1 END AS lag_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM firsts GROUP BY 1
+    """

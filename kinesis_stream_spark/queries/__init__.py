@@ -113,8 +113,11 @@ _PRIORITY = (
     "text_weighted_mixture",
     "udf_map_in_arrow_char_stats",
     "window_percent_rank_cume",
-    # --- past the 50-cut: planned r10 head (r5-latest remainder,
-    # plus the r5 fills displaced by this round's edits/additions)
+    # --- past the 50-cut: planned r10 head. First the late-r9
+    # registration that missed the full window (never driver-verified
+    # — driver_sim-green at sf0.01 + sf0.1 this session), then the
+    # r5-latest remainder and displaced fills.
+    "events_conversion_lag",
     "multimodal_byte_stats",
     "multimodal_catalog_stats",
     "multimodal_decode_features",

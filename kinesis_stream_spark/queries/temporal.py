@@ -925,3 +925,28 @@ from kinesis_stream_spark.operators.temporal import (  # noqa: E402
 )
 
 ORACLE["events_rfm_segments"] = sql_rfm_segments() + " ORDER BY user_id"
+
+
+@_q("events_conversion_lag", None)  # assigned below
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram: hours from first in-window touch to
+    purchase, plus the organic bucket (-1, no in-window touch) — the
+    funnel-velocity readout sharing attribution's single value-RANGE
+    window (operators/attribution.py); the oracle replays the
+    independent join formulation."""
+    from kinesis_stream_spark.operators.attribution import (
+        conversion_lag_histogram,
+    )
+
+    return conversion_lag_histogram(
+        load_table(spark, sf_dir, "events")
+    ).orderBy("lag_bucket")
+
+
+from kinesis_stream_spark.operators.attribution import (  # noqa: E402
+    sql_conversion_lag_histogram,
+)
+
+ORACLE["events_conversion_lag"] = (
+    sql_conversion_lag_histogram() + " ORDER BY lag_bucket"
+)

@@ -190,3 +190,26 @@ def test_rfm_scores_order_and_inversion(spark):
     # user 5 purchased last -> recency 0 -> best score
     assert out[5].recency_us == 0 and out[5].r_score == 5
     assert out[1].r_score == 1
+
+
+def test_conversion_lag_histogram_buckets_and_organic(spark):
+    from kinesis_stream_spark.operators.attribution import (
+        conversion_lag_histogram,
+    )
+
+    rows = [
+        # user 1: touch at 1h, convert at 3h30 -> lag 2.5h -> bucket 2
+        (1, 1, "view", _t(1)),
+        (2, 1, "purchase", _t(3, 30)),
+        # user 2: organic (no touch in 7d window)
+        (10, 2, "purchase", _t(5)),
+        # user 3: touch same instant -> lag 0 -> bucket 0
+        (20, 3, "click", _t(7)),
+        (21, 3, "purchase", _t(7)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.lag_bucket: r.n_conversions
+           for r in conversion_lag_histogram(ev).collect()}
+    assert out == {2: 1, -1: 1, 0: 1}
