@@ -17,12 +17,21 @@ Scale shape — one value-RANGE window, no join: conversions and
 touches interleave in ONE per-entity frame ordered by epoch-µs, and
 first/last touch are MIN/MAX of a touch struct over ``RANGE BETWEEN
 lookback PRECEDING AND CURRENT ROW`` (conversion rows contribute NULL
-structs, which MIN/MAX skip). Per-entity cost is one sort — linear —
-where the textbook conversions⋈touches candidate join is
-touches×conversions PER USER: quadratic on exactly the power users
-that dominate event data (a 10^6-event user would emit 10^11 candidate
-pairs; here they cost 10^6 log 10^6). The value-based RANGE frame also
-gets the boundary semantics right for free: every row with the SAME
+structs, which MIN/MAX skip). Honest cost accounting: Spark evaluates
+MIN/MAX over a moving RANGE frame by re-aggregating the frame buffer
+per row (SlidingWindowFunctionFrame — extrema are not invertible), so
+per-entity work is O(rows × in-window rows), the SAME asymptotics as
+the conversions⋈touches candidate join — the window's win is the
+CONSTANT and the shuffle: the join materializes and exchanges every
+candidate pair (a dense power user's 10^11 pairs hit the shuffle
+machinery), while the frame re-reads one sorted in-memory buffer and
+emits nothing (measured 2× faster end-to-end at sf0.1 here). For
+deployments where the last-touch model alone suffices, the truly
+LINEAR form is ``last(tch, ignoreNulls) OVER (ROWS UNBOUNDED
+PRECEDING)`` — a running O(1)-per-row frame — followed by an age
+filter; first-touch has no such LOCF identity, which is why this
+module keeps the frame form. The value-based RANGE frame also gets
+the boundary semantics right for free: every row with the SAME
 microsecond as the conversion is in frame, matching the join
 formulation's ``touch_us <= conv_us`` inclusively — which is why the
 DuckDB oracle deliberately KEEPS the join+ROW_NUMBER formulation: two
@@ -38,6 +47,60 @@ from kinesis_stream_spark.queries._util import dsum
 
 #: default lookback window: 7 days of microseconds
 LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _tagged_frame(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    lookback_us: int,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str | None,
+):
+    """The shared attribution scaffolding: NULL-filtered projection,
+    conversion tagging, the orderable touch struct (NULL on conversion
+    rows), and the per-entity value-RANGE window spec. One definition
+    so the lookback boundary and NULL contracts cannot drift between
+    :func:`first_last_touch` and :func:`conversion_lag_histogram`."""
+    cols = [
+        F.col(entity_col).alias("ent"),
+        F.col(type_col).alias("etype"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+        F.col(id_col).alias("eid"),
+    ]
+    if value_col is not None:
+        cols.append(F.col(value_col).alias("val"))
+    base = events.where(
+        F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(*cols)
+    is_conv = F.col("etype") == conversion_type
+    out = [
+        "ent",
+        "us",
+        is_conv.alias("is_conv"),
+        # touch rows carry an orderable struct; conversion rows carry
+        # NULL, which the frame's MIN/MAX skip
+        F.when(
+            ~is_conv,
+            F.struct(
+                F.col("us").alias("tus"),
+                F.col("eid").alias("tid"),
+                F.col("etype").alias("ttype"),
+            ),
+        ).alias("tch"),
+    ]
+    if value_col is not None:
+        out.append(F.when(is_conv, F.col("val")).alias("conv_val"))
+    tagged = base.select(*out)
+    w = (
+        Window.partitionBy("ent")
+        .orderBy("us")
+        .rangeBetween(-lookback_us, 0)
+    )
+    return tagged, w
 
 
 def first_last_touch(
@@ -68,36 +131,15 @@ def first_last_touch(
     tie-free total order (touch_us, touch_id) — encoded here as a
     struct MIN/MAX over the range frame, replayed by the oracle as a
     join + ROW_NUMBER (identical results, independent plans)."""
-    base = events.where(
-        F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(
-        F.col(entity_col).alias("ent"),
-        F.col(type_col).alias("etype"),
-        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
-        F.col(id_col).alias("eid"),
-        F.col(value_col).alias("val"),
-    )
-    is_conv = F.col("etype") == conversion_type
-    tagged = base.select(
-        "ent",
-        "us",
-        is_conv.alias("is_conv"),
-        # touch rows carry an orderable struct; conversion rows carry
-        # NULL, which the frame's MIN/MAX skip
-        F.when(
-            ~is_conv,
-            F.struct(
-                F.col("us").alias("tus"),
-                F.col("eid").alias("tid"),
-                F.col("etype").alias("ttype"),
-            ),
-        ).alias("tch"),
-        F.when(is_conv, F.col("val")).alias("conv_val"),
-    )
-    w = (
-        Window.partitionBy("ent")
-        .orderBy("us")
-        .rangeBetween(-lookback_us, 0)
+    tagged, w = _tagged_frame(
+        events,
+        conversion_type=conversion_type,
+        lookback_us=lookback_us,
+        entity_col=entity_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        value_col=value_col,
     )
     conv_rows = (
         tagged.select(
@@ -214,33 +256,24 @@ def conversion_lag_histogram(
     Output: (lag_bucket, n_conversions), integer end to end
     (lag_bucket = ⌊(conv_us − first_touch_us) / bucket_us⌋).
 
-    Scale shape: the same single value-RANGE window as
-    :func:`first_last_touch` (one per-entity sort, no join), then one
+    Scale shape: the shared :func:`_tagged_frame` value-RANGE window
+    (no join — cost accounting in the module docstring), then one
     combinable bucket count."""
-    base = events.where(
-        F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(
-        F.col(entity_col).alias("ent"),
-        F.col(type_col).alias("etype"),
-        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
-        F.col(id_col).alias("eid"),
-    )
-    is_conv = F.col("etype") == conversion_type
-    tagged = base.select(
-        "ent",
-        "us",
-        is_conv.alias("is_conv"),
-        F.when(~is_conv, F.col("us")).alias("touch_us"),
-    )
-    w = (
-        Window.partitionBy("ent")
-        .orderBy("us")
-        .rangeBetween(-lookback_us, 0)
+    tagged, w = _tagged_frame(
+        events,
+        conversion_type=conversion_type,
+        lookback_us=lookback_us,
+        entity_col=entity_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        value_col=None,
     )
     conv_rows = tagged.select(
         "is_conv",
         "us",
-        F.min("touch_us").over(w).alias("first_us"),
+        # the struct MIN's primary key IS the touch timestamp
+        F.min("tch").over(w).getField("tus").alias("first_us"),
     ).where(F.col("is_conv"))
     bucket = F.when(
         F.col("first_us").isNotNull(),
@@ -269,15 +302,17 @@ def sql_conversion_lag_histogram(
     return f"""
     WITH base AS (
       SELECT {entity_col} AS ent, {type_col} AS etype,
-             EPOCH_US({ts_col}) AS us
+             EPOCH_US({ts_col}) AS us, {id_col} AS eid
       FROM {table}
       WHERE {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL),
-    conv AS (SELECT ent, us AS conv_us FROM base
+    conv AS (SELECT ent, eid AS conv_id, us AS conv_us FROM base
              WHERE etype = '{conversion_type}'),
     touch AS (SELECT ent, us AS touch_us FROM base
               WHERE etype <> '{conversion_type}'),
     firsts AS (
-      SELECT c.ent, c.conv_us, MIN(t.touch_us) AS first_us
+      -- grouped by conv_id: two purchases sharing (ent, us) are TWO
+      -- conversions, exactly as the Spark side counts them
+      SELECT c.conv_id, c.conv_us, MIN(t.touch_us) AS first_us
       FROM conv c LEFT JOIN touch t
         ON t.ent = c.ent
        AND t.touch_us <= c.conv_us

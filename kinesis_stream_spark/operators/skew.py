@@ -400,9 +400,11 @@ def abc_classification(
     cum = distributed_cumsum(
         rev, [F.desc("rev_u"), F.asc("key")], "rev_u", "cum_u"
     )
-    # the grand total IS the last running sum — aggregate the cumsum's
-    # checkpointed lineage instead of re-scanning facts
-    grand = cum.agg(F.max("cum_u").cast(d38).alias("grand_u"))
+    # the grand total aggregates the cumsum's checkpointed lineage
+    # instead of re-scanning facts. SUM(rev_u), NOT max(cum_u): with a
+    # net-negative key the running sum peaks BEFORE the end, so the
+    # max is not the total (a refunds column would silently misclass)
+    grand = cum.agg(F.sum("rev_u").cast(d38).alias("grand_u"))
     ppm = F.expr(
         "case when grand_u > 0 then"
         " cast(cast(cum_u as decimal(38,0)) * 1000000 div grand_u as long)"

@@ -213,3 +213,42 @@ def test_conversion_lag_histogram_buckets_and_organic(spark):
     out = {r.lag_bucket: r.n_conversions
            for r in conversion_lag_histogram(ev).collect()}
     assert out == {2: 1, -1: 1, 0: 1}
+
+
+def test_conversion_lag_counts_same_instant_duplicate_purchases(spark):
+    """Two purchases by one user at the SAME microsecond are two
+    conversions (review repro: the oracle's id-less GROUP BY used to
+    collapse them to one)."""
+    from kinesis_stream_spark.operators.attribution import (
+        conversion_lag_histogram,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", _t(1)),
+            (2, 1, "purchase", _t(3)),
+            (3, 1, "purchase", _t(3)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {r.lag_bucket: r.n_conversions
+           for r in conversion_lag_histogram(ev).collect()}
+    assert out == {2: 2}
+
+
+def test_abc_grand_total_survives_negative_revenue_keys(spark):
+    """A net-negative key (refunds) puts the running sum's peak before
+    the end: the grand total must be SUM, not the running max (review
+    repro: max(cum_u) misclassified every key)."""
+    from kinesis_stream_spark.operators.skew import abc_classification
+
+    rows = [("a", 100.0), ("b", 50.0), ("c", -30.0)]
+    df = spark.createDataFrame(rows, "pk string, v double")
+    out = {r.key: r for r in abc_classification(
+        df, key_col="pk", value_expr="v"
+    ).collect()}
+    # grand = 120: cum shares a=83.3% (B), b=125% (C), c=100% (C)
+    assert {k: r.abc_class for k, r in out.items()} == {
+        "a": "B", "b": "C", "c": "C",
+    }
+    assert out["c"].cum_ppm == 1_000_000
