@@ -242,3 +242,111 @@ def sql_item_jaccard(
     ORDER BY jaccard DESC, item_a ASC, item_b ASC
     LIMIT {top_k}
     """
+
+
+def item_cosine(
+    baskets: DataFrame,
+    *,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_common: int = 2,
+    top_k: int = 30,
+) -> DataFrame:
+    """Item-item cosine similarity over basket co-membership — the
+    OTHER classic item-based-CF kernel (Sarwar et al. WWW 2001 §3.1):
+    on binary basket vectors,
+
+        cosine(x, y) = |B(x) ∩ B(y)| / √(|B(x)|·|B(y)|)
+
+    Jaccard (:func:`item_jaccard`) penalizes popularity via the union;
+    cosine via the geometric mean — rankings disagree exactly on
+    popular-vs-niche pairs, which is why recommenders ship both and
+    compare. Output: global top ``top_k`` pairs (item_a < item_b) by
+    (cosine desc, item_a, item_b) with common/deg/cosine columns.
+
+    Cross-engine exactness: counts exact; deg_a·deg_b in
+    DECIMAL(38,0)/HUGEINT, VARCHAR-routed to double (DuckDB's direct
+    HUGEINT→DOUBLE cast is not correctly rounded — the burstiness
+    rule), one sqrt (correctly rounded IEEE), one divide.
+
+    Scale shape: identical to :func:`item_jaccard` — distinct
+    collapse, id-ordered basket self-join, ``min_common`` pruning
+    before the degree joins, TakeOrderedAndProject top-k."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    bi = (
+        baskets.where(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+    )
+    deg = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    l, r = bi.alias("l"), bi.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.b") == F.col("r.b")) & (F.col("l.i") < F.col("r.i")),
+        )
+        .groupBy(F.col("l.i").alias("ia"), F.col("r.i").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("i").alias("ia"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("i").alias("ib"), F.col("deg").alias("deg_b"))
+    scored = (
+        pairs.join(da, "ia")
+        .join(db, "ib")
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common").cast("double")
+                / F.sqrt(
+                    F.expr(
+                        f"cast(cast(cast(deg_a as {D38}) * deg_b"
+                        f" as string) as double)"
+                    )
+                )
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.asc("item_a"), F.asc("item_b")
+    ).limit(top_k)
+
+
+def sql_item_cosine(
+    *,
+    baskets_cte: str,
+    min_common: int = 2,
+    top_k: int = 30,
+) -> str:
+    """DuckDB oracle twin of :func:`item_cosine`. ``baskets_cte``
+    must yield (b, i) rows."""
+    return f"""
+    WITH rawbi AS ({baskets_cte}),
+    bi AS (SELECT DISTINCT b, i FROM rawbi
+           WHERE b IS NOT NULL AND i IS NOT NULL),
+    deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT l.i AS ia, r.i AS ib, CAST(COUNT(*) AS BIGINT) AS common
+      FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_common}),
+    scored AS (
+      SELECT p.ia AS item_a, p.ib AS item_b, p.common,
+             a.deg AS deg_a, b.deg AS deg_b,
+             CAST(p.common AS DOUBLE)
+               / SQRT(CAST(CAST(CAST(a.deg AS HUGEINT) * b.deg AS VARCHAR)
+                           AS DOUBLE)) AS cosine
+      FROM pairs p
+      JOIN deg a ON p.ia = a.i
+      JOIN deg b ON p.ib = b.i)
+    SELECT * FROM scored
+    ORDER BY cosine DESC, item_a, item_b
+    LIMIT {top_k}
+    """

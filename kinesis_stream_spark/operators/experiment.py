@@ -169,3 +169,92 @@ def sql_ab_conversion_ztest(
            END AS z_score
     FROM conv CROSS JOIN totals
     """
+
+
+def apdex_score(
+    events: DataFrame,
+    *,
+    threshold: float,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key Apdex score (Apdex Alliance spec): with a target
+    threshold T, an observation is *satisfied* at value ≤ T,
+    *tolerating* at value ≤ 4T, *frustrated* beyond —
+
+        Apdex_T = (satisfied + tolerating/2) / total
+
+    — the SLA readout ops dashboards publish next to raw percentiles
+    (the percentile-band family in this repo reports the distribution;
+    Apdex collapses it to one comparable score per key).
+
+    Cross-engine exactness: the three bucket counts are exact integers
+    (threshold compares on the raw double values — per-row compares
+    are deterministic) and the score is ⌊10^6·(2·sat + tol)/(2·n)⌋ in
+    DECIMAL(38,0) arithmetic — integer end to end, no float aggregate.
+    NULL values are excluded by contract (no latency, no opinion);
+    keys with no non-NULL values are absent.
+
+    Scale shape: one map-side-combinable per-key conditional-count
+    aggregate over the corpus — no window, no join."""
+    if not threshold > 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    d38 = "decimal(38,0)"
+    t = F.lit(float(threshold))
+    per = (
+        events.where(F.col(value_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.col(value_col).alias("v"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("v") <= t, 1).otherwise(0))
+            .cast("long")
+            .alias("n_satisfied"),
+            F.sum(
+                F.when(
+                    (F.col("v") > t) & (F.col("v") <= t * 4), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tolerating"),
+        )
+    )
+    return per.select(
+        "key",
+        "n",
+        "n_satisfied",
+        "n_tolerating",
+        (F.col("n") - F.col("n_satisfied") - F.col("n_tolerating")).alias(
+            "n_frustrated"
+        ),
+        F.expr(
+            f"cast((cast(n_satisfied as {d38}) * 2 + n_tolerating)"
+            f" * 1000000 div (cast(n as {d38}) * 2) as long)"
+        ).alias("apdex_ppm"),
+    )
+
+
+def sql_apdex_score(
+    *,
+    threshold: float,
+    table: str = "events",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`apdex_score`."""
+    t = float(threshold)
+    return f"""
+    WITH per AS (
+      SELECT {key_col} AS key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN {value_col} <= {t!r} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_satisfied,
+             CAST(SUM(CASE WHEN {value_col} > {t!r}
+                            AND {value_col} <= {t!r} * 4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating
+      FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1)
+    SELECT key, n, n_satisfied, n_tolerating,
+           n - n_satisfied - n_tolerating AS n_frustrated,
+           CAST((CAST(n_satisfied AS HUGEINT) * 2 + n_tolerating) * 1000000
+                // (CAST(n AS HUGEINT) * 2) AS BIGINT) AS apdex_ppm
+    FROM per
+    """

@@ -981,3 +981,107 @@ def sql_cheapest_path(
         "WITH " + ", ".join(ctes)
         + f" SELECT node, cost FROM c{rounds}"
     )
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_intermediate_degree: int = 20,
+    min_common: int = 2,
+    top_k: int = 30,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) on
+    a bipartite edge list: score candidate (dst, dst) pairs by the
+    intermediates they share, weighting each shared src by the inverse
+    of its degree —
+
+        RA(x, y) = Σ_{w ∈ N(x) ∩ N(y)} 1 / deg(w)
+
+    — common-neighbors counting where promiscuous intermediates say
+    little and rare ones say a lot. Zhou et al. showed RA beats
+    Adamic-Adar's 1/log(deg) on dense graphs, and 1/deg has an exact
+    integer form where 1/log needs a transcendental the cross-engine
+    hash can't carry: each intermediate contributes ⌊10^6/deg(w)⌋, so
+    the pair score is an exact BIGINT sum of per-intermediate integer
+    quanta (deterministic truncation, same floor both engines).
+
+    Output: global top ``top_k`` pairs (node_a < node_b) by
+    (ra_ppm desc, node_a, node_b): (node_a, node_b, n_common, ra_ppm).
+
+    Scale shape: the pair frame comes from the src-keyed self-join, so
+    its size is Σ deg(src)² — quadratic in INTERMEDIATE degree, which
+    is why ``max_intermediate_degree`` caps it (the containment
+    dedup's max_df discipline: a hub intermediate contributes ~0 score
+    anyway — 10^6/deg quanta — while costing deg² pair rows; dropping
+    it changes low-signal candidates only, and the cap is the
+    documented knob to sweep). Degrees are a combinable aggregate;
+    the candidate reduce is map-side combinable; top-k is
+    TakeOrderedAndProject, never a full sort."""
+    if max_intermediate_degree < 2:
+        raise ValueError(
+            "max_intermediate_degree must be >= 2, got"
+            f" {max_intermediate_degree}"
+        )
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    e = (
+        edges.select(F.col(src_col).alias("w"), F.col(dst_col).alias("v"))
+        .where(F.col("w").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") <= max_intermediate_degree)
+        .select("w", F.expr("1000000 div deg").alias("quantum"))
+    )
+    ew = e.join(deg, "w")
+    l, r = ew.alias("l"), ew.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.w") == F.col("r.w")) & (F.col("l.v") < F.col("r.v")),
+        )
+        .groupBy(F.col("l.v").alias("node_a"), F.col("r.v").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.col("l.quantum")).cast("long").alias("ra_ppm"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    return pairs.orderBy(
+        F.desc("ra_ppm"), F.asc("node_a"), F.asc("node_b")
+    ).limit(top_k)
+
+
+def sql_link_prediction_ra(
+    edges_cte: str,
+    *,
+    max_intermediate_degree: int = 20,
+    min_common: int = 2,
+    top_k: int = 30,
+) -> str:
+    """DuckDB oracle twin of :func:`link_prediction_ra`.
+    ``edges_cte`` must yield (src, dst) rows."""
+    return f"""
+    WITH rawe AS ({edges_cte}),
+    e AS (SELECT DISTINCT src AS w, dst AS v FROM rawe
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+    deg AS (
+      SELECT w, 1000000 // CAST(COUNT(*) AS BIGINT) AS quantum
+      FROM e GROUP BY 1
+      HAVING COUNT(*) <= {max_intermediate_degree}),
+    ew AS (SELECT e.w, e.v, d.quantum FROM e JOIN deg d ON e.w = d.w),
+    pairs AS (
+      SELECT l.v AS node_a, r.v AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(l.quantum) AS BIGINT) AS ra_ppm
+      FROM ew l JOIN ew r ON l.w = r.w AND l.v < r.v
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_common})
+    SELECT node_a, node_b, n_common, ra_ppm FROM pairs
+    ORDER BY ra_ppm DESC, node_a, node_b
+    LIMIT {top_k}
+    """

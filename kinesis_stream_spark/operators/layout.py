@@ -112,3 +112,171 @@ def sql_zorder_census(
            MIN(y) AS y_min, MAX(y) AS y_max
     FROM keyed GROUP BY 1
     """
+
+
+def zonemap_skipping(
+    df: DataFrame,
+    *,
+    key_col: str,
+    id_col: str,
+    pred_lo: int,
+    pred_hi: int,
+    buckets: int = 16,
+) -> DataFrame:
+    """Zone-map (min/max statistics) skipping audit: lay the table out
+    two ways — range-CLUSTERED on ``key_col`` versus hash-scattered on
+    ``id_col`` — build each layout's per-bucket zone map, apply one
+    range predicate, and report how much of the table each layout lets
+    a reader SKIP. The one-number business case for `repartitionByRange
+    + sortWithinPartitions` before a big parquet write: the same
+    predicate on the same data reads a few buckets under the clustered
+    layout and every bucket under the hash layout (parquet row-group
+    stats / Iceberg-Delta file stats consult exactly this map). The
+    2-D companion is :func:`zorder_census`; this is the 1-D audit with
+    the read decision executed, not just the extents listed.
+
+    Buckets: range layout assigns by tie-free global rank
+    (⌊(rank−1)·B / N⌋ over (key, id) — equal-population, what a range
+    exchange produces); hash layout by ``id mod B`` (non-negative ids
+    by contract). A bucket is READ iff its [key_min, key_max] zone
+    intersects [pred_lo, pred_hi]. NULL keys are excluded from both
+    layouts by contract (parquet stats treat nulls out-of-band;
+    null-aware pruning is a different audit).
+
+    Output, one row per layout ('range', 'hash'): (layout, n_buckets,
+    buckets_read, rows_total, rows_read, rows_matching, skipped_ppm,
+    read_amplification_ppm) — skipped_ppm = ⌊10^6·(total−read)/total⌋,
+    read_amplification_ppm = ⌊10^6·read/matching⌋ (NULL when nothing
+    matches). Integer arithmetic end to end.
+
+    Scale shape: the global rank rides :func:`distributed_cumsums`
+    (range exchange + partition-local windows — NO single-reducer
+    window); zone maps and the 2×B-row summary are combinable
+    aggregates. The audit costs two passes over the keyed projection —
+    run it on a sample or a partition at 100 TB; the decision it
+    informs amortizes over every subsequent read."""
+    from kinesis_stream_spark.operators.skew import distributed_cumsums
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if pred_lo > pred_hi:
+        raise ValueError(f"empty predicate [{pred_lo}, {pred_hi}]")
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("long").alias("k"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    tot = keyed.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ranked = distributed_cumsums(
+        keyed, [F.asc("k"), F.asc("rid")], [(F.lit(1), "rank")]
+    )
+    range_rows = ranked.crossJoin(F.broadcast(tot)).select(
+        F.lit("range").alias("layout"),
+        "k",
+        F.expr(f"(rank - 1) * {buckets} div n_total").alias("bucket"),
+    )
+    hash_rows = keyed.select(
+        F.lit("hash").alias("layout"),
+        "k",
+        (F.col("rid") % buckets).alias("bucket"),
+    )
+    zones = (
+        range_rows.unionAll(hash_rows)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum(
+                F.when(
+                    (F.col("k") >= pred_lo) & (F.col("k") <= pred_hi), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match"),
+        )
+    )
+    read = (F.col("k_min") <= pred_hi) & (F.col("k_max") >= pred_lo)
+    d38 = "decimal(38,0)"
+    summary = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(read, 1).otherwise(0)).cast("long").alias(
+            "buckets_read"
+        ),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(read, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_read"),
+        F.sum("n_match").cast("long").alias("rows_matching"),
+    )
+    return summary.select(
+        "layout",
+        "n_buckets",
+        "buckets_read",
+        "rows_total",
+        "rows_read",
+        "rows_matching",
+        F.when(
+            F.col("rows_total") > 0,
+            F.expr(
+                f"cast(cast(rows_total - rows_read as {d38}) * 1000000"
+                f" div rows_total as long)"
+            ),
+        ).alias("skipped_ppm"),
+        F.when(
+            F.col("rows_matching") > 0,
+            F.expr(
+                f"cast(cast(rows_read as {d38}) * 1000000"
+                f" div rows_matching as long)"
+            ),
+        ).alias("read_amplification_ppm"),
+    )
+
+
+def sql_zonemap_skipping(
+    *,
+    source_cte: str,
+    pred_lo: int,
+    pred_hi: int,
+    buckets: int = 16,
+) -> str:
+    """DuckDB oracle twin of :func:`zonemap_skipping` — the textbook
+    single-window global rank (an INDEPENDENT prefix strategy from the
+    Spark side's distributed cumsum). ``source_cte`` must yield
+    (k, rid) with k non-NULL."""
+    return f"""
+    WITH src AS ({source_cte}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM src),
+    ranked AS (
+      SELECT k, ROW_NUMBER() OVER (ORDER BY k, rid) AS rank
+      FROM src),
+    both_layouts AS (
+      SELECT 'range' AS layout, r.k,
+             (r.rank - 1) * {buckets} // t.n_total AS bucket
+      FROM ranked r CROSS JOIN tot t
+      UNION ALL
+      SELECT 'hash' AS layout, k, rid % {buckets} AS bucket FROM src),
+    zones AS (
+      SELECT layout, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(k) AS k_min, MAX(k) AS k_max,
+             CAST(SUM(CASE WHEN k >= {pred_lo} AND k <= {pred_hi}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM both_layouts GROUP BY 1, 2),
+    summary AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(CASE WHEN k_min <= {pred_hi} AND k_max >= {pred_lo}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS buckets_read,
+             CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+             CAST(SUM(CASE WHEN k_min <= {pred_hi} AND k_max >= {pred_lo}
+                           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+             CAST(SUM(n_match) AS BIGINT) AS rows_matching
+      FROM zones GROUP BY 1)
+    SELECT layout, n_buckets, buckets_read, rows_total, rows_read,
+           rows_matching,
+           CASE WHEN rows_total > 0 THEN
+             CAST(CAST(rows_total - rows_read AS HUGEINT) * 1000000
+                  // rows_total AS BIGINT) END AS skipped_ppm,
+           CASE WHEN rows_matching > 0 THEN
+             CAST(CAST(rows_read AS HUGEINT) * 1000000
+                  // rows_matching AS BIGINT) END AS read_amplification_ppm
+    FROM summary
+    """

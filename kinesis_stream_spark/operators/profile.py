@@ -571,3 +571,272 @@ def sql_chisq_independence(table: str, col_x: str, col_y: str) -> str:
     JOIN colm m ON c.y IS NOT DISTINCT FROM m.y
     CROSS JOIN tot t
     """
+
+
+def category_balance(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Per-column class-balance profile for LOW-CARDINALITY string
+    columns — the "is this label/segment column usable for stratified
+    sampling or a training label" screen. Entropy's Σ p·ln p needs a
+    transcendental whose last-ulp rounding differs between the JVM and
+    libm (the repo's cross-engine rule), so the exact surface reports
+    the two integer-safe balance measures instead: Gini impurity
+    1 − Σp² and the inverse-Simpson "effective number of categories"
+    N²/Σc² — both functions of exact count squares.
+
+    Output per column: (column_name, n_rows, n_nulls, n_distinct,
+    top_count, top_share_ppm, gini_impurity_ppm,
+    effective_categories_milli). NULL cells are profiled in
+    n_nulls but excluded from the category counts (a NULL is missing
+    data, not a category). Columns whose non-NULL count is 0 emit NULL
+    ratios via lazy CASE. Distinct from :func:`profile_columns`
+    (nulls/cardinality only) and the per-ENTITY Simpson diversity of
+    operators/temporal.py — this profiles whole COLUMNS.
+
+    Cross-engine exactness: counts and Σc² in BIGINT/DECIMAL(38,0);
+    the three ratios are integer floor divisions — no float anywhere.
+
+    Scale shape: one melt (column-count× row multiplier, map-local)
+    into a (column, value) frame whose aggregate is map-side
+    combinable and bounded by Σ per-column cardinality — the standard
+    wide-profile shape; the per-column reduce is K-row. For
+    high-cardinality columns use :func:`profile_columns`'s approx path
+    instead (Σc² over millions of categories says nothing useful)."""
+    d38 = "decimal(38,0)"
+    melted = df.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, val)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', cast({c} as string)" for c in cols
+                ),
+            )
+        )
+    )
+    counts = melted.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = counts.groupBy("column_name").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1))
+        .cast("long")
+        .alias("n_distinct"),
+        F.max(F.when(F.col("val").isNotNull(), F.col("c")))
+        .cast("long")
+        .alias("top_count"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("val").isNotNull(),
+                    (F.col("c").cast(d38) * F.col("c")).cast(d38),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("sc2"),
+    )
+    nn = (F.col("n_rows") - F.col("n_nulls")).cast(d38)
+    return per.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "top_count",
+        F.when(
+            nn > 0,
+            F.expr(
+                f"cast(cast(top_count as {d38}) * 1000000"
+                f" div (n_rows - n_nulls) as long)"
+            ),
+        ).alias("top_share_ppm"),
+        F.when(
+            nn > 0,
+            F.expr(
+                f"cast((cast(n_rows - n_nulls as {d38})"
+                f" * (n_rows - n_nulls) - sc2) * 1000000"
+                f" div (cast(n_rows - n_nulls as {d38})"
+                f" * (n_rows - n_nulls)) as long)"
+            ),
+        ).alias("gini_impurity_ppm"),
+        F.when(
+            F.col("sc2") > 0,
+            F.expr(
+                f"cast(cast(n_rows - n_nulls as {d38})"
+                f" * (n_rows - n_nulls) * 1000 div sc2 as long)"
+            ),
+        ).alias("effective_categories_milli"),
+    )
+
+
+def sql_category_balance(table: str, cols: list[str]) -> str:
+    """DuckDB oracle twin of :func:`category_balance`."""
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val"
+        f" FROM {table}"
+        for c in cols
+    )
+    return f"""
+    WITH melted AS ({melt}),
+    counts AS (
+      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM melted GROUP BY 1, 2),
+    per AS (
+      SELECT column_name,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0)
+                  AS BIGINT) AS n_nulls,
+             CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct,
+             CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) AS BIGINT)
+               AS top_count,
+             CAST(COALESCE(SUM(CASE WHEN val IS NOT NULL
+                                    THEN CAST(c AS HUGEINT) * c END), 0)
+                  AS HUGEINT) AS sc2
+      FROM counts GROUP BY 1)
+    SELECT column_name, n_rows, n_nulls, n_distinct, top_count,
+           CASE WHEN n_rows - n_nulls > 0 THEN
+             CAST(CAST(top_count AS HUGEINT) * 1000000
+                  // (n_rows - n_nulls) AS BIGINT) END AS top_share_ppm,
+           CASE WHEN n_rows - n_nulls > 0 THEN
+             CAST((CAST(n_rows - n_nulls AS HUGEINT) * (n_rows - n_nulls)
+                   - sc2) * 1000000
+                  // (CAST(n_rows - n_nulls AS HUGEINT)
+                      * (n_rows - n_nulls)) AS BIGINT)
+           END AS gini_impurity_ppm,
+           CASE WHEN sc2 > 0 THEN
+             CAST(CAST(n_rows - n_nulls AS HUGEINT) * (n_rows - n_nulls)
+                  * 1000 // sc2 AS BIGINT)
+           END AS effective_categories_milli
+    FROM per
+    """
+
+
+def uniqueness_profile(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Per-column candidate-key audit: for each column, how far it is
+    from being a primary key — distinct values, duplicate-ROW count
+    (rows sharing their value with at least one other row), the
+    largest duplicate group, and integer-ppm uniqueness. The
+    complement of the FD audit (operators/profile.py:fd_profile checks
+    column→column determinism; this checks column→row identity).
+
+    Output per column: (column_name, n_rows, n_nulls, n_distinct,
+    n_dup_rows, max_group, uniqueness_ppm, is_unique_key) —
+    uniqueness_ppm = ⌊10^6·n_distinct/n_nonnull⌋, NULL when the column
+    is all-NULL; is_unique_key = true iff no duplicates AND no NULLs
+    AND the table is non-empty (the PRIMARY KEY contract).
+
+    Cross-engine exactness: integer counts and one integer floor
+    division — no floats.
+
+    Scale shape: same melt-then-combine shape as
+    :func:`category_balance`; per-value groups reduce map-side, so the
+    shuffled frame is bounded by Σ per-column cardinality, and a
+    column's hot value (the classic NULL-like sentinel, '' or 0)
+    rides the aggregate, never a join."""
+    d38 = "decimal(38,0)"
+    melted = df.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, val)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', cast({c} as string)" for c in cols
+                ),
+            )
+        )
+    )
+    counts = melted.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = counts.groupBy("column_name").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1))
+        .cast("long")
+        .alias("n_distinct"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("val").isNotNull() & (F.col("c") > 1), F.col("c")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_dup_rows"),
+        F.coalesce(
+            F.max(F.when(F.col("val").isNotNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_group"),
+    )
+    nn = F.col("n_rows") - F.col("n_nulls")
+    return per.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "n_dup_rows",
+        "max_group",
+        F.when(
+            nn > 0,
+            F.expr(
+                f"cast(cast(n_distinct as {d38}) * 1000000"
+                f" div (n_rows - n_nulls) as long)"
+            ),
+        ).alias("uniqueness_ppm"),
+        (
+            (F.col("n_dup_rows") == 0)
+            & (F.col("n_nulls") == 0)
+            & (F.col("n_rows") > 0)
+        ).alias("is_unique_key"),
+    )
+
+
+def sql_uniqueness_profile(table: str, cols: list[str]) -> str:
+    """DuckDB oracle twin of :func:`uniqueness_profile`."""
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val"
+        f" FROM {table}"
+        for c in cols
+    )
+    return f"""
+    WITH melted AS ({melt}),
+    counts AS (
+      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM melted GROUP BY 1, 2),
+    per AS (
+      SELECT column_name,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0)
+                  AS BIGINT) AS n_nulls,
+             CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct,
+             CAST(COALESCE(SUM(CASE WHEN val IS NOT NULL AND c > 1
+                                    THEN c END), 0) AS BIGINT)
+               AS n_dup_rows,
+             CAST(COALESCE(MAX(CASE WHEN val IS NOT NULL THEN c END), 0)
+                  AS BIGINT) AS max_group
+      FROM counts GROUP BY 1)
+    SELECT column_name, n_rows, n_nulls, n_distinct, n_dup_rows, max_group,
+           CASE WHEN n_rows - n_nulls > 0 THEN
+             CAST(CAST(n_distinct AS HUGEINT) * 1000000
+                  // (n_rows - n_nulls) AS BIGINT) END AS uniqueness_ppm,
+           (n_dup_rows = 0 AND n_nulls = 0 AND n_rows > 0)
+             AS is_unique_key
+    FROM per
+    """

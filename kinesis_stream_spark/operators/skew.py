@@ -453,3 +453,117 @@ def sql_abc_classification(
                 ELSE 'C' END AS abc_class
     FROM cum
     """
+
+
+def gini_concentration(
+    df: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of the per-key value totals — the
+    single-number inequality readout next to :func:`abc_classification`
+    (ABC buckets the ranking; Gini scores it: 0 = every key equal,
+    → 1 = one key holds everything). The planning signal for salting
+    and partition sizing, and the business concentration metric
+    ("what's our revenue Gini across customers?").
+
+    With keys ranked ascending by total x (rank i = 1..n, ties broken
+    by key id — ties hold identical x, so the tiebreak cannot change
+    the sum):
+
+        G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+
+    Cross-engine exactness: per-key totals land in exact integer
+    micro-units (DECIMAL(27,6) sum × 10^6, the ABC discipline); rank
+    products and both Gini terms stay in DECIMAL(38,0)/HUGEINT; the
+    output is ⌊10^6·G⌋ — integer end to end. Contract: NULL keys and
+    NULL values are excluded; the value domain is assumed non-negative
+    (prices/quantities — with negatives Gini is undefined and this
+    operator emits whatever the formula yields on the micro-unit
+    truncation); groups with Σx = 0 emit NULL gini_ppm via lazy CASE.
+    NULL groups aggregate as their own group (a profiler reports on
+    the NULL slice rather than hiding it).
+
+    Scale shape: one map-side-combinable (group, key) aggregate over
+    the corpus, a group-PARTITIONED rank window on the key frame (no
+    global window), one combinable per-group reduce."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    per = (
+        df.where(F.col(key_col).isNotNull() & F.col(val_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+        )
+        .agg(
+            F.expr(
+                f"cast(sum(cast({val_col} as decimal(27,6))) * 1000000"
+                f" as {d38})"
+            ).alias("x_u")
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("x_u", "key")
+    ranked = per.select(
+        "grp", "x_u", F.row_number().over(w).cast("long").alias("rank")
+    )
+    m = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x_u").cast(d38).alias("sx"),
+        F.sum(
+            (F.col("rank").cast(d19) * F.col("x_u")).cast(d38)
+        )
+        .cast(d38)
+        .alias("six"),
+    )
+    num = (
+        F.lit(2).cast(d38) * F.col("six")
+        - (F.col("n_keys") + 1).cast(d38) * F.col("sx")
+    )
+    den = F.col("n_keys").cast(d38) * F.col("sx")
+    return m.select(
+        F.col("grp").alias("group_key"),
+        "n_keys",
+        F.col("sx").alias("total_micro"),
+        F.when(
+            F.col("sx") > 0,
+            F.expr(
+                f"cast((cast(2 as {d38}) * six"
+                f" - cast(n_keys + 1 as {d38}) * sx) * 1000000"
+                f" div (cast(n_keys as {d38}) * sx) as long)"
+            ),
+        ).alias("gini_ppm"),
+    )
+
+
+def sql_gini_concentration(
+    *,
+    facts_cte: str,
+) -> str:
+    """DuckDB oracle twin of :func:`gini_concentration`.
+
+    ``facts_cte`` must select columns (grp, key, v)."""
+    return f"""
+    WITH facts AS ({facts_cte}),
+    per AS (
+      SELECT grp, key,
+             CAST(SUM(CAST(v AS DECIMAL(27,6))) * 1000000 AS HUGEINT)
+               AS x_u
+      FROM facts WHERE key IS NOT NULL AND v IS NOT NULL GROUP BY 1, 2),
+    ranked AS (
+      SELECT grp, x_u,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x_u, key)
+                  AS BIGINT) AS rank
+      FROM per),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(x_u) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(rank AS HUGEINT) * x_u) AS HUGEINT) AS six
+      FROM ranked GROUP BY 1)
+    SELECT grp AS group_key, n_keys,
+           sx AS total_micro,
+           CASE WHEN sx > 0 THEN
+             CAST((2 * six - CAST(n_keys + 1 AS HUGEINT) * sx) * 1000000
+                  // (CAST(n_keys AS HUGEINT) * sx) AS BIGINT)
+           END AS gini_ppm
+    FROM m
+    """

@@ -2513,3 +2513,479 @@ def sql_rfm_segments(
            CAST({score('base.monetary', 'm')} AS INT) AS m_score
     FROM base CROSS JOIN b
     """
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend (Theil 1950 / Sen 1968): the
+    MEDIAN of all pairwise slopes between the key's bucketed period
+    sums. The robust sibling of :func:`linear_trend` — a single
+    corrupted day drags an OLS slope arbitrarily far but moves the
+    pairwise-slope median by at most one order statistic, which is why
+    monitoring pipelines fit Theil-Sen next to OLS and alarm on
+    disagreement.
+
+    Exactness chain: period sums take the :func:`linear_trend` fx
+    encoding (DECIMAL(27,6) exact sum → one power-of-two multiply →
+    BIGINT 2^20 fixed point); each pairwise slope is ONE pinned IEEE
+    divide of two exactly-cast BIGINTs (Δyfx / Δx); the median is
+    order-statistic selection (no accumulation), and an even pair
+    count averages the two middle slopes with one more pinned IEEE
+    step. Keys with a single occupied bucket have no pairs and are
+    absent by contract. NULL timestamps are excluded (:func:`ewma`'s
+    family rule).
+
+    Output per key: (key, n_periods, n_pairs, sen_slope_fx, sen_slope)
+    — sen_slope in value units per period (exact power-of-two divide
+    of the fx median).
+
+    Scale shape: the corpus-sized pass is the map-side-combinable
+    (key, bucket) aggregate; the pairwise self-join runs on the
+    GRID-BOUNDED period frame (≤ calendar-days² rows per key — time
+    buckets, not events, so corpus growth adds rows per bucket, not
+    pairs), and the median window is key-partitioned. The oracle
+    replays the identical pair frame and selection."""
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+        )
+        .agg(dsum(F.col(value_col), "v"))
+        .select(
+            "key",
+            F.col("bucket").cast("long").alias("x"),
+            F.floor(F.col("v") * F.lit(float(EWMA_SCALE)))
+            .cast("long")
+            .alias("yfx"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key")) & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.key").alias("key"),
+        (
+            (F.col("b.yfx") - F.col("a.yfx")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope_fx"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    w = Window.partitionBy("key").orderBy("slope_fx", "x1", "x2")
+    ranked = pairs.select(
+        "key",
+        "slope_fx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("np"),
+    )
+    med = (
+        ranked.where(
+            # odd np: the single middle element; even np: the two middles
+            F.when(
+                F.col("np") % 2 == 1,
+                F.col("rn") == F.expr("(np + 1) div 2"),
+            ).otherwise(
+                (F.col("rn") == F.expr("np div 2"))
+                | (F.col("rn") == F.expr("np div 2 + 1"))
+            )
+        )
+        .groupBy("key")
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            # ≤ 2 rows per key: (min + max) / 2 — order-free, no
+            # double→DECIMAL cast (dense doubles tie-round differently
+            # across engines; _util module docstring)
+            ((F.min("slope_fx") + F.max("slope_fx")) / F.lit(2.0)).alias(
+                "sen_slope_fx"
+            ),
+        )
+    )
+    nper = daily.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods")
+    )
+    s = float(EWMA_SCALE)
+    return med.join(nper, "key").select(
+        "key",
+        "n_periods",
+        "n_pairs",
+        "sen_slope_fx",
+        (F.col("sen_slope_fx") / s).alias("sen_slope"),
+    )
+
+
+def sql_theil_sen_trend(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`theil_sen_trend` — identical fx
+    pair frame, identical middle-element selection."""
+    s = float(EWMA_SCALE)
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key,
+             CAST(EPOCH_US({ts_col}) // {unit_us} AS BIGINT) AS x,
+             CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) AS yfx
+      FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.key,
+             CAST(b.yfx - a.yfx AS DOUBLE)
+               / CAST(b.x - a.x AS DOUBLE) AS slope_fx,
+             a.x AS x1, b.x AS x2
+      FROM daily a JOIN daily b ON a.key = b.key AND a.x < b.x),
+    ranked AS (
+      SELECT key, slope_fx,
+             ROW_NUMBER() OVER (PARTITION BY key
+               ORDER BY slope_fx, x1, x2) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS np
+      FROM pairs),
+    med AS (
+      SELECT key, MAX(np) AS n_pairs,
+             (MIN(slope_fx) + MAX(slope_fx)) / 2.0 AS sen_slope_fx
+      FROM ranked
+      WHERE CASE WHEN np % 2 = 1 THEN rn = (np + 1) // 2
+                 ELSE rn = np // 2 OR rn = np // 2 + 1 END
+      GROUP BY key),
+    nper AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n_periods
+      FROM daily GROUP BY key)
+    SELECT key, n_periods, n_pairs, sen_slope_fx,
+           sen_slope_fx / {s!r} AS sen_slope
+    FROM med JOIN nper USING (key)
+    """
+
+
+def mix_shift(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population-mix drift audit between the observed span's first
+    and second halves — the integer-exact screen behind a PSI
+    (population stability index) alarm. PSI's (p−q)·ln(p/q) term needs
+    a transcendental whose last-ulp rounding differs between the JVM's
+    ``Math.log`` intrinsic and DuckDB's libm (this repo's pow-vs-sqrt
+    lesson, _util docstring), so the cross-engine surface reports the
+    exact ingredients instead: per key, its integer-ppm share of each
+    half, the share delta, and the relative-rate ratio — monitoring
+    thresholds on |delta_ppm| / ratio_ppm are what PSI thresholds
+    reduce to per-bucket anyway.
+
+    The split point is the midpoint of the observed timestamp span
+    (floor-integer microseconds), NOT a row-count median — a volume
+    spike then shows up as a share shift instead of silently moving
+    the boundary. Keys present in only one half still emit a row
+    (the drift a PSI most needs to see is a category appearing or
+    vanishing); NULL timestamps are excluded by the family contract.
+
+    Output per key: (key, n_before, n_after, p_ppm, q_ppm, delta_ppm,
+    rate_ratio_ppm) — p/q are the key's ppm share of the before/after
+    half; rate_ratio_ppm = ⌊10^6·(q/p)⌋ via exact DECIMAL(38,0) cross
+    multiplication, NULL when the key is absent before (new category)
+    or a half is empty.
+
+    Scale shape: one 2-row global min/max aggregate (broadcast), one
+    map-side-combinable per-key conditional count, one broadcast
+    1-row totals join — no window, no self-join, no per-row state."""
+    d38 = "decimal(38,0)"
+    ev = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+    )
+    span = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid_us")
+    )
+    halved = ev.crossJoin(F.broadcast(span)).select(
+        "key", (F.col("us") <= F.col("mid_us")).alias("before")
+    )
+    per = halved.groupBy("key").agg(
+        F.sum(F.when(F.col("before"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_before"),
+        F.sum(F.when(F.col("before"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_after"),
+    )
+    tot = per.agg(
+        F.sum("n_before").cast("long").alias("t_before"),
+        F.sum("n_after").cast("long").alias("t_after"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    p_ppm = F.when(
+        F.col("t_before") > 0,
+        F.expr(f"cast(cast(n_before as {d38}) * 1000000 div t_before as long)"),
+    )
+    q_ppm = F.when(
+        F.col("t_after") > 0,
+        F.expr(f"cast(cast(n_after as {d38}) * 1000000 div t_after as long)"),
+    )
+    ratio = F.when(
+        (F.col("n_before") > 0) & (F.col("t_after") > 0),
+        F.expr(
+            f"cast(cast(n_after as {d38}) * t_before * 1000000"
+            f" div (cast(n_before as {d38}) * t_after) as long)"
+        ),
+    )
+    return j.select(
+        "key",
+        "n_before",
+        "n_after",
+        p_ppm.alias("p_ppm"),
+        q_ppm.alias("q_ppm"),
+        (q_ppm - p_ppm).alias("delta_ppm"),
+        ratio.alias("rate_ratio_ppm"),
+    )
+
+
+def sql_mix_shift(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB oracle twin of :func:`mix_shift` — identical midpoint,
+    conditional counts, and HUGEINT ppm arithmetic."""
+    return f"""
+    WITH ev AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) AS us
+      FROM {table} WHERE {ts_col} IS NOT NULL),
+    span AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+    per AS (
+      SELECT key,
+             CAST(SUM(CASE WHEN us <= mid_us THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN us <= mid_us THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_after
+      FROM ev CROSS JOIN span GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_before) AS BIGINT) AS t_before,
+             CAST(SUM(n_after) AS BIGINT) AS t_after
+      FROM per)
+    SELECT key, n_before, n_after,
+           CASE WHEN t_before > 0 THEN
+             CAST(CAST(n_before AS HUGEINT) * 1000000 // t_before AS BIGINT)
+           END AS p_ppm,
+           CASE WHEN t_after > 0 THEN
+             CAST(CAST(n_after AS HUGEINT) * 1000000 // t_after AS BIGINT)
+           END AS q_ppm,
+           CASE WHEN t_after > 0 THEN
+             CAST(CAST(n_after AS HUGEINT) * 1000000 // t_after AS BIGINT)
+           END
+           - CASE WHEN t_before > 0 THEN
+               CAST(CAST(n_before AS HUGEINT) * 1000000 // t_before AS BIGINT)
+             END AS delta_ppm,
+           CASE WHEN n_before > 0 AND t_after > 0 THEN
+             CAST(CAST(n_after AS HUGEINT) * t_before * 1000000
+                  // (CAST(n_before AS HUGEINT) * t_after) AS BIGINT)
+           END AS rate_ratio_ppm
+    FROM per CROSS JOIN tot
+    """
+
+
+MARKOV_SCALE = 1 << 40
+
+
+def markov_stationary(
+    events: DataFrame,
+    *,
+    iterations: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain — where
+    the :func:`transition_matrix` process settles if it runs forever,
+    i.e. the long-run share of attention each state captures (the
+    "steady-state mix" a capacity planner or next-action model prices
+    against the CURRENT mix; compare with :func:`mix_shift` for the
+    observed drift).
+
+    Power iteration in the PageRank integer fixed point
+    (operators/graph.py discipline, MARKOV_SCALE = 2^40):
+
+        π⁰(s)   = SCALE div K                       (K observed states)
+        c(s→s') = (π(s) · n(s→s')) div n_out(s)      per matrix cell
+        D       = (Σ_{n_out(s)=0} π(s)) div K        absorbing mass
+        π'(s')  = D + Σ_s c(s→s')
+
+    Floor division leaks a bounded few 2^-40 quanta per round (the
+    deterministic price of exactness — the PageRank trade); states
+    with no observed out-transitions redistribute uniformly, the
+    dangling-node rule. Every round replays bit-identically in the
+    unrolled-CTE oracle.
+
+    Output per state: (state, pi_fx BIGINT, pi double = pi_fx/2^40),
+    one row per state observed in the transition frame.
+
+    Scale shape: the corpus-sized work is the per-entity lag window
+    that builds the transition counts (ONE pass, the
+    :func:`transition_matrix` shape, checkpointed once); each round is
+    a join over the |states|²-row matrix — matrix-sized, not
+    corpus-sized, so the fixed-round loop costs nothing at any SF.
+    π(s)·n(s→s') runs in DECIMAL(38,0)/HUGEINT (π ≤ 2^40 times a
+    corpus-scale count overflows BIGINT)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy(key_col).orderBy(
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))"),
+        F.col(id_col).asc_nulls_last(),
+    )
+    steps = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(
+            F.lag(state_col).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .where(
+            F.col("from_state").isNotNull() & F.col("to_state").isNotNull()
+        )
+    )
+    counts = (
+        steps.groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        counts.select(F.col("from_state").alias("s"))
+        .unionAll(counts.select(F.col("to_state").alias("s")))
+        .distinct()
+    )
+    outs = counts.groupBy(F.col("from_state").alias("s")).agg(
+        F.sum("n").cast("long").alias("n_out")
+    )
+    kk = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = states.crossJoin(F.broadcast(kk)).select(
+        "s", F.expr(f"{MARKOV_SCALE} div k").cast("long").alias("pi_fx")
+    )
+    for _ in range(iterations):
+        contribs = (
+            counts.join(
+                pi.select(F.col("s").alias("from_state"), "pi_fx"),
+                "from_state",
+            )
+            .join(
+                outs.select(F.col("s").alias("from_state"), "n_out"),
+                "from_state",
+            )
+            .select(
+                F.col("to_state").alias("s"),
+                F.expr(
+                    f"cast(cast(pi_fx as {d38}) * n div n_out as long)"
+                ).alias("c"),
+            )
+            .groupBy("s")
+            .agg(F.sum("c").cast("long").alias("csum"))
+        )
+        dang = (
+            pi.join(outs, "s", "left_anti")
+            .agg(F.coalesce(F.sum("pi_fx"), F.lit(0)).cast("long").alias("ds"))
+        )
+        pi = (
+            states.join(contribs, "s", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(kk))
+            .select(
+                "s",
+                F.expr("ds div k + coalesce(csum, 0)")
+                .cast("long")
+                .alias("pi_fx"),
+            )
+            # lazy lineage cut: without it each round's plan nests the
+            # previous round's twice (contribs + dang), exploding
+            # optimizer time exponentially in rounds. Blocks are
+            # |states|-sized and bounded by the fixed round count, so
+            # no release pass is needed (unlike the node-sized
+            # PageRank checkpoints).
+            .localCheckpoint(eager=False)
+        )
+    s = float(MARKOV_SCALE)
+    return pi.select(
+        F.col("s").alias("state"),
+        "pi_fx",
+        (F.col("pi_fx").cast("double") / F.lit(s)).alias("pi"),
+    )
+
+
+def sql_markov_stationary(
+    *,
+    iterations: int = 5,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`markov_stationary` — the identical
+    integer rounds unrolled as CTEs."""
+    s = float(MARKOV_SCALE)
+    ctes = [
+        f"""steps AS (
+          SELECT LAG({state_col}) OVER (
+                   PARTITION BY {key_col}
+                   ORDER BY EPOCH_US({ts_col}), {id_col} NULLS LAST)
+                   AS from_state,
+                 {state_col} AS to_state
+          FROM {table} WHERE {ts_col} IS NOT NULL)""",
+        """counts AS (
+          SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+          FROM steps
+          WHERE from_state IS NOT NULL AND to_state IS NOT NULL
+          GROUP BY 1, 2)""",
+        """states AS (
+          SELECT from_state AS st FROM counts
+          UNION SELECT to_state FROM counts)""",
+        """outs AS (
+          SELECT from_state AS st, CAST(SUM(n) AS BIGINT) AS n_out
+          FROM counts GROUP BY 1)""",
+        "kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states)",
+        f"""p0 AS (
+          SELECT st, CAST({MARKOV_SCALE} // k AS BIGINT) AS pi_fx
+          FROM states CROSS JOIN kk)""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT c.to_state AS st,
+                     CAST(SUM(CAST(p.pi_fx AS HUGEINT) * c.n // o.n_out)
+                          AS BIGINT) AS csum
+              FROM counts c
+              JOIN p{i} p ON p.st = c.from_state
+              JOIN outs o ON o.st = c.from_state
+              GROUP BY 1)""",
+        )
+        ctes.append(
+            f"""d{i} AS (
+              SELECT CAST(COALESCE(SUM(p.pi_fx), 0) AS BIGINT) AS ds
+              FROM p{i} p LEFT JOIN outs o ON o.st = p.st
+              WHERE o.st IS NULL)""",
+        )
+        ctes.append(
+            f"""p{i + 1} AS (
+              SELECT s.st,
+                     CAST(d.ds // k.k + COALESCE(c.csum, 0) AS BIGINT)
+                       AS pi_fx
+              FROM states s
+              LEFT JOIN c{i} c ON c.st = s.st
+              CROSS JOIN d{i} d CROSS JOIN kk k)""",
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""" SELECT st AS state, pi_fx,
+                 CAST(pi_fx AS DOUBLE) / {s!r} AS pi
+               FROM p{iterations}"""
+    )

@@ -82,3 +82,29 @@ def basket_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
     )
     return item_jaccard(baskets, min_common=2, top_k=30)
+
+
+from kinesis_stream_spark.operators.basket import sql_item_cosine  # noqa: E402
+
+
+@_q(
+    "basket_item_cosine",
+    sql_item_cosine(
+        baskets_cte="SELECT basket AS b, item AS i FROM (" + _BASKETS_CTE + ")",
+        min_common=2,
+        top_k=30,
+    ),
+)
+def basket_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 brand-brand cosine similarity over order baskets — the
+    geometric-mean CF kernel beside basket_item_jaccard's union one;
+    exact integer counts, degree product VARCHAR-routed to double, one
+    sqrt + one divide per pair (operators/basket.py)."""
+    from kinesis_stream_spark.operators.basket import item_cosine
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return item_cosine(baskets, min_common=2, top_k=30)

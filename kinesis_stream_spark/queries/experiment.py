@@ -39,3 +39,28 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring)."""
     ev = load_table(spark, sf_dir, "events")
     return ab_conversion_ztest(ev).orderBy("metric")
+
+
+_APDEX_T = 50.0
+
+
+@_q("events_apdex_score", None)  # assigned below
+def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Apdex at target T=50 (the events table's value
+    plays the latency role): satisfied ≤ T, tolerating ≤ 4T, score =
+    ⌊10^6·(2·sat+tol)/(2·n)⌋ — integer end to end, one combinable
+    aggregate (operator docstring)."""
+    from kinesis_stream_spark.operators.experiment import apdex_score
+
+    return apdex_score(
+        load_table(spark, sf_dir, "events"), threshold=_APDEX_T
+    ).orderBy("key")
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    sql_apdex_score,
+)
+
+ORACLE["events_apdex_score"] = (
+    sql_apdex_score(threshold=_APDEX_T) + " ORDER BY key"
+)

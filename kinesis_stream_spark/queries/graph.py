@@ -266,3 +266,35 @@ def graph_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cheapest_path(edges, sources, rounds=_BFS_ROUNDS).orderBy("node")
+
+
+from kinesis_stream_spark.operators.graph import (  # noqa: E402
+    link_prediction_ra,
+    sql_link_prediction_ra,
+)
+
+_RA_CAP, _RA_MIN_COMMON, _RA_TOP_K = 20, 2, 30
+
+
+@_q(
+    "graph_link_prediction",
+    sql_link_prediction_ra(
+        _EDGES_CTE,
+        max_intermediate_degree=_RA_CAP,
+        min_common=_RA_MIN_COMMON,
+        top_k=_RA_TOP_K,
+    ),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction over the purchase graph:
+    score supplier pairs by shared customers weighted 1/deg (integer
+    ⌊10^6/deg⌋ quanta — exact BIGINT sums), intermediates capped at
+    degree ≤ 20 so the pair frame stays linear in the corpus (the
+    max_df discipline; hubs contribute ~0 score and deg² rows).
+    Top-30 predicted supplier-supplier links (operators/graph.py)."""
+    return link_prediction_ra(
+        _purchase_edges(spark, sf_dir),
+        max_intermediate_degree=_RA_CAP,
+        min_common=_RA_MIN_COMMON,
+        top_k=_RA_TOP_K,
+    )

@@ -2738,3 +2738,132 @@ def profile_orders_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_independence(o, "o_orderpriority", "o_orderstatus").orderBy(
         "o_orderpriority", "o_orderstatus"
     )
+
+
+@_q("agg_gini_concentration", None)  # assigned below
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per order priority: rank customers
+    by their total spend within each priority class and score the
+    inequality of the distribution — exact micro-unit totals,
+    DECIMAL(38,0) rank products, integer-ppm Gini, group-partitioned
+    rank window (operators/skew.py)."""
+    from kinesis_stream_spark.operators.skew import gini_concentration
+
+    o = load_table(spark, sf_dir, "orders")
+    return gini_concentration(
+        o,
+        group_col="o_orderpriority",
+        key_col="o_custkey",
+        val_col="o_totalprice",
+    ).orderBy("group_key")
+
+
+from kinesis_stream_spark.operators.skew import (  # noqa: E402
+    sql_gini_concentration,
+)
+
+ORACLE["agg_gini_concentration"] = (
+    sql_gini_concentration(
+        facts_cte=(
+            "SELECT o_orderpriority AS grp, o_custkey AS key,"
+            " o_totalprice AS v FROM orders"
+        ),
+    )
+    + " ORDER BY group_key"
+)
+
+
+_BALANCE_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+@_q("profile_category_balance", None)  # assigned below
+def profile_category_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance profile of the orders label columns: Gini
+    impurity and inverse-Simpson effective-category count per column —
+    the integer-exact stand-ins for entropy (whose ln rounds
+    differently across engines), plus top-share and cardinality
+    (operators/profile.py)."""
+    from kinesis_stream_spark.operators.profile import category_balance
+
+    o = load_table(spark, sf_dir, "orders")
+    return category_balance(o, _BALANCE_COLS).orderBy("column_name")
+
+
+_UNIQ_COLS = ["o_orderkey", "o_custkey", "o_orderstatus"]
+
+
+@_q("integrity_uniqueness_profile", None)  # assigned below
+def integrity_uniqueness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate-key audit of orders: per column, duplicate-row
+    counts, largest duplicate group, integer-ppm uniqueness, and the
+    PRIMARY KEY verdict (no dups, no NULLs) — o_orderkey should pass,
+    o_custkey and o_orderstatus should fail with measured distance
+    (operators/profile.py)."""
+    from kinesis_stream_spark.operators.profile import uniqueness_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return uniqueness_profile(o, _UNIQ_COLS).orderBy("column_name")
+
+
+from kinesis_stream_spark.operators.profile import (  # noqa: E402
+    sql_category_balance,
+    sql_uniqueness_profile,
+)
+
+ORACLE["profile_category_balance"] = (
+    sql_category_balance("orders", _BALANCE_COLS) + " ORDER BY column_name"
+)
+ORACLE["integrity_uniqueness_profile"] = (
+    sql_uniqueness_profile("orders", _UNIQ_COLS) + " ORDER BY column_name"
+)
+
+
+#: zone-map audit predicate: orders shipped in June 1998 (epoch days)
+_ZM_LO, _ZM_HI = 10378, 10407
+_ZM_BUCKETS = 16
+
+
+@_q("layout_zonemap_skipping", None)  # assigned below
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skipping audit over orders: the same one-month
+    predicate against a date-range-clustered layout vs a hash layout —
+    per layout, buckets/rows a min-max-stats reader must scan and the
+    integer-ppm skip rate; the measured case for range-clustering the
+    100 TB write (operators/layout.py; global rank rides the
+    distributed prefix sum)."""
+    from kinesis_stream_spark.operators.layout import zonemap_skipping
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .alias("k_day"),
+        "o_orderkey",
+    )
+    return zonemap_skipping(
+        o,
+        key_col="k_day",
+        id_col="o_orderkey",
+        pred_lo=_ZM_LO,
+        pred_hi=_ZM_HI,
+        buckets=_ZM_BUCKETS,
+    ).orderBy("layout")
+
+
+from kinesis_stream_spark.operators.layout import (  # noqa: E402
+    sql_zonemap_skipping,
+)
+
+ORACLE["layout_zonemap_skipping"] = (
+    sql_zonemap_skipping(
+        source_cte=(
+            "SELECT EPOCH_US(o_orderdate) // 86400000000 AS k,"
+            " o_orderkey AS rid FROM orders"
+            " WHERE o_orderdate IS NOT NULL"
+        ),
+        pred_lo=_ZM_LO,
+        pred_hi=_ZM_HI,
+        buckets=_ZM_BUCKETS,
+    )
+    + " ORDER BY layout"
+)

@@ -950,3 +950,60 @@ from kinesis_stream_spark.operators.attribution import (  # noqa: E402
 ORACLE["events_conversion_lag"] = (
     sql_conversion_lag_histogram() + " ORDER BY lag_bucket"
 )
+
+
+@_q("events_theil_sen_trend", None)  # assigned below
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen robust slope over daily value sums —
+    the median-of-pairwise-slopes trend that shrugs off the corrupted
+    day OLS (events_linear_trend) chases; fx-encoded period sums,
+    pair slopes as single pinned IEEE divides, order-statistic median
+    (operator docstring for the grid-bounded pair-frame shape)."""
+    from kinesis_stream_spark.operators.temporal import theil_sen_trend
+
+    return theil_sen_trend(load_table(spark, sf_dir, "events")).orderBy(
+        "key"
+    )
+
+
+@_q("events_mix_shift", None)  # assigned below
+def events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift between the observed span's halves — the
+    integer-exact ingredients of a PSI drift alarm (per-type ppm share
+    of each half, delta, relative-rate ratio), midpoint split so
+    volume spikes surface as drift instead of moving the boundary
+    (operator docstring for why the ln(p/q) term stays out of the
+    cross-engine surface)."""
+    from kinesis_stream_spark.operators.temporal import mix_shift
+
+    return mix_shift(load_table(spark, sf_dir, "events")).orderBy("key")
+
+
+_MARKOV_ITERS = 5
+
+
+@_q("events_markov_stationary", None)  # assigned below
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral transition chain —
+    5 integer power-iteration rounds (2^40 fixed point, PageRank's
+    floor-division mass discipline) over the per-user lag-chain
+    transition counts; the steady-state event mix next to the observed
+    one (operator docstring; oracle unrolls the identical rounds)."""
+    from kinesis_stream_spark.operators.temporal import markov_stationary
+
+    return markov_stationary(
+        load_table(spark, sf_dir, "events"), iterations=_MARKOV_ITERS
+    ).orderBy("state")
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_markov_stationary,
+    sql_mix_shift,
+    sql_theil_sen_trend,
+)
+
+ORACLE["events_theil_sen_trend"] = sql_theil_sen_trend() + " ORDER BY key"
+ORACLE["events_mix_shift"] = sql_mix_shift() + " ORDER BY key"
+ORACLE["events_markov_stationary"] = (
+    sql_markov_stationary(iterations=_MARKOV_ITERS) + " ORDER BY state"
+)
