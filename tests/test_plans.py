@@ -742,3 +742,84 @@ def test_rfm_boundary_frames_broadcast(spark, sf_dir):
     plan = _explain(QUERIES["events_rfm_segments"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan  # keyless 1-row broadcasts
     assert "CartesianProduct" not in plan
+
+
+def test_gini_rank_window_is_group_partitioned(spark, sf_dir):
+    """The Gini rank must ride a window PARTITIONED by the group key —
+    a regression to a global (partition-less) rank would single-reduce
+    the whole key frame at 100 TB."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["agg_gini_concentration"](spark, sf_dir))
+    assert "hashpartitioning(grp" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_pair_join_is_equi_on_key(spark, sf_dir):
+    """Pairwise slopes must come from a key-equi join on the
+    grid-bounded period frame, never a cartesian."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_theil_sen_trend"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_mix_shift_totals_ride_broadcast(spark, sf_dir):
+    """The midpoint and the half totals are 1-row frames and must join
+    broadcast (BroadcastNestedLoopJoin is the crossJoin(broadcast)
+    shape); the corpus side must never shuffle for them."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_mix_shift"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_apdex_is_single_aggregate_no_window_no_join(spark, sf_dir):
+    from kinesis_stream_spark.queries.experiment import QUERIES
+
+    plan = _explain(QUERIES["events_apdex_score"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_category_profilers_are_melt_plus_aggregate(spark, sf_dir):
+    """Both column profilers must stay join-free and window-free — the
+    melt is map-local and everything after is combinable."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    for name in ("profile_category_balance", "integrity_uniqueness_profile"):
+        plan = _explain(QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_link_prediction_pair_join_is_equi_topk_partial(spark, sf_dir):
+    """Candidate pairs must come from the intermediate-keyed equi join
+    (degree-capped), and the top-k must be TakeOrderedAndProject —
+    per-partition pre-lists, never a full global sort."""
+    from kinesis_stream_spark.queries.graph import QUERIES
+
+    plan = _explain(QUERIES["graph_link_prediction"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_item_cosine_topk_partial_no_cartesian(spark, sf_dir):
+    from kinesis_stream_spark.queries.basket import QUERIES
+
+    plan = _explain(QUERIES["basket_item_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zonemap_rank_uses_distributed_cumsum(spark, sf_dir):
+    """The range-layout global rank must ride the distributed prefix
+    sum (the _ds_pid exchange signature), not a single-reducer global
+    window over the corpus."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["layout_zonemap_skipping"](spark, sf_dir))
+    assert "hashpartitioning(_ds_pid" in plan
+    assert "CartesianProduct" not in plan
