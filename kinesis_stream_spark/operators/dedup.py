@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kinesis_stream_spark.functions.hashing import md5_int64, shingles, tokens
+from kinesis_stream_spark.functions.hashing import (
+    md5_int64,
+    shingles,
+    sql_tokens,
+    tokens,
+)
 from kinesis_stream_spark.sources.batch import spread
 
 DEFAULT_NUM_HASHES = 16
@@ -1099,3 +1104,198 @@ def lsh_pair_recall(
             F.col("n_candidates") > 0, F.col("n_matched") / F.col("n_candidates")
         ).alias("precision"),
     )
+
+
+def rare_term_cosine_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    max_df: int = 20,
+    min_cosine_ppm: int = 500_000,
+    top_k: int = 50,
+) -> DataFrame:
+    """Document-pair cosine similarity over the DISCRIMINATIVE term
+    subspace — term-frequency cosine over word ``ngram`` phrases whose
+    document frequency is ≤ ``max_df``, with high-df phrases excluded
+    from both the dot product and the norms. The textbook tf-idf
+    cosine downweights common terms smoothly; the hard df cutoff is
+    the integer-exact limit of that curve (idf → ~0 for stopword-df
+    terms) AND the blocking strategy in one: the pair frame comes from
+    the same rare-term equi-join the containment dedup uses, so no
+    all-pairs step ever exists. The multiset (tf-weighted) sibling of
+    the set-based :mod:`~kinesis_stream_spark.operators.setjoin` —
+    phrase terms are MULTISET counts here (no array_distinct — a
+    doc repeating a phrase five times should score closer to one that
+    repeats it four times than to one containing it once), where
+    PPJoin asks about shared shingle SETS. Terms are phrases, not
+    unigrams, because unigram df concentrates at the corpus scale
+    (every word of a natural vocabulary is common at 100 TB) while
+    phrase df keeps the discriminative tail the cap selects.
+
+    Cross-engine exactness: tf counts exact; dot = Σ tf_a·tf_b and
+    the subspace norms Σ tf² accumulate in BIGINT/DECIMAL(38,0);
+    cosine = dot/√(na·nb) — one VARCHAR-routed cast, one sqrt, one
+    divide (the item-cosine chain). The threshold prunes on exact
+    integers BEFORE the float: dot²·10^6 ≥ threshold·na·nb in
+    DECIMAL(38,0) (cosine² in ppm — no float in the predicate).
+
+    Output: top ``top_k`` pairs (id_a < id_b) by (cosine DESC, id_a,
+    id_b): (id_a, id_b, n_shared_terms, dot, cosine).
+
+    Scale shape: one explode → (doc, token) tf frame (combinable); df
+    prune to the rare subspace (map-side after one vocab-keyed
+    aggregate); pair products from the token-keyed equi-join whose
+    fan-out is Σ df² over RARE tokens only (≤ max_df² per token — the
+    containment max_df discipline); norms join back per-doc;
+    TakeOrderedAndProject top-k. Never all-pairs, never a global
+    sort."""
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    if not 0 < min_cosine_ppm <= 1_000_000:
+        raise ValueError(
+            f"min_cosine_ppm must be in (0, 1000000], got {min_cosine_ppm}"
+        )
+    d38 = "decimal(38,0)"
+    toks = tokens(F.col(text_col))
+    # the shingles() helper minus its array_distinct: multiset counts
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    tf = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(grams).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    rare = tf.join(
+        dfc.where(F.col("df") <= max_df).select("tok"), "tok"
+    )
+    norms = rare.groupBy("doc").agg(
+        F.sum((F.col("tf").cast(d38) * F.col("tf")).cast(d38))
+        .cast("long")
+        .alias("norm2"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(
+                (F.col("a.tf").cast(d38) * F.col("b.tf")).cast(d38)
+            )
+            .cast("long")
+            .alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("doc").alias("id_a"), F.col("norm2").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc").alias("id_b"), F.col("norm2").alias("nb")
+    )
+    scored = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        # integer prune: cosine² ≥ t² ⇔ dot²·10^12 ≥ t_ppm²·na·nb
+        .where(
+            F.expr(
+                f"cast(dot as {d38}) * dot * 1000000 * 1000000"
+                f" >= cast({min_cosine_ppm} as {d38})"
+                f" * {min_cosine_ppm} * (cast(na as {d38}) * nb)"
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_terms",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.expr(
+                        f"cast(cast(cast(na as {d38}) * nb"
+                        f" as string) as double)"
+                    )
+                )
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+    ).limit(top_k)
+
+
+def sql_rare_term_cosine_pairs(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    max_df: int = 20,
+    min_cosine_ppm: int = 500_000,
+    top_k: int = 50,
+) -> str:
+    """DuckDB oracle twin of :func:`rare_term_cosine_pairs`."""
+    toks = sql_tokens(text_col)
+    return f"""
+    WITH d AS (
+      SELECT {id_col} AS doc, {toks} AS toks
+      FROM {table} WHERE {text_col} IS NOT NULL),
+    tok AS (
+      SELECT doc,
+             UNNEST(CASE WHEN LEN(toks) >= {ngram} THEN
+               [ARRAY_TO_STRING(toks[i:i+{ngram - 1}], ' ')
+                FOR i IN RANGE(1, LEN(toks) - {ngram - 2})]
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS tok
+      FROM d),
+    tf AS (
+      SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE tok != '' GROUP BY 1, 2),
+    dfc AS (SELECT tok FROM tf GROUP BY tok
+            HAVING COUNT(*) <= {max_df}),
+    rare AS (SELECT t.doc, t.tok, t.tf FROM tf t JOIN dfc USING (tok)),
+    norms AS (
+      SELECT doc,
+             CAST(SUM(CAST(tf AS HUGEINT) * tf) AS BIGINT) AS norm2,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM rare GROUP BY 1),
+    pairs AS (
+      SELECT a.doc AS id_a, b.doc AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             CAST(SUM(CAST(a.tf AS HUGEINT) * b.tf) AS BIGINT) AS dot
+      FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.id_a, p.id_b, p.n_shared_terms, p.dot,
+             CAST(p.dot AS DOUBLE)
+               / SQRT(CAST(CAST(CAST(na.norm2 AS HUGEINT) * nb.norm2
+                                AS VARCHAR) AS DOUBLE)) AS cosine
+      FROM pairs p
+      JOIN norms na ON p.id_a = na.doc
+      JOIN norms nb ON p.id_b = nb.doc
+      WHERE CAST(p.dot AS HUGEINT) * p.dot * 1000000 * 1000000
+            >= CAST({min_cosine_ppm} AS HUGEINT) * {min_cosine_ppm}
+               * (CAST(na.norm2 AS HUGEINT) * nb.norm2))
+    SELECT * FROM scored
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT {top_k}
+    """

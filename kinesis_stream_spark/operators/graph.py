@@ -1085,3 +1085,100 @@ def sql_link_prediction_ra(
     ORDER BY ra_ppm DESC, node_a, node_b
     LIMIT {top_k}
     """
+
+
+def degree_profile(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Log2-bucketed degree distribution of a directed edge list, per
+    node role — the first thing to read before ANY graph job here:
+    PageRank cost, the k-core peel count, the link-prediction cap, and
+    every join-skew salting decision key off "how heavy is the degree
+    tail". Power-law graphs show a straight line in (bucket, count)
+    space; a bucket holding one super-hub names the exact node class
+    the skew guards exist for.
+
+    Buckets are ⌊log2(deg)⌋ computed WITHOUT a transcendental:
+    length(bin(deg)) − 1, the bit length of a positive BIGINT —
+    Spark's ``bin`` and DuckDB's ``bin`` both render minimal binary
+    digits, so the bucket is integer-exact on both engines. Per
+    (role, bucket): node count, share of that role's nodes in ppm,
+    and the bucket's degree extents. Roles: 'out' buckets source
+    nodes by out-degree, 'in' buckets destinations by in-degree
+    (bipartite graphs read naturally; for a doubled undirected list
+    both roles coincide). Duplicate edges collapse; NULL endpoints
+    drop.
+
+    Scale shape: one distinct edge pass, two combinable degree
+    aggregates, a K-bucket reduce (K ≤ 63) with the role totals
+    joined broadcast — no window, no iteration."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    d38 = "decimal(38,0)"
+    out = []
+    for role, node, part in (("out", "src", "dst"), ("in", "dst", "src")):
+        deg = e.groupBy(F.col(node).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        buck = (
+            deg.select(
+                F.expr("length(bin(deg)) - 1").cast("long").alias("bucket"),
+                "deg",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.min("deg").alias("deg_min"),
+                F.max("deg").alias("deg_max"),
+            )
+        )
+        tot = deg.agg(F.count(F.lit(1)).cast("long").alias("role_nodes"))
+        out.append(
+            buck.crossJoin(F.broadcast(tot)).select(
+                F.lit(role).alias("role"),
+                "bucket",
+                "n_nodes",
+                "deg_min",
+                "deg_max",
+                F.expr(
+                    f"cast(cast(n_nodes as {d38}) * 1000000"
+                    f" div role_nodes as long)"
+                ).alias("share_ppm"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
+def sql_degree_profile(edges_cte: str) -> str:
+    """DuckDB oracle twin of :func:`degree_profile`. ``edges_cte``
+    must yield (src, dst) rows."""
+    roles = []
+    for role, node in (("out", "src"), ("in", "dst")):
+        roles.append(
+            f"""
+      SELECT '{role}' AS role, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             MIN(deg) AS deg_min, MAX(deg) AS deg_max,
+             CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+                  // MAX(role_nodes) AS BIGINT) AS share_ppm
+      FROM (
+        SELECT CAST(LENGTH(BIN(deg)) - 1 AS BIGINT) AS bucket, deg,
+               CAST(COUNT(*) OVER () AS BIGINT) AS role_nodes
+        FROM (SELECT {node} AS v, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1))
+      GROUP BY 1, 2"""
+        )
+    return (
+        f"""
+    WITH rawe AS ({edges_cte}),
+    e AS (SELECT DISTINCT src, dst FROM rawe
+          WHERE src IS NOT NULL AND dst IS NOT NULL)
+    """
+        + " UNION ALL ".join(roles)
+    )

@@ -226,3 +226,109 @@ def sql_histogram_quantiles(
            r.x AS exact, ABS(e.estimate - r.x) AS abs_err
     FROM est e JOIN ranked r ON r.rk = e.target_rank
     """
+
+
+def weighted_median(
+    df: DataFrame,
+    *,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group exact weighted (lower) median: the smallest value v
+    whose cumulative weight reaches half the group's total —
+    "the price at which half the QUANTITY traded", the
+    volume-weighted centerline a plain median (one vote per row)
+    misreports whenever row weights vary. Convention: the LOWER
+    weighted median (first v with 2·cumw ≥ W), the selection rule
+    with no interpolation and therefore no float arithmetic at all —
+    the output value is one of the inputs, bit-identical on any
+    engine.
+
+    Weights are truncated to BIGINT (⌊w⌋; fractional weights scale up
+    upstream); rows with NULL value, NULL weight, or w ≤ 0 are
+    excluded by contract. Groups with total weight 0 are absent.
+
+    Output per group: (group_key, n_rows, total_weight,
+    weighted_median).
+
+    Scale shape: values collapse to the (group, value) frame FIRST
+    (map-side-combinable weight sums — the frame is bounded by
+    distinct values per group, and ties need no tiebreak id), then a
+    group-PARTITIONED cumulative window and a first-hit selection —
+    no global window, no join, no sort beyond the per-group window."""
+    vw = (
+        df.where(
+            F.col(val_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(val_col).alias("v"),
+            F.floor(F.col(weight_col)).cast("long").alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .groupBy("grp", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w").cast("long").alias("w"),
+        )
+    )
+    w_ord = Window.partitionBy("grp").orderBy("v")
+    w_all = Window.partitionBy("grp")
+    cum = vw.select(
+        "grp",
+        "v",
+        "n",
+        F.sum("w")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cumw"),
+        F.sum("w").over(w_all).cast("long").alias("tot"),
+        F.sum("n").over(w_all).cast("long").alias("n_rows"),
+    )
+    hit = cum.where(F.col("cumw") * 2 >= F.col("tot"))
+    w_first = Window.partitionBy("grp").orderBy("v")
+    return (
+        hit.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("grp").alias("group_key"),
+            "n_rows",
+            F.col("tot").alias("total_weight"),
+            F.col("v").alias("weighted_median"),
+        )
+    )
+
+
+def sql_weighted_median(
+    *,
+    facts_cte: str,
+) -> str:
+    """DuckDB oracle twin of :func:`weighted_median`. ``facts_cte``
+    must yield (grp, v, w) rows."""
+    return """
+    WITH facts AS ({cte}),
+    vw AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(w) AS BIGINT)) AS BIGINT) AS w
+      FROM facts
+      WHERE v IS NOT NULL AND w IS NOT NULL AND w > 0
+        AND CAST(FLOOR(w) AS BIGINT) > 0
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT grp, v, n,
+             CAST(SUM(w) OVER (PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tot,
+             CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS n_rows
+      FROM vw),
+    hit AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn
+      FROM cum WHERE cumw * 2 >= tot)
+    SELECT grp AS group_key, n_rows, tot AS total_weight,
+           v AS weighted_median
+    FROM hit WHERE rn = 1
+    """.format(cte=facts_cte)

@@ -2989,3 +2989,182 @@ def sql_markov_stationary(
                  CAST(pi_fx AS DOUBLE) / {s!r} AS pi
                FROM p{iterations}"""
     )
+
+
+def changepoint(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Per-key single-changepoint detection (binary segmentation, the
+    first split of Scott & Knott / standard BinSeg): over the key's
+    bucketed period sums in time order, find the split that maximizes
+    the between-segment contrast
+
+        score(t) = (n_r·S_l − n_l·S_r)² / (n_l·n_r)
+
+    — the square of the scaled mean difference, ∝ the between-group
+    sum of squares the F statistic tests. CUSUM (:func:`cusum`) ALARMS
+    that a drift happened; this LOCATES the single break ("which day
+    did the metric change regime").
+
+    Cross-engine exactness: period sums in the :func:`linear_trend` fx
+    encoding (BIGINT); prefix sums S_l ride a key-partitioned window
+    in exact DECIMAL(38,0); the contrast numerator n_r·S_l − n_l·S_r
+    stays DECIMAL(38,0) exact; its square would overflow any integer
+    width, so the score is ONE pinned per-row IEEE chain
+    (VARCHAR-routed num → double, squared, divided by n_l·n_r) —
+    identical inputs, identical instructions, identical doubles. The
+    argmax is a row_number selection on (score DESC, t ASC) — a
+    deterministic order on deterministic doubles. Keys with < 2
+    occupied buckets have no valid split and are absent; NULL
+    timestamps are excluded by the family contract.
+
+    Output per key: (key, n_periods, cp_index, cp_bucket, mean_before,
+    mean_after, score) — cp_index = periods in the left segment (split
+    is AFTER position cp_index), cp_bucket = the bucket id of the last
+    pre-break period; means in value units (exact fx divides).
+
+    Scale shape: one map-side-combinable (key, bucket) aggregate over
+    the corpus, then key-PARTITIONED windows on the grid-bounded
+    period frame (≤ calendar buckets per key) — no self-join (the
+    prefix-sum identity S_r = S − S_l does the work the pairwise
+    Theil-Sen join needs), no global window, no driver math."""
+    d38 = "decimal(38,0)"
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+        )
+        .agg(dsum(F.col(value_col), "v"))
+        .select(
+            "key",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.floor(F.col("v") * F.lit(float(EWMA_SCALE)))
+            .cast("long")
+            .alias("yfx"),
+        )
+    )
+    w_ord = Window.partitionBy("key").orderBy("bucket")
+    w_all = Window.partitionBy("key")
+    per = daily.select(
+        "key",
+        "bucket",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum(F.col("yfx").cast(d38))
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(d38)
+        .alias("sl"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum(F.col("yfx").cast(d38)).over(w_all).cast(d38).alias("s"),
+    )
+    cand = per.where(F.col("t") < F.col("n")).select(
+        "key",
+        "bucket",
+        "t",
+        "n",
+        "sl",
+        (F.col("s") - F.col("sl")).alias("sr"),
+        (
+            F.expr(
+                "cast(cast(cast(n - t as decimal(38,0)) * sl"
+                " - cast(t as decimal(38,0)) * (s - sl)"
+                " as string) as double)"
+            )
+        ).alias("num_d"),
+    )
+    scored = cand.select(
+        "key",
+        "bucket",
+        "t",
+        "n",
+        "sl",
+        "sr",
+        (
+            F.col("num_d")
+            * F.col("num_d")
+            / (F.col("t").cast("double") * (F.col("n") - F.col("t")).cast("double"))
+        ).alias("score"),
+    )
+    w_best = Window.partitionBy("key").orderBy(
+        F.desc("score"), F.asc("t")
+    )
+    s = float(EWMA_SCALE)
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            "key",
+            F.col("n").alias("n_periods"),
+            F.col("t").alias("cp_index"),
+            F.col("bucket").alias("cp_bucket"),
+            (
+                F.expr("cast(cast(sl as string) as double)")
+                / (F.col("t").cast("double") * F.lit(s))
+            ).alias("mean_before"),
+            (
+                F.expr("cast(cast(sr as string) as double)")
+                / ((F.col("n") - F.col("t")).cast("double") * F.lit(s))
+            ).alias("mean_after"),
+            "score",
+        )
+    )
+
+
+def sql_changepoint(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`changepoint` — identical fx
+    encoding, HUGEINT prefix sums, pinned score chain, same argmax."""
+    s = float(EWMA_SCALE)
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key,
+             CAST(EPOCH_US({ts_col}) // {unit_us} AS BIGINT) AS bucket,
+             CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) AS yfx
+      FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+    per AS (
+      SELECT key, bucket,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+             CAST(SUM(CAST(yfx AS HUGEINT)) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS sl,
+             CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+             CAST(SUM(CAST(yfx AS HUGEINT)) OVER (PARTITION BY key)
+               AS HUGEINT) AS s
+      FROM daily
+      WINDOW w AS (PARTITION BY key ORDER BY bucket)),
+    cand AS (
+      SELECT key, bucket, t, n, sl, s - sl AS sr,
+             CAST(CAST(CAST(n - t AS HUGEINT) * sl
+                       - CAST(t AS HUGEINT) * (s - sl)
+                       AS VARCHAR) AS DOUBLE) AS num_d
+      FROM per WHERE t < n),
+    scored AS (
+      SELECT key, bucket, t, n, sl, sr,
+             num_d * num_d
+               / (CAST(t AS DOUBLE) * CAST(n - t AS DOUBLE)) AS score
+      FROM cand),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY key ORDER BY score DESC, t) AS rn
+      FROM scored)
+    SELECT key, n AS n_periods, t AS cp_index, bucket AS cp_bucket,
+           CAST(CAST(sl AS VARCHAR) AS DOUBLE)
+             / (CAST(t AS DOUBLE) * {s!r}) AS mean_before,
+           CAST(CAST(sr AS VARCHAR) AS DOUBLE)
+             / (CAST(n - t AS DOUBLE) * {s!r}) AS mean_after,
+           score
+    FROM best WHERE rn = 1
+    """

@@ -1337,3 +1337,97 @@ def sql_vocabulary_drift(
     ORDER BY ABS(share_a_ppm - share_b_ppm) DESC, token ASC
     LIMIT {top_k}
     """
+
+
+def zipf_profile(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus Zipf (rank-frequency) profile: the top-k vocabulary
+    terms with their rank, frequency, corpus share, and the two
+    integer diagnostics a Zipf fit reduces to once the log-log
+    regression's transcendentals are off the cross-engine table —
+    rank·frequency (constant under an exponent-1 Zipf law; its drift
+    across ranks IS the deviation a fitted slope would report) and
+    frequency as ppm of the rank-1 term (the decay curve itself).
+    Natural corpora hold rank·freq within a small band; synthetic or
+    template-heavy corpora (and broken tokenizers) show up as a flat
+    head or a cliff — the five-minute corpus forensic next to
+    :func:`token_stats`.
+
+    Cross-engine exactness: counts, ranks, and both diagnostics are
+    exact integers (two floor divisions); ties rank (freq DESC, token
+    ASC), the repo's vocabulary-ranking convention.
+
+    Output per term: (rank, token, freq, share_ppm, rf_product,
+    of_top_ppm).
+
+    Scale shape: one explode → combinable token counts (the corpus
+    pass), a TakeOrderedAndProject top-k, then rank/diagnostics on the
+    k-row frame (the one legitimately tiny partition-less window, the
+    histogram-bins precedent) with the 1-row total joined broadcast."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    d38 = "decimal(38,0)"
+    tok = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    tot = freq.agg(F.sum("freq").cast("long").alias("total"))
+    top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(top_k)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    w_all = Window.partitionBy()
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("top_freq", F.max("freq").over(w_all).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            F.col("tok").alias("token"),
+            "freq",
+            F.expr(
+                f"cast(cast(freq as {d38}) * 1000000 div total as long)"
+            ).alias("share_ppm"),
+            (F.col("rank") * F.col("freq")).alias("rf_product"),
+            F.expr(
+                f"cast(cast(freq as {d38}) * 1000000 div top_freq as long)"
+            ).alias("of_top_ppm"),
+        )
+    )
+
+
+def sql_zipf_profile(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`zipf_profile`."""
+    return f"""
+    WITH tok AS (
+      SELECT UNNEST({sql_tokens(text_col)}) AS tok FROM {table}),
+    freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok WHERE tok != '' GROUP BY 1),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+    top AS (
+      SELECT tok, freq FROM freq
+      ORDER BY freq DESC, tok LIMIT {top_k}),
+    ranked AS (
+      SELECT tok, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT)
+               AS rank,
+             CAST(MAX(freq) OVER () AS BIGINT) AS top_freq
+      FROM top)
+    SELECT rank, tok AS token, freq,
+           CAST(CAST(freq AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS share_ppm,
+           rank * freq AS rf_product,
+           CAST(CAST(freq AS HUGEINT) * 1000000 // top_freq AS BIGINT)
+             AS of_top_ppm
+    FROM ranked CROSS JOIN tot
+    """

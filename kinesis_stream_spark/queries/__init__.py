@@ -26,25 +26,30 @@ from pyspark.sql import DataFrame, SparkSession
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
 # Round 9 window (first 50), stale-first per the rotation policy:
-# the SEVENTEEN new round-9 registrations lead (never driver-verified:
-# the pruned IVF-PQ layout, the three rows-only approx twins, TWA,
-# state durations, touch attribution, item Jaccard, PIVOT, ACF,
-# burstiness, the Z-order census, vocab drift, the sequence-gap
-# audit, daily percentile bands, ABC classification, RFM segments),
-# then the SIX queries edited this
-# round (events_seasonal_outliers / events_mad_outliers gained the
-# MAD>0 degenerate-scale guard, events_mann_kendall_trend the NULL-ts
+# the THIRTY-FOUR never-driver-verified round-9 registrations lead —
+# the first session's eighteen (the pruned IVF-PQ layout, the three
+# rows-only approx twins, TWA, state durations, touch attribution,
+# item Jaccard, PIVOT, ACF, burstiness, the Z-order census, vocab
+# drift, the sequence-gap audit, daily percentile bands, ABC
+# classification, RFM segments, conversion lag) and the second
+# session's sixteen (Gini concentration, Theil-Sen, mix shift, Markov
+# stationary, Apdex, RA link prediction, item cosine, zone-map
+# skipping, category balance, uniqueness profile, changepoint,
+# weighted median, Zipf profile, rare-term cosine, degree profile,
+# shipping-lag percentiles) — then the SIX queries edited this round
+# (events_seasonal_outliers / events_mad_outliers gained the MAD>0
+# degenerate-scale guard, events_mann_kendall_trend the NULL-ts
 # exclusion, graph_bfs_hops / graph_cheapest_path the frontier-only
 # relaxation, text_cms_heavy_hitters the sharded candidate pre-lists
-# — rows must not predate code), then ALL twenty-seven names whose
-# newest driver row is round 4 (the oldest rows in the inventory) —
-# 17 + 6 + 27 = the full 50, no fill needed. ALL THIRTY-SEVEN
-# r5-latest names (text ×11, scalar ×9, stream ×5, udf ×4,
-# multimodal ×5, events_user_diversity, events_winsorized_stats,
-# agg_approx_sketches) are the planned r10 window head, listed first
-# past the cut. Everything past the cut is driver-green at its latest
-# sampling and re-verified every session by the sf0.001 local
-# backstop.
+# — rows must not predate code), then the TEN alphabetically-first of
+# the twenty-seven names whose newest driver row is round 4 —
+# 34 + 6 + 10 = the full 50. The seventeen displaced r4-latest names
+# lead the planned r10 window head immediately past the cut, followed
+# by the thirty-seven r5-latest names (text ×11, scalar ×9, stream
+# ×5, udf ×4, multimodal ×5, events_user_diversity,
+# events_winsorized_stats, agg_approx_sketches). Everything past the
+# cut is driver-green at its latest sampling and re-verified every
+# session by the sf0.001 local backstop.
 
 #: names registered WITHOUT a DuckDB oracle by design (the driver
 #: records a rows-only row for these; the judge sees which). Only the
@@ -78,6 +83,24 @@ _PRIORITY = (
     "events_winsorized_stats_approx",
     "events_mad_outliers_approx",
     "events_seasonal_outliers_approx",
+    "events_conversion_lag",
+    # never driver-verified (second round-9 session)
+    "agg_gini_concentration",
+    "events_theil_sen_trend",
+    "events_mix_shift",
+    "events_markov_stationary",
+    "events_apdex_score",
+    "graph_link_prediction",
+    "basket_item_cosine",
+    "layout_zonemap_skipping",
+    "profile_category_balance",
+    "integrity_uniqueness_profile",
+    "events_changepoint",
+    "agg_weighted_median",
+    "text_zipf_profile",
+    "dedup_rare_term_cosine",
+    "graph_degree_profile",
+    "join_shipping_lag_percentiles",
     # edited this round (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",
@@ -85,7 +108,8 @@ _PRIORITY = (
     "graph_bfs_hops",
     "graph_cheapest_path",
     "text_cms_heavy_hitters",
-    # r4-latest rows (all 27 — oldest driver rows in the inventory)
+    # r4-latest rows (the 10 alphabetically-first of 27 — oldest
+    # driver rows in the inventory; the rest lead the r10 head below)
     "agg_histogram_price",
     "agg_salted_skew_safe",
     "events_cohort_retention",
@@ -96,6 +120,8 @@ _PRIORITY = (
     "multimodal_exact_dedup",
     "profile_orders_columns",
     "reshape_unpivot_part_dims",
+    # --- past the 50-cut: planned r10 head — the 17 displaced
+    # r4-latest names first, then the r5-latest remainder.
     "scalar_bitwise_funcs",
     "scalar_map_funcs",
     "stream_capped_sessions",
@@ -113,11 +139,7 @@ _PRIORITY = (
     "text_weighted_mixture",
     "udf_map_in_arrow_char_stats",
     "window_percent_rank_cume",
-    # --- past the 50-cut: planned r10 head. First the late-r9
-    # registration that missed the full window (never driver-verified
-    # — driver_sim-green at sf0.01 + sf0.1 this session), then the
-    # r5-latest remainder and displaced fills.
-    "events_conversion_lag",
+    # r5-latest remainder
     "multimodal_byte_stats",
     "multimodal_catalog_stats",
     "multimodal_decode_features",

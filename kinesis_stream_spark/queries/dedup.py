@@ -859,3 +859,31 @@ from kinesis_stream_spark.queries._emb_family import guard_oracles as _guard
 ORACLE["dedup_embedding_cosine_pairs"] = _guard(
     {"dedup_embedding_cosine_pairs": ORACLE["dedup_embedding_cosine_pairs"]}, 64
 )["dedup_embedding_cosine_pairs"]
+
+
+@_q("dedup_rare_term_cosine", None)  # assigned below
+def dedup_rare_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 document pairs by tf cosine over the discriminative
+    (df ≤ 20) trigram-phrase subspace — the tf-weighted MULTISET
+    sibling of the PPJoin set join, blocked by the same rare-term
+    equi-join it scores with; integer dot/norms, integer cosine²
+    threshold prune, one sqrt+divide per surviving pair
+    (operators/dedup.py)."""
+    from kinesis_stream_spark.operators.dedup import rare_term_cosine_pairs
+
+    return rare_term_cosine_pairs(
+        load_table(spark, sf_dir, "documents"),
+        ngram=3,
+        max_df=20,
+        min_cosine_ppm=500_000,
+        top_k=50,
+    )
+
+
+from kinesis_stream_spark.operators.dedup import (  # noqa: E402
+    sql_rare_term_cosine_pairs,
+)
+
+ORACLE["dedup_rare_term_cosine"] = sql_rare_term_cosine_pairs(
+    ngram=3, max_df=20, min_cosine_ppm=500_000, top_k=50
+)

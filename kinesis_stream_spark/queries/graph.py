@@ -298,3 +298,23 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_common=_RA_MIN_COMMON,
         top_k=_RA_TOP_K,
     )
+
+
+from kinesis_stream_spark.operators.graph import (  # noqa: E402
+    degree_profile,
+    sql_degree_profile,
+)
+
+
+@_q(
+    "graph_degree_profile",
+    sql_degree_profile(_EDGES_CTE) + " ORDER BY role, bucket",
+)
+def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the purchase graph, per
+    role (customer out-degree / supplier in-degree) — the tail-heaviness
+    readout every skew guard here keys off; buckets from bit length
+    (no log), integer shares (operators/graph.py)."""
+    return degree_profile(_purchase_edges(spark, sf_dir)).orderBy(
+        "role", "bucket"
+    )

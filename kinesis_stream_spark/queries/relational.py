@@ -2867,3 +2867,90 @@ ORACLE["layout_zonemap_skipping"] = (
     )
     + " ORDER BY layout"
 )
+
+
+@_q("agg_weighted_median", None)  # assigned below
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    volume-weighted centerline (the price at which half the QUANTITY
+    traded); lower-median selection rule, zero float arithmetic, the
+    value collapse then a group-partitioned cumulative window
+    (operators/quantiles.py)."""
+    from kinesis_stream_spark.operators.quantiles import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        group_col="l_returnflag",
+        val_col="l_extendedprice",
+        weight_col="l_quantity",
+    ).orderBy("group_key")
+
+
+from kinesis_stream_spark.operators.quantiles import (  # noqa: E402
+    sql_weighted_median,
+)
+
+ORACLE["agg_weighted_median"] = (
+    sql_weighted_median(
+        facts_cte=(
+            "SELECT l_returnflag AS grp, l_extendedprice AS v,"
+            " l_quantity AS w FROM lineitem"
+        ),
+    )
+    + " ORDER BY group_key"
+)
+
+
+@_q(
+    "join_shipping_lag_percentiles",
+    f"""
+    WITH lags AS (
+      SELECT o.o_orderpriority AS priority,
+             (EPOCH_US(l.l_shipdate) - EPOCH_US(o.o_orderdate))
+               // 86400000000 AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL)
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+           QUANTILE_CONT(lag_days, 0.5) AS p50,
+           QUANTILE_CONT(lag_days, 0.9) AS p90,
+           QUANTILE_CONT(lag_days, 0.99) AS p99,
+           MIN(lag_days) AS lag_min, MAX(lag_days) AS lag_max
+    FROM lags GROUP BY 1 ORDER BY priority
+    """,
+)
+def join_shipping_lag_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship lag percentile bands per order priority — the
+    cross-table SLA readout (does 'URGENT' actually ship faster?):
+    integer day lags from the fact-to-fact join, exact grouped
+    percentiles (the established percentile↔QUANTILE_CONT parity), and
+    the extents. The join shuffles on the order key — the percentile
+    pass adds no extra exchange beyond its own group-by."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "(unix_micros(cast(l_shipdate as timestamp))"
+            " - unix_micros(cast(o_orderdate as timestamp)))"
+            " div 86400000000"
+        ).alias("lag_days"),
+    )
+    return (
+        lags.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("percentile(lag_days, 0.5)").alias("p50"),
+            F.expr("percentile(lag_days, 0.9)").alias("p90"),
+            F.expr("percentile(lag_days, 0.99)").alias("p99"),
+            F.min("lag_days").alias("lag_min"),
+            F.max("lag_days").alias("lag_max"),
+        )
+        .orderBy("priority")
+    )

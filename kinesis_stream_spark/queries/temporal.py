@@ -1007,3 +1007,22 @@ ORACLE["events_mix_shift"] = sql_mix_shift() + " ORDER BY key"
 ORACLE["events_markov_stationary"] = (
     sql_markov_stationary(iterations=_MARKOV_ITERS) + " ORDER BY state"
 )
+
+
+@_q("events_changepoint", None)  # assigned below
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type single changepoint (binary segmentation) over
+    daily value sums: the split maximizing the between-segment
+    contrast, with before/after means — CUSUM alarms the drift, this
+    names the day; exact fx prefix sums, one pinned IEEE score chain,
+    deterministic argmax (operator docstring)."""
+    from kinesis_stream_spark.operators.temporal import changepoint
+
+    return changepoint(load_table(spark, sf_dir, "events")).orderBy("key")
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_changepoint,
+)
+
+ORACLE["events_changepoint"] = sql_changepoint() + " ORDER BY key"

@@ -866,3 +866,22 @@ from kinesis_stream_spark.operators.text import (  # noqa: E402
 )
 
 ORACLE["text_vocab_drift"] = sql_vocabulary_drift()
+
+
+@_q("text_zipf_profile", None)  # assigned below
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf rank-frequency profile: top-20 terms with integer
+    rank·frequency and decay diagnostics — the log-free Zipf-law
+    audit (flat head = template corpus, cliff = tokenizer bug);
+    one combinable count pass + TakeOrderedAndProject
+    (operators/text.py)."""
+    from kinesis_stream_spark.operators.text import zipf_profile
+
+    return zipf_profile(
+        load_table(spark, sf_dir, "documents"), top_k=20
+    ).orderBy("rank")
+
+
+from kinesis_stream_spark.operators.text import sql_zipf_profile  # noqa: E402
+
+ORACLE["text_zipf_profile"] = sql_zipf_profile(top_k=20) + " ORDER BY rank"

@@ -823,3 +823,69 @@ def test_zonemap_rank_uses_distributed_cumsum(spark, sf_dir):
     plan = _explain(QUERIES["layout_zonemap_skipping"](spark, sf_dir))
     assert "hashpartitioning(_ds_pid" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_changepoint_windows_are_key_partitioned_no_join(spark, sf_dir):
+    """The prefix-sum identity replaces the pairwise join — the plan
+    must hold key-partitioned windows and NO join at all."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_changepoint"](spark, sf_dir))
+    assert "hashpartitioning(key" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_collapses_then_group_window(spark, sf_dir):
+    """Values must collapse to the (group, value) frame before the
+    cumulative window — the window never sees raw corpus rows — and
+    the window is group-partitioned."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["agg_weighted_median"](spark, sf_dir))
+    assert "hashpartitioning(grp" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_topk_partial_before_rank(spark, sf_dir):
+    """The corpus-sized frame ends at TakeOrderedAndProject; the
+    partition-less rank window runs on the k-row survivor frame."""
+    from kinesis_stream_spark.queries.text import QUERIES
+
+    plan = _explain(QUERIES["text_zipf_profile"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rare_term_cosine_blocked_join_topk_partial(spark, sf_dir):
+    """Pair candidates must come from the rare-term equi-join (never
+    all-pairs) and the top-k must be a partial TakeOrderedAndProject."""
+    from kinesis_stream_spark.queries.dedup import QUERIES
+
+    plan = _explain(QUERIES["dedup_rare_term_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_degree_profile_totals_broadcast_no_window(spark, sf_dir):
+    """Role totals ride broadcast 1-row frames; the Spark side never
+    needs the oracle's partition-less COUNT(*) OVER ()."""
+    from kinesis_stream_spark.queries.graph import QUERIES
+
+    plan = _explain(QUERIES["graph_degree_profile"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shipping_lag_join_prunes_columns(spark, sf_dir):
+    """The fact-to-fact join must scan only the four columns the lag
+    percentiles need."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["join_shipping_lag_percentiles"](spark, sf_dir))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    joined = " ".join(read_schemas)
+    assert "l_extendedprice" not in joined and "o_totalprice" not in joined
