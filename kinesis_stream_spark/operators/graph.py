@@ -1182,3 +1182,150 @@ def sql_degree_profile(edges_cte: str) -> str:
     """
         + " UNION ALL ".join(roles)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of a directed edge list (Newman 2002): the
+    Pearson correlation, over EDGES, between the source's out-degree
+    and the destination's in-degree — positive means hubs wire to
+    hubs (social cores), negative means hubs wire to leaves
+    (hub-and-spoke, most purchase/dependency graphs). One number that
+    predicts how a graph partitions: disassortative graphs salt well
+    (hub edges spread over leaf partitions); assortative ones
+    concentrate hot edges and need the skew guards.
+
+    Exactness: degrees are exact integers; the five moments (Σx, Σy,
+    Σxy, Σx², Σy²) accumulate in DECIMAL(38,0)/HUGEINT over d19
+    products (the numeric_correlations discipline); the final r is
+    num/(√vx·√vy) — two sqrts, one divide, pinned order. Degenerate
+    variance (all sources equal degree, or all destinations) yields
+    NULL r via lazy CASE. Duplicate edges collapse; NULL endpoints
+    drop.
+
+    Output: ONE row (n_edges, n_sources, n_destinations, mean_out,
+    mean_in, r).
+
+    Scale shape: one distinct edge pass, two combinable degree
+    aggregates joined back edge-keyed (src-keyed then dst-keyed — both
+    equi joins on the degree frames, broadcastable when the node set
+    fits), one 1-row moment reduce. No window, no iteration."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ind = e.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    per_edge = e.join(outd, "src").join(ind, "dst")
+    m = per_edge.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("src").cast("long").alias("n_src"),
+        F.count_distinct("dst").cast("long").alias("n_dst"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((F.col("x").cast(d19) * F.col("y").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum((F.col("x").cast(d19) * F.col("x").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum((F.col("y").cast(d19) * F.col("y").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("syy"),
+    )
+    n_d = F.col("n").cast(d38)
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.col("n_src").alias("n_sources"),
+        F.col("n_dst").alias("n_destinations"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("cast(cast(sx as string) as double)")
+            / F.col("n").cast("double"),
+        ).alias("mean_out"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("cast(cast(sy as string) as double)")
+            / F.col("n").cast("double"),
+        ).alias("mean_in"),
+        F.when(
+            (vx == 0) | (vy == 0) | (F.col("n") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.expr(
+                "cast(cast(cast(n as decimal(38,0)) * sxy - sx * sy"
+                " as string) as double)"
+            )
+            / (
+                F.sqrt(
+                    F.expr(
+                        "cast(cast(cast(n as decimal(38,0)) * sxx - sx * sx"
+                        " as string) as double)"
+                    )
+                )
+                * F.sqrt(
+                    F.expr(
+                        "cast(cast(cast(n as decimal(38,0)) * syy - sy * sy"
+                        " as string) as double)"
+                    )
+                )
+            )
+        )
+        .alias("r"),
+    )
+
+
+def sql_degree_assortativity(edges_cte: str) -> str:
+    """DuckDB oracle twin of :func:`degree_assortativity`."""
+    return f"""
+    WITH rawe AS ({edges_cte}),
+    e AS (SELECT DISTINCT src, dst FROM rawe
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1),
+    ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY 1),
+    pe AS (
+      SELECT o.x, i.y, e.src, e.dst
+      FROM e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+             CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM pe)
+    SELECT n AS n_edges, n_src AS n_sources, n_dst AS n_destinations,
+           CASE WHEN n > 0 THEN
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS mean_out,
+           CASE WHEN n > 0 THEN
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS mean_in,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0
+                  OR CAST(n AS HUGEINT) * syy - sy * sy = 0
+                  OR n = 0 THEN NULL
+                ELSE CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+                               AS VARCHAR) AS DOUBLE)
+                     / (SQRT(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                       AS VARCHAR) AS DOUBLE))
+                        * SQRT(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                          AS VARCHAR) AS DOUBLE)))
+           END AS r
+    FROM m
+    """

@@ -419,3 +419,114 @@ def sql_phrase_search(
         )
         HAVING COUNT(*) > 0""")
     return " UNION ALL ".join(branches)
+
+
+def prf_expansion(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 5,
+    t: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio's positive
+    step, tf·idf term selection — Rocchio 1971; Buckley et al. TREC):
+    retrieve each query's top ``m`` documents with :func:`bm25_topk`,
+    pool their vocabulary, drop the original query terms, and emit the
+    top ``t`` expansion terms by pooled tf × corpus idf — the
+    second-pass vocabulary a recall-starved retrieval adds ("kinesis"
+    → "shard checkpoint lease"). Retrieval-family composite: the
+    shortlist comes from the oracled BM25 operator, the idf weighting
+    is the keyword-extraction fixed point.
+
+    Cross-engine exactness: the shortlist is the BM25 operator's
+    (exact-fx ordered, doc-id tiebroken); idf_fx is the
+    keyword-extraction pinned chain (ONE IEEE divide per vocabulary
+    term, floored into 2^20 BIGINT); expansion scores are exact BIGINT
+    Σ tf·idf_fx; ranks tiebreak (score desc, term asc).
+
+    Output per (query, rank ≤ t): (query_id, rank, term, in_docs,
+    pooled_tf, score_fx).
+
+    Scale shape: the corpus cost is the BM25 pass plus ONE (doc, term)
+    tf aggregate (shared shape with keyword extraction); the shortlist
+    (|queries|·m rows) joins the tf frame doc-keyed and BROADCAST; the
+    pooled reduce and the per-query top-t window run on
+    shortlist-vocabulary-sized frames. Query terms leave via a
+    broadcast anti join."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if t < 1:
+        raise ValueError(f"t must be >= 1, got {t}")
+    short = bm25_topk(
+        docs,
+        queries,
+        k=m,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    ).select("query_id", "doc_id")
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    idf = dfc.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(
+            (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double")
+            / (2 * F.col("df") + 1).cast("double")
+            * F.lit(float(1 << 20))
+        )
+        .cast("long")
+        .alias("idf_fx"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    pooled = (
+        tf.join(F.broadcast(short), "doc_id")
+        .join(F.broadcast(qterms), ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("in_docs"),
+            F.sum("tf").cast("long").alias("pooled_tf"),
+        )
+        .join(idf, "term")
+        .select(
+            "query_id",
+            "term",
+            "in_docs",
+            "pooled_tf",
+            (F.col("pooled_tf") * F.col("idf_fx")).alias("score_fx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fx"), F.asc("term")
+    )
+    return (
+        pooled.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= t)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "in_docs",
+            "pooled_tf",
+            "score_fx",
+        )
+    )

@@ -206,3 +206,70 @@ def sql_vocab_coverage(
     GROUP BY pct
     ORDER BY pct
     """
+
+
+def sql_prf_expansion(
+    query_values: tuple[tuple[int, str], ...],
+    *,
+    m: int = 5,
+    t: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for
+    :func:`~kinesis_stream_spark.operators.retrieval.prf_expansion`:
+    the full BM25 oracle rides as a derived-table shortlist, then the
+    keyword-extraction idf chain scores the pooled vocabulary."""
+    toks = sql_tokens(text_col)
+    bm25 = sql_bm25_topk(
+        query_values, k=m, table=table, id_col=id_col, text_col=text_col
+    )
+    values = ", ".join(
+        "({}, '{}')".format(qid, qtext.replace("'", "''"))
+        for qid, qtext in query_values
+    )
+    return f"""
+    WITH short AS (
+      SELECT query_id, doc_id FROM ({bm25})),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col} AS doc_id, UNNEST({toks}) AS term
+            FROM {table})
+      GROUP BY 1, 2),
+    dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}
+          WHERE {text_col} IS NOT NULL),
+    idf AS (
+      SELECT term,
+             CAST(FLOOR(CAST(2*(n_docs - df) + 1 AS DOUBLE)
+                        / CAST(2*df + 1 AS DOUBLE)
+                        * {float(1 << 20)!r}) AS BIGINT) AS idf_fx
+      FROM dfc CROSS JOIN n),
+    qraw AS (SELECT * FROM (VALUES {values}) AS q(query_id, qtext)),
+    qterms AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             UNNEST(LIST_DISTINCT({sql_tokens('qtext')})) AS term
+      FROM qraw),
+    pooled AS (
+      SELECT s.query_id, f.term,
+             CAST(COUNT(*) AS BIGINT) AS in_docs,
+             CAST(SUM(f.tf) AS BIGINT) AS pooled_tf
+      FROM tf f JOIN short s ON f.doc_id = s.doc_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM qterms q
+        WHERE q.query_id = s.query_id AND q.term = f.term)
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.query_id, p.term, p.in_docs, p.pooled_tf,
+             p.pooled_tf * i.idf_fx AS score_fx
+      FROM pooled p JOIN idf i USING (term)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_fx DESC, term) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS INT) AS rank, term, in_docs,
+           pooled_tf, score_fx
+    FROM ranked WHERE rank <= {t}
+    """

@@ -523,7 +523,10 @@ def gini_concentration(
     return m.select(
         F.col("grp").alias("group_key"),
         "n_keys",
-        F.col("sx").alias("total_micro"),
+        # BIGINT presentation cast: keeps the driver's pandas frames
+        # integer-typed on both engines (Decimal/HUGEINT output columns
+        # upcast differently)
+        F.col("sx").cast("long").alias("total_micro"),
         F.when(
             F.col("sx") > 0,
             F.expr(
@@ -560,7 +563,7 @@ def sql_gini_concentration(
              CAST(SUM(CAST(rank AS HUGEINT) * x_u) AS HUGEINT) AS six
       FROM ranked GROUP BY 1)
     SELECT grp AS group_key, n_keys,
-           sx AS total_micro,
+           CAST(sx AS BIGINT) AS total_micro,
            CASE WHEN sx > 0 THEN
              CAST((2 * six - CAST(n_keys + 1 AS HUGEINT) * sx) * 1000000
                   // (CAST(n_keys AS HUGEINT) * sx) AS BIGINT)

@@ -3168,3 +3168,248 @@ def sql_changepoint(
            score
     FROM best WHERE rn = 1
     """
+
+
+def anomaly_episodes(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    ratio_num: int = 3,
+    ratio_den: int = 2,
+) -> DataFrame:
+    """Per-key anomaly EPISODES: maximal runs of consecutive periods
+    whose value sum exceeds ``ratio_num/ratio_den`` × the key's mean
+    period sum — the detector outputs an incident LIST (start, end,
+    duration, peak), which is what gets paged on and post-mortemed;
+    the point detectors (:func:`mad_outliers`,
+    :func:`seasonal_residual_outliers`) flag rows, this stitches them
+    into incidents. Consecutiveness is calendar-strict: a quiet gap
+    day (even one with NO data) ends the episode — bucket−rank
+    islands over the flagged frame, the gaps-and-islands id that
+    needs no lag chain.
+
+    Flagging is integer-exact: period fx sums (the :func:`ewma`
+    encoding), and the threshold compare runs as
+    den·n·yfx > num·Σy in DECIMAL(38,0) cross-multiplication — no
+    mean is ever materialized, no division anywhere in the predicate.
+    Peak value is the episode's max fx, exact power-of-two divide to
+    value units. NULL timestamps are excluded by the family contract.
+    Keys whose total is non-positive flag nothing (a mean-multiple
+    threshold is meaningless below zero — the MAD family handles
+    those; lazily-guarded on both engines).
+
+    Output per episode: (key, start_bucket, end_bucket, n_periods,
+    peak_value).
+
+    Scale shape: one map-side-combinable (key, bucket) aggregate, a
+    broadcastable per-key totals join, a key-partitioned rank window
+    over the FLAGGED subset only, one combinable island reduce."""
+    if ratio_num <= 0 or ratio_den <= 0:
+        raise ValueError(
+            f"ratio must be positive, got {ratio_num}/{ratio_den}"
+        )
+    d38 = "decimal(38,0)"
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+        )
+        .agg(dsum(F.col(value_col), "v"))
+        .select(
+            "key",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.floor(F.col("v") * F.lit(float(EWMA_SCALE)))
+            .cast("long")
+            .alias("yfx"),
+        )
+    )
+    tot = daily.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("yfx").cast(d38)).cast(d38).alias("s"),
+    )
+    flagged = daily.join(tot, "key").where(
+        (F.col("s") > 0)
+        & (
+            F.col("yfx").cast(d38) * F.col("n") * ratio_den
+            > F.col("s") * ratio_num
+        )
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    runs = flagged.select(
+        "key",
+        "bucket",
+        "yfx",
+        (F.col("bucket") - F.row_number().over(w)).alias("island"),
+    )
+    return runs.groupBy("key", "island").agg(
+        F.min("bucket").alias("start_bucket"),
+        F.max("bucket").alias("end_bucket"),
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        (F.max("yfx").cast("double") / F.lit(float(EWMA_SCALE))).alias(
+            "peak_value"
+        ),
+    ).drop("island")
+
+
+def sql_anomaly_episodes(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    ratio_num: int = 3,
+    ratio_den: int = 2,
+) -> str:
+    """DuckDB oracle twin of :func:`anomaly_episodes`."""
+    s = float(EWMA_SCALE)
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key,
+             CAST(EPOCH_US({ts_col}) // {unit_us} AS BIGINT) AS bucket,
+             CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) AS yfx
+      FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(yfx AS HUGEINT)) AS HUGEINT) AS s
+      FROM daily GROUP BY 1),
+    flagged AS (
+      SELECT d.key, d.bucket, d.yfx
+      FROM daily d JOIN tot t ON d.key = t.key
+      WHERE t.s > 0
+        AND CAST(d.yfx AS HUGEINT) * t.n * {ratio_den}
+            > t.s * {ratio_num}),
+    runs AS (
+      SELECT key, bucket, yfx,
+             bucket - ROW_NUMBER() OVER (
+               PARTITION BY key ORDER BY bucket) AS island
+      FROM flagged)
+    SELECT key, MIN(bucket) AS start_bucket, MAX(bucket) AS end_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_periods,
+           CAST(MAX(yfx) AS DOUBLE) / {s!r} AS peak_value
+    FROM runs GROUP BY key, island
+    """
+
+
+WEEK_US = 7 * DAY_US
+
+
+def cohort_ltv(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = WEEK_US,
+) -> DataFrame:
+    """Cohort lifetime-value curve: entities cohorted by their FIRST
+    conversion week, each cohort's per-age revenue and its running
+    cumulative — the LTV triangle finance reads payback periods off.
+    The revenue companion of the retention matrix (cohort retention
+    counts who came back; this sums what they spent, cumulatively).
+
+    Cross-engine exactness: revenue lands in exact integer micro-units
+    (DECIMAL(27,6) sum × 10^6, the ABC/Gini discipline); active
+    counts are exact distincts; the cumulative rides a
+    cohort-partitioned window over the cohort×age grid — all integer.
+    NULL entity/ts conversions are excluded (the RFM contract); NULL
+    values count as zero revenue but keep the entity active.
+
+    Output per (cohort, age): (cohort_week, age_weeks, n_active,
+    revenue_micro, cum_revenue_micro).
+
+    Scale shape: one conversion-filtered scan → per-entity min-bucket
+    (combinable) → entity-keyed join back (the cohort assignment, the
+    one shuffle the triangle needs) → (cohort, age) combinable
+    aggregate → a window over the GRID-SIZED frame (weeks², not
+    rows)."""
+    d38 = "decimal(38,0)"
+    conv = events.where(
+        (F.col(type_col) == conversion_type)
+        & F.col(entity_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("ent"),
+        _bucket(ts_col, unit_us).cast("long").alias("week"),
+        F.col(value_col).alias("val"),
+    )
+    first = conv.groupBy("ent").agg(F.min("week").alias("cohort_week"))
+    aged = conv.join(first, "ent").select(
+        "ent",
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+        "val",
+    )
+    grid = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.count_distinct("ent").cast("long").alias("n_active"),
+        F.coalesce(
+            F.expr(
+                f"cast(sum(cast(val as decimal(27,6))) * 1000000 as {d38})"
+            ),
+            F.lit(0).cast(d38),
+        ).alias("revenue_micro"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # BIGINT presentation casts (the ABC precedent): micro-unit sums
+    # accumulate in DECIMAL(38,0)/HUGEINT internally, but the OUTPUT
+    # lands in BIGINT on both engines so the driver's pandas frames
+    # carry identical integer dtypes (a Decimal/HUGEINT output column
+    # upcasts differently per engine)
+    return grid.select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        F.col("revenue_micro").cast("long").alias("revenue_micro"),
+        F.sum("revenue_micro").over(w).cast("long").alias(
+            "cum_revenue_micro"
+        ),
+    )
+
+
+def sql_cohort_ltv(
+    *,
+    table: str = "events",
+    conversion_type: str = "purchase",
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = WEEK_US,
+) -> str:
+    """DuckDB oracle twin of :func:`cohort_ltv`."""
+    return f"""
+    WITH conv AS (
+      SELECT {entity_col} AS ent,
+             CAST(EPOCH_US({ts_col}) // {unit_us} AS BIGINT) AS week,
+             {value_col} AS val
+      FROM {table}
+      WHERE {type_col} = '{conversion_type}'
+        AND {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+    first AS (SELECT ent, MIN(week) AS cohort_week FROM conv GROUP BY 1),
+    aged AS (
+      SELECT c.ent, f.cohort_week, c.week - f.cohort_week AS age_weeks,
+             c.val
+      FROM conv c JOIN first f ON c.ent = f.ent),
+    grid AS (
+      SELECT cohort_week, age_weeks,
+             CAST(COUNT(DISTINCT ent) AS BIGINT) AS n_active,
+             CAST(COALESCE(SUM(CAST(val AS DECIMAL(27,6))) * 1000000, 0)
+                  AS HUGEINT) AS revenue_micro
+      FROM aged GROUP BY 1, 2)
+    SELECT cohort_week, age_weeks, n_active,
+           CAST(revenue_micro AS BIGINT) AS revenue_micro,
+           CAST(SUM(revenue_micro) OVER (
+             PARTITION BY cohort_week ORDER BY age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_revenue_micro
+    FROM grid
+    """

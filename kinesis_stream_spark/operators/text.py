@@ -1431,3 +1431,90 @@ def sql_zipf_profile(
              AS of_top_ppm
     FROM ranked CROSS JOIN tot
     """
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical-diversity profile: token count, type
+    (distinct-token) count, hapax legomena (types occurring once),
+    type-token ratio and hapax share in integer ppm — the
+    vocabulary-richness screen next to the repetition filter
+    (:func:`repetition_stats` catches copy-paste REPEATS; a LOW TTR
+    with no long repeat catches template slot-filling, and a hapax
+    share near 1 on long docs catches OCR noise and mojibake). The
+    corpus-level twin is :func:`zipf_profile`; this is the per-row
+    quality signal a curation pipeline thresholds on.
+
+    Integer arithmetic end to end (two floor divisions). Documents
+    with NULL text or zero non-empty tokens are absent by contract
+    (nothing to measure).
+
+    Output per doc: (doc_id, n_tokens, n_types, n_hapax, ttr_ppm,
+    hapax_share_ppm).
+
+    Scale shape: one explode → (doc, token) counts (map-side
+    combinable) → one per-doc reduce. No join, no window, no second
+    corpus pass."""
+    d38 = "decimal(38,0)"
+    tf = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    per = tf.groupBy("doc").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return per.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(
+            f"cast(cast(n_types as {d38}) * 1000000 div n_tokens as long)"
+        ).alias("ttr_ppm"),
+        F.expr(
+            f"cast(cast(n_hapax as {d38}) * 1000000 div n_types as long)"
+        ).alias("hapax_share_ppm"),
+    )
+
+
+def sql_lexical_diversity(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`lexical_diversity`."""
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS doc, UNNEST({sql_tokens(text_col)}) AS tok
+      FROM {table} WHERE {text_col} IS NOT NULL),
+    tf AS (
+      SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE tok != '' GROUP BY 1, 2),
+    per AS (
+      SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tf GROUP BY 1)
+    SELECT doc AS doc_id, n_tokens, n_types, n_hapax,
+           CAST(CAST(n_types AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+             AS ttr_ppm,
+           CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_types AS BIGINT)
+             AS hapax_share_ppm
+    FROM per
+    """

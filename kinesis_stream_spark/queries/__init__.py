@@ -32,18 +32,20 @@ from pyspark.sql import DataFrame, SparkSession
 # item Jaccard, PIVOT, ACF, burstiness, the Z-order census, vocab
 # drift, the sequence-gap audit, daily percentile bands, ABC
 # classification, RFM segments, conversion lag) and the second
-# session's sixteen (Gini concentration, Theil-Sen, mix shift, Markov
-# stationary, Apdex, RA link prediction, item cosine, zone-map
+# session's twenty-one (Gini concentration, Theil-Sen, mix shift,
+# Markov stationary, Apdex, RA link prediction, item cosine, zone-map
 # skipping, category balance, uniqueness profile, changepoint,
 # weighted median, Zipf profile, rare-term cosine, degree profile,
-# shipping-lag percentiles) — then the SIX queries edited this round
-# (events_seasonal_outliers / events_mad_outliers gained the MAD>0
-# degenerate-scale guard, events_mann_kendall_trend the NULL-ts
-# exclusion, graph_bfs_hops / graph_cheapest_path the frontier-only
-# relaxation, text_cms_heavy_hitters the sharded candidate pre-lists
-# — rows must not predate code), then the TEN alphabetically-first of
-# the twenty-seven names whose newest driver row is round 4 —
-# 34 + 6 + 10 = the full 50. The seventeen displaced r4-latest names
+# shipping-lag percentiles, anomaly episodes, cohort LTV, lexical
+# diversity, assortativity, PRF expansion) — 39 total — then the SIX
+# queries edited this round (events_seasonal_outliers /
+# events_mad_outliers gained the MAD>0 degenerate-scale guard,
+# events_mann_kendall_trend the NULL-ts exclusion, graph_bfs_hops /
+# graph_cheapest_path the frontier-only relaxation,
+# text_cms_heavy_hitters the sharded candidate pre-lists — rows must
+# not predate code), then the FIVE alphabetically-first of the
+# twenty-seven names whose newest driver row is round 4 —
+# 39 + 6 + 5 = the full 50. The twenty-two displaced r4-latest names
 # lead the planned r10 window head immediately past the cut, followed
 # by the thirty-seven r5-latest names (text ×11, scalar ×9, stream
 # ×5, udf ×4, multimodal ×5, events_user_diversity,
@@ -101,6 +103,12 @@ _PRIORITY = (
     "dedup_rare_term_cosine",
     "graph_degree_profile",
     "join_shipping_lag_percentiles",
+    # never driver-verified (second round-9 session, third wave)
+    "events_anomaly_episodes",
+    "events_cohort_ltv",
+    "text_lexical_diversity",
+    "graph_assortativity",
+    "retrieval_prf_expansion",
     # edited this round (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",
@@ -108,20 +116,20 @@ _PRIORITY = (
     "graph_bfs_hops",
     "graph_cheapest_path",
     "text_cms_heavy_hitters",
-    # r4-latest rows (the 10 alphabetically-first of 27 — oldest
+    # r4-latest rows (the 5 alphabetically-first of 27 — oldest
     # driver rows in the inventory; the rest lead the r10 head below)
     "agg_histogram_price",
     "agg_salted_skew_safe",
     "events_cohort_retention",
     "integrity_referential_audit",
     "integrity_snapshot_diff",
+    # --- past the 50-cut: planned r10 head — the 22 displaced
+    # r4-latest names first, then the r5-latest remainder.
     "integrity_table_checksum",
     "join_lateral_top2_orders",
     "multimodal_exact_dedup",
     "profile_orders_columns",
     "reshape_unpivot_part_dims",
-    # --- past the 50-cut: planned r10 head — the 17 displaced
-    # r4-latest names first, then the r5-latest remainder.
     "scalar_bitwise_funcs",
     "scalar_map_funcs",
     "stream_capped_sessions",

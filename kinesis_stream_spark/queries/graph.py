@@ -318,3 +318,22 @@ def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_profile(_purchase_edges(spark, sf_dir)).orderBy(
         "role", "bucket"
     )
+
+
+from kinesis_stream_spark.operators.graph import (  # noqa: E402
+    degree_assortativity,
+    sql_degree_assortativity,
+)
+
+
+@_q(
+    "graph_assortativity",
+    sql_degree_assortativity(_EDGES_CTE),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the purchase graph — do high-volume
+    customers buy from high-volume suppliers? One Pearson r over
+    edges (exact HUGEINT moments, two sqrts + one divide), the
+    partition-strategy telltale next to the degree profile
+    (operators/graph.py)."""
+    return degree_assortativity(_purchase_edges(spark, sf_dir))

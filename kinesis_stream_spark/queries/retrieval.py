@@ -166,3 +166,30 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation strategies must agree (operators/retrieval.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, list(PHRASES)).orderBy("phrase")
+
+
+from kinesis_stream_spark.operators.retrieval import prf_expansion  # noqa: E402
+from kinesis_stream_spark.operators.retrieval_sql import (  # noqa: E402
+    sql_prf_expansion,
+)
+
+_PRF_M, _PRF_T = 5, 5
+
+
+@_q(
+    "retrieval_prf_expansion",
+    sql_prf_expansion(BM25_QUERIES, m=_PRF_M, t=_PRF_T),
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance-feedback expansion: top-5 expansion
+    terms per query from the BM25 top-5 pool, scored by exact
+    pooled-tf × fixed-point idf with the original query terms anti-
+    joined out — the recall-recovery second pass
+    (operators/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id long, qtext string"
+    )
+    return prf_expansion(docs, qdf, m=_PRF_M, t=_PRF_T).orderBy(
+        "query_id", "rank"
+    )

@@ -1026,3 +1026,44 @@ from kinesis_stream_spark.operators.temporal import (  # noqa: E402
 )
 
 ORACLE["events_changepoint"] = sql_changepoint() + " ORDER BY key"
+
+
+@_q("events_anomaly_episodes", None)  # assigned below
+def events_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type anomaly episodes: maximal consecutive-day runs
+    whose value sum exceeds 1.5× the key's mean day, as incident rows
+    (start, end, duration, peak) — the point detectors stitched into
+    what actually gets paged; integer cross-multiplied threshold,
+    bucket−rank islands (operator docstring)."""
+    from kinesis_stream_spark.operators.temporal import anomaly_episodes
+
+    return anomaly_episodes(load_table(spark, sf_dir, "events")).orderBy(
+        "key", "start_bucket"
+    )
+
+
+@_q("events_cohort_ltv", None)  # assigned below
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort LTV triangle over purchases: per (first-purchase
+    week, age) the active buyers, exact micro-unit revenue, and the
+    running cumulative a payback analysis reads — integer end to end,
+    cohort-partitioned window on the grid frame (operator
+    docstring)."""
+    from kinesis_stream_spark.operators.temporal import cohort_ltv
+
+    return cohort_ltv(load_table(spark, sf_dir, "events")).orderBy(
+        "cohort_week", "age_weeks"
+    )
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_anomaly_episodes,
+    sql_cohort_ltv,
+)
+
+ORACLE["events_anomaly_episodes"] = (
+    sql_anomaly_episodes() + " ORDER BY key, start_bucket"
+)
+ORACLE["events_cohort_ltv"] = (
+    sql_cohort_ltv() + " ORDER BY cohort_week, age_weeks"
+)

@@ -885,3 +885,26 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kinesis_stream_spark.operators.text import sql_zipf_profile  # noqa: E402
 
 ORACLE["text_zipf_profile"] = sql_zipf_profile(top_k=20) + " ORDER BY rank"
+
+
+@_q("text_lexical_diversity", None)  # assigned below
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and hapax
+    share in integer ppm — the vocabulary-richness quality signal
+    beside the repetition filter (low TTR = template slot-filling,
+    hapax ≈ 1 on long docs = OCR noise); one explode, one reduce
+    (operators/text.py)."""
+    from kinesis_stream_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+from kinesis_stream_spark.operators.text import (  # noqa: E402
+    sql_lexical_diversity,
+)
+
+ORACLE["text_lexical_diversity"] = (
+    sql_lexical_diversity() + " ORDER BY doc_id"
+)

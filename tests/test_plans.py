@@ -889,3 +889,49 @@ def test_shipping_lag_join_prunes_columns(spark, sf_dir):
     assert read_schemas
     joined = " ".join(read_schemas)
     assert "l_extendedprice" not in joined and "o_totalprice" not in joined
+
+
+def test_anomaly_episodes_island_window_key_partitioned(spark, sf_dir):
+    """The island rank runs only on the flagged subset under a
+    key-partitioned window; the totals join is key-keyed equi."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_anomaly_episodes"](spark, sf_dir))
+    assert "hashpartitioning(key" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_window_is_cohort_partitioned(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_cohort_ltv"](spark, sf_dir))
+    assert "hashpartitioning(cohort_week" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lexical_diversity_single_pass_no_join(spark, sf_dir):
+    from kinesis_stream_spark.queries.text import QUERIES
+
+    plan = _explain(QUERIES["text_lexical_diversity"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_assortativity_degree_joins_are_equi(spark, sf_dir):
+    from kinesis_stream_spark.queries.graph import QUERIES
+
+    plan = _explain(QUERIES["graph_assortativity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_prf_expansion_shortlist_broadcasts(spark, sf_dir):
+    """The corpus tf frame must join the (queries·m)-row shortlist and
+    the query-term exclusion broadcast — the corpus side never
+    shuffles for them."""
+    from kinesis_stream_spark.queries.retrieval import QUERIES
+
+    plan = _explain(QUERIES["retrieval_prf_expansion"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti BuildRight" in plan
+    assert "CartesianProduct" not in plan
