@@ -353,3 +353,128 @@ def embedding_drift(
         )
         .orderBy("cid")
     )
+
+
+INERTIA_SCALE = 1 << 20
+
+
+def label_inertia(
+    emb: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label cluster inertia (within-class sum of squared
+    distances to the class centroid) plus the grand '__all__' row —
+    the k-means objective read off EXISTING labels: how compact each
+    class is, and (between = all − Σ within, the ANOVA identity) how
+    much of the corpus's variance the labels explain. The
+    embedding-quality screen beside recall@k: labels whose within-SSE
+    rivals the grand SSE carry no geometric signal, and a class whose
+    inertia explodes between snapshots has drifted (the per-class
+    refinement of :func:`embedding_drift`).
+
+    No centroid is ever materialized: per (label, dim) the identity
+    Σ‖x−μ‖² = (n·Σx² − (Σx)²)/n runs on exact fixed-point moments —
+    elements floor into 2^20 BIGINT, Σx / Σx² accumulate in
+    DECIMAL(38,0)/HUGEINT, the per-dim numerators add EXACTLY across
+    dims, and the ONLY float op is one final VARCHAR-routed divide per
+    output row. Vectors pass the :func:`~kinesis_stream_spark
+    .functions.vectors.valid_vector` guard upstream (the caller's
+    contract, same as every embeddings query); NULL labels form their
+    own row (a profiler reports the unlabeled slice).
+
+    Output: (label_key, n_vectors, inertia, mean_sq_radius) — label
+    '__all__' is the whole-corpus row; inertia in squared value
+    units, mean_sq_radius = inertia/n.
+
+    Scale shape: one posexplode (64× map-local multiplier) → one
+    combinable (label, dim) moment aggregate → a labels×64-row
+    reduce. No join, no window, no centroid broadcast."""
+    d38 = "decimal(38,0)"
+    s2 = float(INERTIA_SCALE) * float(INERTIA_SCALE)
+    base = emb.select(
+        F.coalesce(F.col(label_col).cast("string"), F.lit("__null__")).alias(
+            "lbl"
+        ),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "lbl",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(INERTIA_SCALE)))
+        .cast("long")
+        .alias("xfx"),
+    )
+    levels = base.unionAll(
+        base.select(F.lit("__all__").alias("lbl"), "pos", "xfx")
+    )
+    mom = levels.groupBy("lbl", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xfx").cast(d38)).cast(d38).alias("sx"),
+        F.sum(
+            (F.col("xfx").cast("decimal(19,0)") * F.col("xfx")).cast(d38)
+        )
+        .cast(d38)
+        .alias("sxx"),
+    )
+    per = mom.groupBy("lbl").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum(
+            F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        .cast(d38)
+        .alias("num"),
+    )
+    inertia = F.expr("cast(cast(num as string) as double)") / (
+        F.col("n_vectors").cast("double") * F.lit(s2)
+    )
+    return per.select(
+        F.col("lbl").alias("label_key"),
+        "n_vectors",
+        F.when(F.col("n_vectors") > 0, inertia).alias("inertia"),
+        F.when(
+            F.col("n_vectors") > 0,
+            inertia / F.col("n_vectors").cast("double"),
+        ).alias("mean_sq_radius"),
+    )
+
+
+def sql_label_inertia(
+    *,
+    table: str = "embeddings",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of :func:`label_inertia`."""
+    s2 = float(INERTIA_SCALE) * float(INERTIA_SCALE)
+    return f"""
+    WITH base AS (
+      SELECT COALESCE(CAST(t.{label_col} AS VARCHAR), '__null__') AS lbl,
+             r.pos,
+             CAST(FLOOR(CAST(t.{vec_col}[r.pos] AS DOUBLE)
+                        * {float(INERTIA_SCALE)!r}) AS BIGINT) AS xfx
+      FROM {table} t,
+           UNNEST(RANGE(1, LEN(t.{vec_col}) + 1)) r(pos)),
+    levels AS (
+      SELECT lbl, pos, xfx FROM base
+      UNION ALL SELECT '__all__', pos, xfx FROM base),
+    mom AS (
+      SELECT lbl, pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(xfx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(xfx AS HUGEINT) * xfx) AS HUGEINT) AS sxx
+      FROM levels GROUP BY 1, 2),
+    per AS (
+      SELECT lbl, CAST(MAX(n) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(n AS HUGEINT) * sxx - sx * sx) AS HUGEINT)
+               AS num
+      FROM mom GROUP BY 1)
+    SELECT lbl AS label_key, n_vectors,
+           CASE WHEN n_vectors > 0 THEN
+             CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / (CAST(n_vectors AS DOUBLE) * {s2!r}) END AS inertia,
+           CASE WHEN n_vectors > 0 THEN
+             CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / (CAST(n_vectors AS DOUBLE) * {s2!r})
+             / CAST(n_vectors AS DOUBLE) END AS mean_sq_radius
+    FROM per
+    """

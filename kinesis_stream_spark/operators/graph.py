@@ -1329,3 +1329,75 @@ def sql_degree_assortativity(edges_cte: str) -> str:
            END AS r
     FROM m
     """
+
+
+def reciprocity(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of edges whose reverse
+    edge also exists (Garlaschelli & Loffredo 2004) — on an
+    interaction graph this is the mutual-relationship rate; on a
+    commerce graph wired purchase-forward / return-backward it is the
+    exact "bought AND came back the other way" rate the returns desk
+    watches. Self-loops are excluded (trivially reciprocal).
+
+    Exactness: one distinct edge pass, one self-LEFT-SEMI-join on the
+    reversed key, exact counts, one integer floor division
+    (reciprocity in ppm). An empty graph yields one row of zeros with
+    NULL reciprocity (lazy CASE).
+
+    Output: ONE row (n_edges, n_reciprocated, reciprocity_ppm).
+
+    Scale shape: distinct collapse (map-side combinable), one
+    equi-join on (dst, src) against itself, a 1-row reduce — the
+    join is the edge list against the edge list on a both-sides-keyed
+    equi condition; AQE handles hub skew the usual way."""
+    d38 = "decimal(38,0)"
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = e.join(rev, ["a", "b"], "left_semi")
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    rc = recip.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocated")
+    )
+    return tot.crossJoin(F.broadcast(rc)).select(
+        "n_edges",
+        "n_reciprocated",
+        F.when(
+            F.col("n_edges") > 0,
+            F.expr(
+                f"cast(cast(n_reciprocated as {d38}) * 1000000"
+                f" div n_edges as long)"
+            ),
+        ).alias("reciprocity_ppm"),
+    )
+
+
+def sql_reciprocity(edges_cte: str) -> str:
+    """DuckDB oracle twin of :func:`reciprocity`. ``edges_cte`` must
+    yield (src, dst) rows."""
+    return f"""
+    WITH rawe AS ({edges_cte}),
+    e AS (SELECT DISTINCT src AS a, dst AS b FROM rawe
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+    recip AS (
+      SELECT COUNT(*) AS n_reciprocated FROM e
+      WHERE EXISTS (SELECT 1 FROM e r WHERE r.a = e.b AND r.b = e.a)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_edges, CAST(n_reciprocated AS BIGINT) AS n_reciprocated,
+           CASE WHEN n_edges > 0 THEN
+             CAST(CAST(n_reciprocated AS HUGEINT) * 1000000 // n_edges
+                  AS BIGINT) END AS reciprocity_ppm
+    FROM tot CROSS JOIN recip
+    """

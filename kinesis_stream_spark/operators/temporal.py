@@ -3413,3 +3413,145 @@ def sql_cohort_ltv(
              AS BIGINT) AS cum_revenue_micro
     FROM grid
     """
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Daily session-quality rollup from idle-gap sessionization: per
+    day (of session start), session count, bounce count and rate
+    (single-event sessions), exact total/closed duration, and events
+    per session — the landing-page dashboard row. The BATCH twin of
+    the streaming session_window path (streaming/windows.py), built on
+    the repo's standard lag chain: a session breaks after
+    ``gap_us`` of silence, sessions are numbered per entity by a
+    running sum of break flags.
+
+    Cross-engine exactness: everything is integer microseconds and
+    counts; the one ratio is ⌊10^6·bounces/sessions⌋; events-per-
+    session is ⌊10³·events/sessions⌋ (milli). The lag/order contract
+    is the :func:`transition_matrix` one — (epoch µs, id NULLS LAST)
+    tie-free ordering, NULL timestamps excluded, NULL entities
+    excluded (no identity to sessionize).
+
+    Output per day: (day, n_sessions, n_bounces, bounce_ppm,
+    n_events, events_per_session_milli, total_duration_us).
+
+    Scale shape: ONE shuffle on the entity key powers both windows
+    (lag flag + running session number — same partitioning); the
+    per-session reduce and the per-day reduce are combinable. No
+    self-join, no global window."""
+    if gap_us < 1:
+        raise ValueError(f"gap_us must be >= 1, got {gap_us}")
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("ent").orderBy("us", F.col("eid").asc_nulls_last())
+    ev = events.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("ent"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+        F.col(id_col).alias("eid"),
+    )
+    flagged = ev.select(
+        "ent",
+        "us",
+        "eid",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    numbered = flagged.select(
+        "ent",
+        "us",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    sessions = numbered.groupBy("ent", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("us").alias("start_us"),
+        (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+    )
+    daily = sessions.groupBy(
+        F.expr(f"start_us div {DAY_US}").cast("long").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("total_duration_us"),
+    )
+    return daily.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.expr(
+            f"cast(cast(n_bounces as {d38}) * 1000000 div n_sessions as long)"
+        ).alias("bounce_ppm"),
+        "n_events",
+        F.expr(
+            f"cast(cast(n_events as {d38}) * 1000 div n_sessions as long)"
+        ).alias("events_per_session_milli"),
+        "total_duration_us",
+    )
+
+
+def sql_session_stats(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> str:
+    """DuckDB oracle twin of :func:`session_stats`."""
+    return f"""
+    WITH ev AS (
+      SELECT {key_col} AS ent, EPOCH_US({ts_col}) AS us,
+             {id_col} AS eid
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL),
+    flagged AS (
+      SELECT ent, us, eid,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+      WINDOW w AS (PARTITION BY ent ORDER BY us, eid NULLS LAST)),
+    numbered AS (
+      SELECT ent, us,
+             SUM(brk) OVER (PARTITION BY ent ORDER BY us, eid NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    sessions AS (
+      SELECT ent, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(us) AS start_us,
+             CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+      FROM numbered GROUP BY 1, 2),
+    daily AS (
+      SELECT CAST(start_us // {DAY_US} AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(dur_us) AS BIGINT) AS total_duration_us
+      FROM sessions GROUP BY 1)
+    SELECT day, n_sessions, n_bounces,
+           CAST(CAST(n_bounces AS HUGEINT) * 1000000 // n_sessions
+                AS BIGINT) AS bounce_ppm,
+           n_events,
+           CAST(CAST(n_events AS HUGEINT) * 1000 // n_sessions AS BIGINT)
+             AS events_per_session_milli,
+           total_duration_us
+    FROM daily
+    """

@@ -26,26 +26,26 @@ from pyspark.sql import DataFrame, SparkSession
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
 # Round 9 window (first 50), stale-first per the rotation policy:
-# the THIRTY-FOUR never-driver-verified round-9 registrations lead —
+# the FORTY-TWO never-driver-verified round-9 registrations lead —
 # the first session's eighteen (the pruned IVF-PQ layout, the three
 # rows-only approx twins, TWA, state durations, touch attribution,
 # item Jaccard, PIVOT, ACF, burstiness, the Z-order census, vocab
 # drift, the sequence-gap audit, daily percentile bands, ABC
 # classification, RFM segments, conversion lag) and the second
-# session's twenty-one (Gini concentration, Theil-Sen, mix shift,
+# session's twenty-four (Gini concentration, Theil-Sen, mix shift,
 # Markov stationary, Apdex, RA link prediction, item cosine, zone-map
 # skipping, category balance, uniqueness profile, changepoint,
 # weighted median, Zipf profile, rare-term cosine, degree profile,
 # shipping-lag percentiles, anomaly episodes, cohort LTV, lexical
-# diversity, assortativity, PRF expansion) — 39 total — then the SIX
-# queries edited this round (events_seasonal_outliers /
-# events_mad_outliers gained the MAD>0 degenerate-scale guard,
-# events_mann_kendall_trend the NULL-ts exclusion, graph_bfs_hops /
-# graph_cheapest_path the frontier-only relaxation,
-# text_cms_heavy_hitters the sharded candidate pre-lists — rows must
-# not predate code), then the FIVE alphabetically-first of the
-# twenty-seven names whose newest driver row is round 4 —
-# 39 + 6 + 5 = the full 50. The twenty-two displaced r4-latest names
+# diversity, assortativity, PRF expansion, session stats, label
+# inertia, reciprocity) — 42 total — then the SIX queries edited this
+# round (events_seasonal_outliers / events_mad_outliers gained the
+# MAD>0 degenerate-scale guard, events_mann_kendall_trend the NULL-ts
+# exclusion, graph_bfs_hops / graph_cheapest_path the frontier-only
+# relaxation, text_cms_heavy_hitters the sharded candidate pre-lists
+# — rows must not predate code), then the TWO alphabetically-first of
+# the twenty-seven names whose newest driver row is round 4 —
+# 42 + 6 + 2 = the full 50. The twenty-five displaced r4-latest names
 # lead the planned r10 window head immediately past the cut, followed
 # by the thirty-seven r5-latest names (text ×11, scalar ×9, stream
 # ×5, udf ×4, multimodal ×5, events_user_diversity,
@@ -109,6 +109,10 @@ _PRIORITY = (
     "text_lexical_diversity",
     "graph_assortativity",
     "retrieval_prf_expansion",
+    # never driver-verified (second round-9 session, fourth wave)
+    "events_session_stats",
+    "similarity_label_inertia",
+    "graph_reciprocity",
     # edited this round (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",
@@ -116,15 +120,15 @@ _PRIORITY = (
     "graph_bfs_hops",
     "graph_cheapest_path",
     "text_cms_heavy_hitters",
-    # r4-latest rows (the 5 alphabetically-first of 27 — oldest
+    # r4-latest rows (the 2 alphabetically-first of 27 — oldest
     # driver rows in the inventory; the rest lead the r10 head below)
     "agg_histogram_price",
     "agg_salted_skew_safe",
+    # --- past the 50-cut: planned r10 head — the 25 displaced
+    # r4-latest names first, then the r5-latest remainder.
     "events_cohort_retention",
     "integrity_referential_audit",
     "integrity_snapshot_diff",
-    # --- past the 50-cut: planned r10 head — the 22 displaced
-    # r4-latest names first, then the r5-latest remainder.
     "integrity_table_checksum",
     "join_lateral_top2_orders",
     "multimodal_exact_dedup",

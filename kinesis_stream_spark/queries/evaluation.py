@@ -129,3 +129,31 @@ def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = guard_oracles(ORACLE, DIM)
+
+
+from kinesis_stream_spark.operators.evaluation import (  # noqa: E402
+    label_inertia,
+    sql_label_inertia,
+)
+
+
+@_q("similarity_label_inertia", None)  # assigned (guarded) below
+def similarity_label_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster inertia + the grand '__all__' row — the
+    ANOVA-style compactness screen (how much corpus variance the
+    labels explain), computed centroid-free from exact fixed-point
+    moments, one pinned divide per row (operators/evaluation.py)."""
+    return label_inertia(emb_scan(spark, sf_dir, DIM)).orderBy(
+        "label_key"
+    )
+
+
+# registered after the module-wide guard pass: thread the scan guard
+# through this oracle's embeddings reference explicitly
+ORACLE["similarity_label_inertia"] = guard_oracles(
+    {
+        "similarity_label_inertia": sql_label_inertia()
+        + " ORDER BY label_key"
+    },
+    DIM,
+)["similarity_label_inertia"]

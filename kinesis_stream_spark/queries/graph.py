@@ -337,3 +337,45 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-strategy telltale next to the degree profile
     (operators/graph.py)."""
     return degree_assortativity(_purchase_edges(spark, sf_dir))
+
+
+from kinesis_stream_spark.operators.graph import (  # noqa: E402
+    reciprocity,
+    sql_reciprocity,
+)
+
+#: purchase-forward / return-backward edges: c→s for every purchase,
+#: s→c where goods flowed back (l_returnflag = 'R') — reciprocity is
+#: then the exact "bought AND returned the other way" rate
+_RECIP_EDGES_CTE = """
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+         'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+"""
+
+
+@_q("graph_reciprocity", sql_reciprocity(_RECIP_EDGES_CTE))
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the purchase/return flow graph — the exact rate
+    of customer↔supplier relationships with goods moving BOTH ways;
+    one reversed-key semi join over distinct edges, integer ppm
+    (operators/graph.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    fwd = j.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    back = j.where(F.col("l_returnflag") == "R").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return reciprocity(fwd.unionAll(back))

@@ -1067,3 +1067,22 @@ ORACLE["events_anomaly_episodes"] = (
 ORACLE["events_cohort_ltv"] = (
     sql_cohort_ltv() + " ORDER BY cohort_week, age_weeks"
 )
+
+
+@_q("events_session_stats", None)  # assigned below
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session rollup from 30-minute idle-gap sessionization:
+    session/bounce counts, integer-ppm bounce rate, events per
+    session, exact closed durations — the batch twin of the streaming
+    session window, one entity shuffle powering both lag windows
+    (operator docstring)."""
+    from kinesis_stream_spark.operators.temporal import session_stats
+
+    return session_stats(load_table(spark, sf_dir, "events")).orderBy("day")
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_session_stats,
+)
+
+ORACLE["events_session_stats"] = sql_session_stats() + " ORDER BY day"

@@ -935,3 +935,31 @@ def test_prf_expansion_shortlist_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti BuildRight" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_stats_single_entity_shuffle(spark, sf_dir):
+    """Both lag windows (break flag, running session id) ride ONE
+    entity-keyed exchange; no join anywhere."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_session_stats"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(ent") <= 1
+    assert "Join" not in plan
+
+
+def test_label_inertia_no_join_no_window(spark, sf_dir):
+    """The centroid-free identity keeps the plan to explode +
+    combinable aggregates — no centroid join, no window."""
+    from kinesis_stream_spark.queries.evaluation import QUERIES
+
+    plan = _explain(QUERIES["similarity_label_inertia"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_reciprocity_semi_join_on_reversed_key(spark, sf_dir):
+    from kinesis_stream_spark.queries.graph import QUERIES
+
+    plan = _explain(QUERIES["graph_reciprocity"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
