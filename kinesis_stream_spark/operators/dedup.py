@@ -1138,8 +1138,9 @@ def rare_term_cosine_pairs(
     the subspace norms Σ tf² accumulate in BIGINT/DECIMAL(38,0);
     cosine = dot/√(na·nb) — one VARCHAR-routed cast, one sqrt, one
     divide (the item-cosine chain). The threshold prunes on exact
-    integers BEFORE the float: dot²·10^6 ≥ threshold·na·nb in
-    DECIMAL(38,0) (cosine² in ppm — no float in the predicate).
+    integers BEFORE the float: dot²·10^12 ≥ min_cosine_ppm²·na·nb in
+    DECIMAL(38,0) — both sides are cosine²·10^12, no float in the
+    predicate.
 
     Output: top ``top_k`` pairs (id_a < id_b) by (cosine DESC, id_a,
     id_b): (id_a, id_b, n_shared_terms, dot, cosine).

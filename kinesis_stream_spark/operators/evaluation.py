@@ -405,8 +405,15 @@ def label_inertia(
         .cast("long")
         .alias("xfx"),
     )
-    levels = base.unionAll(
-        base.select(F.lit("__all__").alias("lbl"), "pos", "xfx")
+    # '__all__' rides the SAME exploded pass: each element row fans
+    # into (its label, '__all__') map-side — one corpus explode, not a
+    # unionAll of two (which would scan + explode the table twice)
+    levels = base.select(
+        F.explode(
+            F.array(F.col("lbl"), F.lit("__all__"))
+        ).alias("lbl"),
+        "pos",
+        "xfx",
     )
     mom = levels.groupBy("lbl", "pos").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -1122,7 +1122,7 @@ def degree_profile(
     )
     d38 = "decimal(38,0)"
     out = []
-    for role, node, part in (("out", "src", "dst"), ("in", "dst", "src")):
+    for role, node in (("out", "src"), ("in", "dst")):
         deg = e.groupBy(F.col(node).alias("v")).agg(
             F.count(F.lit(1)).cast("long").alias("deg")
         )
@@ -1244,7 +1244,9 @@ def degree_assortativity(
         .alias("syy"),
     )
     n_d = F.col("n").cast(d38)
-    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    # the guard's vx/vy; r itself re-derives the same quantities as
+    # VARCHAR-routed expression strings below (string routing is the
+    # cross-engine cast rule and has no Column-API spelling)
     vx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = n_d * F.col("syy") - F.col("sy") * F.col("sy")
     return m.select(

@@ -573,6 +573,70 @@ def sql_chisq_independence(table: str, col_x: str, col_y: str) -> str:
     """
 
 
+def _melted_value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shared melt scaffolding for the per-column value profilers
+    (:func:`category_balance`, :func:`uniqueness_profile`): one
+    ``stack()`` melt into (column_name, val) and the per-value count
+    frame — map-local multiply, map-side-combinable counts, shuffle
+    bounded by Σ per-column cardinality."""
+    melted = df.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, val)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', cast({c} as string)" for c in cols
+                ),
+            )
+        )
+    )
+    return melted.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def _base_column_aggs() -> list:
+    """The three aggregates every value profiler reports over the
+    :func:`_melted_value_counts` frame: total rows, NULL cells,
+    non-NULL distincts."""
+    return [
+        F.sum("c").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1))
+        .cast("long")
+        .alias("n_distinct"),
+    ]
+
+
+def _sql_melted_counts(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`_melted_value_counts`: the shared
+    melted/counts CTE prefix (caller appends its per-column
+    aggregates)."""
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val"
+        f" FROM {table}"
+        for c in cols
+    )
+    return f"""
+    WITH melted AS ({melt}),
+    counts AS (
+      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM melted GROUP BY 1, 2)"""
+
+
+#: DuckDB twin of :func:`_base_column_aggs` — spliced into both value
+#: profilers' per-column aggregate
+_SQL_BASE_COLUMN_AGGS = """
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0)
+                  AS BIGINT) AS n_nulls,
+             CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct"""
+
+
 def category_balance(
     df: DataFrame,
     cols: list[str],
@@ -605,29 +669,8 @@ def category_balance(
     high-cardinality columns use :func:`profile_columns`'s approx path
     instead (Σc² over millions of categories says nothing useful)."""
     d38 = "decimal(38,0)"
-    melted = df.select(
-        F.expr(
-            "stack({n}, {args}) AS (column_name, val)".format(
-                n=len(cols),
-                args=", ".join(
-                    f"'{c}', cast({c} as string)" for c in cols
-                ),
-            )
-        )
-    )
-    counts = melted.groupBy("column_name", "val").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    per = counts.groupBy("column_name").agg(
-        F.sum("c").cast("long").alias("n_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_nulls"),
-        F.count(F.when(F.col("val").isNotNull(), 1))
-        .cast("long")
-        .alias("n_distinct"),
+    per = _melted_value_counts(df, cols).groupBy("column_name").agg(
+        *_base_column_aggs(),
         F.max(F.when(F.col("val").isNotNull(), F.col("c")))
         .cast("long")
         .alias("top_count"),
@@ -678,23 +721,10 @@ def category_balance(
 
 def sql_category_balance(table: str, cols: list[str]) -> str:
     """DuckDB oracle twin of :func:`category_balance`."""
-    melt = " UNION ALL ".join(
-        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val"
-        f" FROM {table}"
-        for c in cols
-    )
     return f"""
-    WITH melted AS ({melt}),
-    counts AS (
-      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
-      FROM melted GROUP BY 1, 2),
+    {_sql_melted_counts(table, cols)},
     per AS (
-      SELECT column_name,
-             CAST(SUM(c) AS BIGINT) AS n_rows,
-             CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0)
-                  AS BIGINT) AS n_nulls,
-             CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
-               AS n_distinct,
+      SELECT column_name,{_SQL_BASE_COLUMN_AGGS},
              CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) AS BIGINT)
                AS top_count,
              CAST(COALESCE(SUM(CASE WHEN val IS NOT NULL
@@ -745,29 +775,8 @@ def uniqueness_profile(
     column's hot value (the classic NULL-like sentinel, '' or 0)
     rides the aggregate, never a join."""
     d38 = "decimal(38,0)"
-    melted = df.select(
-        F.expr(
-            "stack({n}, {args}) AS (column_name, val)".format(
-                n=len(cols),
-                args=", ".join(
-                    f"'{c}', cast({c} as string)" for c in cols
-                ),
-            )
-        )
-    )
-    counts = melted.groupBy("column_name", "val").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    per = counts.groupBy("column_name").agg(
-        F.sum("c").cast("long").alias("n_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_nulls"),
-        F.count(F.when(F.col("val").isNotNull(), 1))
-        .cast("long")
-        .alias("n_distinct"),
+    per = _melted_value_counts(df, cols).groupBy("column_name").agg(
+        *_base_column_aggs(),
         F.coalesce(
             F.sum(
                 F.when(
@@ -809,23 +818,10 @@ def uniqueness_profile(
 
 def sql_uniqueness_profile(table: str, cols: list[str]) -> str:
     """DuckDB oracle twin of :func:`uniqueness_profile`."""
-    melt = " UNION ALL ".join(
-        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val"
-        f" FROM {table}"
-        for c in cols
-    )
     return f"""
-    WITH melted AS ({melt}),
-    counts AS (
-      SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
-      FROM melted GROUP BY 1, 2),
+    {_sql_melted_counts(table, cols)},
     per AS (
-      SELECT column_name,
-             CAST(SUM(c) AS BIGINT) AS n_rows,
-             CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0)
-                  AS BIGINT) AS n_nulls,
-             CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
-               AS n_distinct,
+      SELECT column_name,{_SQL_BASE_COLUMN_AGGS},
              CAST(COALESCE(SUM(CASE WHEN val IS NOT NULL AND c > 1
                                     THEN c END), 0) AS BIGINT)
                AS n_dup_rows,

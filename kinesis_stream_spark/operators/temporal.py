@@ -3386,13 +3386,14 @@ def sql_cohort_ltv(
     unit_us: int = WEEK_US,
 ) -> str:
     """DuckDB oracle twin of :func:`cohort_ltv`."""
+    ctype = conversion_type.replace("'", "''")
     return f"""
     WITH conv AS (
       SELECT {entity_col} AS ent,
              CAST(EPOCH_US({ts_col}) // {unit_us} AS BIGINT) AS week,
              {value_col} AS val
       FROM {table}
-      WHERE {type_col} = '{conversion_type}'
+      WHERE {type_col} = '{ctype}'
         AND {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL),
     first AS (SELECT ent, MIN(week) AS cohort_week FROM conv GROUP BY 1),
     aged AS (
