@@ -13,6 +13,7 @@ from kinesis_stream_spark.operators.hll import (
     sql_hll_distinct,
     sql_hll_set_ops,
 )
+from kinesis_stream_spark.operators.kmv import sql_kmv_distinct
 from kinesis_stream_spark.operators.quantiles import sql_histogram_quantiles
 from kinesis_stream_spark.sources.batch import load_table
 
@@ -76,6 +77,24 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_set_ops(a, b, col_a="o_custkey", col_b="o_custkey").orderBy(
         "set_op"
     )
+
+
+@_q(
+    "agg_kmv_distinct",
+    sql_kmv_distinct("lineitem", _HLL_COLS) + " ORDER BY column_name",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k cardinality estimates for the SAME lineitem key
+    columns the HLL row sketches — two cardinality sketches, one
+    workload, so their error profiles are directly comparable in the
+    parity output. Bottom-k of the md5-derived hashes planned as a
+    TakeOrderedAndProject over a map-side-combinable dedup; estimate =
+    one pinned float literal over the k-th order statistic
+    (operators/kmv.py)."""
+    from kinesis_stream_spark.operators.kmv import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, _HLL_COLS).orderBy("column_name")
 
 
 @_q(
