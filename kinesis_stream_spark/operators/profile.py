@@ -836,3 +836,174 @@ def sql_uniqueness_profile(table: str, cols: list[str]) -> str:
              AS is_unique_key
     FROM per
     """
+
+
+#: fixed-point scale for the per-cell chi-square terms summed into the
+#: Cramér's V total — floor(contrib · 2^20) BIGINTs add order-free,
+#: where a raw double total would be accumulation-order-dependent
+CRAMER_SCALE = 1 << 20
+
+
+def cramers_v(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    pair: str | None = None,
+) -> DataFrame:
+    """Cramér's V association strength between two categorical columns
+    — the [0, 1] normalization of the chi-square statistic
+    (V = √(χ²/(N·min(r−1, c−1)))) that makes association COMPARABLE
+    across pairs with different cardinalities, where the raw χ² of
+    :func:`chisq_independence` only supports a per-pair yes/no. The
+    dimension-redundancy screen: V ≈ 1 says two columns encode the
+    same partition (drop one from the feature set / segmentation), V ≈
+    0 says independent.
+
+    Exactness: the chisq discipline (pinned-order double contributions
+    over exact integer marginals) on a DENSIFIED grid — unlike
+    :func:`chisq_independence` (whose contract is the observed cells),
+    V must charge the zero cells their full (0 − exp)²/exp = exp, or a
+    perfectly associated pair could never reach V = 1. The grid comes
+    free: the marginal frames cross-join into r·c rows that CARRY
+    row_n/col_n, and the observed counts left-join onto them. Each
+    cell's contribution quantizes to floor(contrib · 2^20) BIGINT so
+    the TOTAL χ² sums order-free — the in-engine total the chisq
+    operator deliberately refuses to emit as raw doubles. The bias is
+    < cells / 2^20, identical on both engines. V itself is a pinned
+    chain: one power-of-two divide, one integer-product divide, one
+    IEEE sqrt. Level counts include a NULL level when present (NULL
+    categories form their own cell by the groupBy convention, but
+    COUNT(DISTINCT) skips NULL on both engines — the has-null flag
+    adds it back). Degenerate pairs (either column constant, or an
+    empty table) emit NULL cramers_v with chi2 = 0 by contract.
+
+    Output: ONE row (pair, n_rows, n_cells, r_levels, c_levels,
+    chi2_fx, chi2, dof, cramers_v) — n_cells is the DENSE r·c grid.
+
+    Scale shape: one combinable contingency aggregate, two cell-frame
+    marginal reductions, a broadcast r×c cross-join + broadcast left
+    join, then a cells→1-row reduction. Nothing beyond the cell grid
+    ever materializes."""
+    obs = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    xs = obs.groupBy("x").agg(F.sum("n_raw").cast("long").alias("row_n"))
+    ys = obs.groupBy("y").agg(F.sum("n_raw").cast("long").alias("col_n"))
+    tot = xs.agg(F.coalesce(F.sum("row_n"), F.lit(0)).cast("long").alias("total"))
+    dense = (
+        xs.crossJoin(F.broadcast(ys))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                obs.withColumnRenamed("x", "_ox").withColumnRenamed("y", "_oy")
+            ),
+            F.col("x").eqNullSafe(F.col("_ox"))
+            & F.col("y").eqNullSafe(F.col("_oy")),
+            "left",
+        )
+        .select(
+            "x",
+            "y",
+            "row_n",
+            "col_n",
+            "total",
+            F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_obs"),
+        )
+    )
+    exp = (
+        F.col("row_n").cast("double") * F.col("col_n").cast("double")
+    ) / F.col("total").cast("double")
+    d = F.col("n_obs").cast("double") - exp
+    term_fx = F.floor(d * d / exp * F.lit(float(CRAMER_SCALE))).cast("long")
+    levels = lambda c: (  # noqa: E731
+        F.count_distinct(F.col(c))
+        + F.max(F.when(F.col(c).isNull(), 1).otherwise(0))
+    ).cast("long")
+    agg = dense.agg(
+        F.coalesce(F.max("total"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(levels("x"), F.lit(0)).alias("r_levels"),
+        F.coalesce(levels("y"), F.lit(0)).alias("c_levels"),
+        F.coalesce(F.sum(term_fx), F.lit(0)).cast("long").alias("chi2_fx"),
+    )
+    chi2 = F.col("chi2_fx").cast("double") / F.lit(float(CRAMER_SCALE))
+    mindim = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    v = F.when(
+        (F.col("n_rows") > 0) & (mindim > 0),
+        F.sqrt(
+            chi2 / (F.col("n_rows") * mindim).cast("double")
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        F.lit(pair or f"{col_x}~{col_y}").alias("pair"),
+        "n_rows",
+        "n_cells",
+        "r_levels",
+        "c_levels",
+        "chi2_fx",
+        chi2.alias("chi2"),
+        (
+            F.greatest(F.col("r_levels") - 1, F.lit(0))
+            * F.greatest(F.col("c_levels") - 1, F.lit(0))
+        )
+        .cast("long")
+        .alias("dof"),
+        v.alias("cramers_v"),
+    )
+
+
+def sql_cramers_v(
+    table: str,
+    col_x: str,
+    col_y: str,
+    *,
+    pair: str | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`cramers_v`."""
+    exp = (
+        "CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)"
+        " / CAST(total AS DOUBLE)"
+    )
+    return f"""
+    WITH obs AS (
+      SELECT {col_x} AS x, {col_y} AS y, CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM {table} GROUP BY 1, 2),
+    xs AS (SELECT x, CAST(SUM(n_raw) AS BIGINT) AS row_n FROM obs GROUP BY 1),
+    ys AS (SELECT y, CAST(SUM(n_raw) AS BIGINT) AS col_n FROM obs GROUP BY 1),
+    tot AS (SELECT COALESCE(CAST(SUM(row_n) AS BIGINT), 0) AS total FROM xs),
+    dense AS (
+      SELECT xs.x, ys.y, xs.row_n, ys.col_n, t.total,
+             COALESCE(o.n_raw, 0) AS n_obs
+      FROM xs CROSS JOIN ys CROSS JOIN tot t
+      LEFT JOIN obs o ON xs.x IS NOT DISTINCT FROM o.x
+                     AND ys.y IS NOT DISTINCT FROM o.y),
+    terms AS (
+      SELECT x, y, total,
+             CAST(FLOOR(
+               (CAST(n_obs AS DOUBLE) - {exp})
+               * (CAST(n_obs AS DOUBLE) - {exp})
+               / ({exp}) * {float(CRAMER_SCALE)!r}) AS BIGINT) AS term_fx
+      FROM dense),
+    agg AS (
+      SELECT COALESCE(MAX(total), 0) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             COALESCE(CAST(COUNT(DISTINCT x) AS BIGINT)
+                      + MAX(CASE WHEN x IS NULL THEN 1 ELSE 0 END), 0)
+               AS r_levels,
+             COALESCE(CAST(COUNT(DISTINCT y) AS BIGINT)
+                      + MAX(CASE WHEN y IS NULL THEN 1 ELSE 0 END), 0)
+               AS c_levels,
+             COALESCE(CAST(SUM(term_fx) AS BIGINT), 0) AS chi2_fx
+      FROM terms)
+    SELECT '{pair or f"{col_x}~{col_y}"}' AS pair,
+           n_rows, n_cells, r_levels, c_levels, chi2_fx,
+           CAST(chi2_fx AS DOUBLE) / {float(CRAMER_SCALE)!r} AS chi2,
+           GREATEST(r_levels - 1, 0) * GREATEST(c_levels - 1, 0) AS dof,
+           CASE WHEN n_rows > 0 AND LEAST(r_levels - 1, c_levels - 1) > 0
+                THEN SQRT(CAST(chi2_fx AS DOUBLE) / {float(CRAMER_SCALE)!r}
+                          / CAST(n_rows * LEAST(r_levels - 1, c_levels - 1)
+                                 AS DOUBLE))
+                END AS cramers_v
+    FROM agg
+    """

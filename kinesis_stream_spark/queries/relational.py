@@ -2740,6 +2740,25 @@ def profile_orders_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("profile_cramers_v", None)  # assigned below
+def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over the workload's categorical
+    pairs — the chi-square audit normalized to [0, 1] so pairs with
+    different cardinalities compare on one scale: order status ~
+    priority (orders) and return flag ~ line status (lineitem).
+    Per-cell contributions quantize to 2^20 fixed point so the χ²
+    total sums order-free (operators/profile.py)."""
+    from kinesis_stream_spark.operators.profile import cramers_v
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cramers_v(o, "o_orderstatus", "o_orderpriority")
+        .unionAll(cramers_v(li, "l_returnflag", "l_linestatus"))
+        .orderBy("pair")
+    )
+
+
 @_q("agg_gini_concentration", None)  # assigned below
 def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration Gini per order priority: rank customers
@@ -2809,7 +2828,16 @@ def integrity_uniqueness_profile(
 
 from kinesis_stream_spark.operators.profile import (  # noqa: E402
     sql_category_balance,
+    sql_cramers_v,
     sql_uniqueness_profile,
+)
+
+ORACLE["profile_cramers_v"] = (
+    "SELECT * FROM (("
+    + sql_cramers_v("orders", "o_orderstatus", "o_orderpriority")
+    + ") UNION ALL ("
+    + sql_cramers_v("lineitem", "l_returnflag", "l_linestatus")
+    + ")) AS cv ORDER BY pair"
 )
 
 ORACLE["profile_category_balance"] = (
