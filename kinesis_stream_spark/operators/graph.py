@@ -1403,3 +1403,179 @@ def sql_reciprocity(edges_cte: str) -> str:
                   AS BIGINT) END AS reciprocity_ppm
     FROM tot CROSS JOIN recip
     """
+
+
+#: HITS fixed-point scale: scores live in [0, 2^20] after each L1
+#: normalization, so an edge-sum round holds Σ ≤ E · 2^20 (BIGINT to
+#: E ≈ 2^43 edges) and the normalization product raw · 2^20 runs in
+#: DECIMAL(38,0)/HUGEINT — headroom at any corpus size
+HITS_SCALE = 1 << 20
+
+
+def _hits_l1_normalize(raw: DataFrame) -> DataFrame:
+    """(v, raw) → (v, s) with Σs ≈ HITS_SCALE: s = raw·2^20 div Σraw —
+    exact integer floor division on both engines (all-zero frame ⇒ all
+    zeros by contract, never a divide by zero)."""
+    tot = raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("t"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.when(
+            F.col("t") > 0,
+            F.expr(
+                f"cast(cast(raw as decimal(38,0)) * {HITS_SCALE} div t"
+                " as long)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("s"),
+    )
+
+
+def hits_scores(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, "Authoritative sources in
+    a hyperlinked environment", JACM 1999) over a directed edge list —
+    the OTHER eigenvector centrality beside :func:`pagerank`: PageRank
+    scores a node by the rank of who points AT it; HITS separates the
+    two roles, scoring pointers (hubs) by the authority of what they
+    point at and targets (authorities) by the hub quality of who
+    points at them — the natural shape for bipartite-ish interaction
+    graphs (buyers↔products, queries↔documents) where "influential"
+    means different things on the two sides.
+
+    Fixed-iteration mutual power iteration in exact integer fixed
+    point (the :func:`pagerank` discipline): h⁰(v) = 2^20 uniform;
+    each round a_raw(v) = Σ_{(u,v)∈E} h(u) then L1-normalizes to
+    a = a_raw·2^20 div Σa_raw, and h_raw(u) = Σ_{(u,v)∈E} a(v)
+    normalizes the same way — every step BIGINT sums and one exact
+    integer floor division (never a float), so the DuckDB oracle
+    replays every round bit-for-bit as unrolled CTEs
+    (:func:`sql_hits_scores`). L1 replaces the textbook L2
+    normalization (a transcendental-free choice that preserves the
+    RANKING — both are positive-scalar rescalings of the same
+    iterate); duplicate edges collapse; nodes with no in-edges hold
+    authority 0, no out-edges hub 0; an edgeless input yields an
+    empty frame (no nodes to score).
+
+    Output per node: (node, hub_fx, auth_fx, hub, auth) — fx the
+    integer scores, hub/auth their 2^-20 doubles (one power-of-two
+    divide).
+
+    Scale shape: per round, two edge-map joins + two combinable
+    dst/src-keyed sums + two 1-row reductions broadcast back — edge
+    traffic 2·E rows per round, state one node-sized frame. Rounds
+    checkpoint eagerly with superseded checkpoints released (the
+    iterative-family block-manager hygiene); a completed call retains
+    the two score frames only."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select(
+        "v", F.lit(HITS_SCALE).cast("long").alias("s")
+    ).localCheckpoint()
+    a = None
+    for _ in range(iterations):
+        araw = (
+            e.join(h.select(F.col("v").alias("src"), "s"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        prev_a = a
+        a = _hits_l1_normalize(araw).localCheckpoint()
+        if prev_a is not None:
+            _release_local_checkpoint(prev_a)
+        hraw = (
+            e.join(a.select(F.col("v").alias("dst"), "s"), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        prev_h = h
+        h = _hits_l1_normalize(hraw).localCheckpoint()
+        _release_local_checkpoint(prev_h)
+    out = (
+        nodes.join(h.withColumnRenamed("s", "h"), "v", "left")
+        .join(a.withColumnRenamed("s", "a"), "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_fx"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_fx"),
+        )
+    )
+    for frame in (e,):
+        _release_local_checkpoint(frame)
+    return out.select(
+        "node",
+        "hub_fx",
+        "auth_fx",
+        (F.col("hub_fx").cast("double") / HITS_SCALE).alias("hub"),
+        (F.col("auth_fx").cast("double") / HITS_SCALE).alias("auth"),
+    )
+
+
+def sql_hits_scores(edges_cte: str, *, iterations: int = 3) -> str:
+    """DuckDB oracle twin of :func:`hits_scores`: the same integer
+    rounds as unrolled CTEs. Caller appends its ORDER BY."""
+    norm = (
+        f"CASE WHEN t > 0 THEN CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}"
+        " // t AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    ctes = [
+        f"rawe AS ({edges_cte})",
+        "e AS (SELECT DISTINCT src, dst FROM rawe"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "nodes AS (SELECT DISTINCT v FROM"
+        " (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e))",
+        f"h0 AS (SELECT v, CAST({HITS_SCALE} AS BIGINT) AS s FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""ar{i} AS (
+              SELECT e.dst AS v, CAST(SUM(h.s) AS BIGINT) AS raw
+              FROM e JOIN h{i} h ON h.v = e.src GROUP BY 1)"""
+        )
+        ctes.append(
+            f"at{i} AS (SELECT COALESCE(CAST(SUM(raw) AS BIGINT), 0) AS t"
+            f" FROM ar{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT v, {norm} AS s FROM ar{i} CROSS JOIN at{i})"
+        )
+        ctes.append(
+            f"""hr{i} AS (
+              SELECT e.src AS v, CAST(SUM(a.s) AS BIGINT) AS raw
+              FROM e JOIN a{i} a ON a.v = e.dst GROUP BY 1)"""
+        )
+        ctes.append(
+            f"ht{i} AS (SELECT COALESCE(CAST(SUM(raw) AS BIGINT), 0) AS t"
+            f" FROM hr{i})"
+        )
+        ctes.append(
+            f"h{i + 1} AS (SELECT v, {norm} AS s FROM hr{i} CROSS JOIN ht{i})"
+        )
+    last = iterations - 1
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT n.v AS node,
+               COALESCE(h.s, 0) AS hub_fx,
+               COALESCE(a.s, 0) AS auth_fx,
+               CAST(COALESCE(h.s, 0) AS DOUBLE) / {HITS_SCALE} AS hub,
+               CAST(COALESCE(a.s, 0) AS DOUBLE) / {HITS_SCALE} AS auth
+               FROM nodes n
+               LEFT JOIN h{iterations} h ON h.v = n.v
+               LEFT JOIN a{last} a ON a.v = n.v"""
+    )

@@ -16,12 +16,14 @@ from pyspark.sql import functions as F
 from kinesis_stream_spark.operators.graph import (
     bfs_hops,
     cheapest_path,
+    hits_scores,
     kcore,
     label_propagation,
     pagerank,
     personalized_pagerank,
     sql_bfs_hops,
     sql_cheapest_path,
+    sql_hits_scores,
     sql_kcore,
     sql_label_propagation,
     sql_pagerank,
@@ -74,6 +76,24 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_purchase_edges(spark, sf_dir), iterations=ITERATIONS).orderBy(
         F.desc("rank_fx"), F.asc("node")
     )
+
+
+@_q(
+    "graph_hits_scores",
+    sql_hits_scores(_EDGES_CTE, iterations=ITERATIONS)
+    + " ORDER BY auth_fx DESC, hub_fx DESC, node",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the purchase graph — the
+    two-role centrality PageRank can't express on a bipartite-ish
+    graph: customers score as hubs (do they buy from authoritative
+    suppliers?), suppliers as authorities (do strong buyers buy from
+    them?). Three integer fixed-point mutual power-iteration rounds,
+    every step replayed by the oracle's unrolled CTEs
+    (operators/graph.py)."""
+    return hits_scores(
+        _purchase_edges(spark, sf_dir), iterations=ITERATIONS
+    ).orderBy(F.desc("auth_fx"), F.desc("hub_fx"), F.asc("node"))
 
 
 _KCORE_K, _KCORE_ROUNDS = 40, 3

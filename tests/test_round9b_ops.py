@@ -67,3 +67,67 @@ class TestCramersV:
         row = cramers_v(df, "x", "y").collect()[0]
         # chi2 = N exactly -> V = 1 (up to the 2^-20 quantization)
         assert abs(row["cramers_v"] - 1.0) < 1e-5
+
+
+class TestHits:
+    @staticmethod
+    def _replica(edges, iterations=3):
+        """Pure-Python integer replay of the HITS rounds."""
+        from kinesis_stream_spark.operators.graph import HITS_SCALE
+
+        e = sorted(set(edges))
+        nodes = sorted({u for u, _ in e} | {v for _, v in e})
+        h = {v: HITS_SCALE for v in nodes}
+        a = {}
+        for _ in range(iterations):
+            araw = {}
+            for u, v in e:
+                araw[v] = araw.get(v, 0) + h.get(u, 0)
+            t = sum(araw.values())
+            a = {v: (r * HITS_SCALE) // t if t else 0 for v, r in araw.items()}
+            hraw = {}
+            for u, v in e:
+                hraw[u] = hraw.get(u, 0) + a.get(v, 0)
+            t = sum(hraw.values())
+            h = {v: (r * HITS_SCALE) // t if t else 0 for v, r in hraw.items()}
+        return {
+            v: (h.get(v, 0), a.get(v, 0)) for v in nodes
+        }
+
+    def test_matches_python_integer_replica(self, spark):
+        from kinesis_stream_spark.operators.graph import hits_scores
+
+        edges = [
+            ("a", "x"), ("b", "x"), ("b", "y"), ("c", "y"), ("c", "z"),
+            ("x", "z"),  # a node that is both hub and authority
+        ]
+        df = spark.createDataFrame(edges, "src: string, dst: string")
+        got = {
+            r["node"]: (r["hub_fx"], r["auth_fx"])
+            for r in hits_scores(df, iterations=3).collect()
+        }
+        assert got == self._replica(edges)
+
+    def test_pure_source_has_zero_authority(self, spark):
+        from kinesis_stream_spark.operators.graph import hits_scores
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "x")], "src: string, dst: string"
+        )
+        rows = {r["node"]: r for r in hits_scores(df).collect()}
+        assert rows["a"]["auth_fx"] == 0 and rows["b"]["auth_fx"] == 0
+        assert rows["x"]["hub_fx"] == 0
+        assert rows["x"]["auth"] == 1.0  # sole authority takes all mass
+        # two identical hubs split the hub mass
+        assert rows["a"]["hub_fx"] == rows["b"]["hub_fx"]
+
+    def test_duplicate_edges_collapse(self, spark):
+        from kinesis_stream_spark.operators.graph import hits_scores
+
+        once = spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("b", "y")], "src: string, dst: string"
+        )
+        dup = once.unionAll(once)
+        assert sorted(map(tuple, hits_scores(once).collect())) == sorted(
+            map(tuple, hits_scores(dup).collect())
+        )
