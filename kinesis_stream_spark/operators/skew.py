@@ -570,3 +570,65 @@ def sql_gini_concentration(
            END AS gini_ppm
     FROM m
     """
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    *,
+    big_key: str,
+    small_key: str,
+    salt_src: Column | str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, REPLICATE the small side
+    once per salt, join on (key, salt) — the replicate-fragment recipe
+    for the case the module docstring defers to AQE: AQE's skew-join
+    splits oversized post-shuffle partitions of a sort-merge join, but
+    it can't help when the plan isn't SMJ (stream-batch joins, bucketed
+    tables whose layout must be preserved), when a single KEY exceeds
+    an executor even after splitting, or when the engine runs with AQE
+    disabled. Salting fixes the layout itself: a key carrying K rows
+    spreads over ``n_salts`` reducers regardless of runtime re-planning.
+
+    Semantics are EXACTLY the plain ``big ⋈ small`` equi-join: every
+    big row joins the one replica of its match that carries its salt
+    (inner/left supported — the right side's multiplicity is the
+    caller's contract to keep 1:1 per key, the usual dim-table shape).
+    The salt is md5-derived from ``salt_src`` (a row-identity column of
+    the big side) — deterministic, so retries and replays join
+    identically; NULL big keys behave as in the plain join (inner
+    drops, left preserves; a NULL never matches either way).
+
+    Cost: the small side ships ``n_salts`` copies through the shuffle
+    (choose n_salts ≈ the hot key's row count / a comfortable reducer
+    size, not "big"); the big side ships once, exactly as unsalted.
+
+    The replicated side carries a ``merge`` hint: if the optimizer
+    chose broadcast there'd be no shuffle to salt (and no reason to
+    call this operator), so the plan is pinned to the shuffled join
+    the salt exists to spread — plan tests assert SortMergeJoin with
+    the salt in the join keys.
+
+    Returns the joined frame (salt dropped) for the caller to project/
+    aggregate; column names pass through, so callers resolve their own
+    collisions first."""
+    salt_col = F.col(salt_src) if isinstance(salt_src, str) else salt_src
+    b = big.withColumn(
+        "_salt", (md5_int64(salt_col.cast("string")) % n_salts).cast("int")
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    bb = b.withColumn("_bk", F.col(big_key))
+    ss = s.withColumn("_sk", F.col(small_key))
+    joined = bb.join(
+        ss.hint("merge"),
+        (bb["_bk"] == ss["_sk"]) & (bb["_salt"] == ss["_salt"]),
+        how,
+    )
+    drop = [bb["_bk"], ss["_sk"], bb["_salt"], ss["_salt"]]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

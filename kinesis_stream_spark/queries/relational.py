@@ -2982,3 +2982,45 @@ def join_shipping_lag_percentiles(
         )
         .orderBy("priority")
     )
+
+
+@_q(
+    "join_salted_skew_segments",
+    f"""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value', 'sum_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY c_mktsegment
+    """,
+)
+def join_salted_skew_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join: events salt on their row identity,
+    the customer dim replicates once per salt, and the join runs on
+    (key, salt) so a celebrity user's rows spread over 8 reducers
+    instead of one — values identical to the plain equi-join the
+    oracle runs (operators/skew.py salted_join; the plan pins
+    SortMergeJoin with the salt in the keys)."""
+    from kinesis_stream_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        ev,
+        cust,
+        big_key="user_id",
+        small_key="c_custkey",
+        salt_src="event_id",
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

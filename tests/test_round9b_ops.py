@@ -131,3 +131,57 @@ class TestHits:
         assert sorted(map(tuple, hits_scores(once).collect())) == sorted(
             map(tuple, hits_scores(dup).collect())
         )
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from kinesis_stream_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(60)],
+            "rid: long, k: long, v: double",
+        )
+        small = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c"), (9, "zz")], "k2: long, seg: string"
+        )
+        got = (
+            salted_join(
+                big, small, big_key="k", small_key="k2",
+                salt_src="rid", n_salts=4,
+            )
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        want = (
+            big.join(small, big.k == small.k2)
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_left_join_preserves_null_and_unmatched(self, spark):
+        from kinesis_stream_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(1, 0), (2, None), (3, 7)], "rid: long, k: long"
+        )
+        small = spark.createDataFrame([(0, "a")], "k2: long, seg: string")
+        rows = {
+            r["rid"]: r["seg"]
+            for r in salted_join(
+                big, small, big_key="k", small_key="k2",
+                salt_src="rid", n_salts=4, how="left",
+            ).collect()
+        }
+        assert rows == {1: "a", 2: None, 3: None}
+
+    def test_plan_pins_sort_merge_with_salt_key(self, spark, sf_dir):
+        from kinesis_stream_spark.queries.relational import QUERIES
+        from tests.test_plans import _explain
+
+        plan = _explain(QUERIES["join_salted_skew_segments"](spark, sf_dir))
+        assert "SortMergeJoin" in plan
+        assert "_salt" in plan
+        assert "BroadcastHashJoin" not in plan
