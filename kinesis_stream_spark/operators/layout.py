@@ -280,3 +280,95 @@ def sql_zonemap_skipping(
                   // rows_matching AS BIGINT) END AS read_amplification_ppm
     FROM summary
     """
+
+
+def compaction_plan(
+    files: DataFrame,
+    *,
+    part_col: str = "part_key",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 1 << 27,
+) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/rewrite step every
+    streaming ingest needs: micro-batch sinks leave thousands of
+    KB-sized files per partition, and scan throughput at 100 TB dies
+    on file-open overhead long before bytes do. This plans the rewrite
+    WITHOUT moving data: within each partition, files (in deterministic
+    file-id order) pack greedily into output bins of ~``target_bytes``
+    — bin = exclusive-prefix-sum(bytes) div target — and the output is
+    the per-bin manifest a rewriter would execute (read the bin's
+    files, write one file).
+
+    Bin semantics: a file opens a new bin exactly when the bytes BEFORE
+    it already fill a multiple of the target, so every bin except a
+    partition's last holds ≥ target bytes and overshoots by at most one
+    file — the one-pass variant of first-fit that a prefix sum can
+    express (true first-fit-decreasing needs sequential state; the
+    overshoot bound is the same single-file one). An oversized file
+    (> target) gets a bin of its own plus the spillover accounting its
+    prefix position implies. Files with NULL size are excluded by
+    contract (a manifest row without a size is not plannable).
+
+    Output per (part_key, bin_id): (part_key, bin_id, n_files,
+    bin_bytes, fill_ppm) — fill_ppm = bin_bytes·10^6 div target, the
+    "how full did we pack" audit (a partition tail under 10^6 is
+    expected; interior bins under it indicate pathological file
+    ordering).
+
+    Exactness: integer end to end (BIGINT prefix sums, two floor
+    divisions). Scale shape: one window prefix-sum per partition key
+    (the file MANIFEST — thousands of rows per partition, never data
+    rows) + one combinable (part, bin) aggregate. The plan frame is
+    metadata-sized; nothing touches the table bytes."""
+    binned = (
+        files.where(F.col(bytes_col).isNotNull())
+        .select(
+            F.col(part_col).alias("part_key"),
+            F.col(file_col).alias("file_id"),
+            F.col(bytes_col).cast("long").alias("b"),
+        )
+        .select(
+            "part_key",
+            "b",
+            F.expr(
+                f"coalesce(sum(b) over (partition by part_key"
+                f" order by file_id rows between unbounded preceding"
+                f" and 1 preceding), 0) div {target_bytes}"
+            )
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )
+    return binned.groupBy("part_key", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("b").cast("long").alias("bin_bytes"),
+        F.expr(
+            f"cast(cast(sum(b) as decimal(38,0)) * 1000000"
+            f" div {target_bytes} as long)"
+        ).alias("fill_ppm"),
+    )
+
+
+def sql_compaction_plan(
+    files_cte: str,
+    *,
+    target_bytes: int = 1 << 27,
+) -> str:
+    """DuckDB oracle twin of :func:`compaction_plan` over
+    ``files_cte → (part_key, file_id, b)``."""
+    return f"""
+    WITH files AS ({files_cte}),
+    binned AS (
+      SELECT part_key, b,
+             COALESCE(SUM(b) OVER (PARTITION BY part_key ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {target_bytes} AS bin_id
+      FROM files WHERE b IS NOT NULL)
+    SELECT part_key, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(b) AS BIGINT) AS bin_bytes,
+           CAST(CAST(SUM(b) AS HUGEINT) * 1000000 // {target_bytes}
+                AS BIGINT) AS fill_ppm
+    FROM binned GROUP BY 1, 2
+    """

@@ -3024,3 +3024,45 @@ def join_salted_skew_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+#: compaction target for the documents manifest (chars stand in for
+#: bytes): ~8 docs per output bin at the synthetic ~300-char docs
+_COMPACT_TARGET = 2048
+_COMPACT_FILES_CTE = (
+    "SELECT source AS part_key, doc_id AS file_id, n_chars AS b"
+    " FROM documents"
+)
+
+
+@_q("layout_compaction_bins", None)  # assigned below
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan for the documents table treated as a small-file
+    manifest (source = partition, doc = file, n_chars = bytes): greedy
+    prefix-sum binning into ~2 KB output files with a per-bin fill
+    audit — the planner half of OPTIMIZE, all metadata-sized
+    (operators/layout.py)."""
+    from kinesis_stream_spark.operators.layout import compaction_plan
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("part_key"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("b"),
+    )
+    return compaction_plan(
+        d,
+        part_col="part_key",
+        file_col="file_id",
+        bytes_col="b",
+        target_bytes=_COMPACT_TARGET,
+    ).orderBy("part_key", "bin_id")
+
+
+from kinesis_stream_spark.operators.layout import (  # noqa: E402
+    sql_compaction_plan,
+)
+
+ORACLE["layout_compaction_bins"] = (
+    sql_compaction_plan(_COMPACT_FILES_CTE, target_bytes=_COMPACT_TARGET)
+    + " ORDER BY part_key, bin_id"
+)

@@ -185,3 +185,49 @@ class TestSaltedJoin:
         assert "SortMergeJoin" in plan
         assert "_salt" in plan
         assert "BroadcastHashJoin" not in plan
+
+
+class TestCompactionPlan:
+    def _plan(self, spark, rows, target):
+        from kinesis_stream_spark.operators.layout import compaction_plan
+
+        df = spark.createDataFrame(
+            rows, "part_key: string, file_id: long, bytes: long"
+        )
+        return {
+            (r["part_key"], r["bin_id"]): (r["n_files"], r["bin_bytes"],
+                                           r["fill_ppm"])
+            for r in compaction_plan(
+                df, bytes_col="bytes", target_bytes=target
+            ).collect()
+        }
+
+    def test_hand_packed_bins(self, spark):
+        # target 100: prefix-before 0,60,120,180,260 -> bins 0,0,1,1,2
+        rows = [("p", 1, 60), ("p", 2, 60), ("p", 3, 60),
+                ("p", 4, 80), ("p", 5, 40)]
+        got = self._plan(spark, rows, 100)
+        assert got == {
+            ("p", 0): (2, 120, 1200000),
+            ("p", 1): (2, 140, 1400000),
+            ("p", 2): (1, 40, 400000),
+        }
+
+    def test_oversized_file_gets_own_bin(self, spark):
+        # 350 > target: bins by prefix 0,350,360 -> 0,3,3
+        rows = [("p", 1, 350), ("p", 2, 10), ("p", 3, 10)]
+        got = self._plan(spark, rows, 100)
+        assert got == {("p", 0): (1, 350, 3500000), ("p", 3): (2, 20, 200000)}
+
+    def test_partitions_pack_independently(self, spark):
+        rows = [("a", 1, 90), ("b", 1, 90), ("a", 2, 90), ("b", 2, 20)]
+        got = self._plan(spark, rows, 100)
+        assert got == {
+            ("a", 0): (2, 180, 1800000),
+            ("b", 0): (2, 110, 1100000),
+        }
+
+    def test_null_sizes_excluded(self, spark):
+        rows = [("p", 1, 50), ("p", 2, None), ("p", 3, 60)]
+        got = self._plan(spark, rows, 100)
+        assert got == {("p", 0): (2, 110, 1100000)}
