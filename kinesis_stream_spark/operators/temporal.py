@@ -3556,3 +3556,149 @@ def sql_session_stats(
            total_duration_us
     FROM daily
     """
+
+
+def rolling_regression(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 7,
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Per-key ROLLING ordinary-least-squares trend: at every occupied
+    bucket, the OLS slope of the key's last ``window_rows`` occupied
+    period sums — the time-local refinement of :func:`linear_trend`
+    (one slope per key over its whole history) into the trend FEATURE
+    a monitoring or feature pipeline consumes ("is this metric rising
+    THIS week?"), with the same closed form
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    evaluated over a sliding ROWS frame instead of the key's history.
+    Gapped keys keep their true bucket offsets (x is position on the
+    time grid, not row number), so a key silent for a month doesn't
+    fake a gentle slope.
+
+    Exactness chain: :func:`linear_trend`'s — DECIMAL(27,6) period
+    sums, one exact power-of-two multiply into 2^20 BIGINT fx, per-row
+    BIGINT products x·yfx and x·x BEFORE the window, exact BIGINT
+    window sums, DECIMAL(38,0) closed-form numerator/denominator, and
+    ONLY then the pinned divides (num/den, then the 2^-20 rescale).
+    The oracle replays the identical frame (ROWS BETWEEN n−1 PRECEDING
+    AND CURRENT ROW over x, which is unique per key — tie-free).
+    Windows holding a single row emit NULL slope (den = 0) by
+    contract; NULL timestamps are excluded (:func:`ewma`'s rule).
+
+    Output per (key, bucket): (key, bucket, n_win, window_sum_fx,
+    slope) — slope in value units per period.
+
+    Scale shape: one map-side-combinable (key, bucket) aggregate over
+    the corpus, then two windows over the PERIOD frame (days × keys
+    rows, corpus-independent): the key-partitioned MIN for offsets and
+    the rolling moment sums. No self-join, no per-row state, no
+    second corpus pass. Headroom: x is grid-sized (≤ days of history),
+    yfx ≤ 2^20·Σ|value|/day — x·yfx stays inside BIGINT to ~10^4 days
+    of ~10^14-fx daily mass."""
+    daily = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
+    ).agg(dsum(value_col, "v"))
+    w0 = Window.partitionBy("key")
+    per = daily.select(
+        "key",
+        "bucket",
+        (F.col("bucket") - F.min("bucket").over(w0)).cast("long").alias("x"),
+        F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long").alias("yfx"),
+    ).select(
+        "key",
+        "bucket",
+        "x",
+        "yfx",
+        (F.col("x") * F.col("yfx")).cast("long").alias("xy"),
+        (F.col("x") * F.col("x")).cast("long").alias("xx"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("x")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    m = per.select(
+        "key",
+        "bucket",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("yfx").over(w).cast("long").alias("sy"),
+        F.sum("xy").over(w).cast("long").alias("sxy"),
+        F.sum("xx").over(w).cast("long").alias("sxx"),
+    )
+    d38 = "decimal(38,0)"
+    n_d = F.col("n").cast(d38)
+    num = n_d * F.col("sxy").cast(d38) - F.col("sx").cast(d38) * F.col(
+        "sy"
+    ).cast(d38)
+    den = n_d * F.col("sxx").cast(d38) - F.col("sx").cast(d38) * F.col(
+        "sx"
+    ).cast(d38)
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        num.cast("double") / den.cast("double") / F.lit(float(EWMA_SCALE))
+    )
+    return m.select(
+        "key",
+        "bucket",
+        F.col("n").alias("n_win"),
+        F.col("sy").alias("window_sum_fx"),
+        slope.alias("slope"),
+    )
+
+
+def sql_rolling_regression(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 7,
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`rolling_regression` (HUGEINT
+    num/den routed through VARCHAR for the correctly-rounded double —
+    the profiler's int128→double note)."""
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+             CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+    per AS (
+      SELECT key, bucket,
+             CAST(bucket - MIN(bucket) OVER (PARTITION BY key) AS BIGINT)
+               AS x,
+             CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS yfx
+      FROM daily),
+    prod AS (
+      SELECT key, bucket, x, yfx,
+             CAST(x * yfx AS BIGINT) AS xy, CAST(x * x AS BIGINT) AS xx
+      FROM per),
+    mom AS (
+      SELECT key, bucket,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(yfx) OVER w AS BIGINT) AS sy,
+             CAST(SUM(xy) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(xx) OVER w AS BIGINT) AS sxx
+      FROM prod
+      WINDOW w AS (PARTITION BY key ORDER BY x
+                   ROWS BETWEEN {window_rows - 1} PRECEDING
+                   AND CURRENT ROW))
+    SELECT key, bucket, n AS n_win, sy AS window_sum_fx,
+           CASE WHEN CAST(n AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+                ELSE CAST(CAST(CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy
+                               AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(CAST(n AS HUGEINT) * sxx
+                                 - CAST(sx AS HUGEINT) * sx
+                                 AS VARCHAR) AS DOUBLE)
+                     / {float(EWMA_SCALE)!r} END AS slope
+    FROM mom
+    """

@@ -1086,3 +1086,26 @@ from kinesis_stream_spark.operators.temporal import (  # noqa: E402
 )
 
 ORACLE["events_session_stats"] = sql_session_stats() + " ORDER BY day"
+
+
+@_q("events_rolling_regression", None)  # assigned below
+def events_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rolling 7-day OLS slope at every occupied day —
+    the time-local trend feature beside the whole-history
+    events_linear_trend: exact fx window moments, closed-form slope,
+    true grid offsets so gaps don't flatten the trend
+    (operators/temporal.py)."""
+    from kinesis_stream_spark.operators.temporal import rolling_regression
+
+    return rolling_regression(load_table(spark, sf_dir, "events")).orderBy(
+        "key", "bucket"
+    )
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_rolling_regression,
+)
+
+ORACLE["events_rolling_regression"] = (
+    sql_rolling_regression() + " ORDER BY key, bucket"
+)

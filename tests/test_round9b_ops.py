@@ -231,3 +231,75 @@ class TestCompactionPlan:
         rows = [("p", 1, 50), ("p", 2, None), ("p", 3, 60)]
         got = self._plan(spark, rows, 100)
         assert got == {("p", 0): (2, 110, 1100000)}
+
+
+class TestRollingRegression:
+    def _run(self, spark, rows, window_rows=3):
+        from kinesis_stream_spark.operators.temporal import rolling_regression
+
+        df = spark.createDataFrame(rows, "event_type: string, ts: timestamp, value: double")
+        return {
+            (r["key"], r["bucket"]): r
+            for r in rolling_regression(
+                df, window_rows=window_rows
+            ).collect()
+        }
+
+    def test_hand_computed_slopes(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # daily sums for key 'a': day0=1.0, day1=3.0, day2=5.0 (slope 2)
+        rows = [
+            ("a", base, 1.0),
+            ("a", base + dt.timedelta(days=1), 1.5),
+            ("a", base + dt.timedelta(days=1), 1.5),
+            ("a", base + dt.timedelta(days=2), 5.0),
+        ]
+        got = self._run(spark, rows)
+        d0 = got[("a", 19723)]  # 2024-01-01 epoch day
+        assert d0["n_win"] == 1 and d0["slope"] is None
+        d1 = got[("a", 19724)]
+        assert d1["n_win"] == 2
+        assert abs(d1["slope"] - 2.0) < 1e-5
+        d2 = got[("a", 19725)]
+        assert d2["n_win"] == 3
+        assert abs(d2["slope"] - 2.0) < 1e-5
+
+    def test_gap_keeps_true_offsets(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # y at days 0 and 10: slope must use dx=10, not row distance 1
+        rows = [
+            ("a", base, 0.0),
+            ("a", base + dt.timedelta(days=10), 10.0),
+        ]
+        got = self._run(spark, rows)
+        last = got[("a", 19733)]
+        assert last["n_win"] == 2
+        assert abs(last["slope"] - 1.0) < 1e-5
+
+    def test_window_slides_off_old_rows(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # 4 days 0,100,0,100 with window 3: last window (100,0,100)
+        rows = [
+            ("a", base + dt.timedelta(days=i), float(v))
+            for i, v in enumerate([0, 100, 0, 100])
+        ]
+        got = self._run(spark, rows)
+        last = got[("a", 19726)]
+        assert last["n_win"] == 3
+        # OLS over x=(1,2,3), y=(100,0,100): slope = 0
+        assert abs(last["slope"]) < 1e-5
+
+    def test_null_ts_excluded(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("a", base, 1.0), ("a", None, 99.0)]
+        got = self._run(spark, rows)
+        assert len(got) == 1
+        assert got[("a", 19723)]["window_sum_fx"] == 1 << 20
