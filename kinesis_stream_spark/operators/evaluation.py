@@ -485,3 +485,188 @@ def sql_label_inertia(
              / CAST(n_vectors AS DOUBLE) END AS mean_sq_radius
     FROM per
     """
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label plus the grand
+    '__all__' row — the separation companion to :func:`label_inertia`:
+    inertia says how COMPACT each class is; silhouette says whether
+    points sit closer to their OWN centroid than to the nearest other
+    one (Kaufman & Rousseeuw's simplified variant — a(i)/b(i) against
+    centroids, not all pairs, which is what makes it linear instead of
+    O(n²) and hence runnable at corpus scale). s(i) =
+    (b − a)/max(a, b) with a = dist to own centroid, b = min dist to
+    any other; misassigned points go negative, so n_negative is the
+    "how many vectors would rather live elsewhere" count that recall@k
+    can't see.
+
+    Exactness: no centroid floats ever materialize — per (point,
+    label) the squared distance Σ_d (x_d − sx_cd/n_c)² runs as the
+    exact-integer identity Σ_d (n_c·x_d − sx_cd)² / n_c² on 2^20
+    fixed-point elements (DECIMAL/HUGEINT sums, string-routed final
+    divide — the :func:`label_inertia` discipline), then ONE IEEE
+    sqrt per (point, label). The per-point score quantizes to
+    floor(s·10^6) BIGINT so label means aggregate order-free; the
+    mean avoids integer division entirely (sums can be negative and
+    div/`//` disagree on negatives across engines) — it's the pinned
+    double sum_fx/n/10^6. Singleton clusters score s = 1 by the
+    formula (a = 0 — the point IS its centroid); a single-label corpus
+    has no b and scores NULL (n_scored counts the scorable points).
+
+    Output per label (+ '__all__'): (label_key, n_vectors, n_scored,
+    n_negative, sum_sil_fx, mean_silhouette).
+
+    Scale shape: one posexplode (dim× map-local multiplier) → one
+    combinable (label, dim) moment aggregate (k·dim rows, broadcast
+    back) → a broadcast join fanning each element row k ways →
+    combinable (point, label) distance reduction → per-point k-row
+    pivot → label rollup. Linear in n·dim·k; no point-point pairs, no
+    corpus shuffle beyond the two combinable aggregates."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    s2 = float(INERTIA_SCALE) * float(INERTIA_SCALE)
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.coalesce(F.col(label_col).cast("string"), F.lit("__null__")).alias(
+            "lbl"
+        ),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid",
+        "lbl",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(INERTIA_SCALE)))
+        .cast("long")
+        .alias("xfx"),
+    )
+    cent = base.groupBy(F.col("lbl").alias("clabel"), "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum(F.col("xfx").cast(d38)).cast(d38).alias("sx"),
+    )
+    diff = (
+        F.col("n_c").cast(d19) * F.col("xfx").cast(d19) - F.col("sx")
+    ).cast(d19)
+    pd = (
+        base.join(F.broadcast(cent), "pos")
+        .select("vid", "lbl", "clabel", "n_c", (diff * diff).cast(d38).alias("t"))
+        .groupBy("vid", "lbl", "clabel")
+        .agg(
+            F.max("n_c").cast("long").alias("nc"),
+            F.sum("t").cast(d38).alias("num"),
+        )
+    )
+    dist = F.sqrt(
+        F.expr("cast(cast(num as string) as double)")
+        / (F.col("nc").cast("double") * F.col("nc").cast("double") * F.lit(s2))
+    )
+    per = (
+        pd.select("vid", "lbl", "clabel", dist.alias("d"))
+        .groupBy("vid", "lbl")
+        .agg(
+            F.min(F.when(F.col("clabel") == F.col("lbl"), F.col("d"))).alias(
+                "a"
+            ),
+            F.min(F.when(F.col("clabel") != F.col("lbl"), F.col("d"))).alias(
+                "b"
+            ),
+        )
+    )
+    g = F.greatest(F.col("a"), F.col("b"))
+    sfx = (
+        F.when(F.col("b").isNull(), F.lit(None).cast("long"))
+        .when(g == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor((F.col("b") - F.col("a")) / g * F.lit(1000000.0)).cast(
+                "long"
+            )
+        )
+    )
+    scored = per.select("lbl", sfx.alias("sfx"))
+    levels = scored.select(
+        F.explode(F.array(F.col("lbl"), F.lit("__all__"))).alias("lbl"),
+        "sfx",
+    )
+    return levels.groupBy(F.col("lbl").alias("label_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count("sfx").cast("long").alias("n_scored"),
+        F.coalesce(
+            F.sum(F.when(F.col("sfx") < 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_negative"),
+        F.coalesce(F.sum("sfx"), F.lit(0)).cast("long").alias("sum_sil_fx"),
+        F.when(
+            F.count("sfx") > 0,
+            F.sum("sfx").cast("double")
+            / F.count("sfx").cast("double")
+            / F.lit(1000000.0),
+        ).alias("mean_silhouette"),
+    )
+
+
+def sql_simplified_silhouette(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of :func:`simplified_silhouette`."""
+    s2 = float(INERTIA_SCALE) * float(INERTIA_SCALE)
+    return f"""
+    WITH base AS (
+      SELECT t.{id_col} AS vid,
+             COALESCE(CAST(t.{label_col} AS VARCHAR), '__null__') AS lbl,
+             r.pos,
+             CAST(FLOOR(CAST(t.{vec_col}[r.pos] AS DOUBLE)
+                        * {float(INERTIA_SCALE)!r}) AS BIGINT) AS xfx
+      FROM {table} t,
+           UNNEST(RANGE(1, LEN(t.{vec_col}) + 1)) r(pos)),
+    cent AS (
+      SELECT lbl AS clabel, pos, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(CAST(xfx AS HUGEINT)) AS HUGEINT) AS sx
+      FROM base GROUP BY 1, 2),
+    pd AS (
+      SELECT b.vid, b.lbl, c.clabel, CAST(MAX(c.n_c) AS BIGINT) AS nc,
+             CAST(SUM((CAST(c.n_c AS HUGEINT) * b.xfx - c.sx)
+                      * (CAST(c.n_c AS HUGEINT) * b.xfx - c.sx))
+                  AS HUGEINT) AS num
+      FROM base b JOIN cent c ON c.pos = b.pos
+      GROUP BY 1, 2, 3),
+    dists AS (
+      SELECT vid, lbl, clabel,
+             SQRT(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                  / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) * {s2!r}))
+               AS d
+      FROM pd),
+    per AS (
+      SELECT vid, lbl,
+             MIN(CASE WHEN clabel = lbl THEN d END) AS a,
+             MIN(CASE WHEN clabel != lbl THEN d END) AS b
+      FROM dists GROUP BY 1, 2),
+    scored AS (
+      SELECT lbl,
+             CASE WHEN b IS NULL THEN NULL
+                  WHEN GREATEST(a, b) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(FLOOR((b - a) / GREATEST(a, b) * 1000000.0)
+                            AS BIGINT) END AS sfx
+      FROM per),
+    levels AS (
+      SELECT lbl, sfx FROM scored
+      UNION ALL SELECT '__all__', sfx FROM scored)
+    SELECT lbl AS label_key,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(sfx) AS BIGINT) AS n_scored,
+           CAST(COALESCE(SUM(CASE WHEN sfx < 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_negative,
+           CAST(COALESCE(SUM(sfx), 0) AS BIGINT) AS sum_sil_fx,
+           CASE WHEN COUNT(sfx) > 0 THEN
+             CAST(SUM(sfx) AS DOUBLE) / CAST(COUNT(sfx) AS DOUBLE)
+             / 1000000.0 END AS mean_silhouette
+    FROM levels GROUP BY 1
+    """

@@ -157,3 +157,31 @@ ORACLE["similarity_label_inertia"] = guard_oracles(
     },
     DIM,
 )["similarity_label_inertia"]
+
+
+from kinesis_stream_spark.operators.evaluation import (  # noqa: E402
+    simplified_silhouette,
+    sql_simplified_silhouette,
+)
+
+
+@_q("similarity_silhouette", None)  # assigned (guarded) below
+def similarity_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label + '__all__' — the separation
+    companion to label inertia: does each vector sit closer to its own
+    centroid than to the nearest other, and how many would rather live
+    elsewhere (n_negative)? Centroid-free exact fixed-point distances,
+    one IEEE sqrt per (point, label), order-free ppm score sums
+    (operators/evaluation.py)."""
+    return simplified_silhouette(emb_scan(spark, sf_dir, DIM)).orderBy(
+        "label_key"
+    )
+
+
+ORACLE["similarity_silhouette"] = guard_oracles(
+    {
+        "similarity_silhouette": sql_simplified_silhouette()
+        + " ORDER BY label_key"
+    },
+    DIM,
+)["similarity_silhouette"]

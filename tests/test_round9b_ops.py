@@ -303,3 +303,56 @@ class TestRollingRegression:
         got = self._run(spark, rows)
         assert len(got) == 1
         assert got[("a", 19723)]["window_sum_fx"] == 1 << 20
+
+
+class TestSimplifiedSilhouette:
+    def _run(self, spark, rows):
+        from kinesis_stream_spark.operators.evaluation import (
+            simplified_silhouette,
+        )
+
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        )
+        return {
+            r["label_key"]: r for r in simplified_silhouette(df).collect()
+        }
+
+    def test_hand_computed_two_clusters(self, spark):
+        rows = [
+            (1, [0.0, 0.0], 0), (2, [2.0, 0.0], 0),
+            (3, [10.0, 0.0], 1), (4, [12.0, 0.0], 1),
+        ]
+        got = self._run(spark, rows)
+        # outer points: a=1, b=11 -> floor(10/11 * 1e6) = 909090
+        # inner points: a=1, b=9  -> floor(8/9 * 1e6)  = 888888
+        assert got["0"]["sum_sil_fx"] == 909090 + 888888
+        assert got["1"]["sum_sil_fx"] == 909090 + 888888
+        assert got["__all__"]["n_vectors"] == 4
+        assert got["__all__"]["n_negative"] == 0
+        assert got["0"]["mean_silhouette"] == (909090 + 888888) / 2 / 1e6
+
+    def test_misassigned_point_goes_negative(self, spark):
+        rows = [
+            (1, [0.0], 0), (2, [0.2], 0),
+            (3, [10.0], 1), (4, [10.2], 1),
+            (5, [10.1], 0),  # labeled 0 but sits inside cluster 1
+        ]
+        got = self._run(spark, rows)
+        assert got["0"]["n_negative"] == 1
+        assert got["__all__"]["n_negative"] == 1
+
+    def test_singleton_cluster_scores_one(self, spark):
+        rows = [(1, [0.0], 0), (2, [5.0], 1), (3, [6.0], 1)]
+        got = self._run(spark, rows)
+        assert got["0"]["n_scored"] == 1
+        assert got["0"]["sum_sil_fx"] == 1000000
+        assert got["0"]["mean_silhouette"] == 1.0
+
+    def test_single_label_corpus_is_unscorable(self, spark):
+        rows = [(1, [0.0], 0), (2, [2.0], 0)]
+        got = self._run(spark, rows)
+        assert got["0"]["n_vectors"] == 2
+        assert got["0"]["n_scored"] == 0
+        assert got["0"]["mean_silhouette"] is None
+        assert got["0"]["sum_sil_fx"] == 0
