@@ -1007,3 +1007,145 @@ def sql_cramers_v(
                 END AS cramers_v
     FROM agg
     """
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    val_col: str = "v",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    numeric samples — the distribution-level drift alarm beside the
+    categorical chi-square: D = max_v |F_a(v) − F_b(v)|, the largest
+    gap between the two empirical CDFs. The screen for "same metric,
+    different shape" regressions (a mean-preserving variance blowup is
+    invisible to the mean monitors; D catches it).
+
+    EXACT integer core: with counts c_a(v), c_b(v) per distinct value
+    and running sums C_a, C_b, the gap maximizer of |C_a/n_a − C_b/n_b|
+    equals that of |C_a·n_b − C_b·n_a| — DECIMAL(38,0)/HUGEINT
+    products of BIGINT running sums, compared and maximized as exact
+    integers (no float ever decides the max). Only the REPORTING is
+    float: D = d_num/(n_a·n_b) and the Kolmogorov-scaled statistic
+    K = D·√(n_a·n_b/(n_a+n_b)) are pinned chains (string-routed
+    int→double casts, one IEEE sqrt). NULL values are excluded;
+    an empty side reports NULL D by contract.
+
+    Output: ONE row (n_a, n_b, n_values, d_num, ks_d, ks_stat) —
+    d_num the exact integer gap numerator (reported as its exact
+    double; the test-scale bound n_a·n_b < 2^53 keeps it lossless).
+
+    Scale shape: one combinable per-value count aggregate over both
+    sides, then the running sums ride ONE :func:`distributed_cumsums`
+    range exchange (never a single-partition global window), a
+    broadcast totals row, and two tiny reductions (max, argmin-at-max).
+    Linear in distinct values, which for measurement doubles is ≤ rows
+    but shuffles only (value, c_a, c_b) triples."""
+    from kinesis_stream_spark.operators.skew import distributed_cumsums
+
+    u = (
+        a.where(F.col(val_col).isNotNull())
+        .select(
+            F.col(val_col).alias("v"),
+            F.lit(1).alias("ia"),
+            F.lit(0).alias("ib"),
+        )
+        .unionAll(
+            b.where(F.col(val_col).isNotNull()).select(
+                F.col(val_col).alias("v"),
+                F.lit(0).alias("ia"),
+                F.lit(1).alias("ib"),
+            )
+        )
+    )
+    pv = u.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("c1"),
+        F.sum("ib").cast("long").alias("c2"),
+    )
+    cum = distributed_cumsums(
+        pv, [F.col("v")], [("c1", "cum1"), ("c2", "cum2")]
+    )
+    tot = pv.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    d38 = "decimal(38,0)"
+    perv = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        "n_values",
+        F.abs(
+            F.col("cum1").cast(d38) * F.col("n_b").cast(d38)
+            - F.col("cum2").cast(d38) * F.col("n_a").cast(d38)
+        )
+        .cast(d38)
+        .alias("dnum"),
+    )
+    mx = perv.agg(
+        F.max("dnum").alias("_d"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("n_values").alias("n_values"),
+    )
+    d_dbl = F.expr("cast(cast(_d as string) as double)")
+    nprod = F.expr("cast(cast(cast(n_a as decimal(38,0)) * n_b as string) as double)")
+    ks_d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), d_dbl / nprod
+    ).otherwise(F.lit(None).cast("double"))
+    ks_stat = ks_d * F.sqrt(
+        nprod / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return mx.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        F.coalesce(F.col("n_values"), F.lit(0)).alias("n_values"),
+        d_dbl.alias("d_num"),
+        ks_d.alias("ks_d"),
+        ks_stat.alias("ks_stat"),
+    )
+
+
+def sql_ks_two_sample(a_cte: str, b_cte: str) -> str:
+    """DuckDB oracle twin of :func:`ks_two_sample` over two CTEs each
+    yielding a single ``v`` column."""
+    return f"""
+    WITH u AS (
+      SELECT v, 1 AS ia, 0 AS ib FROM ({a_cte}) WHERE v IS NOT NULL
+      UNION ALL
+      SELECT v, 0 AS ia, 1 AS ib FROM ({b_cte}) WHERE v IS NOT NULL),
+    pv AS (
+      SELECT v, CAST(SUM(ia) AS BIGINT) AS c1, CAST(SUM(ib) AS BIGINT) AS c2
+      FROM u GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+      FROM pv
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    tot AS (
+      SELECT COALESCE(CAST(SUM(c1) AS BIGINT), 0) AS n_a,
+             COALESCE(CAST(SUM(c2) AS BIGINT), 0) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM pv),
+    perv AS (
+      SELECT ABS(CAST(cum1 AS HUGEINT) * n_b
+                 - CAST(cum2 AS HUGEINT) * n_a) AS dnum
+      FROM cum CROSS JOIN tot),
+    mx AS (SELECT MAX(dnum) AS d FROM perv)
+    SELECT t.n_a, t.n_b, t.n_values,
+           CAST(CAST(m.d AS VARCHAR) AS DOUBLE) AS d_num,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+             CAST(CAST(m.d AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(t.n_a AS HUGEINT) * t.n_b AS VARCHAR)
+                    AS DOUBLE) END AS ks_d,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+             CAST(CAST(m.d AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(t.n_a AS HUGEINT) * t.n_b AS VARCHAR)
+                    AS DOUBLE)
+             * SQRT(CAST(CAST(CAST(t.n_a AS HUGEINT) * t.n_b AS VARCHAR)
+                         AS DOUBLE)
+                    / CAST(t.n_a + t.n_b AS DOUBLE)) END AS ks_stat
+    FROM tot t CROSS JOIN mx m
+    """

@@ -3066,3 +3066,41 @@ ORACLE["layout_compaction_bins"] = (
     sql_compaction_plan(_COMPACT_FILES_CTE, target_bytes=_COMPACT_TARGET)
     + " ORDER BY part_key, bin_id"
 )
+
+
+_KS_DAY = "unix_micros(cast(ts as timestamp)) div 86400000000"
+_KS_A_CTE = (
+    "SELECT value AS v FROM events WHERE ts IS NOT NULL"
+    " AND EPOCH_US(ts) // 86400000000 % 2 = 0"
+)
+_KS_B_CTE = (
+    "SELECT value AS v FROM events WHERE ts IS NOT NULL"
+    " AND EPOCH_US(ts) // 86400000000 % 2 = 1"
+)
+
+
+@_q("profile_ks_value_drift", None)  # assigned below
+def profile_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check on the event value
+    distribution, even epoch-days vs odd — the numeric-distribution
+    drift alarm beside the categorical chi-square: the CDF-gap
+    maximizer runs on exact integer cross products over ONE
+    distributed prefix-sum exchange; only the reported D and the
+    Kolmogorov-scaled statistic are (pinned) floats
+    (operators/profile.py)."""
+    from kinesis_stream_spark.operators.profile import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    day = F.expr(_KS_DAY)
+    a = ev.where(day % 2 == 0).select(F.col("value").alias("v"))
+    b = ev.where(day % 2 == 1).select(F.col("value").alias("v"))
+    return ks_two_sample(a, b)
+
+
+from kinesis_stream_spark.operators.profile import (  # noqa: E402
+    sql_ks_two_sample,
+)
+
+ORACLE["profile_ks_value_drift"] = sql_ks_two_sample(_KS_A_CTE, _KS_B_CTE)

@@ -356,3 +356,54 @@ class TestSimplifiedSilhouette:
         assert got["0"]["n_scored"] == 0
         assert got["0"]["mean_silhouette"] is None
         assert got["0"]["sum_sil_fx"] == 0
+
+
+class TestKsTwoSample:
+    def _run(self, spark, av, bv):
+        from kinesis_stream_spark.operators.profile import ks_two_sample
+
+        a = spark.createDataFrame([(float(v),) for v in av] or [(None,)],
+                                  "v: double")
+        b = spark.createDataFrame([(float(v),) for v in bv] or [(None,)],
+                                  "v: double")
+        return ks_two_sample(a, b).collect()[0]
+
+    def test_identical_samples_give_zero(self, spark):
+        r = self._run(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+        assert r["ks_d"] == 0.0 and r["d_num"] == 0.0
+        assert (r["n_a"], r["n_b"], r["n_values"]) == (4, 4, 4)
+
+    def test_disjoint_samples_give_one(self, spark):
+        r = self._run(spark, [1, 2, 3], [10, 20, 30])
+        assert r["ks_d"] == 1.0
+        # K = D * sqrt(n_a*n_b/(n_a+n_b)) = sqrt(9/6)
+        import math
+
+        assert r["ks_stat"] == math.sqrt(9.0 / 6.0)
+
+    def test_hand_computed_shifted(self, spark):
+        # a = {1,2}, b = {2,3}: CDF gaps at v=1: |2*1-0|=2 (cum_a=1,n_b=2,
+        # cum_b=0,n_a=2); v=2: |2*2-2*1|=2; v=3: 0 -> D = 2/(2*2) = 0.5
+        r = self._run(spark, [1, 2], [2, 3])
+        assert r["d_num"] == 2.0
+        assert r["ks_d"] == 0.5
+
+    def test_empty_side_reports_null(self, spark):
+        r = self._run(spark, [], [1, 2])
+        assert r["n_a"] == 0 and r["n_b"] == 2
+        assert r["ks_d"] is None and r["ks_stat"] is None
+
+    def test_matches_scipy_style_reference(self, spark):
+        # python reference: D = max |F1 - F2| over pooled values
+        av = [1, 1, 2, 5, 7, 7, 9]
+        bv = [2, 3, 3, 6, 8]
+        pooled = sorted(set(av) | set(bv))
+        d = max(
+            abs(
+                sum(1 for x in av if x <= v) / len(av)
+                - sum(1 for x in bv if x <= v) / len(bv)
+            )
+            for v in pooled
+        )
+        r = self._run(spark, av, bv)
+        assert abs(r["ks_d"] - d) < 1e-12
