@@ -487,6 +487,61 @@ def sql_label_inertia(
     """
 
 
+def _centroid_sq_dists(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared core of :func:`simplified_silhouette` and
+    :func:`centroid_confusion`: the (point × label-centroid) squared
+    distance frame (vid, lbl, clabel, d2), centroid-free — per (point,
+    label) the exact-integer identity Σ_d (n_c·x_d − sx_cd)² / n_c² on
+    2^20 fixed-point elements (DECIMAL/HUGEINT sums), with d2 the ONE
+    string-routed pinned divide per row. n·k rows out of an n·dim·k
+    broadcast fan — the two combinable aggregates are the only
+    shuffles."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    s2 = float(INERTIA_SCALE) * float(INERTIA_SCALE)
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.coalesce(F.col(label_col).cast("string"), F.lit("__null__")).alias(
+            "lbl"
+        ),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid",
+        "lbl",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(INERTIA_SCALE)))
+        .cast("long")
+        .alias("xfx"),
+    )
+    cent = base.groupBy(F.col("lbl").alias("clabel"), "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum(F.col("xfx").cast(d38)).cast(d38).alias("sx"),
+    )
+    diff = (
+        F.col("n_c").cast(d19) * F.col("xfx").cast(d19) - F.col("sx")
+    ).cast(d19)
+    pd = (
+        base.join(F.broadcast(cent), "pos")
+        .select(
+            "vid", "lbl", "clabel", "n_c", (diff * diff).cast(d38).alias("t")
+        )
+        .groupBy("vid", "lbl", "clabel")
+        .agg(
+            F.max("n_c").cast("long").alias("nc"),
+            F.sum("t").cast(d38).alias("num"),
+        )
+    )
+    d2 = F.expr("cast(cast(num as string) as double)") / (
+        F.col("nc").cast("double") * F.col("nc").cast("double") * F.lit(s2)
+    )
+    return pd.select("vid", "lbl", "clabel", d2.alias("d2"))
+
+
 def simplified_silhouette(
     emb: DataFrame,
     *,
@@ -528,42 +583,10 @@ def simplified_silhouette(
     combinable (point, label) distance reduction → per-point k-row
     pivot → label rollup. Linear in n·dim·k; no point-point pairs, no
     corpus shuffle beyond the two combinable aggregates."""
-    d19, d38 = "decimal(19,0)", "decimal(38,0)"
-    s2 = float(INERTIA_SCALE) * float(INERTIA_SCALE)
-    base = emb.select(
-        F.col(id_col).alias("vid"),
-        F.coalesce(F.col(label_col).cast("string"), F.lit("__null__")).alias(
-            "lbl"
-        ),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    ).select(
-        "vid",
-        "lbl",
-        "pos",
-        F.floor(F.col("x").cast("double") * F.lit(float(INERTIA_SCALE)))
-        .cast("long")
-        .alias("xfx"),
+    pd = _centroid_sq_dists(
+        emb, id_col=id_col, label_col=label_col, vec_col=vec_col
     )
-    cent = base.groupBy(F.col("lbl").alias("clabel"), "pos").agg(
-        F.count(F.lit(1)).cast("long").alias("n_c"),
-        F.sum(F.col("xfx").cast(d38)).cast(d38).alias("sx"),
-    )
-    diff = (
-        F.col("n_c").cast(d19) * F.col("xfx").cast(d19) - F.col("sx")
-    ).cast(d19)
-    pd = (
-        base.join(F.broadcast(cent), "pos")
-        .select("vid", "lbl", "clabel", "n_c", (diff * diff).cast(d38).alias("t"))
-        .groupBy("vid", "lbl", "clabel")
-        .agg(
-            F.max("n_c").cast("long").alias("nc"),
-            F.sum("t").cast(d38).alias("num"),
-        )
-    )
-    dist = F.sqrt(
-        F.expr("cast(cast(num as string) as double)")
-        / (F.col("nc").cast("double") * F.col("nc").cast("double") * F.lit(s2))
-    )
+    dist = F.sqrt(F.col("d2"))
     per = (
         pd.select("vid", "lbl", "clabel", dist.alias("d"))
         .groupBy("vid", "lbl")
@@ -669,4 +692,123 @@ def sql_simplified_silhouette(
              CAST(SUM(sfx) AS DOUBLE) / CAST(COUNT(sfx) AS DOUBLE)
              / 1000000.0 END AS mean_silhouette
     FROM levels GROUP BY 1
+    """
+
+
+def centroid_confusion(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid confusion matrix: assign every vector to its
+    closest label centroid and cross-tabulate assignments against the
+    true labels — the "would a centroid classifier recover these
+    labels" audit that turns :func:`simplified_silhouette`'s n_negative
+    into WHICH classes bleed into which (the pair of labels a merge or
+    re-labeling pass should look at first). Diagonal share ≈ centroid-
+    classifier accuracy per class.
+
+    Assignment is an exact argmin: squared distances from the shared
+    :func:`_centroid_sq_dists` frame (exact-integer numerators, one
+    pinned divide), ranked per point by (d2, clabel) — the label
+    tie-break makes equidistant points deterministic on both engines —
+    and row_number 1 wins. No sqrt is needed (monotone). Shares are
+    integer ppm of the true-label row.
+
+    Output per observed (true, assigned) pair: (label_key,
+    assigned_key, n_vectors, row_share_ppm, is_correct), dense only in
+    observed pairs (a zero cell is absent, as in every contingency
+    frame here).
+
+    Scale shape: the shared frame's two combinable aggregates + one
+    per-point k-row window (partitioned by point id — never global) +
+    one combinable pair count; the row totals ride a broadcast join of
+    the k-row label-total frame."""
+    pd = _centroid_sq_dists(
+        emb, id_col=id_col, label_col=label_col, vec_col=vec_col
+    )
+    w = Window.partitionBy("vid").orderBy("d2", "clabel")
+    assigned = (
+        pd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "lbl", "clabel")
+    )
+    conf = assigned.groupBy(
+        F.col("lbl").alias("label_key"), F.col("clabel").alias("assigned_key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    rowtot = conf.groupBy(F.col("label_key").alias("_lk")).agg(
+        F.sum("n_vectors").cast("long").alias("row_n")
+    )
+    return (
+        conf.join(
+            F.broadcast(rowtot), F.col("label_key") == F.col("_lk")
+        )
+        .select(
+            "label_key",
+            "assigned_key",
+            "n_vectors",
+            F.expr(
+                "cast(cast(n_vectors as decimal(38,0)) * 1000000"
+                " div row_n as long)"
+            ).alias("row_share_ppm"),
+            (F.col("label_key") == F.col("assigned_key")).alias("is_correct"),
+        )
+    )
+
+
+def sql_centroid_confusion(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of :func:`centroid_confusion`."""
+    s2 = float(INERTIA_SCALE) * float(INERTIA_SCALE)
+    return f"""
+    WITH base AS (
+      SELECT t.{id_col} AS vid,
+             COALESCE(CAST(t.{label_col} AS VARCHAR), '__null__') AS lbl,
+             r.pos,
+             CAST(FLOOR(CAST(t.{vec_col}[r.pos] AS DOUBLE)
+                        * {float(INERTIA_SCALE)!r}) AS BIGINT) AS xfx
+      FROM {table} t,
+           UNNEST(RANGE(1, LEN(t.{vec_col}) + 1)) r(pos)),
+    cent AS (
+      SELECT lbl AS clabel, pos, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(CAST(xfx AS HUGEINT)) AS HUGEINT) AS sx
+      FROM base GROUP BY 1, 2),
+    pd AS (
+      SELECT b.vid, b.lbl, c.clabel, CAST(MAX(c.n_c) AS BIGINT) AS nc,
+             CAST(SUM((CAST(c.n_c AS HUGEINT) * b.xfx - c.sx)
+                      * (CAST(c.n_c AS HUGEINT) * b.xfx - c.sx))
+                  AS HUGEINT) AS num
+      FROM base b JOIN cent c ON c.pos = b.pos
+      GROUP BY 1, 2, 3),
+    dists AS (
+      SELECT vid, lbl, clabel,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) * {s2!r}) AS d2
+      FROM pd),
+    assigned AS (
+      SELECT vid, lbl, clabel
+      FROM (SELECT vid, lbl, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY d2, clabel) AS rn
+            FROM dists)
+      WHERE rn = 1),
+    conf AS (
+      SELECT lbl AS label_key, clabel AS assigned_key,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM assigned GROUP BY 1, 2),
+    rowtot AS (
+      SELECT label_key AS lk, CAST(SUM(n_vectors) AS BIGINT) AS row_n
+      FROM conf GROUP BY 1)
+    SELECT c.label_key, c.assigned_key, c.n_vectors,
+           CAST(CAST(c.n_vectors AS HUGEINT) * 1000000 // r.row_n
+                AS BIGINT) AS row_share_ppm,
+           (c.label_key = c.assigned_key) AS is_correct
+    FROM conf c JOIN rowtot r ON r.lk = c.label_key
     """

@@ -185,3 +185,32 @@ ORACLE["similarity_silhouette"] = guard_oracles(
     },
     DIM,
 )["similarity_silhouette"]
+
+
+from kinesis_stream_spark.operators.evaluation import (  # noqa: E402
+    centroid_confusion,
+    sql_centroid_confusion,
+)
+
+
+@_q("similarity_centroid_confusion", None)  # assigned (guarded) below
+def similarity_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labeled embeddings —
+    which classes bleed into which under a centroid classifier, the
+    pairwise refinement of the silhouette's misassignment count. Exact
+    integer-core distances, deterministic (d², label) argmin, integer
+    ppm row shares (operators/evaluation.py)."""
+    return centroid_confusion(emb_scan(spark, sf_dir, DIM)).orderBy(
+        "label_key", "assigned_key"
+    )
+
+
+ORACLE["similarity_centroid_confusion"] = guard_oracles(
+    {
+        "similarity_centroid_confusion": sql_centroid_confusion()
+        + " ORDER BY label_key, assigned_key"
+    },
+    DIM,
+)["similarity_centroid_confusion"]

@@ -407,3 +407,58 @@ class TestKsTwoSample:
         )
         r = self._run(spark, av, bv)
         assert abs(r["ks_d"] - d) < 1e-12
+
+
+class TestCentroidConfusion:
+    def _run(self, spark, rows):
+        from kinesis_stream_spark.operators.evaluation import (
+            centroid_confusion,
+        )
+
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        )
+        return {
+            (r["label_key"], r["assigned_key"]): r
+            for r in centroid_confusion(df).collect()
+        }
+
+    def test_separated_clusters_are_diagonal(self, spark):
+        rows = [
+            (1, [0.0], 0), (2, [0.2], 0),
+            (3, [10.0], 1), (4, [10.2], 1),
+        ]
+        got = self._run(spark, rows)
+        assert got[("0", "0")]["n_vectors"] == 2
+        assert got[("1", "1")]["n_vectors"] == 2
+        assert got[("0", "0")]["row_share_ppm"] == 1000000
+        assert got[("0", "0")]["is_correct"] is True
+        assert len(got) == 2
+
+    def test_misassigned_point_lands_off_diagonal(self, spark):
+        rows = [
+            (1, [0.0], 0), (2, [0.2], 0),
+            (3, [10.0], 1), (4, [10.2], 1),
+            (5, [10.1], 0),  # true 0, nearest centroid 1
+        ]
+        got = self._run(spark, rows)
+        # label 0 row: 2 of 3 correct, 1 assigned to "1"
+        assert got[("0", "0")]["n_vectors"] == 2
+        assert got[("0", "1")]["n_vectors"] == 1
+        assert got[("0", "1")]["is_correct"] is False
+        assert got[("0", "0")]["row_share_ppm"] == 666666
+        assert got[("0", "1")]["row_share_ppm"] == 333333
+
+    def test_equidistant_tie_breaks_to_smaller_label(self, spark):
+        # point 3 (label 9) sits at 1.0; its own centroid is pulled to
+        # 4.0 by point 4, while singleton centroids "0" (at 0.0) and
+        # "1" (at 2.0) are both exactly 1.0 away -> the (d2, clabel)
+        # tie-break deterministically assigns "0"
+        rows = [
+            (1, [0.0], 0),
+            (2, [2.0], 1),
+            (3, [1.0], 9),
+            (4, [7.0], 9),
+        ]
+        got = self._run(spark, rows)
+        assert got[("9", "0")]["n_vectors"] == 1
