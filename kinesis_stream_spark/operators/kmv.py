@@ -146,3 +146,195 @@ def sql_kmv_distinct(table: str, cols: list[str]) -> str:
     return "SELECT * FROM (" + " UNION ALL ".join(
         f"({b})" for b in branches
     ) + ") AS kmv"
+
+
+def _bottom_k(df: DataFrame, col: str) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of a column — the KMV
+    sketch state (map-side-combinable dedup, then
+    TakeOrderedAndProject)."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(md5_int64(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Distinct-cardinality AND resemblance estimates for two sets from
+    their KMV sketches — the property HLL set ops can't offer: because
+    a KMV sketch is a uniform sample of the distinct values, the union
+    sketch K_∪ = bottom-k(K_A ∪ K_B) is itself a uniform sample of
+    A ∪ B, and the fraction ρ of its hashes present in BOTH input
+    sketches estimates the Jaccard resemblance DIRECTLY (Beyer et al.
+    2007 §4) — where HLL's intersection is inclusion–exclusion noise,
+    KMV's is ρ·|A ∪ B|, with error that stays relative to the UNION,
+    not to the larger input. Exact counts ride alongside so the parity
+    row grades every estimate.
+
+    Estimates: est(A), est(B), est(A ∪ B) are the standard KMV order
+    statistic (complete sketch ⇒ exact size); ρ = |K_∪ ∩ K_A ∩ K_B| /
+    |K_∪| (exact integer counts over identical hash sets on both
+    engines); est(A ∩ B) = ρ·est(A ∪ B); the jaccard row reports ρ
+    itself against the exact |A∩B|/|A∪B|. All floats are pinned
+    chains over exact integers (one literal-numerator divide per
+    estimate, one ratio multiply).
+
+    Output: 5 rows (set_op ∈ a/b/union/intersection/jaccard) with
+    (set_op, exact, estimate, rel_err) — exact as double (counts are
+    < 2^53-lossless; jaccard is a ratio), rel_err NULL when exact = 0.
+
+    Scale shape: two sketch builds (combinable dedup +
+    TakeOrderedAndProject each), a ≤ 2k-row merge + re-limit, two ≤
+    k-row semi-joins; the exact columns (distinct + semi-join counts)
+    exist to grade the sketch and drop at deployment scale."""
+    ka = _bottom_k(a, col_a).localCheckpoint()
+    kb = _bottom_k(b, col_b).localCheckpoint()
+    ku = (
+        ka.unionAll(kb).distinct().orderBy("h").limit(KMV_K).localCheckpoint()
+    )
+    sk = (
+        ku.agg(
+            F.count(F.lit(1)).cast("long").alias("nu"),
+            F.max("h").alias("hu"),
+        )
+        .crossJoin(
+            ka.agg(
+                F.count(F.lit(1)).cast("long").alias("na"),
+                F.max("h").alias("ha"),
+            )
+        )
+        .crossJoin(
+            kb.agg(
+                F.count(F.lit(1)).cast("long").alias("nb"),
+                F.max("h").alias("hb"),
+            )
+        )
+        .crossJoin(
+            ku.join(ka, "h", "left_semi")
+            .join(kb, "h", "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        )
+    )
+    av = a.where(F.col(col_a).isNotNull()).select(
+        F.col(col_a).alias("v")
+    ).distinct()
+    bv = b.where(F.col(col_b).isNotNull()).select(
+        F.col(col_b).alias("v")
+    ).distinct()
+    exact = (
+        av.agg(F.count(F.lit(1)).cast("long").alias("x_a"))
+        .crossJoin(bv.agg(F.count(F.lit(1)).cast("long").alias("x_b")))
+        .crossJoin(
+            av.unionAll(bv)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("x_u"))
+        )
+        .crossJoin(
+            av.join(bv, "v", "left_semi").agg(
+                F.count(F.lit(1)).cast("long").alias("x_i")
+            )
+        )
+    )
+    base = sk.crossJoin(exact)
+
+    def _est(n_col, h_col):
+        return F.when(
+            F.col(n_col) < KMV_K, F.col(n_col).cast("double")
+        ).otherwise(F.lit(KMV_NUM) / F.col(h_col).cast("double"))
+
+    est_a, est_b, est_u = _est("na", "ha"), _est("nb", "hb"), _est("nu", "hu")
+    rho = F.when(F.col("nu") > 0, F.col("m").cast("double") / F.col("nu").cast("double")).otherwise(F.lit(0.0))
+    est_i = rho * est_u
+    x_j = F.when(
+        F.col("x_u") > 0, F.col("x_i").cast("double") / F.col("x_u").cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+
+    def _row(name, exact_expr, est_expr):
+        err = F.when(
+            exact_expr.isNull() | (exact_expr == 0),
+            F.lit(None).cast("double"),
+        ).otherwise((est_expr - exact_expr) / exact_expr)
+        return base.select(
+            F.lit(name).alias("set_op"),
+            exact_expr.alias("exact"),
+            est_expr.alias("estimate"),
+            err.alias("rel_err"),
+        )
+
+    return (
+        _row("a", F.col("x_a").cast("double"), est_a)
+        .unionAll(_row("b", F.col("x_b").cast("double"), est_b))
+        .unionAll(_row("union", F.col("x_u").cast("double"), est_u))
+        .unionAll(_row("intersection", F.col("x_i").cast("double"), est_i))
+        .unionAll(_row("jaccard", x_j, rho))
+    )
+
+
+def sql_kmv_set_ops(a_cte: str, b_cte: str) -> str:
+    """DuckDB oracle twin of :func:`kmv_set_ops` over two CTEs each
+    yielding a single ``v`` column."""
+    h = sql_h_expr("v")
+    est = lambda n, hh: (  # noqa: E731
+        f"CASE WHEN {n} < {KMV_K} THEN CAST({n} AS DOUBLE)"
+        f" ELSE {KMV_NUM!r} / CAST({hh} AS DOUBLE) END"
+    )
+    return f"""
+    WITH ra AS ({a_cte}), rb AS ({b_cte}),
+    ka AS (SELECT DISTINCT {h} AS h FROM ra WHERE v IS NOT NULL
+           ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT DISTINCT {h} AS h FROM rb WHERE v IS NOT NULL
+           ORDER BY h LIMIT {KMV_K}),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL
+           SELECT h FROM kb) ORDER BY h LIMIT {KMV_K}),
+    sk AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ku) AS nu,
+             (SELECT MAX(h) FROM ku) AS hu,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ka) AS na,
+             (SELECT MAX(h) FROM ka) AS ha,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM kb) AS nb,
+             (SELECT MAX(h) FROM kb) AS hb,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ku
+              WHERE h IN (SELECT h FROM ka)
+                AND h IN (SELECT h FROM kb)) AS m),
+    ex AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM ra
+              WHERE v IS NOT NULL) AS x_a,
+             (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM rb
+              WHERE v IS NOT NULL) AS x_b,
+             (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM
+              (SELECT v FROM ra WHERE v IS NOT NULL UNION ALL
+               SELECT v FROM rb WHERE v IS NOT NULL)) AS x_u,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT v FROM ra WHERE v IS NOT NULL)
+              WHERE v IN (SELECT v FROM rb WHERE v IS NOT NULL)) AS x_i),
+    base AS (SELECT * FROM sk CROSS JOIN ex),
+    rows_out AS (
+      SELECT 'a' AS set_op, CAST(x_a AS DOUBLE) AS exact,
+             {est('na', 'ha')} AS estimate FROM base
+      UNION ALL
+      SELECT 'b', CAST(x_b AS DOUBLE), {est('nb', 'hb')} FROM base
+      UNION ALL
+      SELECT 'union', CAST(x_u AS DOUBLE), {est('nu', 'hu')} FROM base
+      UNION ALL
+      SELECT 'intersection', CAST(x_i AS DOUBLE),
+             (CASE WHEN nu > 0 THEN CAST(m AS DOUBLE) / CAST(nu AS DOUBLE)
+                   ELSE 0.0 END) * ({est('nu', 'hu')}) FROM base
+      UNION ALL
+      SELECT 'jaccard',
+             CASE WHEN x_u > 0 THEN CAST(x_i AS DOUBLE)
+                                    / CAST(x_u AS DOUBLE) END,
+             CASE WHEN nu > 0 THEN CAST(m AS DOUBLE) / CAST(nu AS DOUBLE)
+                  ELSE 0.0 END FROM base)
+    SELECT set_op, exact, estimate,
+           CASE WHEN exact IS NULL OR exact = 0 THEN NULL
+                ELSE (estimate - exact) / exact END AS rel_err
+    FROM rows_out
+    """

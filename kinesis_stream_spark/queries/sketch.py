@@ -112,3 +112,30 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return histogram_quantiles(li, "l_extendedprice").orderBy("q_ppm")
+
+
+from kinesis_stream_spark.operators.kmv import (  # noqa: E402
+    kmv_set_ops,
+    sql_kmv_set_ops,
+)
+
+
+@_q(
+    "agg_kmv_set_ops",
+    sql_kmv_set_ops(_HLL_A_CTE, _HLL_B_CTE) + " ORDER BY set_op",
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations on the SAME two sets the HLL set-ops row
+    sketches (urgent-order vs finished-order buyers) — union from the
+    merged bottom-k, intersection from the resemblance fraction
+    ρ = |K_∪ ∩ K_A ∩ K_B|/|K_∪| (the estimator HLL cannot offer),
+    plus the direct Jaccard row; exact counts ride alongside
+    (operators/kmv.py)."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT")
+    b = o.where(F.col("o_orderstatus") == "F")
+    return kmv_set_ops(a, b, col_a="o_custkey", col_b="o_custkey").orderBy(
+        "set_op"
+    )

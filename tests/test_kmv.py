@@ -88,3 +88,47 @@ def test_merged_sketch_equals_rescan(spark):
     merged = bottom(a).unionAll(bottom(b)).distinct().orderBy("h").limit(KMV_K)
     hk = merged.agg(F.max("h")).collect()[0][0]
     assert hk == direct["kth_min_hash"]
+
+
+class TestKmvSetOps:
+    def _run(self, spark, av, bv):
+        from kinesis_stream_spark.operators.kmv import kmv_set_ops
+
+        a = spark.createDataFrame([(v,) for v in av] or [(None,)], "v: int")
+        b = spark.createDataFrame([(v,) for v in bv] or [(None,)], "v: int")
+        return {
+            r["set_op"]: r
+            for r in kmv_set_ops(a, b, col_a="v", col_b="v").collect()
+        }
+
+    def test_small_sets_are_exact(self, spark):
+        # everything fits in the sketch: every estimate is exact
+        got = self._run(spark, [1, 2, 3, 4], [3, 4, 5])
+        assert got["a"]["estimate"] == 4.0 and got["a"]["rel_err"] == 0.0
+        assert got["b"]["estimate"] == 3.0
+        assert got["union"]["estimate"] == 5.0
+        assert got["intersection"]["estimate"] == 2.0
+        assert got["jaccard"]["exact"] == 0.4
+        assert got["jaccard"]["estimate"] == 0.4
+
+    def test_disjoint_sets(self, spark):
+        got = self._run(spark, [1, 2], [3, 4])
+        assert got["intersection"]["estimate"] == 0.0
+        assert got["jaccard"]["estimate"] == 0.0
+        assert got["jaccard"]["exact"] == 0.0
+
+    def test_large_overlap_estimates_land_near_truth(self, spark):
+        av = list(range(0, 3000))
+        bv = list(range(1500, 4500))
+        got = self._run(spark, av, bv)
+        for op, truth in [("a", 3000), ("b", 3000), ("union", 4500),
+                          ("intersection", 1500)]:
+            assert abs(got[op]["estimate"] - truth) / truth < 0.35, (
+                op, got[op]["estimate"])
+        assert abs(got["jaccard"]["estimate"] - 1 / 3) < 0.15
+
+    def test_empty_side(self, spark):
+        got = self._run(spark, [], [1, 2])
+        assert got["a"]["estimate"] == 0.0 and got["a"]["rel_err"] is None
+        assert got["union"]["estimate"] == 2.0
+        assert got["jaccard"]["exact"] == 0.0
