@@ -53,6 +53,16 @@ SENSITIVE = [
     "text_vocab_coverage",  # distributed prefix sum + coverage divide
     "retrieval_hybrid_rrf",  # two ranked chains + integer rank fusion
     "graph_pagerank_purchases",  # iterative checkpointed integer rounds
+    "agg_kmv_distinct",  # bottom-k order statistic + literal divide
+    "agg_kmv_set_ops",  # merged sketches + resemblance divides
+    "profile_cramers_v",  # fx-quantized chi2 terms + sqrt chain
+    "profile_ks_value_drift",  # distributed prefix sums + integer max
+    "graph_hits_scores",  # iterative integer L1-normalized rounds
+    "events_rolling_regression",  # fx window moments + closed-form divides
+    "similarity_silhouette",  # centroid-free distances + ppm score sums
+    "similarity_centroid_confusion",  # argmin tie-break + ppm shares
+    "join_salted_skew_segments",  # salted SMJ + exact-decimal sums
+    "layout_compaction_bins",  # per-partition prefix-sum binning
 ]
 
 
