@@ -729,7 +729,12 @@ def centroid_confusion(
     pd = _centroid_sq_dists(
         emb, id_col=id_col, label_col=label_col, vec_col=vec_col
     )
-    w = Window.partitionBy("vid").orderBy("d2", "clabel")
+    # asc_nulls_last matches DuckDB's ASC default (NULLS LAST): a NULL
+    # distance (a label NULL at every position the point occupies) must
+    # lose the argmin on BOTH engines, not win Spark's NULLS-FIRST sort
+    w = Window.partitionBy("vid").orderBy(
+        F.asc_nulls_last("d2"), "clabel"
+    )
     assigned = (
         pd.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

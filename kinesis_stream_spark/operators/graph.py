@@ -1471,7 +1471,11 @@ def hits_scores(
     traffic 2·E rows per round, state one node-sized frame. Rounds
     checkpoint eagerly with superseded checkpoints released (the
     iterative-family block-manager hygiene); a completed call retains
-    the two score frames only."""
+    ONE node-sized block (the final scores — the :func:`pagerank`
+    discipline). ``iterations`` must be ≥ 1 (there is no meaningful
+    0-round HITS state — the uniform init is a hub-only frame)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -1514,8 +1518,9 @@ def hits_scores(
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_fx"),
             F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_fx"),
         )
+        .localCheckpoint()
     )
-    for frame in (e,):
+    for frame in (e, nodes, h, a):
         _release_local_checkpoint(frame)
     return out.select(
         "node",
@@ -1529,6 +1534,8 @@ def hits_scores(
 def sql_hits_scores(edges_cte: str, *, iterations: int = 3) -> str:
     """DuckDB oracle twin of :func:`hits_scores`: the same integer
     rounds as unrolled CTEs. Caller appends its ORDER BY."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     norm = (
         f"CASE WHEN t > 0 THEN CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}"
         " // t AS BIGINT) ELSE CAST(0 AS BIGINT) END"

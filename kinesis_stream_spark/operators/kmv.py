@@ -58,6 +58,19 @@ KMV_H = 1 << 60
 KMV_NUM = float(KMV_K - 1) * float(KMV_H)
 
 
+def _bottom_k(df: DataFrame, col: str) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of a column — the KMV
+    sketch state (map-side-combinable dedup, then
+    TakeOrderedAndProject)."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(md5_int64(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+
+
 def kmv_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column KMV cardinality estimate next to the exact count.
 
@@ -73,12 +86,7 @@ def kmv_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError("cols must be non-empty")
     outs = []
     for c in cols:
-        dh = (
-            df.where(F.col(c).isNotNull())
-            .select(md5_int64(F.col(c).cast("string")).alias("h"))
-            .distinct()
-        )
-        bottom = dh.orderBy("h").limit(KMV_K)
+        bottom = _bottom_k(df, c)
         sketch = bottom.agg(
             F.count(F.lit(1)).cast("long").alias("n_sketch"),
             F.max("h").alias("kth_min_hash"),
@@ -146,19 +154,6 @@ def sql_kmv_distinct(table: str, cols: list[str]) -> str:
     return "SELECT * FROM (" + " UNION ALL ".join(
         f"({b})" for b in branches
     ) + ") AS kmv"
-
-
-def _bottom_k(df: DataFrame, col: str) -> DataFrame:
-    """The k smallest distinct 60-bit hashes of a column — the KMV
-    sketch state (map-side-combinable dedup, then
-    TakeOrderedAndProject)."""
-    return (
-        df.where(F.col(col).isNotNull())
-        .select(md5_int64(F.col(col).cast("string")).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(KMV_K)
-    )
 
 
 def kmv_set_ops(

@@ -594,11 +594,13 @@ def salted_join(
 
     Semantics are EXACTLY the plain ``big ⋈ small`` equi-join: every
     big row joins the one replica of its match that carries its salt
-    (inner/left supported — the right side's multiplicity is the
-    caller's contract to keep 1:1 per key, the usual dim-table shape).
-    The salt is md5-derived from ``salt_src`` (a row-identity column of
-    the big side) — deterministic, so retries and replays join
-    identically; NULL big keys behave as in the plain join (inner
+    (inner/left ONLY — under right/full the n_salts unmatched replicas
+    of a small row would each null-extend, fabricating duplicates, so
+    those modes raise). The salt is md5-derived from ``salt_src`` (a
+    row-identity column of the big side) — deterministic, so retries
+    and replays join identically; a NULL salt_src coalesces to salt 0
+    (the row must still join — only its reducer placement is
+    arbitrary); NULL big keys behave as in the plain join (inner
     drops, left preserves; a NULL never matches either way).
 
     Cost: the small side ships ``n_salts`` copies through the shuffle
@@ -614,9 +616,15 @@ def salted_join(
     Returns the joined frame (salt dropped) for the caller to project/
     aggregate; column names pass through, so callers resolve their own
     collisions first."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salt_col = F.col(salt_src) if isinstance(salt_src, str) else salt_src
     b = big.withColumn(
-        "_salt", (md5_int64(salt_col.cast("string")) % n_salts).cast("int")
+        "_salt",
+        F.coalesce(
+            (md5_int64(salt_col.cast("string")) % n_salts).cast("int"),
+            F.lit(0),
+        ),
     )
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -3068,14 +3068,20 @@ ORACLE["layout_compaction_bins"] = (
 )
 
 
-_KS_DAY = "unix_micros(cast(ts as timestamp)) div 86400000000"
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    DAY_US as _KS_DAY_US,
+)
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    _bucket as _ks_bucket,
+)
+
 _KS_A_CTE = (
     "SELECT value AS v FROM events WHERE ts IS NOT NULL"
-    " AND EPOCH_US(ts) // 86400000000 % 2 = 0"
+    f" AND EPOCH_US(ts) // {_KS_DAY_US} % 2 = 0"
 )
 _KS_B_CTE = (
     "SELECT value AS v FROM events WHERE ts IS NOT NULL"
-    " AND EPOCH_US(ts) // 86400000000 % 2 = 1"
+    f" AND EPOCH_US(ts) // {_KS_DAY_US} % 2 = 1"
 )
 
 
@@ -3093,7 +3099,7 @@ def profile_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull()
     )
-    day = F.expr(_KS_DAY)
+    day = _ks_bucket("ts", _KS_DAY_US)
     a = ev.where(day % 2 == 0).select(F.col("value").alias("v"))
     b = ev.where(day % 2 == 1).select(F.col("value").alias("v"))
     return ks_two_sample(a, b)

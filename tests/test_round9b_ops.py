@@ -462,3 +462,73 @@ class TestCentroidConfusion:
         ]
         got = self._run(spark, rows)
         assert got[("9", "0")]["n_vectors"] == 1
+
+
+class TestReviewFixes:
+    def test_salted_join_null_salt_src_still_joins(self, spark):
+        from kinesis_stream_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(1, 0), (None, 0), (3, 7)], "rid: long, k: long"
+        )
+        small = spark.createDataFrame([(0, "a")], "k2: long, seg: string")
+        rows = sorted(
+            [
+                (r["rid"], r["seg"])
+                for r in salted_join(
+                    big, small, big_key="k", small_key="k2",
+                    salt_src="rid", n_salts=4,
+                ).collect()
+            ],
+            key=str,
+        )
+        # the NULL-rid row coalesces to salt 0 and still matches key 0
+        assert rows == sorted([(1, "a"), (None, "a")], key=str)
+
+    def test_salted_join_rejects_right_and_full(self, spark):
+        import pytest
+
+        from kinesis_stream_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, 0)], "rid: long, k: long")
+        small = spark.createDataFrame([(0, "a")], "k2: long, seg: string")
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError):
+                salted_join(
+                    big, small, big_key="k", small_key="k2",
+                    salt_src="rid", how=how,
+                )
+
+    def test_hits_rejects_zero_iterations(self, spark):
+        import pytest
+
+        from kinesis_stream_spark.operators.graph import (
+            hits_scores,
+            sql_hits_scores,
+        )
+
+        df = spark.createDataFrame([("a", "x")], "src: string, dst: string")
+        with pytest.raises(ValueError):
+            hits_scores(df, iterations=0)
+        with pytest.raises(ValueError):
+            sql_hits_scores("SELECT 1 AS src, 2 AS dst", iterations=0)
+
+    def test_confusion_null_distance_loses_argmin(self, spark):
+        from kinesis_stream_spark.operators.evaluation import (
+            centroid_confusion,
+        )
+
+        # label 9's only vector is NULL at every position -> d2 to its
+        # centroid is NULL for every point; NULL must lose the argmin
+        rows = [
+            (1, [0.0], 0), (2, [0.2], 0),
+            (3, [None], 9),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        )
+        got = {
+            (r["label_key"], r["assigned_key"]): r["n_vectors"]
+            for r in centroid_confusion(df).collect()
+        }
+        assert got[("0", "0")] == 2  # not assigned to the NULL centroid
