@@ -258,3 +258,226 @@ def sql_apdex_score(
                 // (CAST(n AS HUGEINT) * 2) AS BIGINT) AS apdex_ppm
     FROM per
     """
+
+
+#: fixed-point scale for per-unit metric totals in the Welch t-test
+WELCH_SCALE = 1 << 20
+
+
+def ab_welch_ttest(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance t-test on a CONTINUOUS per-unit metric
+    under the same deterministic 50/50 hash split as
+    :func:`ab_conversion_ztest` — the readout for "did treatment move
+    spend/engagement", where the z-test only answers "did it move
+    conversion". Welch (not Student) because experiment arms routinely
+    have unequal variances (heavy-spender tails), and the test must
+    not assume them equal.
+
+    The unit of analysis is the UNIT, not the event (within-user
+    events are correlated; a per-event test would overstate n): each
+    unit's value total accumulates exactly (DECIMAL(27,6)), quantizes
+    to 2^20 fx BIGINT, and the per-arm moments (n, Σx, Σx²) are
+    DECIMAL(38,0)-exact. Sample variance s² = (n·Σx² − (Σx)²) /
+    (n·(n−1)) runs on the exact integer numerator (string-routed to
+    double); then
+
+        t   = (m̄_t − m̄_c) / √(s²_c/n_c + s²_t/n_t)
+        dof = (s²_c/n_c + s²_t/n_t)² /
+              ((s²_c/n_c)²/(n_c−1) + (s²_t/n_t)²/(n_t−1))
+
+    in pinned-order doubles (IEEE divides + one sqrt). Arms with < 2
+    units (or zero pooled variance) yield NULL t/dof by contract.
+    Units with no parseable value still count (their total is 0 —
+    absence of spend is signal); NULL unit ids are excluded.
+
+    Output: ONE row (n_control, n_treatment, mean_control,
+    mean_treatment, var_control, var_treatment, t_stat, welch_dof) —
+    means/variances in value units (power-of-two rescales).
+
+    Scale shape: one combinable per-unit aggregate over the corpus,
+    then a units→2-row moment reduction and a 1-row fold. No window,
+    no join, no skew surface."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    s = float(WELCH_SCALE)
+    per_unit = (
+        events.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col(value_col).cast("decimal(27,6)")),
+                F.lit(0).cast("decimal(27,6)"),
+            ).alias("_v")
+        )
+        .select(
+            "unit",
+            F.floor(F.col("_v").cast("double") * F.lit(s))
+            .cast("long")
+            .alias("xfx"),
+            (md5_int64(F.col("unit").cast("string")) % 2).alias("variant"),
+        )
+    )
+    mom = per_unit.groupBy().agg(
+        *[
+            agg
+            for v, tag in ((0, "c"), (1, "t"))
+            for agg in (
+                F.coalesce(
+                    F.sum(F.when(F.col("variant") == v, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"n_{tag}"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("variant") == v, F.col("xfx")).cast(d38)
+                    ),
+                    F.lit(0).cast(d38),
+                )
+                .cast(d38)
+                .alias(f"sx_{tag}"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("variant") == v,
+                            (
+                                F.col("xfx").cast(d19) * F.col("xfx").cast(d19)
+                            ).cast(d38),
+                        )
+                    ),
+                    F.lit(0).cast(d38),
+                )
+                .cast(d38)
+                .alias(f"sxx_{tag}"),
+            )
+        ]
+    )
+
+    def _arm(tag):
+        n = F.col(f"n_{tag}")
+        n_d = n.cast("double")
+        mean = F.when(n > 0, F.expr(f"cast(cast(sx_{tag} as string) as double)") / n_d / F.lit(s)).otherwise(F.lit(None).cast("double"))
+        num = F.expr(
+            f"cast(cast(cast(n_{tag} as decimal(38,0)) * sxx_{tag}"
+            f" - sx_{tag} * sx_{tag} as string) as double)"
+        )
+        var = F.when(
+            n > 1, num / (n_d * (n_d - F.lit(1.0))) / F.lit(s * s)
+        ).otherwise(F.lit(None).cast("double"))
+        return mean, var
+
+    mean_c, var_c = _arm("c")
+    mean_t, var_t = _arm("t")
+    out = mom.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        mean_c.alias("mean_control"),
+        mean_t.alias("mean_treatment"),
+        var_c.alias("var_control"),
+        var_t.alias("var_treatment"),
+    )
+    a = F.col("var_control") / F.col("n_control").cast("double")
+    b = F.col("var_treatment") / F.col("n_treatment").cast("double")
+    se2 = a + b
+    scorable = (
+        (F.col("n_control") > 1)
+        & (F.col("n_treatment") > 1)
+        & F.col("var_control").isNotNull()
+        & F.col("var_treatment").isNotNull()
+    )
+    t_stat = F.when(
+        scorable & (se2 > 0),
+        (F.col("mean_treatment") - F.col("mean_control")) / F.sqrt(se2),
+    ).otherwise(F.lit(None).cast("double"))
+    dof = F.when(
+        scorable & (se2 > 0),
+        (se2 * se2)
+        / (
+            a * a / (F.col("n_control").cast("double") - F.lit(1.0))
+            + b * b / (F.col("n_treatment").cast("double") - F.lit(1.0))
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return out.select(
+        "*", t_stat.alias("t_stat"), dof.alias("welch_dof")
+    )
+
+
+def sql_ab_welch_ttest(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`ab_welch_ttest`."""
+    s = float(WELCH_SCALE)
+    num = lambda tag: (  # noqa: E731
+        f"CAST(CAST(CAST(n_{tag} AS HUGEINT) * sxx_{tag}"
+        f" - sx_{tag} * sx_{tag} AS VARCHAR) AS DOUBLE)"
+    )
+    mean = lambda tag: (  # noqa: E731
+        f"CASE WHEN n_{tag} > 0 THEN CAST(CAST(sx_{tag} AS VARCHAR)"
+        f" AS DOUBLE) / CAST(n_{tag} AS DOUBLE) / {s!r} END"
+    )
+    var = lambda tag: (  # noqa: E731
+        f"CASE WHEN n_{tag} > 1 THEN {num(tag)}"
+        f" / (CAST(n_{tag} AS DOUBLE) * (CAST(n_{tag} AS DOUBLE) - 1.0))"
+        f" / {s * s!r} END"
+    )
+    return f"""
+    WITH per_unit AS (
+      SELECT {unit_col} AS unit,
+             CAST(FLOOR(CAST(COALESCE(SUM(CAST({value_col}
+                    AS DECIMAL(27,6))), 0) AS DOUBLE) * {s!r}) AS BIGINT)
+               AS xfx,
+             {sql_md5_int64(f"CAST({unit_col} AS VARCHAR)")} % 2 AS variant
+      FROM {table} WHERE {unit_col} IS NOT NULL GROUP BY {unit_col}),
+    mom AS (
+      SELECT
+        COALESCE(CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT), 0) AS n_c,
+        COALESCE(CAST(SUM(CASE WHEN variant = 0 THEN CAST(xfx AS HUGEINT)
+                 END) AS HUGEINT), 0) AS sx_c,
+        COALESCE(CAST(SUM(CASE WHEN variant = 0 THEN
+                 CAST(xfx AS HUGEINT) * xfx END) AS HUGEINT), 0) AS sxx_c,
+        COALESCE(CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT), 0) AS n_t,
+        COALESCE(CAST(SUM(CASE WHEN variant = 1 THEN CAST(xfx AS HUGEINT)
+                 END) AS HUGEINT), 0) AS sx_t,
+        COALESCE(CAST(SUM(CASE WHEN variant = 1 THEN
+                 CAST(xfx AS HUGEINT) * xfx END) AS HUGEINT), 0) AS sxx_t
+      FROM per_unit),
+    arms AS (
+      SELECT n_c AS n_control, n_t AS n_treatment,
+             {mean('c')} AS mean_control, {mean('t')} AS mean_treatment,
+             {var('c')} AS var_control, {var('t')} AS var_treatment
+      FROM mom)
+    SELECT n_control, n_treatment, mean_control, mean_treatment,
+           var_control, var_treatment,
+           CASE WHEN n_control > 1 AND n_treatment > 1
+                     AND var_control IS NOT NULL
+                     AND var_treatment IS NOT NULL
+                     AND var_control / n_control
+                         + var_treatment / n_treatment > 0
+                THEN (mean_treatment - mean_control)
+                     / SQRT(var_control / n_control
+                            + var_treatment / n_treatment) END AS t_stat,
+           CASE WHEN n_control > 1 AND n_treatment > 1
+                     AND var_control IS NOT NULL
+                     AND var_treatment IS NOT NULL
+                     AND var_control / n_control
+                         + var_treatment / n_treatment > 0
+                THEN (var_control / n_control
+                      + var_treatment / n_treatment)
+                     * (var_control / n_control
+                        + var_treatment / n_treatment)
+                     / ((var_control / n_control)
+                        * (var_control / n_control) / (n_control - 1.0)
+                        + (var_treatment / n_treatment)
+                          * (var_treatment / n_treatment)
+                          / (n_treatment - 1.0)) END AS welch_dof
+    FROM arms
+    """

@@ -3702,3 +3702,122 @@ def sql_rolling_regression(
                      / {float(EWMA_SCALE)!r} END AS slope
     FROM mom
     """
+
+
+def growth_accounting(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    dormancy_days: int = 7,
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Daily growth accounting — the new / retained / resurrected /
+    churned decomposition every growth dashboard opens with, built
+    from the same distinct (unit, day) activity frame the DAU rollup
+    uses. Each active (unit, day) classifies by the unit's PREVIOUS
+    active day: first-ever day ⇒ ``new``; gap ≤ ``dormancy_days`` ⇒
+    ``retained``; longer gap ⇒ ``resurrected``. A unit additionally
+    emits one ``churned`` event on day last_active + dormancy + 1 for
+    every dormancy spell (including the final one), EXCEPT when that
+    day falls beyond the corpus horizon (max observed day) — whether a
+    user churned after the data ends is unknowable, so it is not
+    asserted. The identity actives(d) = new + retained + resurrected
+    holds by construction; churned rows are additive events, not a
+    slice of actives.
+
+    Output per (day, status): (day, status, n_users) — exact integers
+    end to end (epoch-day arithmetic; no floats anywhere).
+
+    Scale shape: one map-side-combinable DISTINCT (unit, day) pass
+    over the corpus, then ONE unit-partitioned window shuffle serving
+    min/lag/lead simultaneously, a broadcast 1-row horizon, and a
+    combinable (day, status) count. Frame sizes are active-unit-days,
+    never raw events. NULL units/timestamps are excluded (no identity
+    / no time to account)."""
+    r = int(dormancy_days)
+    act = (
+        events.where(
+            F.col(unit_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(unit_col).alias("unit"),
+            _bucket(ts_col, unit_us).cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("unit").orderBy("day")
+    per = act.select(
+        "unit",
+        "day",
+        F.min("day").over(
+            Window.partitionBy("unit")
+        ).alias("first_day"),
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    horizon = act.agg(F.max("day").alias("horizon"))
+    status = (
+        F.when(F.col("day") == F.col("first_day"), F.lit("new"))
+        .when(F.col("day") - F.col("prev_day") <= r, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    active_rows = per.select(F.col("day"), status.alias("status"))
+    churn_rows = (
+        per.crossJoin(F.broadcast(horizon))
+        .where(
+            (
+                F.col("next_day").isNull()
+                | (F.col("next_day") - F.col("day") > r)
+            )
+            & (F.col("day") + r + 1 <= F.col("horizon"))
+        )
+        .select(
+            (F.col("day") + r + 1).alias("day"),
+            F.lit("churned").alias("status"),
+        )
+    )
+    return (
+        active_rows.unionAll(churn_rows)
+        .groupBy("day", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def sql_growth_accounting(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    dormancy_days: int = 7,
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`growth_accounting`."""
+    r = int(dormancy_days)
+    return f"""
+    WITH act AS (
+      SELECT DISTINCT {unit_col} AS unit,
+             CAST(EPOCH_US({ts_col}) // {unit_us} AS BIGINT) AS day
+      FROM {table}
+      WHERE {unit_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+    per AS (
+      SELECT unit, day,
+             MIN(day) OVER (PARTITION BY unit) AS first_day,
+             LAG(day) OVER w AS prev_day,
+             LEAD(day) OVER w AS next_day
+      FROM act WINDOW w AS (PARTITION BY unit ORDER BY day)),
+    hz AS (SELECT MAX(day) AS horizon FROM act),
+    rows_out AS (
+      SELECT day,
+             CASE WHEN day = first_day THEN 'new'
+                  WHEN day - prev_day <= {r} THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM per
+      UNION ALL
+      SELECT day + {r + 1} AS day, 'churned' AS status
+      FROM per CROSS JOIN hz
+      WHERE (next_day IS NULL OR next_day - day > {r})
+        AND day + {r + 1} <= horizon)
+    SELECT day, status, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM rows_out GROUP BY 1, 2
+    """

@@ -126,12 +126,16 @@ _PRIORITY = (
     "events_rolling_regression",
     "agg_kmv_distinct",
     "layout_compaction_bins",
-    # --- past the 50-cut: planned r10 head — the 2 remaining
-    # third-session names, the 6 round-9-edited names (each
-    # driver_sim-verified at sf0.01 in its editing session), the 27
-    # displaced r4-latest names, then the r5-latest remainder.
+    # --- past the 50-cut: planned r10 head — the 4 remaining
+    # third-session names (all driver_sim-verified at sf0.01 this
+    # session, with python-reference unit tests), the 6
+    # round-9-edited names (each driver_sim-verified at sf0.01 in its
+    # editing session), the 27 displaced r4-latest names, then the
+    # r5-latest remainder.
     "agg_kmv_set_ops",
     "join_salted_skew_segments",
+    "events_ab_welch_ttest",
+    "events_growth_accounting",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

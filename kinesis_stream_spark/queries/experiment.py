@@ -64,3 +64,20 @@ from kinesis_stream_spark.operators.experiment import (  # noqa: E402
 ORACLE["events_apdex_score"] = (
     sql_apdex_score(threshold=_APDEX_T) + " ORDER BY key"
 )
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    ab_welch_ttest,
+    sql_ab_welch_ttest,
+)
+
+
+@_q("events_ab_welch_ttest", sql_ab_welch_ttest())
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test on per-user value totals under
+    the same deterministic md5 50/50 split as the z-test — the
+    continuous-metric A/B readout: exact per-unit decimal totals,
+    DECIMAL(38,0) arm moments, pinned t and Welch-Satterthwaite dof
+    (operators/experiment.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ab_welch_ttest(ev)

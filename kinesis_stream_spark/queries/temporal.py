@@ -1109,3 +1109,26 @@ from kinesis_stream_spark.operators.temporal import (  # noqa: E402
 ORACLE["events_rolling_regression"] = (
     sql_rolling_regression() + " ORDER BY key, bucket"
 )
+
+
+@_q("events_growth_accounting", None)  # assigned below
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new/retained/resurrected/churned user decomposition with
+    a 7-day dormancy rule — the growth-accounting dashboard staple:
+    one distinct activity pass, one unit-partitioned window serving
+    min/lag/lead at once, churn asserted only inside the corpus
+    horizon (operators/temporal.py)."""
+    from kinesis_stream_spark.operators.temporal import growth_accounting
+
+    return growth_accounting(load_table(spark, sf_dir, "events")).orderBy(
+        "day", "status"
+    )
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_growth_accounting,
+)
+
+ORACLE["events_growth_accounting"] = (
+    sql_growth_accounting() + " ORDER BY day, status"
+)

@@ -532,3 +532,115 @@ class TestReviewFixes:
             for r in centroid_confusion(df).collect()
         }
         assert got[("0", "0")] == 2  # not assigned to the NULL centroid
+
+
+class TestWelchTtest:
+    def _run(self, spark, rows):
+        from kinesis_stream_spark.operators.experiment import ab_welch_ttest
+
+        df = spark.createDataFrame(rows, "user_id: long, value: double")
+        return ab_welch_ttest(df).collect()[0]
+
+    @staticmethod
+    def _variant(uid):
+        import hashlib
+
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    def test_matches_scipy_style_reference(self, spark):
+        import math
+
+        # per-unit totals with both arms populated (hash decides arms)
+        rows = [(u, float(v)) for u, v in [
+            (1, 10), (1, 5), (2, 20), (3, 7), (4, 40), (5, 12),
+            (6, 3), (7, 30), (8, 22), (9, 15),
+        ]]
+        got = self._run(spark, rows)
+        totals = {}
+        for u, v in rows:
+            totals[u] = totals.get(u, 0.0) + v
+        arms = {0: [], 1: []}
+        for u, t in totals.items():
+            arms[self._variant(u)].append(t)
+        c, t = arms[0], arms[1]
+        assert got["n_control"] == len(c)
+        assert got["n_treatment"] == len(t)
+
+        def mv(xs):
+            m = sum(xs) / len(xs)
+            var = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+            return m, var
+
+        mc, vc = mv(c)
+        mt, vt = mv(t)
+        assert abs(got["mean_control"] - mc) < 1e-9
+        assert abs(got["var_treatment"] - vt) < 1e-6
+        se2 = vc / len(c) + vt / len(t)
+        assert abs(got["t_stat"] - (mt - mc) / math.sqrt(se2)) < 1e-9
+        dof = se2 ** 2 / (
+            (vc / len(c)) ** 2 / (len(c) - 1)
+            + (vt / len(t)) ** 2 / (len(t) - 1)
+        )
+        assert abs(got["welch_dof"] - dof) < 1e-6
+
+    def test_single_unit_arm_is_unscorable(self, spark):
+        # find one unit per arm
+        u0 = next(u for u in range(100) if self._variant(u) == 0)
+        u1 = next(u for u in range(100) if self._variant(u) == 1)
+        got = self._run(spark, [(u0, 5.0), (u1, 9.0)])
+        assert got["t_stat"] is None and got["welch_dof"] is None
+        assert got["var_control"] is None
+
+    def test_null_value_counts_as_zero_total(self, spark):
+        u0 = [u for u in range(100) if self._variant(u) == 0][:2]
+        u1 = [u for u in range(100) if self._variant(u) == 1][:2]
+        rows = [(u0[0], None), (u0[1], 4.0), (u1[0], 2.0), (u1[1], 6.0)]
+        got = self._run(spark, rows)
+        assert got["n_control"] == 2
+        assert got["mean_control"] == 2.0  # (0 + 4) / 2
+
+
+class TestGrowthAccounting:
+    def _run(self, spark, rows, dormancy=7):
+        import datetime as dt
+
+        from kinesis_stream_spark.operators.temporal import growth_accounting
+
+        base = dt.datetime(2024, 1, 1)  # epoch day 19723
+        data = [
+            (u, base + dt.timedelta(days=d)) for u, d in rows
+        ]
+        df = spark.createDataFrame(data, "user_id: long, ts: timestamp")
+        return {
+            (r["day"] - 19723, r["status"]): r["n_users"]
+            for r in growth_accounting(df, dormancy_days=dormancy).collect()
+        }
+
+    def test_lifecycle_classification(self, spark):
+        # user 1: days 0, 3 (retained), 20 (resurrected)
+        # user 2: day 0 only -> churned at day 8 (horizon 20)
+        got = self._run(spark, [(1, 0), (1, 3), (1, 20), (2, 0)])
+        assert got[(0, "new")] == 2
+        assert got[(3, "retained")] == 1
+        assert got[(20, "resurrected")] == 1
+        # user 1 dormancy spell after day 3 -> churn at 11; user 2 at 8
+        assert got[(11, "churned")] == 1
+        assert got[(8, "churned")] == 1
+        # no churn asserted past the horizon (user 1's final spell
+        # would churn at day 28 > horizon 20)
+        assert (28, "churned") not in got
+
+    def test_actives_identity_holds(self, spark):
+        rows = [(u, d) for u in range(5) for d in (0, 2, 11)]
+        got = self._run(spark, rows)
+        for d in (0, 2, 11):
+            total = sum(
+                got.get((d, s), 0)
+                for s in ("new", "retained", "resurrected")
+            )
+            assert total == 5
+
+    def test_same_day_duplicate_events_count_once(self, spark):
+        got = self._run(spark, [(1, 0), (1, 0), (1, 0)])
+        assert got[(0, "new")] == 1
+        assert sum(n for (d, s), n in got.items() if s == "new") == 1
