@@ -481,3 +481,157 @@ def sql_ab_welch_ttest(
                           / (n_treatment - 1.0)) END AS welch_dof
     FROM arms
     """
+
+
+def anova_oneway(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way ANOVA F-test of a continuous value across k groups —
+    the k-arm completion of the stats-test family (χ²/Cramér's V for
+    categorical×categorical, z/Welch-t for two arms): does the group
+    mean differ ANYWHERE, before pairwise tests say where. Also
+    reports η² = SSB/SST, the "share of variance the grouping
+    explains" effect size that the F alone hides.
+
+    Exactness: per-row values quantize to 2^20 fx BIGINT; per-group
+    moments (n_g, S_g = Σx, Q_g = Σx²) are DECIMAL(38,0)-exact. The
+    decomposition needs the rational terms S_g²/n_g, so each group's
+    term truncates to the exact integer a_g = S_g² div n_g — EXACT
+    integer division in DECIMAL(38,0)/HUGEINT (never a double divide:
+    error < 1 fx² unit per group, identical on both engines, and no
+    long overflow — Spark's floor(double) returns BIGINT, which the
+    grand term S²/n outgrows at ~10^19 fx²).
+    Then SSW = Q − Σa_g and SSB = Σa_g − floor(S²/n) are exact BIGINT
+    sums, and F = (SSB/(k−1)) / (SSW/(n−k)) is a pinned chain.
+    Degenerate inputs (k < 2, n ≤ k, or SSW = 0) yield NULL F by
+    contract; rows with NULL group or NULL value are excluded.
+
+    Output: ONE row (n_events, k_groups, ssb, ssw, f_stat,
+    eta_squared) — ssb/ssw in value² units (one 2^-40 rescale).
+
+    Scale shape: one map-side-combinable group aggregate (k rows), a
+    k-row fold with one divide per group, a 1-row reduction. No
+    window, no join."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    s2 = float(1 << 40)
+    base = events.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.floor(F.col(value_col).cast("double") * F.lit(float(1 << 20)))
+        .cast("long")
+        .alias("xfx"),
+    )
+    grp = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("xfx").cast(d38)).cast(d38).alias("s_g"),
+        F.sum((F.col("xfx").cast(d19) * F.col("xfx").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("q_g"),
+    )
+    # exact integer division in DECIMAL (never floor(double): Spark's
+    # floor returns LONG, which S_g^2/n_g overflows long before the
+    # decimal headroom runs out; the subtract-remainder form divides
+    # exactly and the quotient is an integer, so the (38,6) -> (38,0)
+    # cast is lossless)
+    nd = "cast(n_g as decimal(38,0))"
+    a_g = F.expr(
+        f"cast((s_g * s_g - (s_g * s_g) % {nd}) / {nd} as decimal(38,0))"
+    )
+    fold = grp.select("n_g", "s_g", "q_g", a_g.alias("a_g")).agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").cast(d38).alias("s"),
+        F.sum("q_g").cast(d38).alias("q"),
+        F.sum("a_g").cast(d38).alias("a"),
+    )
+    nd2 = "cast(n as decimal(38,0))"
+    grand = F.expr(
+        f"cast((s * s - (s * s) % {nd2}) / {nd2} as decimal(38,0))"
+    )
+    terms = fold.select(
+        "n",
+        "k",
+        F.expr("cast(cast(q as string) as double)").alias("_q"),
+        F.expr("cast(cast(a as string) as double)").alias("_a"),
+        grand.cast("string").cast("double").alias("_gr"),
+    )
+    ssw = (F.col("_q") - F.col("_a")) / F.lit(s2)
+    ssb = (F.col("_a") - F.col("_gr")) / F.lit(s2)
+    scorable = (
+        (F.col("k") > 1)
+        & (F.col("n") > F.col("k"))
+        & (ssw > 0)
+    )
+    f_stat = F.when(
+        scorable,
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double")),
+    ).otherwise(F.lit(None).cast("double"))
+    eta = F.when(
+        ssb + ssw > 0, ssb / (ssb + ssw)
+    ).otherwise(F.lit(None).cast("double"))
+    return terms.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_groups"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+        eta.alias("eta_squared"),
+    )
+
+
+def sql_anova_oneway(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`anova_oneway`."""
+    s2 = float(1 << 40)
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS g,
+             CAST(FLOOR(CAST({value_col} AS DOUBLE) * {float(1 << 20)!r})
+                  AS BIGINT) AS xfx
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL),
+    grp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(xfx AS HUGEINT)) AS HUGEINT) AS s_g,
+             CAST(SUM(CAST(xfx AS HUGEINT) * xfx) AS HUGEINT) AS q_g
+      FROM base GROUP BY 1),
+    witha AS (
+      SELECT n_g, s_g, q_g,
+             CAST((s_g * s_g) // n_g AS HUGEINT) AS a_g
+      FROM grp),
+    fold AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s_g) AS HUGEINT) AS s,
+             CAST(SUM(q_g) AS HUGEINT) AS q,
+             CAST(SUM(a_g) AS HUGEINT) AS a
+      FROM witha),
+    terms AS (
+      SELECT n, k,
+             CAST(CAST(q AS VARCHAR) AS DOUBLE) AS _q,
+             CAST(CAST(a AS VARCHAR) AS DOUBLE) AS _a,
+             CAST(CAST(CAST((s * s) // n AS HUGEINT)
+                       AS VARCHAR) AS DOUBLE) AS _gr
+      FROM fold)
+    SELECT n AS n_events, k AS k_groups,
+           (_a - _gr) / {s2!r} AS ssb,
+           (_q - _a) / {s2!r} AS ssw,
+           CASE WHEN k > 1 AND n > k AND (_q - _a) / {s2!r} > 0
+                THEN ((_a - _gr) / {s2!r} / CAST(k - 1 AS DOUBLE))
+                     / ((_q - _a) / {s2!r} / CAST(n - k AS DOUBLE)) END
+             AS f_stat,
+           CASE WHEN (_a - _gr) / {s2!r} + (_q - _a) / {s2!r} > 0
+                THEN ((_a - _gr) / {s2!r})
+                     / ((_a - _gr) / {s2!r} + (_q - _a) / {s2!r}) END
+             AS eta_squared
+    FROM terms
+    """

@@ -81,3 +81,20 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/experiment.py)."""
     ev = load_table(spark, sf_dir, "events")
     return ab_welch_ttest(ev)
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    anova_oneway,
+    sql_anova_oneway,
+)
+
+
+@_q("events_anova_value_by_type", sql_anova_oneway())
+def events_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — does the mean
+    differ anywhere, and how much variance does the type explain (η²):
+    exact fx group moments, per-group terms floored back to integers
+    before the cross-group sums, pinned F chain
+    (operators/experiment.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return anova_oneway(ev)

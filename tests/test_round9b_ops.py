@@ -644,3 +644,49 @@ class TestGrowthAccounting:
         got = self._run(spark, [(1, 0), (1, 0), (1, 0)])
         assert got[(0, "new")] == 1
         assert sum(n for (d, s), n in got.items() if s == "new") == 1
+
+
+class TestAnovaOneway:
+    def _run(self, spark, rows):
+        from kinesis_stream_spark.operators.experiment import anova_oneway
+
+        df = spark.createDataFrame(rows, "event_type: string, value: double")
+        return anova_oneway(df).collect()[0]
+
+    def test_matches_textbook_f(self, spark):
+        # classic 3-group example; integral values make fx exact
+        groups = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 12]}
+        rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+        got = self._run(spark, rows)
+        allv = [v for vs in groups.values() for v in vs]
+        gm = sum(allv) / len(allv)
+        ssb = sum(
+            len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values()
+        )
+        ssw = sum(
+            (v - sum(vs) / len(vs)) ** 2
+            for vs in groups.values()
+            for v in vs
+        )
+        assert got["n_events"] == 9 and got["k_groups"] == 3
+        assert abs(got["ssb"] - ssb) < 1e-6
+        assert abs(got["ssw"] - ssw) < 1e-6
+        f = (ssb / 2) / (ssw / 6)
+        assert abs(got["f_stat"] - f) < 1e-6
+        assert abs(got["eta_squared"] - ssb / (ssb + ssw)) < 1e-9
+
+    def test_identical_groups_give_zero_f(self, spark):
+        rows = [(g, float(v)) for g in ("a", "b") for v in (1, 2, 3)]
+        got = self._run(spark, rows)
+        assert abs(got["f_stat"]) < 1e-9
+        assert abs(got["eta_squared"]) < 1e-9
+
+    def test_single_group_unscorable(self, spark):
+        got = self._run(spark, [("a", 1.0), ("a", 5.0)])
+        assert got["k_groups"] == 1
+        assert got["f_stat"] is None
+
+    def test_constant_values_unscorable(self, spark):
+        got = self._run(spark, [("a", 2.0), ("a", 2.0), ("b", 2.0)])
+        assert got["ssw"] == 0.0
+        assert got["f_stat"] is None
