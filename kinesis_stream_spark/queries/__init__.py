@@ -126,7 +126,7 @@ _PRIORITY = (
     "events_rolling_regression",
     "agg_kmv_distinct",
     "layout_compaction_bins",
-    # --- past the 50-cut: planned r10 head — the 4 remaining
+    # --- past the 50-cut: planned r10 head — the 5 remaining
     # third-session names (all driver_sim-verified at sf0.01 this
     # session, with python-reference unit tests), the 6
     # round-9-edited names (each driver_sim-verified at sf0.01 in its
@@ -136,6 +136,7 @@ _PRIORITY = (
     "join_salted_skew_segments",
     "events_ab_welch_ttest",
     "events_growth_accounting",
+    "events_anova_value_by_type",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",
