@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
 # Round 9 window (first 50), stale-first per the rotation policy:
-# FIFTY-TWO round-9 registrations have never had a driver row — the
+# FIFTY-FIVE round-9 registrations have never had a driver row — the
 # first session's eighteen (the pruned IVF-PQ layout, the three
 # rows-only approx twins, TWA, state durations, touch attribution,
 # item Jaccard, PIVOT, ACF, burstiness, the Z-order census, vocab
@@ -38,13 +38,15 @@ from pyspark.sql import DataFrame, SparkSession
 # weighted median, Zipf profile, rare-term cosine, degree profile,
 # shipping-lag percentiles, anomaly episodes, cohort LTV, lexical
 # diversity, assortativity, PRF expansion, session stats, label
-# inertia, reciprocity), and the third session's ten (KMV distinct +
-# set ops, Cramér's V, KS drift, HITS, salted join, compaction
-# planner, rolling OLS, silhouette, centroid confusion). The first 50
-# of those fill the window (never-verified precedes edited per the
-# policy); the two past the cut (agg_kmv_set_ops,
-# join_salted_skew_segments — chosen because their exact-path local
-# evidence is the strongest of the ten) lead the r10 head, followed
+# inertia, reciprocity), and the third session's thirteen (KMV
+# distinct + set ops, Cramér's V, KS drift, HITS, salted join,
+# compaction planner, rolling OLS, silhouette, centroid confusion,
+# Welch t, growth accounting, ANOVA). The first 50 of those fill the
+# window (never-verified precedes edited per the policy); the five
+# past the cut (agg_kmv_set_ops, join_salted_skew_segments, Welch t,
+# growth accounting, ANOVA — chosen because their exact-path local
+# evidence, python-reference tests included, is the strongest of the
+# thirteen) lead the r10 head, followed
 # by the SIX queries edited in round-9 sessions (seasonal/MAD outlier
 # MAD>0 guard, Mann-Kendall NULL-ts exclusion, frontier-only BFS /
 # cheapest path, CMS sharded pre-lists — all driver_sim-verified at
