@@ -263,6 +263,11 @@ def sql_apdex_score(
 #: fixed-point scale for per-unit metric totals in the Welch t-test
 WELCH_SCALE = 1 << 20
 
+#: fixed-point scale for the ANOVA value quantization (shared spelling
+#: with WELCH_SCALE so the Spark plans and the DuckDB oracles derive
+#: every 2^20 / 2^40 literal from one constant)
+ANOVA_SCALE = 1 << 20
+
 
 def ab_welch_ttest(
     events: DataFrame,
@@ -500,12 +505,24 @@ def anova_oneway(
     moments (n_g, S_g = Σx, Q_g = Σx²) are DECIMAL(38,0)-exact. The
     decomposition needs the rational terms S_g²/n_g, so each group's
     term truncates to the exact integer a_g = S_g² div n_g — EXACT
-    integer division in DECIMAL(38,0)/HUGEINT (never a double divide:
-    error < 1 fx² unit per group, identical on both engines, and no
-    long overflow — Spark's floor(double) returns BIGINT, which the
-    grand term S²/n outgrows at ~10^19 fx²).
-    Then SSW = Q − Σa_g and SSB = Σa_g − floor(S²/n) are exact BIGINT
-    sums, and F = (SSB/(k−1)) / (SSW/(n−k)) is a pinned chain.
+    integer division (never a double divide: error < 1 fx² unit per
+    group, identical on both engines, and no long overflow — Spark's
+    floor(double) returns BIGINT, which the grand term S²/n outgrows
+    at ~10^19 fx²). On the Spark side the division runs in TWO
+    power-of-two stages (quotient = hi·2^20 + lo): Spark types a
+    decimal division as Decimal(38,6) — only 32 integral digits — so
+    the one-stage quotient would raise NUMERIC_VALUE_OUT_OF_RANGE at
+    S_g²/n_g > 10^32 while DuckDB's HUGEINT `//` sails on; two stages
+    keep every intermediate quotient inside 32 digits all the way to
+    S_g²'s own representability bound (~10^38 on both engines, i.e.
+    |value|·√n_g up to ~10^9 in value units — headroom, not a limit a
+    real metric hits).
+    Then SSW = Q − Σa_g and SSB = Σa_g − (S² div n) are exact integer
+    sums; SSB additionally clamps at 0 — per-group flooring can push
+    the raw difference a few fx² units NEGATIVE when the true SSB is
+    ~0 (each a_g rounds down but the grand term subtracts a larger
+    floor), and a negative SSB would flow into impossible negative
+    F/η² — and F = (SSB/(k−1)) / (SSW/(n−k)) is a pinned chain.
     Degenerate inputs (k < 2, n ≤ k, or SSW = 0) yield NULL F by
     contract; rows with NULL group or NULL value are excluded.
 
@@ -516,12 +533,12 @@ def anova_oneway(
     k-row fold with one divide per group, a 1-row reduction. No
     window, no join."""
     d19, d38 = "decimal(19,0)", "decimal(38,0)"
-    s2 = float(1 << 40)
+    s2 = float(ANOVA_SCALE) * float(ANOVA_SCALE)
     base = events.where(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(group_col).alias("g"),
-        F.floor(F.col(value_col).cast("double") * F.lit(float(1 << 20)))
+        F.floor(F.col(value_col).cast("double") * F.lit(float(ANOVA_SCALE)))
         .cast("long")
         .alias("xfx"),
     )
@@ -532,15 +549,22 @@ def anova_oneway(
         .cast(d38)
         .alias("q_g"),
     )
-    # exact integer division in DECIMAL (never floor(double): Spark's
-    # floor returns LONG, which S_g^2/n_g overflows long before the
-    # decimal headroom runs out; the subtract-remainder form divides
-    # exactly and the quotient is an integer, so the (38,6) -> (38,0)
-    # cast is lossless)
-    nd = "cast(n_g as decimal(38,0))"
-    a_g = F.expr(
-        f"cast((s_g * s_g - (s_g * s_g) % {nd}) / {nd} as decimal(38,0))"
-    )
+    def _div_exact(ss: str, n: str) -> str:
+        """Exact decimal floor division ``{ss} div {n}`` in two
+        power-of-two stages (docstring: one stage overflows Spark's
+        Decimal(38,6) quotient six orders of magnitude before the
+        operands themselves overflow)."""
+        nd = f"cast({n} as decimal(38,0))"
+        big = f"({nd} * {ANOVA_SCALE})"
+        hi = f"(({ss}) - (({ss}) % {big})) / {big}"
+        rem = f"(({ss}) % {big})"
+        lo = f"(({rem}) - (({rem}) % {nd})) / {nd}"
+        return (
+            f"cast(cast({hi} as decimal(38,0)) * {ANOVA_SCALE}"
+            f" + cast({lo} as decimal(38,0)) as decimal(38,0))"
+        )
+
+    a_g = F.expr(_div_exact("s_g * s_g", "n_g"))
     fold = grp.select("n_g", "s_g", "q_g", a_g.alias("a_g")).agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -548,10 +572,7 @@ def anova_oneway(
         F.sum("q_g").cast(d38).alias("q"),
         F.sum("a_g").cast(d38).alias("a"),
     )
-    nd2 = "cast(n as decimal(38,0))"
-    grand = F.expr(
-        f"cast((s * s - (s * s) % {nd2}) / {nd2} as decimal(38,0))"
-    )
+    grand = F.expr(_div_exact("s * s", "n"))
     terms = fold.select(
         "n",
         "k",
@@ -560,7 +581,11 @@ def anova_oneway(
         grand.cast("string").cast("double").alias("_gr"),
     )
     ssw = (F.col("_q") - F.col("_a")) / F.lit(s2)
-    ssb = (F.col("_a") - F.col("_gr")) / F.lit(s2)
+    # clamp: per-group floors can push the raw Σa − grand a few fx²
+    # units negative when the true SSB ≈ 0 (docstring)
+    ssb = F.greatest(
+        (F.col("_a") - F.col("_gr")) / F.lit(s2), F.lit(0.0)
+    )
     scorable = (
         (F.col("k") > 1)
         & (F.col("n") > F.col("k"))
@@ -590,13 +615,15 @@ def sql_anova_oneway(
     group_col: str = "event_type",
     value_col: str = "value",
 ) -> str:
-    """DuckDB oracle twin of :func:`anova_oneway`."""
-    s2 = float(1 << 40)
+    """DuckDB oracle twin of :func:`anova_oneway` (HUGEINT `//` is
+    exact one-stage integer division; the SSB clamp mirrors the Spark
+    side)."""
+    s2 = float(ANOVA_SCALE) * float(ANOVA_SCALE)
     return f"""
     WITH base AS (
       SELECT {group_col} AS g,
-             CAST(FLOOR(CAST({value_col} AS DOUBLE) * {float(1 << 20)!r})
-                  AS BIGINT) AS xfx
+             CAST(FLOOR(CAST({value_col} AS DOUBLE)
+                        * {float(ANOVA_SCALE)!r}) AS BIGINT) AS xfx
       FROM {table}
       WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL),
     grp AS (
@@ -623,15 +650,18 @@ def sql_anova_oneway(
                        AS VARCHAR) AS DOUBLE) AS _gr
       FROM fold)
     SELECT n AS n_events, k AS k_groups,
-           (_a - _gr) / {s2!r} AS ssb,
+           GREATEST((_a - _gr) / {s2!r}, 0.0) AS ssb,
            (_q - _a) / {s2!r} AS ssw,
            CASE WHEN k > 1 AND n > k AND (_q - _a) / {s2!r} > 0
-                THEN ((_a - _gr) / {s2!r} / CAST(k - 1 AS DOUBLE))
+                THEN (GREATEST((_a - _gr) / {s2!r}, 0.0)
+                      / CAST(k - 1 AS DOUBLE))
                      / ((_q - _a) / {s2!r} / CAST(n - k AS DOUBLE)) END
              AS f_stat,
-           CASE WHEN (_a - _gr) / {s2!r} + (_q - _a) / {s2!r} > 0
-                THEN ((_a - _gr) / {s2!r})
-                     / ((_a - _gr) / {s2!r} + (_q - _a) / {s2!r}) END
+           CASE WHEN GREATEST((_a - _gr) / {s2!r}, 0.0)
+                     + (_q - _a) / {s2!r} > 0
+                THEN GREATEST((_a - _gr) / {s2!r}, 0.0)
+                     / (GREATEST((_a - _gr) / {s2!r}, 0.0)
+                        + (_q - _a) / {s2!r}) END
              AS eta_squared
     FROM terms
     """

@@ -690,3 +690,61 @@ class TestAnovaOneway:
         got = self._run(spark, [("a", 2.0), ("a", 2.0), ("b", 2.0)])
         assert got["ssw"] == 0.0
         assert got["f_stat"] is None
+
+
+class TestAnovaReviewFixes:
+    @staticmethod
+    def _replica(groups):
+        """Pure-Python integer replay of the fx ANOVA pipeline."""
+        import math
+
+        from kinesis_stream_spark.operators.experiment import ANOVA_SCALE
+
+        s2 = float(ANOVA_SCALE) * float(ANOVA_SCALE)
+        mom = {
+            g: (
+                len(vs),
+                sum(math.floor(v * ANOVA_SCALE) for v in vs),
+                sum(math.floor(v * ANOVA_SCALE) ** 2 for v in vs),
+            )
+            for g, vs in groups.items()
+        }
+        n = sum(m[0] for m in mom.values())
+        a = sum(sg * sg // ng for ng, sg, _ in mom.values())
+        q = sum(m[2] for m in mom.values())
+        stot = sum(m[1] for m in mom.values())
+        grand = stot * stot // n
+        ssw = (float(q) - float(a)) / s2
+        ssb = max((float(a) - float(grand)) / s2, 0.0)
+        return ssb, ssw
+
+    def test_quantization_floor_never_goes_negative(self, spark):
+        from kinesis_stream_spark.operators.experiment import (
+            ANOVA_SCALE,
+            anova_oneway,
+        )
+
+        # sub-quantum values: true SSB = 0 but per-group floors used to
+        # drive the raw difference to -1 fx^2 -> F = eta = -1.0
+        eps = 1.0 / ANOVA_SCALE
+        rows = [(g, v) for g in ("a", "b") for v in (eps, 2 * eps)]
+        df = spark.createDataFrame(rows, "event_type: string, value: double")
+        got = anova_oneway(df).collect()[0]
+        assert got["ssb"] >= 0.0
+        assert got["f_stat"] is None or got["f_stat"] >= 0.0
+        assert got["eta_squared"] is None or got["eta_squared"] >= 0.0
+
+    def test_huge_values_no_decimal_overflow(self, spark):
+        from kinesis_stream_spark.operators.experiment import anova_oneway
+
+        # one-stage decimal division used to raise
+        # NUMERIC_VALUE_OUT_OF_RANGE here (S_g^2/n_g > 1e32) while the
+        # DuckDB oracle sailed on
+        groups = {"a": [2.0e10, 2.1e10], "b": [1.0e10, 0.9e10]}
+        rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "event_type: string, value: double")
+        got = anova_oneway(df).collect()[0]
+        ssb, ssw = self._replica(groups)
+        assert abs(got["ssb"] - ssb) <= max(1e-9 * ssb, 1e-6)
+        assert abs(got["ssw"] - ssw) <= max(1e-9 * ssw, 1e-6)
+        assert got["f_stat"] > 0
