@@ -665,3 +665,210 @@ def sql_anova_oneway(
              AS eta_squared
     FROM terms
     """
+
+
+def ab_mann_whitney(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test on per-unit value
+    totals under the deterministic md5 50/50 split — the
+    distribution-free companion to :func:`ab_welch_ttest`: Welch
+    compares MEANS and inherits their outlier sensitivity; U asks
+    "does a random treatment unit outrank a random control unit",
+    which one whale cannot saturate. Also reports the rank-biserial
+    effect size r = 2·U_t/(n_c·n_t) − 1 (the probability-of-
+    superiority rescaled to [−1, 1]).
+
+    Exactness: per-unit totals quantize to 2^20 fx (the Welch
+    pipeline); ranking happens on the DISTINCT-value frame with
+    midranks held as EXACT integers at 2× scale (midrank2 = 2·#less +
+    #equal + 1 — never a .5), accumulated through ONE
+    :func:`~kinesis_stream_spark.operators.skew.distributed_cumsums`
+    range exchange. The rank sum, U (at 2× scale), the tie-correction
+    term Σ(t³ − t), and every count are DECIMAL(38,0)-exact; the
+    normal approximation
+
+        z = (U_t − n_c·n_t/2) / √( n_c·n_t/12 · (n+1 − Σ(t³−t)/(n(n−1))) )
+
+    is a pinned double chain (string-routed casts, one IEEE sqrt).
+    Degenerate splits (an empty arm, or σ = 0 — all values tied)
+    yield NULL z by contract; NULL unit ids are excluded; units with
+    only NULL values total 0 (absence is signal, the Welch rule).
+
+    Output: ONE row (n_control, n_treatment, u_control, u_treatment,
+    rank_biserial, z_mw) — U's as doubles (ties make them
+    half-integral).
+
+    Scale shape: one combinable per-unit aggregate, one combinable
+    value-count aggregate, the prefix sum's range exchange, then a
+    values→1-row reduction. Nothing unit- or corpus-sized ever sits
+    in one partition."""
+    from kinesis_stream_spark.operators.skew import distributed_cumsums
+
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    per_unit = (
+        events.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col(value_col).cast("decimal(27,6)")),
+                F.lit(0).cast("decimal(27,6)"),
+            ).alias("_v")
+        )
+        .select(
+            F.floor(F.col("_v").cast("double") * F.lit(float(WELCH_SCALE)))
+            .cast("long")
+            .alias("xfx"),
+            (md5_int64(F.col("unit").cast("string")) % 2).alias("variant"),
+        )
+    )
+    vals = per_unit.groupBy("xfx").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    cum = distributed_cumsums(vals, [F.col("xfx")], [("ct", "cum_all")])
+    ranked = cum.select(
+        "c0",
+        "ct",
+        # midrank2 = 2*(# smaller) + (# equal) + 1 — exact integer
+        (
+            (F.col("cum_all") - F.col("ct")) * 2 + F.col("ct") + 1
+        ).alias("mr2"),
+        ((F.col("ct").cast(d19) * F.col("ct") * F.col("ct")).cast(d38)
+         - F.col("ct").cast(d38)).alias("tie_term"),
+    )
+    agg = ranked.agg(
+        F.coalesce(F.sum("c0"), F.lit(0)).cast("long").alias("n_c"),
+        F.coalesce(F.sum(F.col("ct") - F.col("c0")), F.lit(0))
+        .cast("long")
+        .alias("n_t"),
+        F.coalesce(
+            F.sum((F.col("c0").cast(d19) * F.col("mr2")).cast(d38)),
+            F.lit(0).cast(d38),
+        )
+        .cast(d38)
+        .alias("r0_2"),
+        F.coalesce(F.sum("tie_term"), F.lit(0).cast(d38))
+        .cast(d38)
+        .alias("ties"),
+    )
+    # 2·U_c = R_c·2 − n_c(n_c+1) (scipy convention: U_arm counts the
+    # pairs that arm WINS); U_c + U_t = n_c·n_t
+    u0_2 = F.expr(
+        "cast(r0_2 - cast(n_c as decimal(38,0)) * (n_c + 1)"
+        " as decimal(38,0))"
+    )
+    withu = agg.select(
+        "n_c",
+        "n_t",
+        "ties",
+        u0_2.alias("u0_2"),
+        F.expr(
+            "cast(2 * cast(n_c as decimal(38,0)) * n_t as decimal(38,0))"
+        ).alias("nn2"),
+    )
+    u0 = F.expr("cast(cast(u0_2 as string) as double)") / F.lit(2.0)
+    u1 = (
+        F.expr("cast(cast(nn2 - u0_2 as string) as double)") / F.lit(2.0)
+    )
+    n = (F.col("n_c") + F.col("n_t")).cast("double")
+    prod = F.expr("cast(cast(nn2 as string) as double)") / F.lit(2.0)
+    ties_d = F.expr("cast(cast(ties as string) as double)")
+    var = (
+        prod
+        / F.lit(12.0)
+        * (n + F.lit(1.0) - ties_d / (n * (n - F.lit(1.0))))
+    )
+    scorable = (F.col("n_c") > 0) & (F.col("n_t") > 0) & (n > 1)
+    z = F.when(
+        scorable & (var > 0),
+        (u1 - prod / F.lit(2.0)) / F.sqrt(var),
+    ).otherwise(F.lit(None).cast("double"))
+    rb = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0),
+        u1 * F.lit(2.0) / prod - F.lit(1.0),
+    ).otherwise(F.lit(None).cast("double"))
+    return withu.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        u0.alias("u_control"),
+        u1.alias("u_treatment"),
+        rb.alias("rank_biserial"),
+        z.alias("z_mw"),
+    )
+
+
+def sql_ab_mann_whitney(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`ab_mann_whitney`."""
+    s = float(WELCH_SCALE)
+    return f"""
+    WITH per_unit AS (
+      SELECT CAST(FLOOR(CAST(COALESCE(SUM(CAST({value_col}
+                    AS DECIMAL(27,6))), 0) AS DOUBLE) * {s!r}) AS BIGINT)
+               AS xfx,
+             {sql_md5_int64(f"CAST({unit_col} AS VARCHAR)")} % 2 AS variant
+      FROM {table} WHERE {unit_col} IS NOT NULL GROUP BY {unit_col}),
+    vals AS (
+      SELECT xfx,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM per_unit GROUP BY 1),
+    ranked AS (
+      SELECT c0, ct,
+             (SUM(ct) OVER (ORDER BY xfx ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) - ct) * 2
+               + ct + 1 AS mr2,
+             CAST(ct AS HUGEINT) * ct * ct - ct AS tie_term
+      FROM vals),
+    agg AS (
+      SELECT COALESCE(CAST(SUM(c0) AS BIGINT), 0) AS n_c,
+             COALESCE(CAST(SUM(ct - c0) AS BIGINT), 0) AS n_t,
+             COALESCE(CAST(SUM(CAST(c0 AS HUGEINT) * mr2) AS HUGEINT), 0)
+               AS r0_2,
+             COALESCE(CAST(SUM(tie_term) AS HUGEINT), 0) AS ties
+      FROM ranked),
+    withu AS (
+      SELECT n_c, n_t, ties,
+             CAST(r0_2 - CAST(n_c AS HUGEINT) * (n_c + 1) AS HUGEINT)
+               AS u0_2,
+             CAST(2 * CAST(n_c AS HUGEINT) * n_t AS HUGEINT) AS nn2
+      FROM agg)
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           CAST(CAST(u0_2 AS VARCHAR) AS DOUBLE) / 2.0 AS u_control,
+           CAST(CAST(nn2 - u0_2 AS VARCHAR) AS DOUBLE) / 2.0
+             AS u_treatment,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN
+             (CAST(CAST(nn2 - u0_2 AS VARCHAR) AS DOUBLE) / 2.0) * 2.0
+             / (CAST(CAST(nn2 AS VARCHAR) AS DOUBLE) / 2.0) - 1.0 END
+             AS rank_biserial,
+           CASE WHEN n_c > 0 AND n_t > 0 AND n_c + n_t > 1
+                     AND (CAST(CAST(nn2 AS VARCHAR) AS DOUBLE) / 2.0)
+                         / 12.0
+                         * (CAST(n_c + n_t AS DOUBLE) + 1.0
+                            - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                              / (CAST(n_c + n_t AS DOUBLE)
+                                 * (CAST(n_c + n_t AS DOUBLE) - 1.0)))
+                         > 0
+                THEN (CAST(CAST(nn2 - u0_2 AS VARCHAR) AS DOUBLE) / 2.0
+                      - (CAST(CAST(nn2 AS VARCHAR) AS DOUBLE) / 2.0)
+                        / 2.0)
+                     / SQRT((CAST(CAST(nn2 AS VARCHAR) AS DOUBLE) / 2.0)
+                            / 12.0
+                            * (CAST(n_c + n_t AS DOUBLE) + 1.0
+                               - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                                 / (CAST(n_c + n_t AS DOUBLE)
+                                    * (CAST(n_c + n_t AS DOUBLE)
+                                       - 1.0)))) END AS z_mw
+    FROM withu
+    """

@@ -1586,3 +1586,191 @@ def sql_hits_scores(edges_cte: str, *, iterations: int = 3) -> str:
                LEFT JOIN h{iterations} h ON h.v = n.v
                LEFT JOIN a{last} a ON a.v = n.v"""
     )
+
+
+def modularity(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    "are these communities real" score the detection step itself
+    can't provide (Newman & Girvan 2004): Q = Σ_c [L_c/m − (D_c/2m)²]
+    with m the undirected edge count, L_c community c's internal
+    edges, D_c its degree mass. Q ≈ 0 says the partition is no better
+    than random wiring; Q ≳ 0.3 says real structure. Per-community
+    contributions show WHICH communities carry the structure.
+
+    Exactness: over the common denominator 4m² the contribution is
+    the EXACT integer (4·m·L_c − D_c²) — DECIMAL(38,0)/HUGEINT
+    products (headroom to m ≈ 10^12 edges) summed exactly; the ONLY
+    float is one string-routed divide by 4m² per output row. The
+    partition comes from :func:`label_propagation` (fully
+    deterministic LPA), so the whole chain is oracle-replayable.
+
+    Output: one row per community (community, n_nodes, degree_sum,
+    internal_edges, q_contrib) plus the '__total__' row whose
+    q_contrib IS the partition's modularity Q. Self-loops and NULL
+    endpoints drop (the LPA contract); an edgeless graph returns only
+    the '__total__' row with zeros and NULL Q.
+
+    Scale shape: the canonical edge list checkpoints once and feeds
+    the edge count, the degree count, and the within-community join
+    (two broadcast-able label lookups); everything else is combinable
+    label-sized aggregation. The LPA rounds dominate — modularity
+    adds one edge-sized join pass."""
+    uu, vv = F.col(src_col), F.col(dst_col)
+    ce = (
+        edges.where(uu.isNotNull() & vv.isNotNull())
+        .where(uu != vv)
+        .select(F.least(uu, vv).alias("a"), F.greatest(uu, vv).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    lbl = label_propagation(
+        edges, rounds=rounds, src_col=src_col, dst_col=dst_col
+    )
+    m = ce.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        ce.select(F.col("a").alias("node"))
+        .unionAll(ce.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = (
+        deg.join(lbl, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+    )
+    lc = (
+        ce.join(lbl.select(F.col("node").alias("a"), F.col("label").alias("la")), "a")
+        .join(lbl.select(F.col("node").alias("b"), F.col("label").alias("lb")), "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l_c"))
+    )
+    d38 = "decimal(38,0)"
+    per = (
+        dc.join(lc, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("label").cast("string").alias("community"),
+            "n_nodes",
+            F.col("d_c").alias("degree_sum"),
+            F.coalesce(F.col("l_c"), F.lit(0)).cast("long").alias(
+                "internal_edges"
+            ),
+            F.expr(
+                "cast(4 * cast(m as decimal(38,0)) * coalesce(l_c, 0)"
+                " - cast(d_c as decimal(38,0)) * d_c as decimal(38,0))"
+            ).alias("num"),
+            "m",
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = F.when(
+        F.col("m") > 0,
+        F.expr("cast(cast(num as string) as double)")
+        / (F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double")),
+    ).otherwise(F.lit(None).cast("double"))
+    rows = per.select(
+        "community", "n_nodes", "degree_sum", "internal_edges",
+        q.alias("q_contrib"),
+    )
+    tot = (
+        per.crossJoin(F.broadcast(m.select(F.col("m").alias("_m"))))
+        .agg(
+            F.coalesce(F.sum("n_nodes"), F.lit(0)).cast("long").alias(
+                "n_nodes"
+            ),
+            F.coalesce(F.sum("degree_sum"), F.lit(0)).cast("long").alias(
+                "degree_sum"
+            ),
+            F.coalesce(F.sum("internal_edges"), F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            F.coalesce(F.sum("num"), F.lit(0).cast(d38))
+            .cast(d38)
+            .alias("num"),
+            F.max("_m").alias("m"),
+        )
+        .select(
+            F.lit("__total__").alias("community"),
+            "n_nodes",
+            "degree_sum",
+            "internal_edges",
+            q.alias("q_contrib"),
+        )
+    )
+    empty_total = m.where(F.col("m") == 0).select(
+        F.lit("__total__").alias("community"),
+        F.lit(0).cast("long").alias("n_nodes"),
+        F.lit(0).cast("long").alias("degree_sum"),
+        F.lit(0).cast("long").alias("internal_edges"),
+        F.lit(None).cast("double").alias("q_contrib"),
+    )
+    nonempty_total = tot.where(F.col("n_nodes") > 0)
+    return rows.unionAll(nonempty_total).unionAll(empty_total)
+
+
+def sql_modularity(edges_cte: str, *, rounds: int) -> str:
+    """DuckDB oracle twin of :func:`modularity` (the LPA oracle rides
+    inside as a subquery)."""
+    lpa = sql_label_propagation(edges_cte, rounds=rounds)
+    return f"""
+    WITH rawe2 AS ({edges_cte}),
+    ce AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM rawe2
+      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+    lbl AS (SELECT * FROM ({lpa}) t),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ce),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM ce UNION ALL SELECT b AS node FROM ce)
+      GROUP BY 1),
+    dc AS (
+      SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d.d) AS BIGINT) AS d_c
+      FROM deg d JOIN lbl l ON l.node = d.node GROUP BY 1),
+    lc AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS l_c
+      FROM ce
+      JOIN lbl la ON la.node = ce.a
+      JOIN lbl lb ON lb.node = ce.b
+      WHERE la.label = lb.label GROUP BY 1),
+    per AS (
+      SELECT dc.label, dc.n_nodes, dc.d_c,
+             COALESCE(lc.l_c, 0) AS l_c,
+             CAST(4 * CAST(mm.m AS HUGEINT) * COALESCE(lc.l_c, 0)
+                  - CAST(dc.d_c AS HUGEINT) * dc.d_c AS HUGEINT) AS num,
+             mm.m
+      FROM dc LEFT JOIN lc ON lc.label = dc.label CROSS JOIN mm),
+    rows_out AS (
+      SELECT CAST(label AS VARCHAR) AS community, n_nodes,
+             d_c AS degree_sum, l_c AS internal_edges,
+             CASE WHEN m > 0 THEN
+               CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) END
+               AS q_contrib
+      FROM per
+      UNION ALL
+      SELECT '__total__', CAST(COALESCE(SUM(n_nodes), 0) AS BIGINT),
+             CAST(COALESCE(SUM(d_c), 0) AS BIGINT),
+             CAST(COALESCE(SUM(l_c), 0) AS BIGINT),
+             CASE WHEN MAX(m) > 0 THEN
+               CAST(CAST(CAST(COALESCE(SUM(num), 0) AS HUGEINT)
+                         AS VARCHAR) AS DOUBLE)
+               / (4.0 * CAST(MAX(m) AS DOUBLE) * CAST(MAX(m) AS DOUBLE))
+               END
+      FROM per HAVING COUNT(*) > 0
+      UNION ALL
+      SELECT '__total__', 0, 0, 0, NULL
+      FROM mm WHERE m = 0)
+    SELECT * FROM rows_out
+    """

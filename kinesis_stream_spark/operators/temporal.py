@@ -3821,3 +3821,160 @@ def sql_growth_accounting(
     SELECT day, status, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM rows_out GROUP BY 1, 2
     """
+
+
+def runs_test(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on each key's daily up/down moves —
+    the randomness audit beside the trend tests: Mann-Kendall asks "is
+    there a monotone trend", the runs test asks "is the SEQUENCE of
+    rises and falls random at all" (too FEW runs ⇒ streaky/regime
+    behavior; too MANY ⇒ oscillation, e.g. a load-balancer flapping or
+    a sensor alternating between two calibrations). Works on signs
+    only, so it is insensitive to the value scale.
+
+    Mechanics: daily period sums (the :func:`ewma` DECIMAL → 2^20 fx
+    discipline), day-over-day differences per key, zero differences
+    DROPPED (the standard treatment — a tie is neither rise nor fall),
+    then R = 1 + (number of sign alternations). Under randomness R is
+    approximately normal with
+
+        μ = 1 + 2·n₁·n₂/n,   σ² = 2·n₁·n₂·(2·n₁·n₂ − n) / (n²·(n−1))
+
+    (n₁ rises, n₂ falls, n = n₁+n₂); z = (R − μ)/σ. Counts and R are
+    exact integers (BIGINT products — n is DAYS of history, not rows);
+    μ, σ², z are a pinned double chain with one IEEE sqrt. Keys with
+    n < 2, no rises, or no falls yield NULL z by contract (σ = 0);
+    NULL timestamps are excluded (:func:`ewma`'s rule).
+
+    Output per key: (key, n_moves, n_up, n_down, n_runs, z_runs).
+
+    Scale shape: one map-side-combinable (key, bucket) aggregate, then
+    two key-partitioned windows over the period frame (days×keys
+    rows): the lag for differences and the lag for alternation counts.
+    No joins, no corpus-sized window."""
+    daily = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.col(key_col).alias("key"), _bucket(ts_col, unit_us).alias("bucket")
+    ).agg(dsum(value_col, "v"))
+    w = Window.partitionBy("key").orderBy("bucket")
+    diffs = daily.select(
+        "key",
+        "bucket",
+        (
+            F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")
+            - F.lag(
+                F.floor(F.col("v") * F.lit(float(EWMA_SCALE))).cast("long")
+            ).over(w)
+        ).alias("d"),
+    ).where(F.col("d").isNotNull() & (F.col("d") != 0))
+    signs = diffs.select(
+        "key",
+        "bucket",
+        F.when(F.col("d") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+    )
+    w2 = Window.partitionBy("key").orderBy("bucket")
+    runs = signs.select(
+        "key",
+        "s",
+        F.when(
+            F.lag("s").over(w2).isNull()
+            | (F.lag("s").over(w2) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n = F.col("n_moves").cast("double")
+    p2 = (F.col("n_up") * F.col("n_down") * 2).cast("double")  # 2·n1·n2
+    mu = F.lit(1.0) + p2 / n
+    var = (
+        p2
+        * (p2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    scorable = (
+        (F.col("n_moves") > 1) & (F.col("n_up") > 0) & (F.col("n_down") > 0)
+    )
+    z = F.when(
+        scorable & (var > 0),
+        (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        "key", "n_moves", "n_up", "n_down", "n_runs", z.alias("z_runs")
+    )
+
+
+def sql_runs_test(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+) -> str:
+    """DuckDB oracle twin of :func:`runs_test`."""
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+             CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
+    fx AS (
+      SELECT key, bucket,
+             CAST(FLOOR(v * {float(EWMA_SCALE)!r}) AS BIGINT) AS vfx
+      FROM daily),
+    diffs AS (
+      SELECT key, bucket,
+             vfx - LAG(vfx) OVER (PARTITION BY key ORDER BY bucket) AS d
+      FROM fx),
+    signs AS (
+      SELECT key, bucket, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+      FROM diffs WHERE d IS NOT NULL AND d != 0),
+    runs AS (
+      SELECT key, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY key ORDER BY bucket)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run
+      FROM signs),
+    agg AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n_moves,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(SUM(new_run) AS BIGINT) AS n_runs
+      FROM runs GROUP BY key)
+    SELECT key, n_moves, n_up, n_down, n_runs,
+           CASE WHEN n_moves > 1 AND n_up > 0 AND n_down > 0
+                     AND CAST(2 * n_up * n_down AS DOUBLE)
+                         * (CAST(2 * n_up * n_down AS DOUBLE)
+                            - CAST(n_moves AS DOUBLE))
+                         / (CAST(n_moves AS DOUBLE)
+                            * CAST(n_moves AS DOUBLE)
+                            * (CAST(n_moves AS DOUBLE) - 1.0)) > 0
+                THEN (CAST(n_runs AS DOUBLE)
+                      - (1.0 + CAST(2 * n_up * n_down AS DOUBLE)
+                               / CAST(n_moves AS DOUBLE)))
+                     / SQRT(CAST(2 * n_up * n_down AS DOUBLE)
+                            * (CAST(2 * n_up * n_down AS DOUBLE)
+                               - CAST(n_moves AS DOUBLE))
+                            / (CAST(n_moves AS DOUBLE)
+                               * CAST(n_moves AS DOUBLE)
+                               * (CAST(n_moves AS DOUBLE) - 1.0))) END
+             AS z_runs
+    FROM agg
+    """

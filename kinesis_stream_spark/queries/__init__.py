@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
 # Round 9 window (first 50), stale-first per the rotation policy:
-# FIFTY-FIVE round-9 registrations have never had a driver row — the
+# FIFTY-EIGHT round-9 registrations have never had a driver row — the
 # first session's eighteen (the pruned IVF-PQ layout, the three
 # rows-only approx twins, TWA, state durations, touch attribution,
 # item Jaccard, PIVOT, ACF, burstiness, the Z-order census, vocab
@@ -38,15 +38,17 @@ from pyspark.sql import DataFrame, SparkSession
 # weighted median, Zipf profile, rare-term cosine, degree profile,
 # shipping-lag percentiles, anomaly episodes, cohort LTV, lexical
 # diversity, assortativity, PRF expansion, session stats, label
-# inertia, reciprocity), and the third session's thirteen (KMV
+# inertia, reciprocity), and the third session's sixteen (KMV
 # distinct + set ops, Cramér's V, KS drift, HITS, salted join,
 # compaction planner, rolling OLS, silhouette, centroid confusion,
-# Welch t, growth accounting, ANOVA). The first 50 of those fill the
-# window (never-verified precedes edited per the policy); the five
-# past the cut (agg_kmv_set_ops, join_salted_skew_segments, Welch t,
-# growth accounting, ANOVA — chosen because their exact-path local
-# evidence, python-reference tests included, is the strongest of the
-# thirteen) lead the r10 head, followed
+# Welch t, growth accounting, ANOVA, runs test, Mann-Whitney U,
+# modularity). The first 50 of those fill the window (never-verified
+# precedes edited per the policy); the eight past the cut
+# (agg_kmv_set_ops, join_salted_skew_segments, Welch t, growth
+# accounting, ANOVA, runs test, Mann-Whitney U, modularity — chosen
+# because their exact-path local evidence, python-reference tests
+# included, is the strongest of the sixteen) lead the r10 head,
+# followed
 # by the SIX queries edited in round-9 sessions (seasonal/MAD outlier
 # MAD>0 guard, Mann-Kendall NULL-ts exclusion, frontier-only BFS /
 # cheapest path, CMS sharded pre-lists — all driver_sim-verified at
@@ -128,7 +130,7 @@ _PRIORITY = (
     "events_rolling_regression",
     "agg_kmv_distinct",
     "layout_compaction_bins",
-    # --- past the 50-cut: planned r10 head — the 5 remaining
+    # --- past the 50-cut: planned r10 head — the 8 remaining
     # third-session names (all driver_sim-verified at sf0.01 this
     # session, with python-reference unit tests), the 6
     # round-9-edited names (each driver_sim-verified at sf0.01 in its
@@ -139,6 +141,9 @@ _PRIORITY = (
     "events_ab_welch_ttest",
     "events_growth_accounting",
     "events_anova_value_by_type",
+    "events_runs_test",
+    "events_ab_mann_whitney",
+    "graph_modularity",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

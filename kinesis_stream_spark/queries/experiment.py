@@ -98,3 +98,20 @@ def events_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/experiment.py)."""
     ev = load_table(spark, sf_dir, "events")
     return anova_oneway(ev)
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    ab_mann_whitney,
+    sql_ab_mann_whitney,
+)
+
+
+@_q("events_ab_mann_whitney", sql_ab_mann_whitney())
+def events_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum A/B readout on per-user value totals —
+    the distribution-free companion to the Welch t: exact 2x-scaled
+    midranks over one distributed prefix-sum exchange, exact tie
+    correction, rank-biserial effect size, pinned z chain
+    (operators/experiment.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ab_mann_whitney(ev)

@@ -399,3 +399,25 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
     )
     return reciprocity(fwd.unionAll(back))
+
+
+from kinesis_stream_spark.operators.graph import (  # noqa: E402
+    modularity,
+    sql_modularity,
+)
+
+
+@_q(
+    "graph_modularity",
+    sql_modularity(_EDGES_CTE, rounds=_LPA_ROUNDS)
+    + " ORDER BY community",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities on the
+    purchase graph — are the detected demand communities real
+    structure or random wiring: exact integer contributions
+    (4mL_c − D_c²) over the common 4m² denominator, one pinned divide
+    per row, '__total__' = Q (operators/graph.py)."""
+    return modularity(
+        _purchase_edges(spark, sf_dir), rounds=_LPA_ROUNDS
+    ).orderBy("community")

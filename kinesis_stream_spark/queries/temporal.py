@@ -1132,3 +1132,22 @@ from kinesis_stream_spark.operators.temporal import (  # noqa: E402
 ORACLE["events_growth_accounting"] = (
     sql_growth_accounting() + " ORDER BY day, status"
 )
+
+
+@_q("events_runs_test", None)  # assigned below
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type — is the sequence of
+    daily rises and falls random at all (streaky regimes score low,
+    oscillation scores high), the randomness audit beside the
+    Mann-Kendall trend: exact sign/run counts, pinned z chain
+    (operators/temporal.py)."""
+    from kinesis_stream_spark.operators.temporal import runs_test
+
+    return runs_test(load_table(spark, sf_dir, "events")).orderBy("key")
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_runs_test,
+)
+
+ORACLE["events_runs_test"] = sql_runs_test() + " ORDER BY key"

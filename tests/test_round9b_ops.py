@@ -748,3 +748,169 @@ class TestAnovaReviewFixes:
         assert abs(got["ssb"] - ssb) <= max(1e-9 * ssb, 1e-6)
         assert abs(got["ssw"] - ssw) <= max(1e-9 * ssw, 1e-6)
         assert got["f_stat"] > 0
+
+
+class TestRunsTest:
+    def _run(self, spark, series):
+        import datetime as dt
+
+        from kinesis_stream_spark.operators.temporal import runs_test
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", base + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(series)
+        ]
+        df = spark.createDataFrame(rows, "event_type: string, ts: timestamp, value: double")
+        return runs_test(df).collect()[0]
+
+    def test_alternating_series_counts_runs(self, spark):
+        import math
+
+        # values 1,3,2,4,3,5: diffs +,-,+,-,+ -> 5 moves, 5 runs
+        got = self._run(spark, [1, 3, 2, 4, 3, 5])
+        assert (got["n_moves"], got["n_up"], got["n_down"]) == (5, 3, 2)
+        assert got["n_runs"] == 5
+        n, p2 = 5.0, 2.0 * 3 * 2
+        mu = 1 + p2 / n
+        var = p2 * (p2 - n) / (n * n * (n - 1))
+        assert abs(got["z_runs"] - (5 - mu) / math.sqrt(var)) < 1e-12
+
+    def test_streaky_series_scores_negative(self, spark):
+        # monotone rise then monotone fall: 2 runs out of 9 moves
+        got = self._run(spark, [1, 2, 3, 4, 5, 4, 3, 2, 1, 0])
+        assert got["n_runs"] == 2
+        assert got["z_runs"] < 0
+
+    def test_zero_diffs_dropped(self, spark):
+        got = self._run(spark, [1, 1, 2, 2, 3])
+        assert got["n_moves"] == 2  # two rises, flats dropped
+        assert got["n_down"] == 0
+        assert got["z_runs"] is None  # one-sided -> sigma undefined
+
+    def test_monotone_series_unscorable(self, spark):
+        got = self._run(spark, [1, 2, 3, 4])
+        assert got["n_down"] == 0 and got["z_runs"] is None
+
+
+class TestMannWhitney:
+    @staticmethod
+    def _variant(uid):
+        import hashlib
+
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    def _run(self, spark, rows):
+        from kinesis_stream_spark.operators.experiment import ab_mann_whitney
+
+        df = spark.createDataFrame(rows, "user_id: long, value: double")
+        return ab_mann_whitney(df).collect()[0]
+
+    def test_matches_scipy_style_reference(self, spark):
+        import math
+
+        rows = [(u, float(v)) for u, v in [
+            (1, 10), (2, 20), (3, 7), (4, 40), (5, 12),
+            (6, 3), (7, 30), (8, 22), (9, 15), (10, 15),
+        ]]
+        got = self._run(spark, rows)
+        totals = {}
+        for u, v in rows:
+            totals[u] = totals.get(u, 0.0) + v
+        pooled = sorted(totals.values())
+
+        def midrank(x):
+            less = sum(1 for y in pooled if y < x)
+            eq = sum(1 for y in pooled if y == x)
+            return less + (eq + 1) / 2
+
+        arms = {0: [], 1: []}
+        for u, t in totals.items():
+            arms[self._variant(u)].append(t)
+        c, t = arms[0], arms[1]
+        r0 = sum(midrank(x) for x in c)
+        u0 = r0 - len(c) * (len(c) + 1) / 2
+        u1 = len(c) * len(t) - u0
+        assert got["u_control"] == u0
+        assert got["u_treatment"] == u1
+        n = len(pooled)
+        # tie correction over tie groups
+        from collections import Counter
+
+        ties = sum(m ** 3 - m for m in Counter(pooled).values())
+        var = (len(c) * len(t) / 12) * (n + 1 - ties / (n * (n - 1)))
+        z = (u1 - len(c) * len(t) / 2) / math.sqrt(var)
+        assert abs(got["z_mw"] - z) < 1e-12
+        rb = 2 * u1 / (len(c) * len(t)) - 1
+        assert abs(got["rank_biserial"] - rb) < 1e-12
+
+    def test_all_tied_values_unscorable(self, spark):
+        u0 = [u for u in range(100) if self._variant(u) == 0][:2]
+        u1 = [u for u in range(100) if self._variant(u) == 1][:2]
+        rows = [(u, 5.0) for u in u0 + u1]
+        got = self._run(spark, rows)
+        assert got["z_mw"] is None
+        assert got["u_control"] == got["u_treatment"]  # all midranks equal
+
+    def test_total_separation_gives_extreme_u(self, spark):
+        u0 = [u for u in range(100) if self._variant(u) == 0][:3]
+        u1 = [u for u in range(100) if self._variant(u) == 1][:3]
+        rows = [(u, 1.0 * i) for i, u in enumerate(u0)] + [
+            (u, 100.0 + i) for i, u in enumerate(u1)
+        ]
+        got = self._run(spark, rows)
+        assert got["u_treatment"] == 9.0  # every t unit beats every c
+        assert got["u_control"] == 0.0
+        assert got["rank_biserial"] == 1.0
+
+
+class TestModularity:
+    def _run(self, spark, edges, rounds=3):
+        from kinesis_stream_spark.operators.graph import modularity
+
+        df = spark.createDataFrame(edges, "src: string, dst: string")
+        return {
+            r["community"]: r
+            for r in modularity(df, rounds=rounds).collect()
+        }
+
+    def test_two_cliques_with_bridge_score_high(self, spark):
+        # two triangles joined by one bridge edge: LPA finds the two
+        # communities; known modularity for this classic graph
+        edges = [
+            ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+            ("a3", "b1"),
+        ]
+        got = self._run(spark, edges)
+        tot = got["__total__"]
+        assert tot["internal_edges"] <= 7
+        assert tot["degree_sum"] == 14  # 2m
+        # Q for a near-perfect 2-community split of 7 edges: each
+        # community has 3 internal edges; degrees 7 per side
+        # Q = sum(L_c/m - (D_c/2m)^2) = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+        if len(got) == 3:  # LPA found exactly the 2 cliques
+            assert abs(tot["q_contrib"] - (6 / 7 - 0.5)) < 1e-12
+
+    def test_total_is_sum_of_contribs(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+        got = self._run(spark, edges)
+        tot = got.pop("__total__")
+        s = sum(r["q_contrib"] for r in got.values())
+        assert abs(tot["q_contrib"] - s) < 1e-12
+        assert tot["n_nodes"] == sum(r["n_nodes"] for r in got.values())
+
+    def test_single_community_scores_zero(self, spark):
+        # if everything lands in one community, L_c = m and D_c = 2m:
+        # Q = m/m - (2m/2m)^2 = 0
+        edges = [("a", "b"), ("b", "c"), ("a", "c")]
+        got = self._run(spark, edges)
+        tot = got["__total__"]
+        if len(got) == 2:
+            assert abs(tot["q_contrib"]) < 1e-12
+
+    def test_empty_graph_contract(self, spark):
+        got = self._run(spark, [("a", "a")])  # self-loop only -> empty
+        assert set(got) == {"__total__"}
+        assert got["__total__"]["n_nodes"] == 0
+        assert got["__total__"]["q_contrib"] is None
