@@ -269,6 +269,49 @@ WELCH_SCALE = 1 << 20
 ANOVA_SCALE = 1 << 20
 
 
+def _per_unit_fx(
+    events: DataFrame,
+    *,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared unit frame for the continuous-metric A/B tests
+    (:func:`ab_welch_ttest`, :func:`ab_mann_whitney`): one combinable
+    per-unit aggregate — exact DECIMAL(27,6) value total (NULL values
+    total 0: absence of spend is signal), 2^20 fx quantization, and
+    the deterministic md5 50/50 variant. One definition so the two
+    companion tests can never drift onto different splits."""
+    return (
+        events.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col(value_col).cast("decimal(27,6)")),
+                F.lit(0).cast("decimal(27,6)"),
+            ).alias("_v")
+        )
+        .select(
+            "unit",
+            F.floor(F.col("_v").cast("double") * F.lit(float(WELCH_SCALE)))
+            .cast("long")
+            .alias("xfx"),
+            (md5_int64(F.col("unit").cast("string")) % 2).alias("variant"),
+        )
+    )
+
+
+def _sql_per_unit_fx(table: str, unit_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`_per_unit_fx` (the per_unit CTE body)."""
+    s = float(WELCH_SCALE)
+    return f"""
+      SELECT {unit_col} AS unit,
+             CAST(FLOOR(CAST(COALESCE(SUM(CAST({value_col}
+                    AS DECIMAL(27,6))), 0) AS DOUBLE) * {s!r}) AS BIGINT)
+               AS xfx,
+             {sql_md5_int64(f"CAST({unit_col} AS VARCHAR)")} % 2 AS variant
+      FROM {table} WHERE {unit_col} IS NOT NULL GROUP BY {unit_col}"""
+
+
 def ab_welch_ttest(
     events: DataFrame,
     *,
@@ -309,23 +352,7 @@ def ab_welch_ttest(
     no join, no skew surface."""
     d19, d38 = "decimal(19,0)", "decimal(38,0)"
     s = float(WELCH_SCALE)
-    per_unit = (
-        events.where(F.col(unit_col).isNotNull())
-        .groupBy(F.col(unit_col).alias("unit"))
-        .agg(
-            F.coalesce(
-                F.sum(F.col(value_col).cast("decimal(27,6)")),
-                F.lit(0).cast("decimal(27,6)"),
-            ).alias("_v")
-        )
-        .select(
-            "unit",
-            F.floor(F.col("_v").cast("double") * F.lit(s))
-            .cast("long")
-            .alias("xfx"),
-            (md5_int64(F.col("unit").cast("string")) % 2).alias("variant"),
-        )
-    )
+    per_unit = _per_unit_fx(events, unit_col=unit_col, value_col=value_col)
     mom = per_unit.groupBy().agg(
         *[
             agg
@@ -433,13 +460,7 @@ def sql_ab_welch_ttest(
         f" / {s * s!r} END"
     )
     return f"""
-    WITH per_unit AS (
-      SELECT {unit_col} AS unit,
-             CAST(FLOOR(CAST(COALESCE(SUM(CAST({value_col}
-                    AS DECIMAL(27,6))), 0) AS DOUBLE) * {s!r}) AS BIGINT)
-               AS xfx,
-             {sql_md5_int64(f"CAST({unit_col} AS VARCHAR)")} % 2 AS variant
-      FROM {table} WHERE {unit_col} IS NOT NULL GROUP BY {unit_col}),
+    WITH per_unit AS ({_sql_per_unit_fx(table, unit_col, value_col)}),
     mom AS (
       SELECT
         COALESCE(CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
@@ -709,22 +730,7 @@ def ab_mann_whitney(
     from kinesis_stream_spark.operators.skew import distributed_cumsums
 
     d19, d38 = "decimal(19,0)", "decimal(38,0)"
-    per_unit = (
-        events.where(F.col(unit_col).isNotNull())
-        .groupBy(F.col(unit_col).alias("unit"))
-        .agg(
-            F.coalesce(
-                F.sum(F.col(value_col).cast("decimal(27,6)")),
-                F.lit(0).cast("decimal(27,6)"),
-            ).alias("_v")
-        )
-        .select(
-            F.floor(F.col("_v").cast("double") * F.lit(float(WELCH_SCALE)))
-            .cast("long")
-            .alias("xfx"),
-            (md5_int64(F.col("unit").cast("string")) % 2).alias("variant"),
-        )
-    )
+    per_unit = _per_unit_fx(events, unit_col=unit_col, value_col=value_col)
     vals = per_unit.groupBy("xfx").agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
         .cast("long")
@@ -810,14 +816,8 @@ def sql_ab_mann_whitney(
     value_col: str = "value",
 ) -> str:
     """DuckDB oracle twin of :func:`ab_mann_whitney`."""
-    s = float(WELCH_SCALE)
     return f"""
-    WITH per_unit AS (
-      SELECT CAST(FLOOR(CAST(COALESCE(SUM(CAST({value_col}
-                    AS DECIMAL(27,6))), 0) AS DOUBLE) * {s!r}) AS BIGINT)
-               AS xfx,
-             {sql_md5_int64(f"CAST({unit_col} AS VARCHAR)")} % 2 AS variant
-      FROM {table} WHERE {unit_col} IS NOT NULL GROUP BY {unit_col}),
+    WITH per_unit AS ({_sql_per_unit_fx(table, unit_col, value_col)}),
     vals AS (
       SELECT xfx,
              CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)

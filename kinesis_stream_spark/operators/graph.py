@@ -1683,8 +1683,7 @@ def modularity(
         q.alias("q_contrib"),
     )
     tot = (
-        per.crossJoin(F.broadcast(m.select(F.col("m").alias("_m"))))
-        .agg(
+        per.agg(
             F.coalesce(F.sum("n_nodes"), F.lit(0)).cast("long").alias(
                 "n_nodes"
             ),
@@ -1697,7 +1696,7 @@ def modularity(
             F.coalesce(F.sum("num"), F.lit(0).cast(d38))
             .cast(d38)
             .alias("num"),
-            F.max("_m").alias("m"),
+            F.max("m").alias("m"),
         )
         .select(
             F.lit("__total__").alias("community"),

@@ -3850,8 +3850,11 @@ def runs_test(
     (n₁ rises, n₂ falls, n = n₁+n₂); z = (R − μ)/σ. Counts and R are
     exact integers (BIGINT products — n is DAYS of history, not rows);
     μ, σ², z are a pinned double chain with one IEEE sqrt. Keys with
-    n < 2, no rises, or no falls yield NULL z by contract (σ = 0);
-    NULL timestamps are excluded (:func:`ewma`'s rule).
+    2 > n ≥ 1, no rises, or no falls yield NULL z by contract (σ = 0);
+    keys with ZERO scorable moves (single-day or flat series — every
+    diff zero or absent) emit NO row at all (nothing to test; join an
+    expected-key list to see them). NULL timestamps are excluded
+    (:func:`ewma`'s rule).
 
     Output per key: (key, n_moves, n_up, n_down, n_runs, z_runs).
 
@@ -3878,13 +3881,12 @@ def runs_test(
         "bucket",
         F.when(F.col("d") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
     )
-    w2 = Window.partitionBy("key").orderBy("bucket")
     runs = signs.select(
         "key",
         "s",
         F.when(
-            F.lag("s").over(w2).isNull()
-            | (F.lag("s").over(w2) != F.col("s")),
+            F.lag("s").over(w).isNull()
+            | (F.lag("s").over(w) != F.col("s")),
             1,
         )
         .otherwise(0)
