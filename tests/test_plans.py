@@ -963,3 +963,54 @@ def test_reciprocity_semi_join_on_reversed_key(spark, sf_dir):
     plan = _explain(QUERIES["graph_reciprocity"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_rides_distributed_cumsum_no_global_window(spark, sf_dir):
+    """The KS CDF prefix sums must ride distributed_cumsums — the
+    explainable plan truncates at its localCheckpoint (hiding the
+    range exchange), but the surviving Window visibly partitions on
+    the _ds_pid partition id, proving no partition-less global window
+    ever forms; no cartesian anywhere."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["profile_ks_value_drift"](spark, sf_dir))
+    assert "_ds_pid" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_rides_distributed_cumsum(spark, sf_dir):
+    from kinesis_stream_spark.queries.experiment import QUERIES
+
+    plan = _explain(QUERIES["events_ab_mann_whitney"](spark, sf_dir))
+    assert "_ds_pid" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anova_is_pure_aggregation(spark, sf_dir):
+    """k-row folds only: no window, no cartesian (the 1-row broadcast
+    combines appear as aggregates, not joins over data)."""
+    from kinesis_stream_spark.queries.experiment import QUERIES
+
+    plan = _explain(QUERIES["events_anova_value_by_type"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_growth_accounting_single_unit_window_shuffle(spark, sf_dir):
+    """min/lag/lead share ONE unit-partitioned window: exactly one
+    hash exchange on the unit key feeds the window stage."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_growth_accounting"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the per-unit window partitions on the unit column, never global
+    assert plan.count("Window") >= 1
+    assert "unit" in plan
+
+
+def test_runs_test_windows_partition_by_key(spark, sf_dir):
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_runs_test"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
