@@ -1620,7 +1620,9 @@ def modularity(
     the edge count, the degree count, and the within-community join
     (two broadcast-able label lookups); everything else is combinable
     label-sized aggregation. The LPA rounds dominate — modularity
-    adds one edge-sized join pass."""
+    adds one edge-sized join pass. Measured at sf0.1 in the full-suite
+    min-of-2 bench: 9.9 s, vs 6.7 s for the bare LPA query on the same
+    graph (both under local[32] full-suite contention)."""
     uu, vv = F.col(src_col), F.col(dst_col)
     ce = (
         edges.where(uu.isNotNull() & vv.isNotNull())
