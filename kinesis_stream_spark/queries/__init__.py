@@ -25,117 +25,38 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 9 window (first 50), stale-first per the rotation policy:
-# FIFTY-EIGHT round-9 registrations have never had a driver row — the
-# first session's eighteen (the pruned IVF-PQ layout, the three
-# rows-only approx twins, TWA, state durations, touch attribution,
-# item Jaccard, PIVOT, ACF, burstiness, the Z-order census, vocab
-# drift, the sequence-gap audit, daily percentile bands, ABC
-# classification, RFM segments, conversion lag), the second
-# session's twenty-four (Gini concentration, Theil-Sen, mix shift,
-# Markov stationary, Apdex, RA link prediction, item cosine, zone-map
-# skipping, category balance, uniqueness profile, changepoint,
-# weighted median, Zipf profile, rare-term cosine, degree profile,
-# shipping-lag percentiles, anomaly episodes, cohort LTV, lexical
-# diversity, assortativity, PRF expansion, session stats, label
-# inertia, reciprocity), and the third session's sixteen (KMV
-# distinct + set ops, Cramér's V, KS drift, HITS, salted join,
-# compaction planner, rolling OLS, silhouette, centroid confusion,
-# Welch t, growth accounting, ANOVA, runs test, Mann-Whitney U,
-# modularity). The first 50 of those fill the window (never-verified
-# precedes edited per the policy); the eight past the cut
-# (agg_kmv_set_ops, join_salted_skew_segments, Welch t, growth
-# accounting, ANOVA, runs test, Mann-Whitney U, modularity — chosen
-# because their exact-path local evidence, python-reference tests
-# included, is the strongest of the sixteen) lead the r10 head,
-# followed
-# by the SIX queries edited in round-9 sessions (seasonal/MAD outlier
-# MAD>0 guard, Mann-Kendall NULL-ts exclusion, frontier-only BFS /
-# cheapest path, CMS sharded pre-lists — all driver_sim-verified at
-# sf0.01 in the session that edited them), the twenty-seven
-# r4-latest names, then the thirty-seven r5-latest names (text ×11,
-# scalar ×9, stream ×5, udf ×4, multimodal ×5,
-# events_user_diversity, events_winsorized_stats,
-# agg_approx_sketches). Everything past the cut is driver-green at
-# its latest sampling and re-verified every session by the sf0.001
-# local backstop.
+# Round 10 window (first 50), per the rotation policy:
+# 1–8: the EIGHT round-9 registrations that overflowed the r9 window
+# and have never had a driver row (queries() positions 51–58 in r9 —
+# VERDICT r9 item #1). Then the round-10 registrations (never
+# driver-verified, inserted as they are built — at most NINE this
+# round so the window still reaches every r4-latest name). Then the
+# SIX queries edited in round-9 sessions (code newer than their last
+# driver row; each driver_sim-verified at sf0.01 in its editing
+# session). Then the TWENTY-SEVEN r4-latest names — after this round
+# no query's newest driver row predates r5. Total: 8+9+6+27 = 50.
+#
+# Planned r11 head (documented now so rotation stays mechanical,
+# VERDICT r9 item #5): any r10 overflow first, then the r5-latest
+# names pinned below (37 minus however many the r10 window absorbs),
+# then the 43 r6-latest names (agg_*/join_*/window_* relational
+# families + quantization/evaluation/opq/minhash_profile), oldest
+# driver row first.
 
-#: names registered WITHOUT a DuckDB oracle by design (the driver
-#: records a rows-only row for these; the judge sees which). Only the
-#: approx-percentile twins qualify: their sketch (Greenwald-Khanna
-#: approx_percentile) is Spark-specific, so no cross-engine hash can
-#: exist — their exact twins carry the hash oracle and
-#: tests/test_temporal.py pins exact ≈ approx at sf0.1.
-ROWS_ONLY = frozenset({
-    "events_winsorized_stats_approx",
-    "events_mad_outliers_approx",
-    "events_seasonal_outliers_approx",
-})
+#: names registered WITHOUT a DuckDB oracle by design. EMPTY since
+#: round 10: the approx-percentile sketch twins that filled this set
+#: in r9 are now pytest-contracted only (de-registered from
+#: queries() like the stream_* surfaces — their Greenwald-Khanna
+#: values are Spark-specific, so registering them put `err:
+#: no_oracle` rows in the driver ledger; tests/test_temporal.py
+#: keeps the exact ≈ approx sf0.1 pin). The set stays declared so
+#: the driver-contract tests keep guarding against future leaks.
+ROWS_ONLY = frozenset()
 
 _PRIORITY = (
-    # --- round-9 window (first 50 = the driver's check set) ---------
-    # never driver-verified (new this round)
-    "similarity_ivfpq_pruned_topk",
-    "events_time_weighted_avg",
-    "events_state_durations",
-    "events_touch_attribution",
-    "basket_item_jaccard",
-    "reshape_pivot_priority_year",
-    "events_autocorrelation",
-    "events_burstiness",
-    "layout_zorder_census_parts",
-    "text_vocab_drift",
-    "integrity_sequence_gaps",
-    "events_daily_percentile_bands",
-    "agg_abc_classification",
-    "events_rfm_segments",
-    "events_winsorized_stats_approx",
-    "events_mad_outliers_approx",
-    "events_seasonal_outliers_approx",
-    "events_conversion_lag",
-    # never driver-verified (second round-9 session)
-    "agg_gini_concentration",
-    "events_theil_sen_trend",
-    "events_mix_shift",
-    "events_markov_stationary",
-    "events_apdex_score",
-    "graph_link_prediction",
-    "basket_item_cosine",
-    "layout_zonemap_skipping",
-    "profile_category_balance",
-    "integrity_uniqueness_profile",
-    "events_changepoint",
-    "agg_weighted_median",
-    "text_zipf_profile",
-    "dedup_rare_term_cosine",
-    "graph_degree_profile",
-    "join_shipping_lag_percentiles",
-    # never driver-verified (second round-9 session, third wave)
-    "events_anomaly_episodes",
-    "events_cohort_ltv",
-    "text_lexical_diversity",
-    "graph_assortativity",
-    "retrieval_prf_expansion",
-    # never driver-verified (second round-9 session, fourth wave)
-    "events_session_stats",
-    "similarity_label_inertia",
-    "graph_reciprocity",
-    # never driver-verified (third round-9 session) — first 8 complete
-    # the 50-window
-    "similarity_silhouette",
-    "similarity_centroid_confusion",
-    "profile_cramers_v",
-    "profile_ks_value_drift",
-    "graph_hits_scores",
-    "events_rolling_regression",
-    "agg_kmv_distinct",
-    "layout_compaction_bins",
-    # --- past the 50-cut: planned r10 head — the 8 remaining
-    # third-session names (all driver_sim-verified at sf0.01 this
-    # session, with python-reference unit tests), the 6
-    # round-9-edited names (each driver_sim-verified at sf0.01 in its
-    # editing session), the 27 displaced r4-latest names, then the
-    # r5-latest remainder.
+    # --- round-10 window (first 50 = the driver's check set) --------
+    # never driver-verified: the 8 r9-overflow names (r9 positions
+    # 51–58)
     "agg_kmv_set_ops",
     "join_salted_skew_segments",
     "events_ab_welch_ttest",
@@ -144,6 +65,7 @@ _PRIORITY = (
     "events_runs_test",
     "events_ab_mann_whitney",
     "graph_modularity",
+    # never driver-verified: new round-10 registrations (max 9)
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",
@@ -218,6 +140,55 @@ _PRIORITY = (
     "udf_scalar_price_band",
     "events_user_diversity",
     "events_winsorized_stats",
+    # r9-latest rows (freshest driver rows — lowest rotation priority;
+    # pinned only so the full rotation plan lives in one list)
+    "similarity_ivfpq_pruned_topk",
+    "events_time_weighted_avg",
+    "events_state_durations",
+    "events_touch_attribution",
+    "basket_item_jaccard",
+    "reshape_pivot_priority_year",
+    "events_autocorrelation",
+    "events_burstiness",
+    "layout_zorder_census_parts",
+    "text_vocab_drift",
+    "integrity_sequence_gaps",
+    "events_daily_percentile_bands",
+    "agg_abc_classification",
+    "events_rfm_segments",
+    "events_conversion_lag",
+    "agg_gini_concentration",
+    "events_theil_sen_trend",
+    "events_mix_shift",
+    "events_markov_stationary",
+    "events_apdex_score",
+    "graph_link_prediction",
+    "basket_item_cosine",
+    "layout_zonemap_skipping",
+    "profile_category_balance",
+    "integrity_uniqueness_profile",
+    "events_changepoint",
+    "agg_weighted_median",
+    "text_zipf_profile",
+    "dedup_rare_term_cosine",
+    "graph_degree_profile",
+    "join_shipping_lag_percentiles",
+    "events_anomaly_episodes",
+    "events_cohort_ltv",
+    "text_lexical_diversity",
+    "graph_assortativity",
+    "retrieval_prf_expansion",
+    "events_session_stats",
+    "similarity_label_inertia",
+    "graph_reciprocity",
+    "similarity_silhouette",
+    "similarity_centroid_confusion",
+    "profile_cramers_v",
+    "profile_ks_value_drift",
+    "graph_hits_scores",
+    "events_rolling_regression",
+    "agg_kmv_distinct",
+    "layout_compaction_bins",
 )
 
 
