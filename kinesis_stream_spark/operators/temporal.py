@@ -3980,3 +3980,150 @@ def sql_runs_test(
              AS z_runs
     FROM agg
     """
+
+
+def linear_interpolation(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = HOUR_US,
+) -> DataFrame:
+    """Regularize an event stream onto a dense per-key time grid and
+    LINEARLY interpolate observation gaps — the `interpolate()`
+    sibling of :func:`gap_fill_forward` (TimescaleDB ships both
+    `locf` and `interpolate` as the two gap-fill policies; LOCF is
+    right for state-like series, linear for rate-like series where a
+    flat carry-forward fabricates a plateau the data never showed).
+
+    Per key: raw events collapse to one row per occupied bucket
+    (count + exact-decimal sum), the dense grid spans the key's first
+    to last occupied bucket, and each empty bucket gets
+
+        v = v_prev + (v_next − v_prev) · (b − b_prev) / (b_next − b_prev)
+
+    between its nearest observed neighbors. Grid edges are always
+    observed (the span is [min, max] occupied), so gap rows always
+    have both neighbors.
+
+    Cross-engine exactness: neighbor values are deterministic doubles
+    (DECIMAL-accumulated bucket sums), bucket offsets are exact
+    integers, and the interpolation is ONE pinned double chain
+    (subtract, multiply, divide, add — each IEEE-exactly rounded,
+    identical expression tree in both engines). Observed buckets
+    bypass the chain entirely (the 0/0 guard AND bit-exactness: they
+    emit their own sum). Neighbors travel as (bucket, sum) STRUCTS
+    through the fill windows so a NULL-sum observation can never
+    pair one row's bucket with another row's value.
+
+    Scale shape — identical to :func:`gap_fill_forward`: the raw scan
+    collapses FIRST (one map-side-combinable shuffle on (key,
+    bucket)), the per-key grid comes from ``sequence()`` (no driver
+    loop, no cross join), and both fill windows partition by key —
+    parallel across keys, ~9k rows/key/year of hourly buckets. At
+    100 TB the only change is the grid join's key count; nothing
+    row-scaled sits in one partition."""
+    occupied = (
+        events.select(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("v"), "bucket_sum"))
+    )
+    spans = occupied.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    wp = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(occupied, ["key", "bucket"], "left").select(
+        "key",
+        "bucket",
+        "n_events",
+        "bucket_sum",
+        F.when(
+            F.col("n_events").isNotNull(),
+            F.struct(F.col("bucket").alias("b"), F.col("bucket_sum").alias("v")),
+        ).alias("obs"),
+    )
+    filled = j.select(
+        "key",
+        "bucket",
+        "n_events",
+        "bucket_sum",
+        F.last("obs", ignorenulls=True).over(wp).alias("prev"),
+        F.first("obs", ignorenulls=True).over(wn).alias("nxt"),
+    )
+    interp = F.col("prev.v") + (
+        F.col("nxt.v") - F.col("prev.v")
+    ) * (F.col("bucket") - F.col("prev.b")).cast("double") / (
+        F.col("nxt.b") - F.col("prev.b")
+    ).cast("double")
+    return filled.select(
+        "key",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.when(F.col("n_events").isNotNull(), F.col("bucket_sum"))
+        .otherwise(interp)
+        .alias("interp_sum"),
+    )
+
+
+def sql_linear_interpolation(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = HOUR_US,
+) -> str:
+    """DuckDB oracle twin of :func:`linear_interpolation` — identical
+    grid, struct-carried neighbors, and pinned interpolation chain."""
+    return f"""
+    WITH occ AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE)
+               AS bucket_sum
+      FROM {table} GROUP BY 1, 2),
+    spans AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1
+              FROM occ GROUP BY key),
+    grid AS (SELECT key, t.bucket
+             FROM spans, UNNEST(RANGE(b0, b1 + 1)) AS t(bucket)),
+    j AS (
+      SELECT g.key, g.bucket, o.n_events, o.bucket_sum,
+             CASE WHEN o.n_events IS NOT NULL
+                  THEN {{'b': g.bucket, 'v': o.bucket_sum}} END AS obs
+      FROM grid g LEFT JOIN occ o USING (key, bucket)),
+    filled AS (
+      SELECT key, bucket, n_events, bucket_sum,
+             LAST_VALUE(obs IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             FIRST_VALUE(obs IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM j)
+    SELECT key, bucket,
+           COALESCE(n_events, 0) AS n_events,
+           n_events IS NULL AS is_gap,
+           CASE WHEN n_events IS NOT NULL THEN bucket_sum
+                ELSE prev.v + (nxt.v - prev.v)
+                     * CAST(bucket - prev.b AS DOUBLE)
+                     / CAST(nxt.b - prev.b AS DOUBLE) END AS interp_sum
+    FROM filled
+    """

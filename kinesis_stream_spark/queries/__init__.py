@@ -66,6 +66,7 @@ _PRIORITY = (
     "events_ab_mann_whitney",
     "graph_modularity",
     # never driver-verified: new round-10 registrations (max 9)
+    "events_linear_interpolation",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

@@ -84,6 +84,28 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_forward(ev, unit_us=HOUR_US)
 
 
+@_q("events_linear_interpolation")
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event type with LINEARLY interpolated
+    gap sums — the `interpolate()` gap-fill policy next to LOCF
+    (right for rate-like series where a carried-forward plateau lies).
+    Pinned double interpolation chain between struct-carried observed
+    neighbors; see operators/temporal.py:linear_interpolation."""
+    from kinesis_stream_spark.operators.temporal import linear_interpolation
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_interpolation(ev, unit_us=HOUR_US)
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_linear_interpolation,
+)
+
+ORACLE["events_linear_interpolation"] = sql_linear_interpolation(
+    unit_us=HOUR_US
+)
+
+
 @_q(
     "events_scd2_status_history",
     f"""

@@ -47,6 +47,37 @@ def test_gap_fill_dense_grid_and_forward_fill(spark):
     assert len([k for k in out if k[0] == "b"]) == 1
 
 
+def test_linear_interpolation_hand_computed(spark):
+    from kinesis_stream_spark.operators.temporal import linear_interpolation
+
+    ev = spark.createDataFrame(
+        [
+            ("a", _ts(0), 4.0),
+            ("a", _ts(0, 30), 6.0),   # bucket 0 sums to 10.0
+            ("a", _ts(3), 4.0),       # buckets 1,2 are gaps
+            ("b", _ts(5), 7.0),       # single-bucket key: no gaps
+        ],
+        "key string, ts timestamp, value double",
+    )
+    out = {
+        (r.key, r.bucket): r
+        for r in linear_interpolation(
+            ev, key_col="key", ts_col="ts", value_col="value", unit_us=HOUR_US
+        ).collect()
+    }
+    a_buckets = sorted(b for k, b in out if k == "a")
+    assert a_buckets == list(range(a_buckets[0], a_buckets[0] + 4))
+    b0 = a_buckets[0]
+    # observed buckets emit their own sum (no 0/0, bit-exact)
+    assert out[("a", b0)].n_events == 2 and out[("a", b0)].interp_sum == 10.0
+    assert out[("a", b0 + 3)].interp_sum == 4.0 and not out[("a", b0 + 3)].is_gap
+    # gaps: 10 + (4-10)*k/3 for k = 1, 2
+    assert out[("a", b0 + 1)].is_gap and out[("a", b0 + 1)].interp_sum == 8.0
+    assert out[("a", b0 + 2)].is_gap and out[("a", b0 + 2)].interp_sum == 6.0
+    assert len([k for k in out if k[0] == "b"]) == 1
+    assert out[("b", next(b for k, b in out if k == "b"))].interp_sum == 7.0
+
+
 def test_gap_fill_empty_input(spark):
     ev = spark.createDataFrame([], "key string, ts timestamp, value double")
     assert (
