@@ -1149,3 +1149,175 @@ def sql_ks_two_sample(a_cte: str, b_cte: str) -> str:
                     / CAST(t.n_a + t.n_b AS DOUBLE)) END AS ks_stat
     FROM tot t CROSS JOIN mx m
     """
+
+
+def spearman_correlation(
+    df: DataFrame,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-group Spearman rank correlation ρ between two numeric
+    columns — the monotone-association companion to
+    :func:`numeric_correlations`: Pearson asks "linear?", Spearman
+    asks "monotone?", and a Pearson≫Spearman gap on the same pair is
+    the classic outlier-leverage alarm (one whale manufactures a
+    linear r that the rank statistic refuses to see).
+
+    ρ = Pearson on the rank vectors, with ties taking average ranks.
+    Exactness: values quantize to ⌊x·2^scale_bits⌋ BIGINTs (the
+    numeric_correlations contract — ranks only ever compare, so
+    quantization is the ONLY approximation); midranks are EXACT
+    integers at 2× scale (midrank2 = 2·#smaller + #equal + 1, the
+    Mann-Whitney device — never a .5), the five moment sums
+    accumulate as DECIMAL(38,0)/HUGEINT, and the closed form runs as
+    pinned-order doubles on exact integers (two correctly-rounded
+    sqrts, one multiply, one divide; 2×-scale cancels — Pearson is
+    invariant to linear maps). NULL groups and pairwise-NULL rows are
+    excluded by contract; constant columns yield NULL ρ.
+
+    Scale shape: ranking happens on the per-group DISTINCT-value
+    frames (one per axis), ordered (group, value) through ONE
+    :func:`~kinesis_stream_spark.operators.skew.distributed_cumsums`
+    range exchange each — groups here can be corpus-sized (3 return
+    flags over 10^12 rows), so a per-group window is exactly the
+    single-reducer funnel the prefix-sum exists to avoid. Per-group
+    rank offsets come from a groups-sized totals frame (the one
+    legitimately tiny ordered window), broadcast back. Ranks join to
+    rows on (group, value) — two equi-joins, map-side-combinable
+    moments, nothing corpus-sized in one partition. Headroom:
+    midrank2 ≤ 2n, per-row product ≤ 4n² inside DECIMAL(38,0) —
+    exact past 10^12 rows per group."""
+    from pyspark.sql import Window
+    from kinesis_stream_spark.operators.skew import distributed_cumsums
+
+    s = float(1 << scale_bits)
+    d19 = "decimal(19,0)"
+    rows = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(x_col) * F.lit(s)).cast("long").alias("xfx"),
+        F.floor(F.col(y_col) * F.lit(s)).cast("long").alias("yfx"),
+    )
+
+    def _midranks(col: str, out: str) -> DataFrame:
+        vals = rows.groupBy("grp", col).agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        cum = distributed_cumsums(
+            vals, [F.col("grp"), F.col(col)], [("ct", "cum_all")]
+        )
+        offs = vals.groupBy("grp").agg(F.sum("ct").alias("gtot"))
+        w_off = Window.orderBy("grp").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        offs = offs.select(
+            "grp", (F.sum("gtot").over(w_off) - F.col("gtot")).alias("goff")
+        )
+        return cum.join(F.broadcast(offs), "grp").select(
+            "grp",
+            col,
+            (
+                (F.col("cum_all") - F.col("goff") - F.col("ct")) * 2
+                + F.col("ct")
+                + 1
+            ).alias(out),
+        )
+
+    ranked = rows.join(_midranks("xfx", "mrx"), ["grp", "xfx"]).join(
+        _midranks("yfx", "mry"), ["grp", "yfx"]
+    )
+    m = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("mrx").cast(D38)).cast(D38).alias("sx"),
+        F.sum(F.col("mry").cast(D38)).cast(D38).alias("sy"),
+        F.sum((F.col("mrx").cast(d19) * F.col("mry").cast(d19)).cast(D38))
+        .cast(D38)
+        .alias("sxy"),
+        F.sum((F.col("mrx").cast(d19) * F.col("mrx").cast(d19)).cast(D38))
+        .cast(D38)
+        .alias("sxx"),
+        F.sum((F.col("mry").cast(d19) * F.col("mry").cast(d19)).cast(D38))
+        .cast(D38)
+        .alias("syy"),
+    )
+    n_d = F.col("n").cast(D38)
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when(
+        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+    ).otherwise(
+        num.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    return m.select(
+        F.col("grp").alias("group_key"), "n", rho.alias("spearman_rho")
+    )
+
+
+def sql_spearman_correlation(
+    *,
+    table: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale_bits: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`spearman_correlation` — identical
+    quantization, exact 2×-midranks (plain per-group windows; the
+    prefix-sum exchange is the Spark-side scale device, not a
+    semantic), HUGEINT moments, VARCHAR-routed casts, pinned finals."""
+    s = float(1 << scale_bits)
+    return f"""
+    WITH rows_ AS (
+      SELECT {group_col} AS grp,
+             CAST(FLOOR({x_col} * {s!r}) AS BIGINT) AS xfx,
+             CAST(FLOOR({y_col} * {s!r}) AS BIGINT) AS yfx
+      FROM {table}
+      WHERE {group_col} IS NOT NULL AND {x_col} IS NOT NULL
+        AND {y_col} IS NOT NULL),
+    vx AS (
+      SELECT grp, xfx,
+             (SUM(ct) OVER (PARTITION BY grp ORDER BY xfx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+               * 2 + ct + 1 AS mrx
+      FROM (SELECT grp, xfx, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM rows_ GROUP BY 1, 2)),
+    vy AS (
+      SELECT grp, yfx,
+             (SUM(ct) OVER (PARTITION BY grp ORDER BY yfx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+               * 2 + ct + 1 AS mry
+      FROM (SELECT grp, yfx, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM rows_ GROUP BY 1, 2)),
+    ranked AS (
+      SELECT r.grp, mrx, mry
+      FROM rows_ r
+      JOIN vx USING (grp, xfx)
+      JOIN vy USING (grp, yfx)),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(mrx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(mry AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(mrx AS HUGEINT) * mry) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(mrx AS HUGEINT) * mrx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(mry AS HUGEINT) * mry) AS HUGEINT) AS syy
+      FROM ranked GROUP BY 1)
+    SELECT grp AS group_key, n,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0
+                  OR CAST(n AS HUGEINT) * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+                               AS VARCHAR) AS DOUBLE)
+                     / (SQRT(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                       AS VARCHAR) AS DOUBLE))
+                        * SQRT(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                         AS VARCHAR) AS DOUBLE)))
+           END AS spearman_rho
+    FROM m
+    """

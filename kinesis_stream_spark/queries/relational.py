@@ -3110,3 +3110,36 @@ from kinesis_stream_spark.operators.profile import (  # noqa: E402
 )
 
 ORACLE["profile_ks_value_drift"] = sql_ks_two_sample(_KS_A_CTE, _KS_B_CTE)
+
+
+@_q("profile_spearman_corr", None)  # assigned below
+def profile_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware midranks) between quantity
+    and extended price per return flag, next to the Pearson matrix —
+    a Pearson≫Spearman gap is the outlier-leverage alarm. Exact
+    2×-midranks over distributed prefix sums, DECIMAL(38,0) moments,
+    pinned finals (operators/profile.py:spearman_correlation)."""
+    from kinesis_stream_spark.operators.profile import spearman_correlation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_correlation(
+        li,
+        group_col="l_returnflag",
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+    ).orderBy("group_key")
+
+
+from kinesis_stream_spark.operators.profile import (  # noqa: E402
+    sql_spearman_correlation,
+)
+
+ORACLE["profile_spearman_corr"] = (
+    sql_spearman_correlation(
+        table="lineitem",
+        group_col="l_returnflag",
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+    )
+    + " ORDER BY group_key"
+)

@@ -113,3 +113,45 @@ def test_quantile_normalize_ties_and_bounds(spark):
     # N = 4 non-null; ties share a position (rows <= 10 is 2 of 4)
     assert got == {1: 500_000, 2: 500_000, 3: 750_000, 4: 1_000_000}
     assert 5 not in got  # NULL value -> no rank position
+
+
+def test_spearman_hand_computed(spark):
+    from kinesis_stream_spark.operators.profile import spearman_correlation
+
+    df = spark.createDataFrame(
+        # group g: x ranks (1..5), y ranks (2,1,4,3,5) -> rho = 0.8
+        [("g", 1.0, 20.0), ("g", 2.0, 10.0), ("g", 3.0, 40.0),
+         ("g", 4.0, 30.0), ("g", 5.0, 50.0),
+         # group t: x ties (1,1,2) vs y (1,2,3) -> rho = 1.5/sqrt(3)
+         ("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0),
+         # group d: perfect anti-correlation -> rho = -1
+         ("d", 1.0, 9.0), ("d", 2.0, 8.0), ("d", 3.0, 7.0),
+         # group c: constant y -> NULL rho
+         ("c", 1.0, 5.0), ("c", 2.0, 5.0)],
+        "grp string, x double, y double",
+    )
+    out = {
+        r.group_key: r
+        for r in spearman_correlation(
+            df, group_col="grp", x_col="x", y_col="y"
+        ).collect()
+    }
+    assert abs(out["g"].spearman_rho - 0.8) < 1e-12 and out["g"].n == 5
+    assert abs(out["t"].spearman_rho - 1.5 / 3.0**0.5) < 1e-12
+    # 1-ulp excursion past -1 is the pinned chain's sqrt(24)^2 != 24
+    assert abs(out["d"].spearman_rho - (-1.0)) < 1e-12
+    assert out["c"].spearman_rho is None
+
+
+def test_spearman_monotone_vs_pearson_leverage(spark):
+    """A convex monotone map keeps rho = 1 while Pearson r < 1 — the
+    operator's reason to exist, verified on the same frame."""
+    from kinesis_stream_spark.operators.profile import spearman_correlation
+
+    rows = [("m", float(i), float(i * i * i)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    rho = spearman_correlation(
+        df, group_col="grp", x_col="x", y_col="y"
+    ).collect()[0].spearman_rho
+    r = numeric_correlations(df, [("x", "y")]).collect()[0].r
+    assert rho == 1.0 and r < 0.96
