@@ -1518,3 +1518,179 @@ def sql_lexical_diversity(
              AS hapax_share_ppm
     FROM per
     """
+
+
+def lm_plausibility(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model plausibility scoring — the CCNet-style
+    quality gate (Wenzek et al. 2020 filter CommonCrawl by LM
+    perplexity; the signal is "how probable is this document under a
+    model of the reference corpus"): train add-one-smoothed bigram
+    counts on the EVEN-doc_id half, score the ODD half, and rank
+    scored documents by their mean bigram probability. Token soup and
+    template slot-filling score low; text that walks the reference
+    corpus's transition structure scores high.
+
+    Log-free by design: perplexity's per-bigram ln is a transcendental
+    whose last-ulp rounding differs between the JVM and libm (the
+    repo's cross-engine rule), so the score is the mean of the exact
+    Laplace probabilities instead —
+
+        p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+
+    held as integer ppm (⌊p·10⁶⌋, positive-operand floor division —
+    both engines agree), summed exactly; only the reported mean is a
+    pinned double divide. The ranking this produces is the filter's
+    actual product; the ln is presentation. Also reports the unseen-
+    bigram count (the novelty tie-in: c(w₁w₂) = 0).
+
+    Contracts: context counts c(w₁·) are the sum of bigram counts
+    with that context (= token occurrences excluding each document's
+    final position); V = distinct training tokens (the Laplace
+    denominator's vocabulary); documents with < 2 tokens have no
+    bigram and emit no row; NULL text emits no row.
+
+    Scale shape: training counts are two map-side-combinable explode
+    aggregates; scoring is two equi-joins (gram, context — join-key
+    skew IS the df distribution, same bound as bigram_novelty) plus
+    one broadcast 1-row vocabulary size; the per-doc reduce is
+    combinable. Nothing corpus-sized in one partition; the model
+    never materializes on the driver."""
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.col(text_col).isNotNull() & (F.size(toks) >= 2),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        (F.col(id_col) % 2 == 0).alias("is_train"),
+        bigrams.alias("bgs"),
+    )
+    train_b = (
+        base.where("is_train")
+        .select(F.explode("bgs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    # context counts reduce FROM the bigram frame (no second corpus pass)
+    train_c = train_b.groupBy(
+        F.substring_index("b", " ", 1).alias("ctx")
+    ).agg(F.sum("cb").cast("long").alias("cc"))
+    vocab = (
+        base.where("is_train")
+        .select(F.explode(tokens_of_bigrams(F.col("bgs"))).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+    scored = (
+        base.where(~F.col("is_train"))
+        .select("doc", F.explode("bgs").alias("b"))
+        .withColumn("ctx", F.substring_index("b", " ", 1))
+        .join(train_b, "b", "left")
+        .join(train_c, "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            F.expr(
+                "(coalesce(cb, 0L) + 1) * 1000000"
+                " div (coalesce(cc, 0L) + v)"
+            ).alias("p_ppm"),
+            F.col("cb").isNull().alias("unseen"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.col("unseen").cast("long")).cast("long").alias("n_unseen"),
+        F.sum("p_ppm").cast("long").alias("sum_prob_ppm"),
+        (
+            F.sum("p_ppm").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_prob_ppm"),
+    ).select(
+        F.col("doc").alias(id_col),
+        "n_bigrams",
+        "n_unseen",
+        "sum_prob_ppm",
+        "mean_prob_ppm",
+    )
+
+
+def tokens_of_bigrams(bgs: Column) -> Column:
+    """The training token multiset recovered from the bigram frame:
+    every bigram's context token, plus the final bigram's second
+    token — exactly each document's tokens minus nothing (position i
+    is bigram i's context for i < n, and the last token closes the
+    final bigram). Keeps the vocabulary pass on the SAME frame the
+    counts use instead of re-tokenizing the corpus."""
+    firsts = F.transform(bgs, lambda b: F.substring_index(b, " ", 1))
+    last_tail = F.when(
+        F.size(bgs) >= 1,
+        F.array(
+            F.substring_index(F.element_at(bgs, -1), " ", -1)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(firsts, last_tail)
+
+
+def sql_lm_plausibility(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`lm_plausibility` — identical
+    split, bigram lists, Laplace ppm floors, and pinned mean."""
+    toks = sql_tokens(text_col)
+    bgs = (
+        f"CASE WHEN {text_col} IS NOT NULL AND LEN({toks}) >= 2 THEN "
+        f"[ARRAY_TO_STRING({toks}[i:i+1], ' ') "
+        f"FOR i IN RANGE(1, LEN({toks}))] "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc, {id_col} % 2 = 0 AS is_train,
+             {bgs} AS bgs
+      FROM {table}),
+    train_b AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM (SELECT UNNEST(bgs) AS b FROM base WHERE is_train)
+      GROUP BY b),
+    train_c AS (
+      SELECT SPLIT_PART(b, ' ', 1) AS ctx, CAST(SUM(cb) AS BIGINT) AS cc
+      FROM train_b GROUP BY 1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+      FROM (
+        SELECT UNNEST(LIST_CONCAT(
+          [SPLIT_PART(b, ' ', 1) FOR b IN bgs],
+          CASE WHEN LEN(bgs) >= 1
+               THEN [ARRAY_TO_STRING((REGEXP_SPLIT_TO_ARRAY(bgs[-1],
+                     ' '))[-1:], '')]
+               ELSE [] END)) AS t
+        FROM base WHERE is_train)),
+    scored AS (
+      SELECT s.doc,
+             (COALESCE(cb, 0) + 1) * 1000000
+               // (COALESCE(cc, 0) + v) AS p_ppm,
+             cb IS NULL AS unseen
+      FROM (SELECT doc, UNNEST(bgs) AS b,
+                   SPLIT_PART(UNNEST(bgs), ' ', 1) AS ctx
+            FROM base WHERE NOT is_train) s
+      LEFT JOIN train_b USING (b)
+      LEFT JOIN train_c USING (ctx)
+      CROSS JOIN vocab)
+    SELECT doc AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen,
+           CAST(SUM(p_ppm) AS BIGINT) AS sum_prob_ppm,
+           CAST(SUM(p_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_prob_ppm
+    FROM scored GROUP BY doc
+    """

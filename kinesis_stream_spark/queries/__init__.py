@@ -68,6 +68,7 @@ _PRIORITY = (
     # never driver-verified: new round-10 registrations (max 9)
     "events_linear_interpolation",
     "profile_spearman_corr",
+    "text_lm_plausibility",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

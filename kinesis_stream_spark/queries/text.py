@@ -908,3 +908,26 @@ from kinesis_stream_spark.operators.text import (  # noqa: E402
 ORACLE["text_lexical_diversity"] = (
     sql_lexical_diversity() + " ORDER BY doc_id"
 )
+
+
+@_q("text_lm_plausibility", None)  # assigned below
+def text_lm_plausibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM plausibility scores for the odd-doc_id half under a
+    model trained on the even half — the CCNet-style perplexity
+    quality gate, log-free (exact Laplace ppm; the ln is
+    presentation, the ranking is the product). See
+    operators/text.py:lm_plausibility."""
+    from kinesis_stream_spark.operators.text import lm_plausibility
+
+    return lm_plausibility(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+from kinesis_stream_spark.operators.text import (  # noqa: E402
+    sql_lm_plausibility,
+)
+
+ORACLE["text_lm_plausibility"] = (
+    sql_lm_plausibility() + " ORDER BY doc_id"
+)
