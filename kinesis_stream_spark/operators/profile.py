@@ -1321,3 +1321,166 @@ def sql_spearman_correlation(
            END AS spearman_rho
     FROM m
     """
+
+
+HELLINGER_SCALE = 1 << 20
+
+
+def hellinger_drift(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-key Hellinger distance between the value distributions of
+    the observed span's first and second halves — the bounded-metric
+    drift score beside :func:`ks_two_sample` and the chi-square: KS
+    reads the max CDF gap (location-sensitive, blind to symmetric
+    reshuffles), χ² is unbounded and sample-size-inflated; Hellinger
+    H ∈ [0, 1] on the binned densities prices mass moved ANYWHERE and
+    compares across keys and across days — the number drift monitors
+    threshold. H² = 1 − Σ√(p_i·q_i) (1 − the Bhattacharyya
+    coefficient).
+
+    The binned form is deliberate: at 100 TB the per-(key, bin)
+    count frame IS the mergeable sketch (fixed n_bins·keys cells from
+    one combinable pass), where an unbinned Hellinger would need the
+    full value multiset. The time split is the midpoint of the
+    observed span (the :func:`mix_shift` convention — volume spikes
+    show as drift, not as a moving boundary); values clamp to
+    [lo, hi] so the edge bins absorb outliers instead of overflowing
+    the integer bin index (the FLOOR(double)→LONG trap).
+
+    Exactness: per-bin √(p·q) terms are pinned double chains over
+    exact integer counts, quantized to ⌊term·2^20⌋ BIGINTs so the
+    per-key TOTAL sums order-free (the Cramér's V device; bias
+    < n_bins/2^20, identical both engines, and one-sided — floor only
+    lowers BC, so BC ≤ 1 stays guaranteed by Cauchy-Schwarz).
+    H = √(1 − BC) is one pinned subtract + sqrt. Disjoint supports
+    (both halves populated, no shared bin) score H = 1 — maximal
+    drift; a key living in only ONE half yields NULL by contract
+    (there is no second distribution to compare — the
+    appearing/vanishing-category alarm is :func:`mix_shift`'s job,
+    whose per-key halves this operator's n_early/n_late mirror).
+    NULL timestamps/values are excluded.
+
+    Output per key: (key, n_early, n_late, bc_fx, hellinger).
+
+    Scale shape: one 1-row span aggregate (broadcast), ONE
+    map-side-combinable (key, bin) conditional-count pass, per-key
+    totals reduce FROM the cell frame, then a cells→keys reduction —
+    no window, no self-join, nothing beyond keys·n_bins cells."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    ev = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+        F.col(value_col).alias("v"),
+    )
+    span = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid_us"))
+    clamped = F.least(F.greatest(F.col("v"), F.lit(lo)), F.lit(hi))
+    raw_bin = F.floor(
+        (clamped - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo)
+    ).cast("long")
+    cells = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            "key",
+            (F.col("us") <= F.col("mid_us")).alias("early"),
+            F.least(raw_bin, F.lit(n_bins - 1)).alias("bin"),
+        )
+        .groupBy("key", "bin")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tots = cells.groupBy("key").agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    term = F.sqrt(
+        (F.col("n_a").cast("double") / F.col("ta").cast("double"))
+        * (F.col("n_b").cast("double") / F.col("tb").cast("double"))
+    )
+    term_fx = F.when(
+        (F.col("ta") > 0) & (F.col("tb") > 0),
+        F.floor(term * F.lit(float(HELLINGER_SCALE))).cast("long"),
+    )
+    per = (
+        cells.join(tots, "key")
+        .groupBy("key")
+        .agg(
+            F.max("ta").alias("n_early"),
+            F.max("tb").alias("n_late"),
+            F.sum(term_fx).cast("long").alias("bc_fx"),
+        )
+    )
+    bc = F.col("bc_fx").cast("double") / F.lit(float(HELLINGER_SCALE))
+    h = F.when(
+        (F.col("n_early") > 0) & (F.col("n_late") > 0),
+        F.sqrt(F.lit(1.0) - bc),
+    ).otherwise(F.lit(None).cast("double"))
+    return per.select("key", "n_early", "n_late", "bc_fx", h.alias("hellinger"))
+
+
+def sql_hellinger_drift(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`hellinger_drift` — identical
+    midpoint split, clamp-then-bin chain, and 2^20-fx term floors."""
+    scale = float(1 << 20)
+    return f"""
+    WITH ev AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) AS us, {value_col} AS v
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+    span AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+    cells AS (
+      SELECT key,
+             LEAST(CAST(FLOOR((LEAST(GREATEST(v, {lo!r}), {hi!r}) - {lo!r})
+                              * {float(n_bins)!r} / {hi - lo!r}) AS BIGINT),
+                   {n_bins - 1}) AS bin,
+             CAST(SUM(CASE WHEN us <= mid_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN us <= mid_us THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b
+      FROM ev CROSS JOIN span
+      GROUP BY 1, 2),
+    tots AS (
+      SELECT key, CAST(SUM(n_a) AS BIGINT) AS ta,
+             CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM cells GROUP BY 1),
+    per AS (
+      SELECT key, MAX(ta) AS n_early, MAX(tb) AS n_late,
+             CAST(SUM(CASE WHEN ta > 0 AND tb > 0 THEN
+               CAST(FLOOR(SQRT((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                               * (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)))
+                          * {scale!r}) AS BIGINT) END) AS BIGINT) AS bc_fx
+      FROM cells JOIN tots USING (key)
+      GROUP BY 1)
+    SELECT key, n_early, n_late, bc_fx,
+           CASE WHEN n_early > 0 AND n_late > 0
+                THEN SQRT(1.0 - CAST(bc_fx AS DOUBLE) / {scale!r}) END
+             AS hellinger
+    FROM per
+    """

@@ -69,6 +69,7 @@ _PRIORITY = (
     "events_linear_interpolation",
     "profile_spearman_corr",
     "text_lm_plausibility",
+    "profile_hellinger_drift",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

@@ -3143,3 +3143,24 @@ ORACLE["profile_spearman_corr"] = (
     )
     + " ORDER BY group_key"
 )
+
+
+@_q("profile_hellinger_drift", None)  # assigned below
+def profile_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded [0,1] Hellinger drift between each event type's early
+    and late value distributions on 20 fixed bins — the thresholdable
+    drift number beside the KS gap and the chi-square; the binned
+    cell frame is the mergeable 100 TB sketch
+    (operators/profile.py:hellinger_drift)."""
+    from kinesis_stream_spark.operators.profile import hellinger_drift
+
+    return hellinger_drift(load_table(spark, sf_dir, "events")).orderBy("key")
+
+
+from kinesis_stream_spark.operators.profile import (  # noqa: E402
+    sql_hellinger_drift,
+)
+
+ORACLE["profile_hellinger_drift"] = (
+    sql_hellinger_drift() + " ORDER BY key"
+)

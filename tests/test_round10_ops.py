@@ -61,3 +61,66 @@ class TestLmPlausibility:
 
         docs = self._docs(spark, [(0, "a b"), (1, None)])
         assert lm_plausibility(docs).collect() == []
+
+
+class TestHellingerDrift:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+
+    def test_identical_disjoint_and_one_sided(self, spark):
+        import datetime as dt
+
+        from kinesis_stream_spark.operators.profile import hellinger_drift
+
+        t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+        rows = []
+        # key 'same': identical two-bin distributions in both halves
+        # (span 0h..10h, midpoint 5h)
+        for hour in (0, 1):            # early
+            rows += [("same", t(hour), 10.0), ("same", t(hour), 400.0)]
+        for hour in (8, 9):            # late
+            rows += [("same", t(hour), 10.0), ("same", t(hour), 400.0)]
+        # key 'flip': early mass in bin 0, late mass in bin 19 — disjoint
+        rows += [("flip", t(0), 10.0), ("flip", t(9), 499.0)]
+        # key 'solo': early half only -> NULL (no second distribution)
+        rows += [("solo", t(0), 10.0)]
+        # pin the global span so the midpoint is 4.5h for every key
+        rows += [("same", t(10), 10.0), ("same", t(10), 400.0)]
+        out = {r.key: r for r in hellinger_drift(self._ev(spark, rows)).collect()}
+        # identical halves: BC sums to exactly 2^20 -> H = 0... the
+        # extra t(10) rows skew 'same' late-half counts; recompute:
+        # early (us <= mid): hours 0,1 -> 2x bin0 + 2x bin16
+        # late: hours 8,9,10 -> 3x bin0 + 3x bin16 — still p == q per bin
+        assert out["same"].hellinger == 0.0
+        assert out["flip"].hellinger == 1.0
+        assert out["solo"].hellinger is None
+        assert out["solo"].n_late == 0 and out["solo"].n_early == 1
+
+    def test_partial_overlap_hand_value(self, spark):
+        import datetime as dt
+        import math
+
+        from kinesis_stream_spark.operators.profile import hellinger_drift
+
+        t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+        # early: [bin0, bin0], late: [bin0, bin19]
+        # p = (1, 0), q = (0.5, 0.5); BC = sqrt(0.5); H = sqrt(1 - BC_fx)
+        rows = [
+            ("k", t(0), 1.0), ("k", t(1), 1.0),
+            ("k", t(8), 1.0), ("k", t(9), 499.0),
+        ]
+        r = hellinger_drift(self._ev(spark, rows)).collect()[0]
+        bc_fx = math.floor(math.sqrt(0.5) * (1 << 20))
+        assert r.bc_fx == bc_fx
+        assert r.hellinger == math.sqrt(1.0 - bc_fx / float(1 << 20))
+
+    def test_validation(self, spark):
+        from kinesis_stream_spark.operators.profile import hellinger_drift
+
+        df = self._ev(spark, [])
+        with pytest.raises(ValueError):
+            hellinger_drift(df, n_bins=0)
+        with pytest.raises(ValueError):
+            hellinger_drift(df, lo=5.0, hi=5.0)
