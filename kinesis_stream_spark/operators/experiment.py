@@ -872,3 +872,213 @@ def sql_ab_mann_whitney(
                                        - 1.0)))) END AS z_mw
     FROM withu
     """
+
+
+def ab_delta_ratio(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    numerator_type: str = "purchase",
+) -> DataFrame:
+    """Delta-method z-test on a RATIO metric (revenue per event) under
+    the same deterministic md5 50/50 split as the other A/B tests —
+    the missing readout next to the z-test (conversion) and Welch
+    (per-unit means): most business metrics are ratios of two sums
+    (revenue/session, clicks/impression) whose denominator is itself
+    random, so Var(X̄/Ȳ) must charge the covariance; treating r̂ as a
+    per-unit mean understates (or overstates) the variance whenever
+    numerator and denominator correlate — the standard correction is
+    the delta method (Deng, Knoblich & Lu, KDD 2018):
+
+        Var(X̄/Ȳ) ≈ (s²_x − 2·r·s_xy + r²·s²_y) / (n·ȳ²)
+
+    Per unit: x = exact-decimal value total of ``numerator_type``
+    events (2^20 fx), y = total event count; units with no numerator
+    events carry x = 0 (absence is signal, the Welch rule); NULL
+    units are excluded. The five arm moments (Σx, Σy, Σx², Σy², Σxy)
+    accumulate as DECIMAL(38,0); r, the centered second moments, and
+    z are a pinned double chain (VARCHAR-routed casts, IEEE divides,
+    one sqrt). The fx scale cancels in z (both arms share it);
+    reported ratios divide the scale back out.
+
+    Output: ONE row (n_control, n_treatment, ratio_control,
+    ratio_treatment, ratio_lift, z_delta). NULL ratios/z when an arm
+    is empty, has n < 2, or has a zero denominator sum; NULL z when
+    both delta variances collapse to 0 (x exactly proportional to y
+    in each arm).
+
+    Scale shape: one map-side-combinable per-unit aggregate, one
+    combinable 2×5-moment arm reduction, a 2-row pivot to one row —
+    nothing unit-sized leaves its partition after the first shuffle."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    per_unit = (
+        events.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(type_col) == numerator_type, F.col(value_col)
+                    ).cast("decimal(27,6)")
+                ),
+                F.lit(0).cast("decimal(27,6)"),
+            ).alias("_x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+        .select(
+            F.floor(F.col("_x").cast("double") * F.lit(float(WELCH_SCALE)))
+            .cast("long")
+            .alias("x"),
+            "y",
+            (md5_int64(F.col("unit").cast("string")) % 2).alias("variant"),
+        )
+    )
+    arms = per_unit.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x").cast(d19) * F.col("x").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum((F.col("y").cast(d19) * F.col("y").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("syy"),
+        F.sum((F.col("x").cast(d19) * F.col("y").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+    )
+    # exact centered second moments, THEN the pinned double chain
+    n_d38 = F.col("n").cast(d38)
+    a = (n_d38 * F.col("sxx") - F.col("sx") * F.col("sx")).alias("a")
+    b = (n_d38 * F.col("syy") - F.col("sy") * F.col("sy")).alias("b")
+    c = (n_d38 * F.col("sxy") - F.col("sx") * F.col("sy")).alias("c")
+    moments = arms.select("variant", "n", "sx", "sy", a, b, c)
+
+    def _s(col: str) -> Column:
+        return F.expr(f"cast(cast({col} as string) as double)")
+
+    n_d = F.col("n").cast("double")
+    scorable = (F.col("n") >= 2) & (F.col("sy") > 0)
+    r = _s("sx") / _s("sy")
+    denom = n_d * (n_d - F.lit(1.0))
+    ybar = _s("sy") / n_d
+    var_r = (
+        (_s("a") / denom - F.lit(2.0) * r * (_s("c") / denom)
+         + r * r * (_s("b") / denom))
+        / (ybar * ybar)
+        / n_d
+    )
+    scored = moments.select(
+        "variant",
+        "n",
+        F.when(scorable, r / F.lit(float(WELCH_SCALE)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ratio"),
+        F.when(scorable, r).otherwise(F.lit(None).cast("double")).alias("rfx"),
+        F.when(scorable, var_r)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("var_r"),
+    )
+    ctl = scored.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("ratio").alias("ratio_control"),
+        F.col("rfx").alias("rfx_c"),
+        F.col("var_r").alias("var_c"),
+    )
+    trt = scored.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_treatment"),
+        F.col("ratio").alias("ratio_treatment"),
+        F.col("rfx").alias("rfx_t"),
+        F.col("var_r").alias("var_t"),
+    )
+    both = ctl.crossJoin(F.broadcast(trt))
+    z = F.when(
+        F.col("rfx_c").isNotNull()
+        & F.col("rfx_t").isNotNull()
+        & (F.col("var_c") + F.col("var_t") > 0),
+        (F.col("rfx_t") - F.col("rfx_c"))
+        / F.sqrt(F.col("var_c") + F.col("var_t")),
+    ).otherwise(F.lit(None).cast("double"))
+    return both.select(
+        "n_control",
+        "n_treatment",
+        "ratio_control",
+        "ratio_treatment",
+        (F.col("ratio_treatment") - F.col("ratio_control")).alias(
+            "ratio_lift"
+        ),
+        z.alias("z_delta"),
+    )
+
+
+def sql_ab_delta_ratio(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    numerator_type: str = "purchase",
+) -> str:
+    """DuckDB oracle twin of :func:`ab_delta_ratio` — identical split,
+    fx quantization, HUGEINT moments, VARCHAR-routed pinned finals."""
+    s = float(WELCH_SCALE)
+    return f"""
+    WITH per_unit AS (
+      SELECT CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN {type_col}
+                     = '{numerator_type}' THEN CAST({value_col}
+                     AS DECIMAL(27,6)) END), 0) AS DOUBLE) * {s!r})
+               AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y,
+             {sql_md5_int64(f"CAST({unit_col} AS VARCHAR)")} % 2 AS variant
+      FROM {table} WHERE {unit_col} IS NOT NULL GROUP BY {unit_col}),
+    arms AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM per_unit GROUP BY 1),
+    moments AS (
+      SELECT variant, n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - sx * sx AS a,
+             CAST(n AS HUGEINT) * syy - sy * sy AS b,
+             CAST(n AS HUGEINT) * sxy - sx * sy AS c
+      FROM arms),
+    scored AS (
+      SELECT variant, n,
+             CASE WHEN n >= 2 AND sy > 0 THEN
+               (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(sy AS VARCHAR) AS DOUBLE)) / {s!r} END AS ratio,
+             CASE WHEN n >= 2 AND sy > 0 THEN
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sy AS VARCHAR) AS DOUBLE) END AS rfx,
+             CASE WHEN n >= 2 AND sy > 0 THEN
+               (CAST(CAST(a AS VARCHAR) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                - 2.0 * (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                      * (CAST(CAST(c AS VARCHAR) AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                + (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                  * (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                  * (CAST(CAST(b AS VARCHAR) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+               / ((CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+               / CAST(n AS DOUBLE) END AS var_r
+      FROM moments)
+    SELECT c.n AS n_control, t.n AS n_treatment,
+           c.ratio AS ratio_control, t.ratio AS ratio_treatment,
+           t.ratio - c.ratio AS ratio_lift,
+           CASE WHEN c.rfx IS NOT NULL AND t.rfx IS NOT NULL
+                     AND c.var_r + t.var_r > 0
+                THEN (t.rfx - c.rfx) / SQRT(c.var_r + t.var_r) END
+             AS z_delta
+    FROM (SELECT * FROM scored WHERE variant = 0) c
+    CROSS JOIN (SELECT * FROM scored WHERE variant = 1) t
+    """

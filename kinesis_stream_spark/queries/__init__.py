@@ -70,6 +70,7 @@ _PRIORITY = (
     "profile_spearman_corr",
     "text_lm_plausibility",
     "profile_hellinger_drift",
+    "events_ab_delta_ratio",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

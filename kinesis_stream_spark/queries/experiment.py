@@ -115,3 +115,20 @@ def events_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/experiment.py)."""
     ev = load_table(spark, sf_dir, "events")
     return ab_mann_whitney(ev)
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    ab_delta_ratio,
+    sql_ab_delta_ratio,
+)
+
+
+@_q("events_ab_delta_ratio", sql_ab_delta_ratio())
+def events_ab_delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method z-test on the revenue-per-event RATIO metric under
+    the shared md5 50/50 split — ratio denominators are random, so the
+    variance charges the numerator-denominator covariance (Deng,
+    Knoblich & Lu 2018); exact DECIMAL(38,0) arm moments, pinned
+    finals (operators/experiment.py:ab_delta_ratio)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ab_delta_ratio(ev)

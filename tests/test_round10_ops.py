@@ -124,3 +124,81 @@ class TestHellingerDrift:
             hellinger_drift(df, n_bins=0)
         with pytest.raises(ValueError):
             hellinger_drift(df, lo=5.0, hi=5.0)
+
+
+class TestAbDeltaRatio:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, value double"
+        )
+
+    @staticmethod
+    def _variant(uid):
+        import hashlib
+
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    def test_matches_python_delta_method(self, spark):
+        import math
+
+        from kinesis_stream_spark.operators.experiment import ab_delta_ratio
+
+        rows = []
+        for u in range(1, 13):
+            rows.append((u, "view", 1.0))
+            rows.append((u, "view", 1.0))
+            if u % 3:
+                rows.append((u, "purchase", float(u * 5)))
+        got = ab_delta_ratio(self._ev(spark, rows)).collect()[0]
+
+        # python reference: per-unit (x = purchase value fx, y = events)
+        per = {}
+        for u, t, v in rows:
+            x, y = per.get(u, (0.0, 0))
+            per[u] = (x + (v if t == "purchase" else 0.0), y + 1)
+        fx = 1 << 20
+        arms = {0: [], 1: []}
+        for u, (x, y) in per.items():
+            arms[self._variant(u)].append((math.floor(x * fx), y))
+
+        def delta(units):
+            n = len(units)
+            sx = sum(x for x, _ in units)
+            sy = sum(y for _, y in units)
+            r = sx / sy
+            dn = n * (n - 1)
+            m2x = (n * sum(x * x for x, _ in units) - sx * sx) / dn
+            m2y = (n * sum(y * y for _, y in units) - sy * sy) / dn
+            m2xy = (n * sum(x * y for x, y in units) - sx * sy) / dn
+            ybar = sy / n
+            return n, r, (m2x - 2 * r * m2xy + r * r * m2y) / (ybar * ybar) / n
+
+        nc, rc, vc = delta(arms[0])
+        nt, rt, vt = delta(arms[1])
+        assert got.n_control == nc and got.n_treatment == nt
+        assert abs(got.ratio_control - rc / fx) < 1e-12
+        assert abs(got.ratio_treatment - rt / fx) < 1e-12
+        assert abs(got.z_delta - (rt - rc) / math.sqrt(vc + vt)) < 1e-9
+
+    def test_proportional_arms_null_z(self, spark):
+        """x exactly proportional to y in both arms -> both delta
+        variances are 0 -> NULL z (nothing stochastic to test)."""
+        from kinesis_stream_spark.operators.experiment import ab_delta_ratio
+
+        rows = []
+        for u in range(1, 9):
+            rows += [(u, "purchase", 10.0), (u, "purchase", 10.0)]
+        got = ab_delta_ratio(self._ev(spark, rows)).collect()[0]
+        assert got.z_delta is None
+        assert got.ratio_control == got.ratio_treatment == 10.0
+
+    def test_single_unit_arm_unscorable(self, spark):
+        from kinesis_stream_spark.operators.experiment import ab_delta_ratio
+
+        # users 1 and 2 hash to different arms (md5 parity: 1 -> ?, just
+        # assert the contract: any arm with n < 2 yields NULL ratios)
+        rows = [(1, "view", 1.0), (2, "view", 1.0)]
+        got = ab_delta_ratio(self._ev(spark, rows)).collect()
+        if got:  # both units could land in one arm; then no output row
+            r = got[0]
+            assert r.z_delta is None
