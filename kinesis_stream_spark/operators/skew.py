@@ -640,3 +640,129 @@ def salted_join(
     for c in drop:
         joined = joined.drop(c)
     return joined
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Exact join-size profile BEFORE running the join — the planning
+    pass behind every salting / broadcast / AQE-skew decision here:
+    |A ⋈ B| on key k contributes c_A(k)·c_B(k) rows, so the per-key
+    count frames (tiny) price the full join (potentially enormous)
+    without materializing a single joined row. The operator answers
+    the three planner questions in one pass: how big is the output
+    (sum), which keys dominate it (top-k by contribution), and how
+    skewed is it (share_ppm of the heavy keys — a single key holding
+    >10% of a 10^12-row join output is the salting trigger,
+    :func:`salted_join`'s documented use case).
+
+    Output: one ``'__total__'`` row (rows_left/rows_right = full side
+    counts, join_rows = exact |A ⋈ B|, share_ppm = 10^6) plus the
+    ``top_k`` keys by contribution (ties broken by key ascending),
+    each with its per-side counts and integer-ppm share of the join
+    output. NULL keys are excluded (equi-joins drop them). Exactness:
+    contributions accumulate as DECIMAL(38,0) products of BIGINT
+    counts; the REPORTED join_rows casts to BIGINT at the edge
+    (exact to 9.2·10^18 output rows — a join bigger than that is the
+    answer "do not run this join" regardless of the last digit).
+
+    Scale shape: two map-side-combinable per-key counts, one
+    keys-sized equi-join (inner — only shared keys produce output),
+    a TakeOrderedAndProject top-k (per-partition k-row prune, nothing
+    keys-sized sorts globally), and a broadcast 1-row total. The raw
+    tables are touched exactly once each, by counting scans."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    d38 = "decimal(38,0)"
+    ca = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    cb = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    contrib = ca.join(cb, "k").select(
+        "k",
+        "ca",
+        "cb",
+        (F.col("ca").cast(d38) * F.col("cb").cast(d38)).cast(d38).alias("j"),
+    )
+    tot = contrib.agg(
+        F.coalesce(F.sum("j"), F.lit(0).cast(d38)).cast(d38).alias("jt")
+    )
+    sides = ca.agg(F.sum("ca").cast("long").alias("la")).crossJoin(
+        F.broadcast(cb.agg(F.sum("cb").cast("long").alias("lb")))
+    )
+    top = (
+        contrib.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("j").desc(), F.col("k").asc())
+        .limit(top_k)
+        .select(
+            F.col("k").cast("string").alias("key"),
+            F.col("ca").alias("rows_left"),
+            F.col("cb").alias("rows_right"),
+            F.col("j").cast("long").alias("join_rows"),
+            F.when(
+                F.col("jt") > 0,
+                F.expr("cast(j * 1000000 div jt as long)"),
+            ).alias("share_ppm"),
+        )
+    )
+    total_row = sides.crossJoin(F.broadcast(tot)).select(
+        F.lit("__total__").alias("key"),
+        F.coalesce(F.col("la"), F.lit(0)).alias("rows_left"),
+        F.coalesce(F.col("lb"), F.lit(0)).alias("rows_right"),
+        F.col("jt").cast("long").alias("join_rows"),
+        F.when(F.col("jt") > 0, F.lit(1000000).cast("long")).alias(
+            "share_ppm"
+        ),
+    )
+    return total_row.unionAll(top)
+
+
+def sql_join_cardinality_profile(
+    *,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    top_k: int = 10,
+) -> str:
+    """DuckDB oracle twin of :func:`join_cardinality_profile`."""
+    return f"""
+    WITH ca AS (
+      SELECT {left_key} AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM {left_table} WHERE {left_key} IS NOT NULL GROUP BY 1),
+    cb AS (
+      SELECT {right_key} AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM {right_table} WHERE {right_key} IS NOT NULL GROUP BY 1),
+    contrib AS (
+      SELECT k, ca, cb, CAST(CAST(ca AS HUGEINT) * cb AS HUGEINT) AS j
+      FROM ca JOIN cb USING (k)),
+    tot AS (SELECT COALESCE(CAST(SUM(j) AS HUGEINT), 0) AS jt FROM contrib),
+    sides AS (
+      SELECT (SELECT CAST(SUM(ca) AS BIGINT) FROM ca) AS la,
+             (SELECT CAST(SUM(cb) AS BIGINT) FROM cb) AS lb)
+    SELECT '__total__' AS key,
+           COALESCE(la, 0) AS rows_left, COALESCE(lb, 0) AS rows_right,
+           CAST(jt AS BIGINT) AS join_rows,
+           CASE WHEN jt > 0 THEN CAST(1000000 AS BIGINT) END AS share_ppm
+    FROM sides CROSS JOIN tot
+    UNION ALL
+    SELECT * FROM (
+      SELECT CAST(k AS VARCHAR) AS key, ca AS rows_left, cb AS rows_right,
+             CAST(j AS BIGINT) AS join_rows,
+             CASE WHEN jt > 0
+                  THEN CAST(j * 1000000 // jt AS BIGINT) END AS share_ppm
+      FROM contrib CROSS JOIN tot
+      ORDER BY j DESC, k ASC
+      LIMIT {top_k})
+    """

@@ -71,6 +71,7 @@ _PRIORITY = (
     "text_lm_plausibility",
     "profile_hellinger_drift",
     "events_ab_delta_ratio",
+    "join_cardinality_estimate",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

@@ -3164,3 +3164,30 @@ from kinesis_stream_spark.operators.profile import (  # noqa: E402
 ORACLE["profile_hellinger_drift"] = (
     sql_hellinger_drift() + " ORDER BY key"
 )
+
+
+@_q("join_cardinality_estimate", None)  # assigned below
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact size + skew profile of the lineitem⋈lineitem self-join on
+    part key, priced from the per-key count frames WITHOUT running the
+    join — the planning pass behind salting/broadcast decisions
+    (operators/skew.py:join_cardinality_profile). '__total__' row +
+    top-10 contributing keys with ppm shares."""
+    from kinesis_stream_spark.operators.skew import join_cardinality_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_cardinality_profile(
+        li, li, left_key="l_partkey", right_key="l_partkey"
+    )
+
+
+from kinesis_stream_spark.operators.skew import (  # noqa: E402
+    sql_join_cardinality_profile,
+)
+
+ORACLE["join_cardinality_estimate"] = sql_join_cardinality_profile(
+    left_table="lineitem",
+    right_table="lineitem",
+    left_key="l_partkey",
+    right_key="l_partkey",
+)

@@ -202,3 +202,52 @@ class TestAbDeltaRatio:
         if got:  # both units could land in one arm; then no output row
             r = got[0]
             assert r.z_delta is None
+
+
+class TestJoinCardinalityProfile:
+    def test_hand_computed_self_and_cross(self, spark):
+        from kinesis_stream_spark.operators.skew import (
+            join_cardinality_profile,
+        )
+
+        left = spark.createDataFrame(
+            [(1,), (1,), (1,), (2,), (3,), (None,)], "k long"
+        )
+        right = spark.createDataFrame(
+            [(1,), (1,), (2,), (4,), (None,)], "k long"
+        )
+        out = {r.key: r for r in join_cardinality_profile(
+            left, right, left_key="k", right_key="k", top_k=2
+        ).collect()}
+        # shared keys: 1 -> 3*2 = 6, 2 -> 1*1 = 1; keys 3/4 contribute 0
+        tot = out["__total__"]
+        assert tot.join_rows == 7
+        assert tot.rows_left == 5 and tot.rows_right == 4  # NULLs excluded
+        assert tot.share_ppm == 1_000_000
+        assert out["1"].join_rows == 6
+        assert out["1"].share_ppm == 6 * 1_000_000 // 7
+        assert out["2"].join_rows == 1 and out["2"].rows_left == 1
+        # exactness cross-check against the actually-run join
+        assert left.join(right, "k").count() == 7
+
+    def test_disjoint_keys_zero_total(self, spark):
+        from kinesis_stream_spark.operators.skew import (
+            join_cardinality_profile,
+        )
+
+        left = spark.createDataFrame([(1,)], "k long")
+        right = spark.createDataFrame([(2,)], "k long")
+        rows = join_cardinality_profile(
+            left, right, left_key="k", right_key="k"
+        ).collect()
+        assert len(rows) == 1  # only the total row; no contributing keys
+        assert rows[0].join_rows == 0 and rows[0].share_ppm is None
+
+    def test_validation(self, spark):
+        from kinesis_stream_spark.operators.skew import (
+            join_cardinality_profile,
+        )
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            join_cardinality_profile(df, df, left_key="k", right_key="k", top_k=0)
