@@ -1484,3 +1484,217 @@ def sql_hellinger_drift(
              AS hellinger
     FROM per
     """
+
+
+def quality_scorecard(
+    df: DataFrame,
+    constraints: list[dict],
+    *,
+    ref_frames: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-quality constraint suite — the Deequ /
+    Great-Expectations-style validation gate a pipeline runs BEFORE
+    publishing a table, as one operator: a list of constraint specs
+    evaluates to one row per constraint
+
+        (check_name, n_rows, n_violations, violation_ppm, passed)
+
+    so the deployment gate is ``WHERE NOT passed``. Supported kinds
+    (each spec a dict with ``name``, ``kind``, ``col`` + params):
+
+    - ``not_null``                     — value IS NULL violates
+    - ``in_set``    (``values``)       — value outside the set, or NULL
+    - ``range``     (``lo``, ``hi``)   — value outside [lo, hi], or NULL
+    - ``regexp``    (``pattern``)      — value not matching, or NULL
+    - ``unique``                       — every row beyond its value's
+      first occurrence violates (NULLs form one value group)
+    - ``ref``       (``ref``, ``ref_col``) — non-NULL value with no
+      parent in ``ref_frames[ref]`` (NULL passes — FK semantics;
+      combine with ``not_null`` for mandatory parents)
+
+    Exactness: every count is an exact integer; violation_ppm is a
+    positive-operand floor division; nothing floats.
+
+    Scale shape: ALL row-local constraints (not_null/in_set/range/
+    regexp/unique) share ONE map-side-combinable aggregate over one
+    scan — unique rides it as count_distinct, never a self-join. Each
+    ``ref`` constraint adds one anti-join of the child's DISTINCT-key
+    frame (keys-sized) against the parent's key projection. The
+    output is |constraints| rows; the single-row agg unpivots via
+    ``stack`` — no per-constraint scans, which is the point at 100 TB
+    (Deequ's design: N constraints, one pass)."""
+    if not constraints:
+        raise ValueError("constraints must be non-empty")
+    names = [c["name"] for c in constraints]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate constraint names: {names}")
+    row_local: list[tuple[str, object]] = []  # (name, violation Column)
+    uniques: list[tuple[str, str]] = []
+    refs: list[dict] = []
+    for c in constraints:
+        kind, col = c["kind"], c["col"]
+        v = F.col(col)
+        if kind == "not_null":
+            row_local.append((c["name"], v.isNull()))
+        elif kind == "in_set":
+            row_local.append(
+                (c["name"], ~v.isin(list(c["values"])) | v.isNull())
+            )
+        elif kind == "range":
+            row_local.append(
+                (
+                    c["name"],
+                    (v < F.lit(c["lo"])) | (v > F.lit(c["hi"])) | v.isNull(),
+                )
+            )
+        elif kind == "regexp":
+            row_local.append(
+                (c["name"], ~v.rlike(c["pattern"]) | v.isNull())
+            )
+        elif kind == "unique":
+            uniques.append((c["name"], col))
+        elif kind == "ref":
+            refs.append(c)
+        else:
+            raise ValueError(f"unknown constraint kind: {kind}")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    stack_parts: list[str] = []
+    for i, (_, viol) in enumerate(row_local):
+        aggs.append(
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+        )
+    for j, (_, col) in enumerate(uniques):
+        aggs.append(F.count_distinct(F.col(col)).cast("long").alias(f"_d{j}"))
+        aggs.append(
+            F.max(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_hn{j}")
+        )
+    one = df.agg(*aggs)
+    for i, (name, _) in enumerate(row_local):
+        stack_parts.append(f"'{name}', _v{i}")
+    for j, (name, _) in enumerate(uniques):
+        stack_parts.append(f"'{name}', _n - _d{j} - _hn{j}")
+    k = len(row_local) + len(uniques)
+    out = one.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({k}, {', '.join(stack_parts)})"
+            " as (check_name, n_violations)"
+        ),
+    ).select("check_name", "n_rows", "n_violations")
+
+    total = one.select(F.col("_n").alias("n_rows"))
+    for c in refs:
+        parent = (ref_frames or {})[c["ref"]].select(
+            F.col(c["ref_col"]).alias("_pk")
+        ).where(F.col("_pk").isNotNull()).distinct()
+        child = (
+            df.where(F.col(c["col"]).isNotNull())
+            .groupBy(F.col(c["col"]).alias("_ck"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_cn"))
+        )
+        orphans = child.join(
+            parent, child["_ck"] == parent["_pk"], "left_anti"
+        ).agg(
+            F.coalesce(F.sum("_cn"), F.lit(0)).cast("long").alias("n_violations")
+        )
+        out = out.unionAll(
+            orphans.crossJoin(F.broadcast(total)).select(
+                F.lit(c["name"]).alias("check_name"),
+                "n_rows",
+                "n_violations",
+            )
+        )
+    return out.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.when(
+            F.col("n_rows") > 0,
+            F.expr("n_violations * 1000000 div n_rows"),
+        ).alias("violation_ppm"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def sql_quality_scorecard(
+    *,
+    table: str,
+    constraints: list[dict],
+    ref_tables: dict[str, str] | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`quality_scorecard` — the same spec
+    list rendered as one shared aggregate plus per-ref anti-join
+    branches."""
+    selects: list[str] = []
+    agg_cols: list[str] = []
+    for c in constraints:
+        kind, col, name = c["kind"], c["col"], c["name"]
+        if kind == "not_null":
+            viol = f"{col} IS NULL"
+        elif kind == "in_set":
+            vals = ", ".join(f"'{v}'" for v in c["values"])
+            viol = f"({col} NOT IN ({vals}) OR {col} IS NULL)"
+        elif kind == "range":
+            viol = (
+                f"({col} < {c['lo']!r} OR {col} > {c['hi']!r}"
+                f" OR {col} IS NULL)"
+            )
+        elif kind == "regexp":
+            viol = (
+                f"(NOT REGEXP_MATCHES({col}, '{c['pattern']}')"
+                f" OR {col} IS NULL)"
+            )
+        elif kind == "unique":
+            agg_cols.append(
+                f"CAST(COUNT(*) AS BIGINT)"
+                f" - CAST(COUNT(DISTINCT {col}) AS BIGINT)"
+                f" - MAX(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+                f" AS \"v_{name}\""
+            )
+            selects.append(name)
+            continue
+        elif kind == "ref":
+            continue
+        else:
+            raise ValueError(f"unknown constraint kind: {kind}")
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN {viol} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS \"v_{name}\""
+        )
+        selects.append(name)
+    branches = [
+        f"""
+      SELECT '{name}' AS check_name, _n AS n_rows,
+             "v_{name}" AS n_violations
+      FROM one"""
+        for name in selects
+    ]
+    for c in constraints:
+        if c["kind"] != "ref":
+            continue
+        parent = (ref_tables or {})[c["ref"]]
+        branches.append(
+            f"""
+      SELECT '{c["name"]}' AS check_name, (SELECT _n FROM one) AS n_rows,
+             COALESCE(CAST(SUM(_cn) AS BIGINT), 0) AS n_violations
+      FROM (SELECT {c["col"]} AS _ck, CAST(COUNT(*) AS BIGINT) AS _cn
+            FROM {table} WHERE {c["col"]} IS NOT NULL GROUP BY 1) ch
+      WHERE _ck NOT IN (SELECT {c["ref_col"]} FROM {parent}
+                        WHERE {c["ref_col"]} IS NOT NULL)"""
+        )
+    u = "\n      UNION ALL\n".join(branches)
+    return f"""
+    WITH one AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS _n{"," if agg_cols else ""}
+             {", ".join(agg_cols)}
+      FROM {table}),
+    scored AS ({u})
+    SELECT check_name, n_rows, n_violations,
+           CASE WHEN n_rows > 0
+                THEN n_violations * 1000000 // n_rows END AS violation_ppm,
+           n_violations = 0 AS passed
+    FROM scored
+    """

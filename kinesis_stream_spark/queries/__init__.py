@@ -72,6 +72,7 @@ _PRIORITY = (
     "profile_hellinger_drift",
     "events_ab_delta_ratio",
     "join_cardinality_estimate",
+    "integrity_quality_scorecard",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

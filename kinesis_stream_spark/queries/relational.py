@@ -3191,3 +3191,70 @@ ORACLE["join_cardinality_estimate"] = sql_join_cardinality_profile(
     left_key="l_partkey",
     right_key="l_partkey",
 )
+
+
+#: shared constraint suite for the scorecard query — ONE spec feeds
+#: both the Spark operator and the DuckDB oracle generator, so the
+#: two sides can never check different contracts. The range bound is
+#: deliberately tighter than the data (a failing row is part of the
+#: fixture: a scorecard that can only ever pass tests nothing).
+_SCORECARD_SPECS = [
+    {"name": "orderkey_not_null", "kind": "not_null", "col": "o_orderkey"},
+    {"name": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+    {
+        "name": "custkey_in_customer",
+        "kind": "ref",
+        "col": "o_custkey",
+        "ref": "customer",
+        "ref_col": "c_custkey",
+    },
+    {
+        "name": "status_in_domain",
+        "kind": "in_set",
+        "col": "o_orderstatus",
+        "values": ("O", "F", "P"),
+    },
+    {
+        "name": "totalprice_in_range",
+        "kind": "range",
+        "col": "o_totalprice",
+        "lo": 0.0,
+        "hi": 450000.0,
+    },
+    {
+        "name": "priority_format",
+        "kind": "regexp",
+        "col": "o_orderpriority",
+        "pattern": "^[1-5]-[A-Z ]+$",
+    },
+]
+
+
+@_q("integrity_quality_scorecard", None)  # assigned below
+def integrity_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over orders (not-null,
+    uniqueness, referential, domain set, range, format) — one shared
+    aggregate pass + one keys-sized anti-join per referential rule;
+    the publish gate is WHERE NOT passed
+    (operators/profile.py:quality_scorecard)."""
+    from kinesis_stream_spark.operators.profile import quality_scorecard
+
+    return quality_scorecard(
+        load_table(spark, sf_dir, "orders"),
+        _SCORECARD_SPECS,
+        ref_frames={"customer": load_table(spark, sf_dir, "customer")},
+    ).orderBy("check_name")
+
+
+from kinesis_stream_spark.operators.profile import (  # noqa: E402
+    sql_quality_scorecard,
+)
+
+ORACLE["integrity_quality_scorecard"] = (
+    sql_quality_scorecard(
+        table="orders",
+        constraints=_SCORECARD_SPECS,
+        ref_tables={"customer": "customer"},
+    )
+    + " ORDER BY check_name"
+)

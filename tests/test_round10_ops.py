@@ -251,3 +251,73 @@ class TestJoinCardinalityProfile:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError):
             join_cardinality_profile(df, df, left_key="k", right_key="k", top_k=0)
+
+
+class TestQualityScorecard:
+    def test_every_kind_hand_computed(self, spark):
+        from kinesis_stream_spark.operators.profile import quality_scorecard
+
+        df = spark.createDataFrame(
+            [
+                (1, "A", 10.0, "1-HI", 100),
+                (1, "A", 20.0, "2-LO", 100),    # dup id
+                (2, "B", -5.0, "bad", 200),     # range + regexp + set viol
+                (None, "A", 5.0, "3-HI", 999),  # null id, orphan ref
+                (3, None, None, None, None),    # nulls everywhere
+                (3, "A", 30.0, "4-HI", 100),    # dup id (3 twice)
+            ],
+            "id long, status string, price double, prio string, fk long",
+        )
+        ref = spark.createDataFrame([(100,), (200,)], "pk long")
+        specs = [
+            {"name": "id_not_null", "kind": "not_null", "col": "id"},
+            {"name": "id_unique", "kind": "unique", "col": "id"},
+            {"name": "status_set", "kind": "in_set", "col": "status",
+             "values": ("A", "B")},
+            {"name": "price_range", "kind": "range", "col": "price",
+             "lo": 0.0, "hi": 100.0},
+            {"name": "prio_format", "kind": "regexp", "col": "prio",
+             "pattern": "^[0-9]-"},
+            {"name": "fk_ref", "kind": "ref", "col": "fk",
+             "ref": "r", "ref_col": "pk"},
+        ]
+        out = {r.check_name: r for r in quality_scorecard(
+            df, specs, ref_frames={"r": ref}
+        ).collect()}
+        assert len(out) == 6 and all(r.n_rows == 6 for r in out.values())
+        assert out["id_not_null"].n_violations == 1
+        # 6 rows, distinct non-null ids {1,2,3}, one NULL group ->
+        # 6 - 3 - 1 = 2 duplicate rows
+        assert out["id_unique"].n_violations == 2
+        assert out["status_set"].n_violations == 1      # the NULL status
+        assert out["price_range"].n_violations == 2     # -5.0 and NULL
+        assert out["prio_format"].n_violations == 2     # 'bad' and NULL
+        assert out["fk_ref"].n_violations == 1          # 999 (NULL passes)
+        assert out["fk_ref"].violation_ppm == 1_000_000 // 6
+        assert not out["fk_ref"].passed
+        assert out["status_set"].passed is False
+
+    def test_all_green_passes(self, spark):
+        from kinesis_stream_spark.operators.profile import quality_scorecard
+
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        out = quality_scorecard(
+            df,
+            [{"name": "u", "kind": "unique", "col": "id"},
+             {"name": "nn", "kind": "not_null", "col": "id"}],
+        ).collect()
+        assert all(r.passed and r.n_violations == 0 for r in out)
+
+    def test_validation(self, spark):
+        from kinesis_stream_spark.operators.profile import quality_scorecard
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError):
+            quality_scorecard(df, [])
+        with pytest.raises(ValueError):
+            quality_scorecard(df, [
+                {"name": "x", "kind": "not_null", "col": "id"},
+                {"name": "x", "kind": "unique", "col": "id"},
+            ])
+        with pytest.raises(ValueError):
+            quality_scorecard(df, [{"name": "x", "kind": "nope", "col": "id"}])
