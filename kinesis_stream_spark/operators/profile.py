@@ -1571,7 +1571,13 @@ def quality_scorecard(
             .cast("long")
             .alias(f"_hn{j}")
         )
+    # the 1-row shared aggregate feeds the stack branch AND every
+    # referential branch's total — lazily checkpoint it so they read
+    # ONE materialized pass instead of re-scanning the table per
+    # consumer (the distributed_cumsums device; 1 row, costless)
     one = df.agg(*aggs)
+    if refs:
+        one = one.localCheckpoint(eager=False)
     for i, (name, _) in enumerate(row_local):
         stack_parts.append(f"'{name}', _v{i}")
     for j, (name, _) in enumerate(uniques):

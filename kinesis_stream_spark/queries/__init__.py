@@ -73,6 +73,7 @@ _PRIORITY = (
     "events_ab_delta_ratio",
     "join_cardinality_estimate",
     "integrity_quality_scorecard",
+    "sample_weighted_per_type",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

@@ -3258,3 +3258,39 @@ ORACLE["integrity_quality_scorecard"] = (
     )
     + " ORDER BY check_name"
 )
+
+
+@_q("sample_weighted_per_type", None)  # assigned below
+def sample_weighted_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible value-weighted sample of 5 events per event type —
+    the deterministic-hash weighted-priority sampler (rank by
+    md5(id)/weight; the integer-exact ES-A-Res sibling): re-runs,
+    retries, and backfills pick the same rows
+    (operators/sampling.py:weighted_priority_sample)."""
+    from kinesis_stream_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    return weighted_priority_sample(
+        load_table(spark, sf_dir, "events"),
+        group_col="event_type",
+        id_col="event_id",
+        weight_col="value",
+        k=5,
+    ).orderBy("group_key", "sample_rank")
+
+
+from kinesis_stream_spark.operators.sampling import (  # noqa: E402
+    sql_weighted_priority_sample,
+)
+
+ORACLE["sample_weighted_per_type"] = (
+    sql_weighted_priority_sample(
+        table="events",
+        group_col="event_type",
+        id_col="event_id",
+        weight_col="value",
+        k=5,
+    )
+    + " ORDER BY group_key, sample_rank"
+)

@@ -1014,3 +1014,40 @@ def test_runs_test_windows_partition_by_key(spark, sf_dir):
     plan = _explain(QUERIES["events_runs_test"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_weighted_sample_window_group_limit(spark, sf_dir):
+    """The rank-<=-k filter must compile to WindowGroupLimit (partial
+    + final), so every map partition pre-prunes to its local top-k
+    BEFORE the group exchange — the property that keeps the sampler
+    O(groups·k) per reducer instead of a corpus-sized sort."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["sample_weighted_per_type"](spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2  # Partial and Final
+
+
+def test_scorecard_single_scan_for_row_local_checks(spark, sf_dir):
+    """All row-local constraints share ONE aggregate: orders is
+    scanned once for them plus once per referential rule (the
+    child-key projection) — 3 scans total here (agg + ref-child +
+    customer), never one per constraint."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["integrity_quality_scorecard"](spark, sf_dir))
+    assert plan.count("orders.parquet") <= 2
+    assert plan.count("customer.parquet") == 1
+
+
+def test_join_cardinality_never_joins_raw_rows(spark, sf_dir):
+    """The profile prices the join from per-key COUNT frames: the
+    only join in the plan is keys-sized (post-aggregation), and no
+    exchange carries raw lineitem rows beyond the two counting
+    scans' partial aggregates."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["join_cardinality_estimate"](spark, sf_dir))
+    # both scans prune to the key column only
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_partkey" in line and "l_extendedprice" not in line

@@ -321,3 +321,77 @@ class TestQualityScorecard:
             ])
         with pytest.raises(ValueError):
             quality_scorecard(df, [{"name": "x", "kind": "nope", "col": "id"}])
+
+
+class TestWeightedPrioritySample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, id long, w double")
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+
+        from kinesis_stream_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        rows = [("g", i, float((i % 7) + 1)) for i in range(1, 40)]
+        rows += [("h", i, 2.5) for i in range(100, 110)]
+        got = [
+            (r.group_key, r.id, r.sample_rank)
+            for r in weighted_priority_sample(
+                self._df(spark, rows),
+                group_col="grp", id_col="id", weight_col="w", k=3,
+            ).orderBy("group_key", "sample_rank").collect()
+        ]
+
+        def pri(i, w):
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % (1 << 31)
+            wfx = int(w * (1 << 20))
+            return (u * (1 << 31)) // wfx
+
+        want = []
+        for g in ("g", "h"):
+            cand = sorted(
+                ((pri(i, w), i) for gg, i, w in rows if gg == g)
+            )[:3]
+            want += [(g, i, r + 1) for r, (_, i) in enumerate(cand)]
+        assert got == want
+
+    def test_weight_monotone_for_fixed_draw(self, spark):
+        """Same ids (same hash draws), uniformly heavier weights in
+        group 'b' -> 'b' samples the same ids at lower priority; and
+        within one group, scaling ALL weights leaves the sample
+        unchanged (only relative weight matters)."""
+        from kinesis_stream_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        base = [("a", i, 1.0) for i in range(50)]
+        scaled = [("b", i, 8.0) for i in range(50)]
+        out = weighted_priority_sample(
+            self._df(spark, base + scaled),
+            group_col="grp", id_col="id", weight_col="w", k=5,
+        ).collect()
+        picks = {}
+        for r in out:
+            picks.setdefault(r.group_key, set()).add(r.id)
+        assert picks["a"] == picks["b"]
+
+    def test_exclusions_and_validation(self, spark):
+        from kinesis_stream_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df = self._df(
+            spark,
+            [("g", 1, 1.0), ("g", 2, 0.0), ("g", 3, -1.0), ("g", 4, None),
+             (None, 5, 1.0)],
+        )
+        out = weighted_priority_sample(
+            df, group_col="grp", id_col="id", weight_col="w", k=10
+        ).collect()
+        assert [r.id for r in out] == [1]
+        with pytest.raises(ValueError):
+            weighted_priority_sample(
+                df, group_col="grp", id_col="id", weight_col="w", k=0
+            )
