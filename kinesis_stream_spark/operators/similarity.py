@@ -894,3 +894,54 @@ def topk_sq8(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qscore", "rank")
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact RANGE search per query vector — every corpus neighbor
+    with cosine ≥ ``threshold`` — the other half of the vector-store
+    query API next to :func:`topk_bruteforce`: top-k answers "the
+    best k whatever they look like" (recommendation), range answers
+    "everything at least this similar" (dedup candidates, abuse
+    clusters, recall-complete retrieval), and no k bounds its output.
+
+    Same exact arithmetic as the top-k path (fixed-point dot, single-
+    IEEE-op cosine tail, identical on both engines), but a strictly
+    SIMPLER plan: broadcast(queries) makes scoring a map-side nested
+    loop over the corpus and the threshold is a map-side filter — NO
+    window, NO shuffle at all; the operator is embarrassingly
+    parallel and output-bounded only by how many neighbors truly
+    qualify (the caller's threshold is the knob; results order by
+    (query_id, cosine desc, neighbor_id) at the edge for stable
+    presentation). Self-matches are excluded like the top-k path.
+
+    At 100 TB: the scan-heavy exact form is the verification baseline;
+    the production path routes through the IVF/LSH bucket structures
+    and applies the SAME threshold inside buckets — identical
+    semantics on the candidates, same recall caveats as their top-k
+    variants."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_decimal(F.col(vec_col)).alias("nq"),
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_decimal(F.col(vec_col)).alias("nc"),
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot_decimal(F.col("qv"), F.col("cv"))
+            / (F.col("nq") * F.col("nc"))
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= F.lit(threshold))

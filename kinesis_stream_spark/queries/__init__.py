@@ -74,6 +74,7 @@ _PRIORITY = (
     "join_cardinality_estimate",
     "integrity_quality_scorecard",
     "sample_weighted_per_type",
+    "similarity_range_search",
     # edited in round-9 sessions (code newer than last driver row)
     "events_seasonal_outliers",
     "events_mad_outliers",

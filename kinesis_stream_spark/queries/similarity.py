@@ -574,6 +574,40 @@ def similarity_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balance(emb, k=4, dim=DIM, iterations=2).orderBy("cid")
 
 
+
+
+RANGE_TAU = 0.30
+
+
+@_q(
+    "similarity_range_search",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {sql_cosine('q.qv', 'e.embedding')} AS cosine
+      FROM embeddings e JOIN q ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM scored WHERE cosine >= {RANGE_TAU!r}
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius query: every neighbor with cosine >= 0.30 per query
+    vector — the vector-store API half top-k doesn't cover (dedup
+    candidates, recall-complete retrieval). Map-side broadcast scoring
+    + threshold filter: NO window, NO shuffle
+    (operators/similarity.py:range_search)."""
+    from kinesis_stream_spark.operators.similarity import range_search
+
+    emb = _emb(spark, sf_dir)
+    return range_search(
+        emb, _queries_df(emb), threshold=RANGE_TAU
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
 # Corrupt-vector guard, oracle side: every reference to the embeddings
 # table reads through the validity filter (twin of _emb above).
 ORACLE = guard_oracles(ORACLE, DIM)

@@ -395,3 +395,51 @@ class TestWeightedPrioritySample:
             weighted_priority_sample(
                 df, group_col="grp", id_col="id", weight_col="w", k=0
             )
+
+
+class TestRangeSearch:
+    def test_threshold_semantics_vs_topk(self, spark):
+        """Range = everything >= tau (unbounded count); consistency
+        pin: its result equals the top-k result filtered to tau when
+        k covers every qualifying neighbor."""
+        from kinesis_stream_spark.operators.similarity import (
+            range_search,
+            topk_bruteforce,
+        )
+
+        vecs = [
+            (0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = emb.where("vec_id = 0").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in range_search(emb, q, threshold=0.5).collect()
+        }
+        assert got == {(0, 1), (0, 2)}
+        topk = {
+            (r.query_id, r.neighbor_id)
+            for r in topk_bruteforce(emb, q, k=10).collect()
+            if r.cosine >= 0.5
+        }
+        assert got == topk
+
+    def test_no_shuffle_in_plan(self, spark):
+        from kinesis_stream_spark.operators.similarity import range_search
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.selectExpr("vec_id as query_id", "embedding")
+        plan = range_search(emb, q, threshold=0.3)._sc._jvm \
+            .PythonSQLUtils.explainString(
+                range_search(emb, q, threshold=0.3)._jdf.queryExecution(),
+                "formatted",
+            )
+        # broadcast join + filter only: the scored side never exchanges
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
