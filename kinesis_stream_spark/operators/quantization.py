@@ -36,6 +36,21 @@ The ADC score convention matches the IVF/k-means training metric
 subspaces occupy disjoint coordinate slots — so ADC ranking is EXACT
 scoring of reconstructed vectors, and quantization error is the only
 approximation (pinned by a numpy-replay test).
+
+Bench note (round-10 adjudication of the round-9 ivfpq drift,
+setjoin-precedent dual-context measurement, sf0.1 local[32] idle
+host, min-of-3): the family's cost is ORDER-SENSITIVE because the
+first family member run in a session absorbs ~4–6 s of shared warmup
+(training-chain codegen + embeddings reader init) that the lineitem
+noop warm-up does not cover. Solo sweep with ivfpq_topk first:
+topk 17.0 / census 13.7 / rerank 13.4 / pruned 14.7 / sweep 15.2 s;
+the SAME binaries with the order reversed: sweep 19.2 / pruned 19.5 /
+rerank 13.9 / census 11.1 / topk 12.7 s — topk at 12.7 s matches its
+r8 full-suite number exactly. Conclusion: the r8→r9 "+17%/+22%" on
+topk/census was measurement context (29% more co-resident queries +
+alphabetical ordering placing different family members first), not a
+plan change; the family's code and explain output are untouched since
+r8 except the +91-line pruned variant.
 """
 
 from __future__ import annotations

@@ -25,23 +25,24 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 10 window (first 50), per the rotation policy:
+# Round 10 window (first 50), per the rotation policy — final:
 # 1–8: the EIGHT round-9 registrations that overflowed the r9 window
-# and have never had a driver row (queries() positions 51–58 in r9 —
-# VERDICT r9 item #1). Then the round-10 registrations (never
-# driver-verified, inserted as they are built — at most NINE this
-# round so the window still reaches every r4-latest name). Then the
-# SIX queries edited in round-9 sessions (code newer than their last
-# driver row; each driver_sim-verified at sf0.01 in its editing
-# session). Then the TWENTY-SEVEN r4-latest names — after this round
-# no query's newest driver row predates r5. Total: 8+9+6+27 = 50.
+# and never had a driver row (VERDICT r9 item #1). 9–17: the NINE
+# round-10 registrations (never driver-verified; the round stopped at
+# nine ON PURPOSE so the window still reaches every r4-latest name —
+# the r9 lesson about overflowing the 50-slot window). 18–23: the SIX
+# queries edited in round-9 sessions (code newer than their last
+# driver row). 24–50: the TWENTY-SEVEN r4-latest names — after this
+# round no query's newest driver row predates r5. 8+9+6+27 = 50,
+# zero overflow.
 #
 # Planned r11 head (documented now so rotation stays mechanical,
-# VERDICT r9 item #5): any r10 overflow first, then the r5-latest
-# names pinned below (37 minus however many the r10 window absorbs),
-# then the 43 r6-latest names (agg_*/join_*/window_* relational
-# families + quantization/evaluation/opq/minhash_profile), oldest
-# driver row first.
+# VERDICT r9 item #5): the THIRTY-SEVEN r5-latest names pinned below
+# (positions 51–87 this round — multimodal/scalar/stream/udf/text
+# families), then the first 13 of the r6-latest names
+# (quantization/evaluation/opq/minhash_profile + relational
+# agg_*/join_*/window_*), oldest driver row first; r12 takes the
+# remaining r6-latest and starts on r7.
 
 #: names registered WITHOUT a DuckDB oracle by design. EMPTY since
 #: round 10: the approx-percentile sketch twins that filled this set
@@ -65,7 +66,7 @@ _PRIORITY = (
     "events_runs_test",
     "events_ab_mann_whitney",
     "graph_modularity",
-    # never driver-verified: new round-10 registrations (max 9)
+    # never driver-verified: the nine new round-10 registrations
     "events_linear_interpolation",
     "profile_spearman_corr",
     "text_lm_plausibility",
