@@ -981,19 +981,23 @@ def ab_delta_ratio(
         .otherwise(F.lit(None).cast("double"))
         .alias("var_r"),
     )
-    ctl = scored.where(F.col("variant") == 0).select(
-        F.col("n").alias("n_control"),
-        F.col("ratio").alias("ratio_control"),
-        F.col("rfx").alias("rfx_c"),
-        F.col("var_r").alias("var_c"),
+    # conditional 2-rows→1-row pivot (the ab_welch/anova shape): the
+    # operator must emit its ONE row even when every unit hashed to a
+    # single arm (the missing arm reads n = 0, NULL ratio) — a
+    # filter + cross-join pivot would emit ZERO rows there
+    def _arm(v: int, col: str):
+        return F.max(F.when(F.col("variant") == v, F.col(col)))
+
+    both = scored.agg(
+        F.coalesce(_arm(0, "n"), F.lit(0)).cast("long").alias("n_control"),
+        F.coalesce(_arm(1, "n"), F.lit(0)).cast("long").alias("n_treatment"),
+        _arm(0, "ratio").alias("ratio_control"),
+        _arm(1, "ratio").alias("ratio_treatment"),
+        _arm(0, "rfx").alias("rfx_c"),
+        _arm(1, "rfx").alias("rfx_t"),
+        _arm(0, "var_r").alias("var_c"),
+        _arm(1, "var_r").alias("var_t"),
     )
-    trt = scored.where(F.col("variant") == 1).select(
-        F.col("n").alias("n_treatment"),
-        F.col("ratio").alias("ratio_treatment"),
-        F.col("rfx").alias("rfx_t"),
-        F.col("var_r").alias("var_t"),
-    )
-    both = ctl.crossJoin(F.broadcast(trt))
     z = F.when(
         F.col("rfx_c").isNotNull()
         & F.col("rfx_t").isNotNull()
@@ -1071,14 +1075,23 @@ def sql_ab_delta_ratio(
                / ((CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
                   * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
                / CAST(n AS DOUBLE) END AS var_r
-      FROM moments)
-    SELECT c.n AS n_control, t.n AS n_treatment,
-           c.ratio AS ratio_control, t.ratio AS ratio_treatment,
-           t.ratio - c.ratio AS ratio_lift,
-           CASE WHEN c.rfx IS NOT NULL AND t.rfx IS NOT NULL
-                     AND c.var_r + t.var_r > 0
-                THEN (t.rfx - c.rfx) / SQRT(c.var_r + t.var_r) END
-             AS z_delta
-    FROM (SELECT * FROM scored WHERE variant = 0) c
-    CROSS JOIN (SELECT * FROM scored WHERE variant = 1) t
+      FROM moments),
+    pivoted AS (
+      SELECT COALESCE(MAX(CASE WHEN variant = 0 THEN n END), 0)
+               AS n_control,
+             COALESCE(MAX(CASE WHEN variant = 1 THEN n END), 0)
+               AS n_treatment,
+             MAX(CASE WHEN variant = 0 THEN ratio END) AS ratio_control,
+             MAX(CASE WHEN variant = 1 THEN ratio END) AS ratio_treatment,
+             MAX(CASE WHEN variant = 0 THEN rfx END) AS rfx_c,
+             MAX(CASE WHEN variant = 1 THEN rfx END) AS rfx_t,
+             MAX(CASE WHEN variant = 0 THEN var_r END) AS var_c,
+             MAX(CASE WHEN variant = 1 THEN var_r END) AS var_t
+      FROM scored)
+    SELECT n_control, n_treatment, ratio_control, ratio_treatment,
+           ratio_treatment - ratio_control AS ratio_lift,
+           CASE WHEN rfx_c IS NOT NULL AND rfx_t IS NOT NULL
+                     AND var_c + var_t > 0
+                THEN (rfx_t - rfx_c) / SQRT(var_c + var_t) END AS z_delta
+    FROM pivoted
     """

@@ -1187,9 +1187,12 @@ def spearman_correlation(
     rank offsets come from a groups-sized totals frame (the one
     legitimately tiny ordered window), broadcast back. Ranks join to
     rows on (group, value) — two equi-joins, map-side-combinable
-    moments, nothing corpus-sized in one partition. Headroom:
-    midrank2 ≤ 2n, per-row product ≤ 4n² inside DECIMAL(38,0) —
-    exact past 10^12 rows per group."""
+    moments, nothing corpus-sized in one partition. Headroom: the
+    binding term is the moment COMBINATION, not the per-row product —
+    sx ≈ 2n² so sx·sx ≈ 4n⁴ hits DECIMAL(38,0)/HUGEINT at
+    n ≈ 2·10⁹ rows per group; beyond that, rank on a hash sample or
+    shard the group (the per-row d19·d19 products themselves are
+    exact far past that)."""
     from pyspark.sql import Window
     from kinesis_stream_spark.operators.skew import distributed_cumsums
 
@@ -1448,7 +1451,7 @@ def sql_hellinger_drift(
 ) -> str:
     """DuckDB oracle twin of :func:`hellinger_drift` — identical
     midpoint split, clamp-then-bin chain, and 2^20-fx term floors."""
-    scale = float(1 << 20)
+    scale = float(HELLINGER_SCALE)
     return f"""
     WITH ev AS (
       SELECT {key_col} AS key, EPOCH_US({ts_col}) AS us, {value_col} AS v
@@ -1583,13 +1586,17 @@ def quality_scorecard(
     for j, (name, _) in enumerate(uniques):
         stack_parts.append(f"'{name}', _n - _d{j} - _hn{j}")
     k = len(row_local) + len(uniques)
-    out = one.select(
-        F.col("_n").alias("n_rows"),
-        F.expr(
-            f"stack({k}, {', '.join(stack_parts)})"
-            " as (check_name, n_violations)"
-        ),
-    ).select("check_name", "n_rows", "n_violations")
+    # a ref-only suite has nothing to unpivot — stack(0, ) would be a
+    # parse error, so the union starts from the referential branches
+    out = None
+    if k:
+        out = one.select(
+            F.col("_n").alias("n_rows"),
+            F.expr(
+                f"stack({k}, {', '.join(stack_parts)})"
+                " as (check_name, n_violations)"
+            ),
+        ).select("check_name", "n_rows", "n_violations")
 
     total = one.select(F.col("_n").alias("n_rows"))
     for c in refs:
@@ -1606,13 +1613,12 @@ def quality_scorecard(
         ).agg(
             F.coalesce(F.sum("_cn"), F.lit(0)).cast("long").alias("n_violations")
         )
-        out = out.unionAll(
-            orphans.crossJoin(F.broadcast(total)).select(
-                F.lit(c["name"]).alias("check_name"),
-                "n_rows",
-                "n_violations",
-            )
+        branch = orphans.crossJoin(F.broadcast(total)).select(
+            F.lit(c["name"]).alias("check_name"),
+            "n_rows",
+            "n_violations",
         )
+        out = branch if out is None else out.unionAll(branch)
     return out.select(
         "check_name",
         "n_rows",

@@ -209,6 +209,35 @@ def _cosine_pairs_vectorized(
     return emb.select(*in_cols).groupBy(*group_cols).applyInPandas(pairs, out_schema)
 
 
+def _scored_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared exact scoring prologue for :func:`topk_bruteforce` and
+    :func:`range_search`: broadcast the queries (with precomputed
+    norms), map-side nested-loop join excluding self-matches, one
+    fixed-point dot + single-IEEE-op cosine per pair. One definition
+    so the two query APIs can never drift onto different arithmetic."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_decimal(F.col(vec_col)).alias("nq"),
+    )
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_decimal(F.col(vec_col)).alias("nc"),
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot_decimal(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cosine"),
+    )
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -224,19 +253,12 @@ def topk_bruteforce(
     the corpus (no shuffle for the join); the per-query top-k window is
     the single shuffle, on the (small-cardinality) query id.
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm_decimal(F.col(vec_col)).alias("nq"),
-    )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm_decimal(F.col(vec_col)).alias("nc"),
-    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        (dot_decimal(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cosine"),
+    scored = _scored_pairs(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -927,21 +949,11 @@ def range_search(
     and applies the SAME threshold inside buckets — identical
     semantics on the candidates, same recall caveats as their top-k
     variants."""
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm_decimal(F.col(vec_col)).alias("nq"),
-    )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm_decimal(F.col(vec_col)).alias("nc"),
-    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        (
-            dot_decimal(F.col("qv"), F.col("cv"))
-            / (F.col("nq") * F.col("nc"))
-        ).alias("cosine"),
+    scored = _scored_pairs(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
     return scored.where(F.col("cosine") >= F.lit(threshold))

@@ -271,47 +271,16 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_stats(load_table(spark, sf_dir, "events")).orderBy("event_type")
 
 
-# The *_approx sketch twins (approx_percentile, Greenwald-Khanna) are
-# pytest-contracted ONLY — like the stream_* surfaces, they are NOT
-# registered in queries(): the sketch is Spark-specific, so no
-# cross-engine hash can exist, and registering oracle-less entries put
-# `err: no_oracle` rows in the round-9 driver ledger. Their exact
-# twins above carry the hash oracle; tests/test_temporal.py pins
-# exact ≈ approx on the sf0.1 corpus (the 100 TB swap evidence).
-def events_winsorized_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass twin of events_winsorized_stats: approx_percentile
-    bounds (mergeable Greenwald-Khanna summaries, accuracy 10000 —
-    rank error ≤ 0.01%) instead of the exact two-pass percentile —
-    the plan that actually runs at 100 TB."""
-    from kinesis_stream_spark.operators.temporal import winsorize_stats
-
-    return winsorize_stats(
-        load_table(spark, sf_dir, "events"), approx_accuracy=10000
-    ).orderBy("event_type")
-
-
-def events_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass twin of events_mad_outliers: approx_percentile
-    median/MAD (accuracy 10000) — at 100 TB the exact per-key
-    percentile pair is two full sorts-by-key; the sketch is one
-    combinable pass per stage."""
-    from kinesis_stream_spark.operators.temporal import mad_outliers
-
-    return mad_outliers(
-        load_table(spark, sf_dir, "events"), approx_accuracy=10000
-    ).orderBy("event_id")
-
-
-def events_seasonal_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass twin of events_seasonal_outliers: approx_percentile
-    residual median/MAD (accuracy 10000)."""
-    from kinesis_stream_spark.operators.temporal import (
-        seasonal_residual_outliers,
-    )
-
-    return seasonal_residual_outliers(
-        load_table(spark, sf_dir, "events"), approx_accuracy=10000
-    ).orderBy("event_id")
+# The *_approx sketch twins (approx_percentile, Greenwald-Khanna —
+# the documented 100 TB swap) live as the ``approx_accuracy``
+# parameter on the operators themselves (operators/temporal.py:
+# winsorize_stats / mad_outliers / seasonal_residual_outliers), NOT
+# as queries() registrations: the sketch is Spark-specific, so no
+# cross-engine hash can exist, and registering oracle-less entries
+# put `err: no_oracle` rows in the round-9 driver ledger. The exact
+# registrations above carry the hash oracle; tests/test_temporal.py
+# pins exact ≈ approx on the sf0.1 corpus through those same
+# operator entry points.
 
 
 @_q(

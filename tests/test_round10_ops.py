@@ -443,3 +443,39 @@ class TestRangeSearch:
         # broadcast join + filter only: the scored side never exchanges
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+def test_scorecard_ref_only_suite(spark):
+    """A suite of ONLY referential constraints must not render a
+    degenerate stack(0, ) — regression for the round-10 review."""
+    from kinesis_stream_spark.operators.profile import quality_scorecard
+
+    df = spark.createDataFrame([(100,), (999,)], "fk long")
+    ref = spark.createDataFrame([(100,)], "pk long")
+    out = quality_scorecard(
+        df,
+        [{"name": "fk_ref", "kind": "ref", "col": "fk",
+          "ref": "r", "ref_col": "pk"}],
+        ref_frames={"r": ref},
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_violations == 1 and not out[0].passed
+
+
+def test_delta_ratio_one_arm_still_one_row(spark):
+    """Every unit in a single arm must still yield the operator's ONE
+    output row (missing arm: n = 0, NULL ratio/z) — regression for
+    the round-10 review."""
+    from kinesis_stream_spark.operators.experiment import ab_delta_ratio
+
+    # user 1 hashes to variant 1 (md5 parity), alone
+    df = spark.createDataFrame(
+        [(1, "purchase", 5.0), (1, "view", 1.0)],
+        "user_id long, event_type string, value double",
+    )
+    rows = ab_delta_ratio(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_control + r.n_treatment == 1
+    assert r.z_delta is None
+    assert (r.ratio_control is None) or (r.ratio_treatment is None)
