@@ -1563,14 +1563,20 @@ def quality_scorecard(
 
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     stack_parts: list[str] = []
+    # every count coalesces to 0 so an EMPTY table passes vacuously
+    # (zero rows -> zero violations) instead of emitting NULL verdicts
     for i, (_, viol) in enumerate(row_local):
         aggs.append(
-            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+            F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_v{i}")
         )
     for j, (_, col) in enumerate(uniques):
         aggs.append(F.count_distinct(F.col(col)).cast("long").alias(f"_d{j}"))
         aggs.append(
-            F.max(F.when(F.col(col).isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.max(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"_hn{j}")
         )
@@ -1663,7 +1669,8 @@ def sql_quality_scorecard(
             agg_cols.append(
                 f"CAST(COUNT(*) AS BIGINT)"
                 f" - CAST(COUNT(DISTINCT {col}) AS BIGINT)"
-                f" - MAX(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+                f" - COALESCE(MAX(CASE WHEN {col} IS NULL"
+                f" THEN 1 ELSE 0 END), 0)"
                 f" AS \"v_{name}\""
             )
             selects.append(name)
@@ -1673,8 +1680,8 @@ def sql_quality_scorecard(
         else:
             raise ValueError(f"unknown constraint kind: {kind}")
         agg_cols.append(
-            f"CAST(SUM(CASE WHEN {viol} THEN 1 ELSE 0 END) AS BIGINT)"
-            f" AS \"v_{name}\""
+            f"COALESCE(CAST(SUM(CASE WHEN {viol} THEN 1 ELSE 0 END)"
+            f" AS BIGINT), 0) AS \"v_{name}\""
         )
         selects.append(name)
     branches = [

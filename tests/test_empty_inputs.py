@@ -182,3 +182,50 @@ def test_round5_operators_empty(spark, empties):
         "event_id long, ts timestamp, user_id bigint, event_type string, value double",
     )
     assert temporal.simpson_diversity(events).count() == 0
+
+
+def test_round10_operators_empty(spark, empties):
+    from kinesis_stream_spark.operators.experiment import ab_delta_ratio
+    from kinesis_stream_spark.operators.profile import (
+        hellinger_drift,
+        quality_scorecard,
+        spearman_correlation,
+    )
+    from kinesis_stream_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+    from kinesis_stream_spark.operators.similarity import range_search
+    from kinesis_stream_spark.operators.skew import join_cardinality_profile
+    from kinesis_stream_spark.operators.temporal import linear_interpolation
+    from kinesis_stream_spark.operators.text import lm_plausibility
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    assert linear_interpolation(ev).count() == 0
+    assert spearman_correlation(
+        ev, group_col="event_type", x_col="value", y_col="value"
+    ).count() == 0
+    assert hellinger_drift(ev).count() == 0
+    # the A/B pivot emits its one row even on an empty corpus
+    r = ab_delta_ratio(ev).collect()
+    assert len(r) == 1 and r[0].n_control == 0 and r[0].z_delta is None
+    assert weighted_priority_sample(
+        ev, group_col="event_type", id_col="event_id",
+        weight_col="value", k=3,
+    ).count() == 0
+    assert lm_plausibility(empties["docs"]).count() == 0
+    emb = empties["emb"]
+    q = emb.selectExpr("vec_id AS query_id", "embedding")
+    assert range_search(emb, q, threshold=0.5).count() == 0
+    # empty join sides: the total row still reports zeros
+    jp = join_cardinality_profile(
+        ev, ev, left_key="event_id", right_key="event_id"
+    ).collect()
+    assert len(jp) == 1 and jp[0].join_rows == 0
+    sc = quality_scorecard(
+        ev, [{"name": "nn", "kind": "not_null", "col": "event_id"}]
+    ).collect()
+    assert len(sc) == 1 and sc[0].n_rows == 0
+    assert sc[0].violation_ppm is None and sc[0].passed

@@ -63,6 +63,16 @@ SENSITIVE = [
     "similarity_centroid_confusion",  # argmin tie-break + ppm shares
     "join_salted_skew_segments",  # salted SMJ + exact-decimal sums
     "layout_compaction_bins",  # per-partition prefix-sum binning
+    # round 10
+    "events_linear_interpolation",  # dsum neighbors + pinned interp chain
+    "profile_spearman_corr",  # prefix-sum midranks + moment divides
+    "text_lm_plausibility",  # Laplace ppm sums + pinned mean divide
+    "profile_hellinger_drift",  # fx-quantized sqrt(pq) terms + sqrt chain
+    "events_ab_delta_ratio",  # fx unit totals + delta-method chain
+    "join_cardinality_estimate",  # count products + top-k tie-break
+    "integrity_quality_scorecard",  # shared agg + anti-join counts
+    "sample_weighted_per_type",  # hash priorities + WindowGroupLimit
+    "similarity_range_search",  # fixed-point dots + threshold filter
 ]
 
 
