@@ -1051,3 +1051,38 @@ def test_join_cardinality_never_joins_raw_rows(spark, sf_dir):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "l_partkey" in line and "l_extendedprice" not in line
+
+
+def test_spearman_rides_prefix_sum_no_cartesian(spark, sf_dir):
+    """Both rank axes ride the distributed prefix-sum shape: the
+    corpus-sized windows partition by the range-exchange pid (never
+    partition-less over a whole group), and no stage is a cartesian
+    product — midranks join back on (group, value) equi-keys."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    plan = _explain(QUERIES["profile_spearman_corr"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "_ds_pid" in plan  # the prefix-sum pid windows
+
+
+def test_lm_plausibility_broadcast_vocab_only_nlj(spark, sf_dir):
+    """Gram and context lookups are hash equi-joins; the only
+    nested-loop join is the broadcast 1-row vocabulary size."""
+    from kinesis_stream_spark.queries.text import QUERIES
+
+    plan = _explain(QUERIES["text_lm_plausibility"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    nlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(nlj) <= 2  # one node: tree line + detail line
+
+
+def test_linear_interpolation_windows_keyed(spark, sf_dir):
+    """Both fill windows partition by the series key — parallel
+    across keys, no single-reducer funnel."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    plan = _explain(QUERIES["events_linear_interpolation"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "key" in line
+    assert "CartesianProduct" not in plan
