@@ -1215,7 +1215,10 @@ def spearman_correlation(
         cum = distributed_cumsums(
             vals, [F.col("grp"), F.col(col)], [("ct", "cum_all")]
         )
-        offs = vals.groupBy("grp").agg(F.sum("ct").alias("gtot"))
+        # group totals reduce FROM the cumsum output (which reads the
+        # prefix-sum's checkpointed frame) — aggregating `vals` again
+        # would recompute the whole distinct-value pass per axis
+        offs = cum.groupBy("grp").agg(F.sum("ct").alias("gtot"))
         w_off = Window.orderBy("grp").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
