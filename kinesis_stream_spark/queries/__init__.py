@@ -40,16 +40,17 @@ from pyspark.sql import DataFrame, SparkSession
 # VERDICT r9 item #5; derived from the r01-r09 ledger union — latest
 # driver round per query, oldest first; outside the r10 window the
 # counts are r5:37, r6:43, r7:45, r8:44, r9:47 = 216): the
-# THIRTY-SEVEN r5-latest names pinned below (positions 51-87 —
-# multimodal/scalar/stream/udf/text families; per the ledger,
-# text_top_terms_per_lang in that block is actually r6-latest), then
-# the first 13 r6-latest names in registry order: q01_pricing_summary,
-# q03_shipping_priority, q05_regional_revenue,
+# THIRTY-EIGHT names pinned at positions 51-88 below
+# (multimodal/scalar/stream/udf/text families — 37 are r5-latest;
+# text_top_terms_per_lang among them is r6-latest per the ledger but
+# rides along rather than splitting the block), completed by the
+# first TWELVE of the remaining r6-latest names in registry order:
+# q01_pricing_summary, q03_shipping_priority, q05_regional_revenue,
 # q04_priority_late_items, q06_forecast_revenue, q10_returned_revenue,
 # q11_top_suppliers, q14_promo_revenue, q18_large_quantity_orders,
 # q19_disjunctive_predicates, join_inner_orders_customer,
-# join_left_customer_orders, text_top_terms_per_lang. r12 takes the
-# remaining r6-latest and starts on the r7 block.
+# join_left_customer_orders. 38 + 12 = 50, duplicate-free. r12 takes
+# the remaining r6-latest and starts on the r7 block.
 
 #: names registered WITHOUT a DuckDB oracle by design. EMPTY since
 #: round 10: the approx-percentile sketch twins that filled this set

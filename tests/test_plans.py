@@ -1054,26 +1054,47 @@ def test_join_cardinality_never_joins_raw_rows(spark, sf_dir):
 
 
 def test_spearman_rides_prefix_sum_no_cartesian(spark, sf_dir):
-    """Both rank axes ride the distributed prefix-sum shape: the
-    corpus-sized windows partition by the range-exchange pid (never
-    partition-less over a whole group), and no stage is a cartesian
-    product — midranks join back on (group, value) equi-keys."""
+    """Both rank axes ride the distributed prefix-sum shape: every
+    window whose spec touches a VALUE axis (xfx/yfx — the corpus-sized
+    distinct-value frames) must partition by the range-exchange pid,
+    never by the group alone (the single-reducer funnel); the only
+    non-pid windows are the tiny offset frames (ordered by pid or by
+    the groups-sized grp). No stage is a cartesian product — midranks
+    join back on (group, value) equi-keys."""
+    import re
+
     from kinesis_stream_spark.queries.relational import QUERIES
 
     plan = _explain(QUERIES["profile_spearman_corr"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "_ds_pid" in plan  # the prefix-sum pid windows
+    specs = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition" in l
+        and ("xfx" in l or "yfx" in l)
+    ]
+    assert specs, "expected value-axis window specs in the plan"
+    for line in specs:
+        assert "_ds_pid" in line, f"value-axis window not pid-keyed: {line}"
 
 
 def test_lm_plausibility_broadcast_vocab_only_nlj(spark, sf_dir):
-    """Gram and context lookups are hash equi-joins; the only
-    nested-loop join is the broadcast 1-row vocabulary size."""
+    """Gram and context lookups stay BROADCAST HASH equi-joins (two
+    nodes); exactly one nested-loop join exists — the broadcast 1-row
+    vocabulary size. A lookup degrading to a nested loop changes both
+    counts."""
+    import re
+
     from kinesis_stream_spark.queries.text import QUERIES
 
     plan = _explain(QUERIES["text_lm_plausibility"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    nlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
-    assert len(nlj) <= 2  # one node: tree line + detail line
+    lines = [l.strip() for l in plan.splitlines()]
+    bhj = sum(1 for l in lines if re.match(r"\(\d+\) BroadcastHashJoin", l))
+    nlj = sum(
+        1 for l in lines if re.match(r"\(\d+\) BroadcastNestedLoopJoin", l)
+    )
+    assert bhj == 2, f"gram/context lookups must stay hash joins: {bhj}"
+    assert nlj == 1, f"only the 1-row vocab may nested-loop: {nlj}"
 
 
 def test_linear_interpolation_windows_keyed(spark, sf_dir):
