@@ -28,6 +28,18 @@ EVENT_QUERIES = [
     # two-level count fold + DECIMAL Σc² over ties/NULL ts (ts-independent,
     # but the corpus exercises per-user single-category degenerate rows)
     "events_user_diversity",
+    # round 10: NULL-sum occupied buckets must interpolate identically
+    # (struct-carried neighbors), and NULL-bucket rows drop on both sides
+    "events_linear_interpolation",
+    # clamp-then-bin over extreme (1e6) and negative values + NULL
+    # value/ts exclusion
+    "profile_hellinger_drift",
+    # no numerator events in this corpus: x = 0 everywhere -> both
+    # delta variances 0 -> NULL z, identically on both engines
+    "events_ab_delta_ratio",
+    # NULL/zero/negative weights excluded; 1e6 weight exercises the
+    # wfx headroom; NULL ids carry no draw
+    "sample_weighted_per_type",
 ]
 
 

@@ -42,6 +42,10 @@ FUZZ_QUERIES = [
     # adjacent-pair extraction over empty/whitespace/unicode/NULL docs:
     # the bigram comprehension and both count aggregates must agree
     "text_collocation_lift",
+    # round 10: non-distinct bigram lists, SPLIT_PART vs
+    # substring_index context extraction, and the vocab-recovery
+    # tail over empty-token bigrams must agree on adversarial text
+    "text_lm_plausibility",
 ]
 
 
