@@ -25,32 +25,22 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 10 window (first 50), per the rotation policy — final:
-# 1–8: the EIGHT round-9 registrations that overflowed the r9 window
-# and never had a driver row (VERDICT r9 item #1). 9–17: the NINE
-# round-10 registrations (never driver-verified; the round stopped at
-# nine ON PURPOSE so the window still reaches every r4-latest name —
-# the r9 lesson about overflowing the 50-slot window). 18–23: the SIX
-# queries edited in round-9 sessions (code newer than their last
-# driver row). 24–50: the TWENTY-SEVEN r4-latest names — after this
-# round no query's newest driver row predates r5. 8+9+6+27 = 50,
-# zero overflow.
-#
-# Planned r11 head (documented now so rotation stays mechanical,
-# VERDICT r9 item #5; derived from the r01-r09 ledger union — latest
-# driver round per query, oldest first; outside the r10 window the
-# counts are r5:37, r6:43, r7:45, r8:44, r9:47 = 216): the
-# THIRTY-EIGHT names pinned at positions 51-88 below
-# (multimodal/scalar/stream/udf/text families — 37 are r5-latest;
-# text_top_terms_per_lang among them is r6-latest per the ledger but
-# rides along rather than splitting the block), completed by the
-# first TWELVE of the remaining r6-latest names in registry order:
-# q01_pricing_summary, q03_shipping_priority, q05_regional_revenue,
-# q04_priority_late_items, q06_forecast_revenue, q10_returned_revenue,
-# q11_top_suppliers, q14_promo_revenue, q18_large_quantity_orders,
-# q19_disjunctive_predicates, join_inner_orders_customer,
-# join_left_customer_orders. 38 + 12 = 50, duplicate-free. r12 takes
-# the remaining r6-latest and starts on the r7 block.
+# Round 11 window (first 50), executing the r10-documented plan:
+# HEAD: round-11 registrations, inserted in their landing commits
+# (never driver-verified; budget: at most EIGHT, sized so the window
+# still reaches every r5-latest name — the r9 overflow lesson). NEXT:
+# the FOUR queries whose operators take ADVICE-r10 semantic fixes
+# this round (code newer than their r10 driver rows). THEN: the
+# THIRTY-EIGHT r5-latest names from the documented plan
+# (multimodal/scalar/stream/udf/text families — 37 r5-latest plus
+# text_top_terms_per_lang, r6-latest, riding along rather than
+# splitting the block). 8 + 4 + 38 = 50. The TWELVE r6-latest
+# relational names the r10 plan used as filler sit just past the
+# window: while fewer than eight r11 registrations have landed they
+# top the window up to 50, and whatever stays displaced heads the
+# r12 window (r12 then takes the remaining r6-latest and starts on
+# the r7 block; ledger-union counts outside this window:
+# r6:43, r7:45, r8:44, r9:47, r10:50).
 
 #: names registered WITHOUT a DuckDB oracle by design. EMPTY since
 #: round 10: the approx-percentile sketch twins that filled this set
@@ -63,63 +53,22 @@ from pyspark.sql import DataFrame, SparkSession
 ROWS_ONLY = frozenset()
 
 _PRIORITY = (
-    # --- round-10 window (first 50 = the driver's check set) --------
-    # never driver-verified: the 8 r9-overflow names (r9 positions
-    # 51–58)
-    "agg_kmv_set_ops",
-    "join_salted_skew_segments",
-    "events_ab_welch_ttest",
-    "events_growth_accounting",
-    "events_anova_value_by_type",
-    "events_runs_test",
-    "events_ab_mann_whitney",
-    "graph_modularity",
-    # never driver-verified: the nine new round-10 registrations
-    "events_linear_interpolation",
-    "profile_spearman_corr",
-    "text_lm_plausibility",
+    # --- round-11 window (first 50 = the driver's check set) --------
+    # never driver-verified: round-11 registrations land HERE, at
+    # most eight (each inserted in the commit that registers it)
+    "join_asof_error_before_purchase",
+    # edited in round 11 (ADVICE-r10 semantic fixes: floor-safe
+    # hellinger midpoint, join-cardinality overflow clamp, sampler
+    # weight-ceiling clamp, scorecard literal escaping) — code newer
+    # than their r10 driver rows. similarity_range_search's ADVICE
+    # item is a docstring-only reword (no semantic change), so it
+    # keeps its r10-latest slot in the tail.
     "profile_hellinger_drift",
-    "events_ab_delta_ratio",
     "join_cardinality_estimate",
-    "integrity_quality_scorecard",
     "sample_weighted_per_type",
-    "similarity_range_search",
-    # edited in round-9 sessions (code newer than last driver row)
-    "events_seasonal_outliers",
-    "events_mad_outliers",
-    "events_mann_kendall_trend",
-    "graph_bfs_hops",
-    "graph_cheapest_path",
-    "text_cms_heavy_hitters",
-    # r4-latest rows (oldest driver rows in the inventory)
-    "agg_histogram_price",
-    "agg_salted_skew_safe",
-    "events_cohort_retention",
-    "integrity_referential_audit",
-    "integrity_snapshot_diff",
-    "integrity_table_checksum",
-    "join_lateral_top2_orders",
-    "multimodal_exact_dedup",
-    "profile_orders_columns",
-    "reshape_unpivot_part_dims",
-    "scalar_bitwise_funcs",
-    "scalar_map_funcs",
-    "stream_capped_sessions",
-    "stream_interval_join",
-    "stream_rate_anomaly",
-    "stream_session_funnel",
-    "stream_static_enrich",
-    "stream_time_range_rolling",
-    "text_boilerplate_fraction",
-    "text_domain_cap",
-    "text_normalize_summary",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_token_rarity",
-    "text_weighted_mixture",
-    "udf_map_in_arrow_char_stats",
-    "window_percent_rank_cume",
-    # r5-latest remainder
+    "integrity_quality_scorecard",
+    # r5-latest rows (oldest driver rows in the inventory): the 38
+    # names the r10 plan pinned for this window
     "multimodal_byte_stats",
     "multimodal_catalog_stats",
     "multimodal_decode_features",
@@ -158,8 +107,72 @@ _PRIORITY = (
     "udf_scalar_price_band",
     "events_user_diversity",
     "events_winsorized_stats",
-    # r9-latest rows (freshest driver rows — lowest rotation priority;
-    # pinned only so the full rotation plan lives in one list)
+    # --- past the window: the r12 plan starts here ------------------
+    # r6-latest relational (the r10 plan's filler — tops the window
+    # up to 50 while fewer than eight r11 registrations exist, then
+    # heads the r12 window)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q04_priority_late_items",
+    "q06_forecast_revenue",
+    "q10_returned_revenue",
+    "q11_top_suppliers",
+    "q14_promo_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_predicates",
+    "join_inner_orders_customer",
+    "join_left_customer_orders",
+    # r10-latest rows (the r10 driver window minus the four edited
+    # names above — freshest large block)
+    "agg_kmv_set_ops",
+    "join_salted_skew_segments",
+    "events_ab_welch_ttest",
+    "events_growth_accounting",
+    "events_anova_value_by_type",
+    "events_runs_test",
+    "events_ab_mann_whitney",
+    "graph_modularity",
+    "events_linear_interpolation",
+    "profile_spearman_corr",
+    "text_lm_plausibility",
+    "events_ab_delta_ratio",
+    "similarity_range_search",
+    "events_seasonal_outliers",
+    "events_mad_outliers",
+    "events_mann_kendall_trend",
+    "graph_bfs_hops",
+    "graph_cheapest_path",
+    "text_cms_heavy_hitters",
+    "agg_histogram_price",
+    "agg_salted_skew_safe",
+    "events_cohort_retention",
+    "integrity_referential_audit",
+    "integrity_snapshot_diff",
+    "integrity_table_checksum",
+    "join_lateral_top2_orders",
+    "multimodal_exact_dedup",
+    "profile_orders_columns",
+    "reshape_unpivot_part_dims",
+    "scalar_bitwise_funcs",
+    "scalar_map_funcs",
+    "stream_capped_sessions",
+    "stream_interval_join",
+    "stream_rate_anomaly",
+    "stream_session_funnel",
+    "stream_static_enrich",
+    "stream_time_range_rolling",
+    "text_boilerplate_fraction",
+    "text_domain_cap",
+    "text_normalize_summary",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_token_rarity",
+    "text_weighted_mixture",
+    "udf_map_in_arrow_char_stats",
+    "window_percent_rank_cume",
+    # r9-latest rows (pinned only so the full rotation plan lives in
+    # one list)
     "similarity_ivfpq_pruned_topk",
     "events_time_weighted_avg",
     "events_state_durations",
