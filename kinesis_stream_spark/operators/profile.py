@@ -1391,7 +1391,14 @@ def hellinger_drift(
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
         F.col(value_col).alias("v"),
     )
-    span = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid_us"))
+    # min + (max-min) div 2, NOT (min+max) div 2: the dividend max-min
+    # is always >= 0, so Spark's truncating `div` and DuckDB's flooring
+    # `//` agree even for pre-1970 (negative-us) timestamps — the
+    # (min+max) form diverges by 1µs there and can flip a boundary
+    # event between halves (ADVICE r10). Same form in the SQL twin.
+    span = ev.agg(
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid_us")
+    )
     clamped = F.least(F.greatest(F.col("v"), F.lit(lo)), F.lit(hi))
     raw_bin = F.floor(
         (clamped - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo)
@@ -1460,7 +1467,7 @@ def sql_hellinger_drift(
       SELECT {key_col} AS key, EPOCH_US({ts_col}) AS us, {value_col} AS v
       FROM {table}
       WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
-    span AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+    span AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid_us FROM ev),
     cells AS (
       SELECT key,
              LEAST(CAST(FLOOR((LEAST(GREATEST(v, {lo!r}), {hi!r}) - {lo!r})
@@ -1492,6 +1499,20 @@ def sql_hellinger_drift(
     """
 
 
+def _sql_str(s: str) -> str:
+    """Render ``s`` as a SQL string literal body — doubles embedded
+    single quotes (standard SQL escaping, identical in Spark SQL and
+    DuckDB), so constraint names / in_set values containing a quote
+    can't break the rendered aggregate (ADVICE r10)."""
+    return str(s).replace("'", "''")
+
+
+def _ident(s: str) -> str:
+    """Render ``s`` inside a double-quoted SQL identifier (the
+    ``"v_{name}"`` aliases) — doubles embedded double quotes."""
+    return str(s).replace('"', '""')
+
+
 def quality_scorecard(
     df: DataFrame,
     constraints: list[dict],
@@ -1520,6 +1541,16 @@ def quality_scorecard(
 
     Exactness: every count is an exact integer; violation_ppm is a
     positive-operand floor division; nothing floats.
+
+    Literal contract: constraint names and ``in_set`` values may
+    contain single quotes (rendered SQL doubles them on both
+    engines). ``regexp`` patterns run as Java regex on Spark
+    (``rlike``) and RE2 on the DuckDB oracle (``REGEXP_MATCHES``) —
+    both partial-match — so patterns must stay inside the RE2 ∩ Java
+    common subset (literals, character classes, anchors, ``+*?{n,m}``
+    quantifiers, alternation — the WS_RUN discipline in
+    functions/hashing.py; no backreferences or lookaround, which RE2
+    lacks, and no backslash-heavy classes whose escaping diverges).
 
     Scale shape: ALL row-local constraints (not_null/in_set/range/
     regexp/unique) share ONE map-side-combinable aggregate over one
@@ -1590,10 +1621,16 @@ def quality_scorecard(
     one = df.agg(*aggs)
     if refs:
         one = one.localCheckpoint(eager=False)
+    # Spark's parser (escapedStringLiterals=false default) also eats
+    # backslash escapes that DuckDB's standard literals keep — double
+    # them here so check_name round-trips identically on both engines
+    def _spark_str(s: str) -> str:
+        return _sql_str(s).replace("\\", "\\\\")
+
     for i, (name, _) in enumerate(row_local):
-        stack_parts.append(f"'{name}', _v{i}")
+        stack_parts.append(f"'{_spark_str(name)}', _v{i}")
     for j, (name, _) in enumerate(uniques):
-        stack_parts.append(f"'{name}', _n - _d{j} - _hn{j}")
+        stack_parts.append(f"'{_spark_str(name)}', _n - _d{j} - _hn{j}")
     k = len(row_local) + len(uniques)
     # a ref-only suite has nothing to unpivot — stack(0, ) would be a
     # parse error, so the union starts from the referential branches
@@ -1656,7 +1693,7 @@ def sql_quality_scorecard(
         if kind == "not_null":
             viol = f"{col} IS NULL"
         elif kind == "in_set":
-            vals = ", ".join(f"'{v}'" for v in c["values"])
+            vals = ", ".join(f"'{_sql_str(v)}'" for v in c["values"])
             viol = f"({col} NOT IN ({vals}) OR {col} IS NULL)"
         elif kind == "range":
             viol = (
@@ -1664,8 +1701,10 @@ def sql_quality_scorecard(
                 f" OR {col} IS NULL)"
             )
         elif kind == "regexp":
+            # pattern must stay in the RE2 ∩ Java subset (see
+            # quality_scorecard's literal contract)
             viol = (
-                f"(NOT REGEXP_MATCHES({col}, '{c['pattern']}')"
+                f"(NOT REGEXP_MATCHES({col}, '{_sql_str(c['pattern'])}')"
                 f" OR {col} IS NULL)"
             )
         elif kind == "unique":
@@ -1674,7 +1713,7 @@ def sql_quality_scorecard(
                 f" - CAST(COUNT(DISTINCT {col}) AS BIGINT)"
                 f" - COALESCE(MAX(CASE WHEN {col} IS NULL"
                 f" THEN 1 ELSE 0 END), 0)"
-                f" AS \"v_{name}\""
+                f' AS "v_{_ident(name)}"'
             )
             selects.append(name)
             continue
@@ -1684,13 +1723,13 @@ def sql_quality_scorecard(
             raise ValueError(f"unknown constraint kind: {kind}")
         agg_cols.append(
             f"COALESCE(CAST(SUM(CASE WHEN {viol} THEN 1 ELSE 0 END)"
-            f" AS BIGINT), 0) AS \"v_{name}\""
+            f' AS BIGINT), 0) AS "v_{_ident(name)}"'
         )
         selects.append(name)
     branches = [
         f"""
-      SELECT '{name}' AS check_name, _n AS n_rows,
-             "v_{name}" AS n_violations
+      SELECT '{_sql_str(name)}' AS check_name, _n AS n_rows,
+             "v_{_ident(name)}" AS n_violations
       FROM one"""
         for name in selects
     ]
@@ -1700,7 +1739,8 @@ def sql_quality_scorecard(
         parent = (ref_tables or {})[c["ref"]]
         branches.append(
             f"""
-      SELECT '{c["name"]}' AS check_name, (SELECT _n FROM one) AS n_rows,
+      SELECT '{_sql_str(c["name"])}' AS check_name,
+             (SELECT _n FROM one) AS n_rows,
              COALESCE(CAST(SUM(_cn) AS BIGINT), 0) AS n_violations
       FROM (SELECT {c["col"]} AS _ck, CAST(COUNT(*) AS BIGINT) AS _cn
             FROM {table} WHERE {c["col"]} IS NOT NULL GROUP BY 1) ch

@@ -27,6 +27,15 @@ W_SCALE = 1 << 20
 U_MOD = 1 << 31
 P_SCALE = 1 << 31
 
+#: max usable weight: weights clamp to LEAST(w, 2^40) BEFORE the fx
+#: floor on BOTH engines, so weight_fx ≤ 2^60 always fits BIGINT.
+#: Without the clamp the engines diverge past w ≈ 8.8e12 (Spark's
+#: non-ANSI double→long cast saturates at Long.MAX, DuckDB's
+#: CAST(FLOOR(..) AS BIGINT) raises — ADVICE r10). Above the cap all
+#: weights rank as equally-maximal mass, which is the right
+#: saturation semantics for a sampler (the draw u still breaks ties).
+W_MAX = float(1 << 40)
+
 
 def weighted_priority_sample(
     df: DataFrame,
@@ -81,7 +90,10 @@ def weighted_priority_sample(
     ).select(
         F.col(group_col).alias("group_key"),
         F.col(id_col).alias("id"),
-        F.floor(F.col(weight_col) * F.lit(float(W_SCALE)))
+        F.floor(
+            F.least(F.col(weight_col), F.lit(W_MAX))
+            * F.lit(float(W_SCALE))
+        )
         .cast("long")
         .alias("weight_fx"),
         (md5_int64(F.col(id_col).cast("string"), seed) % U_MOD).alias("u"),
@@ -122,7 +134,8 @@ def sql_weighted_priority_sample(
     return f"""
     WITH base AS (
       SELECT {group_col} AS group_key, {id_col} AS id,
-             CAST(FLOOR({weight_col} * {float(W_SCALE)!r}) AS BIGINT)
+             CAST(FLOOR(LEAST({weight_col}, {W_MAX!r})
+                        * {float(W_SCALE)!r}) AS BIGINT)
                AS weight_fx,
              {u} % {U_MOD} AS u
       FROM {table}

@@ -940,9 +940,12 @@ def range_search(
     loop over the corpus and the threshold is a map-side filter — NO
     window, NO shuffle at all; the operator is embarrassingly
     parallel and output-bounded only by how many neighbors truly
-    qualify (the caller's threshold is the knob; results order by
-    (query_id, cosine desc, neighbor_id) at the edge for stable
-    presentation). Self-matches are excluded like the top-k path.
+    qualify (the caller's threshold is the knob). The operator
+    returns the filtered frame UNORDERED — presentation order, e.g.
+    (query_id, cosine desc, neighbor_id), is the caller's job (the
+    similarity_range_search registration adds it at the edge), so the
+    map-side plan never pays a sort it doesn't need. Self-matches are
+    excluded like the top-k path.
 
     At 100 TB: the scan-heavy exact form is the verification baseline;
     the production path routes through the IVF/LSH bucket structures

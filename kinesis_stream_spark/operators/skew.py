@@ -667,9 +667,14 @@ def join_cardinality_profile(
     each with its per-side counts and integer-ppm share of the join
     output. NULL keys are excluded (equi-joins drop them). Exactness:
     contributions accumulate as DECIMAL(38,0) products of BIGINT
-    counts; the REPORTED join_rows casts to BIGINT at the edge
-    (exact to 9.2·10^18 output rows — a join bigger than that is the
-    answer "do not run this join" regardless of the last digit).
+    counts; the REPORTED join_rows CLAMPS to BIGINT max at the edge
+    (LEAST(j, 2^63−1) on both engines — exact to 9.2·10^18 output
+    rows, saturated above; a join bigger than that is the answer "do
+    not run this join" regardless of the last digit). The clamp, not
+    a bare cast, because the engines' overflow behaviors differ:
+    Spark's non-ANSI DECIMAL→BIGINT cast NULLs while DuckDB's
+    HUGEINT→BIGINT raises (ADVICE r10) — saturation is identical on
+    both.
 
     Scale shape: two map-side-combinable per-key counts, one
     keys-sized equi-join (inner — only shared keys produce output),
@@ -709,7 +714,9 @@ def join_cardinality_profile(
             F.col("k").cast("string").alias("key"),
             F.col("ca").alias("rows_left"),
             F.col("cb").alias("rows_right"),
-            F.col("j").cast("long").alias("join_rows"),
+            F.least(F.col("j"), F.lit(2**63 - 1).cast(d38))
+            .cast("long")
+            .alias("join_rows"),
             F.when(
                 F.col("jt") > 0,
                 F.expr("cast(j * 1000000 div jt as long)"),
@@ -720,7 +727,9 @@ def join_cardinality_profile(
         F.lit("__total__").alias("key"),
         F.coalesce(F.col("la"), F.lit(0)).alias("rows_left"),
         F.coalesce(F.col("lb"), F.lit(0)).alias("rows_right"),
-        F.col("jt").cast("long").alias("join_rows"),
+        F.least(F.col("jt"), F.lit(2**63 - 1).cast(d38))
+        .cast("long")
+        .alias("join_rows"),
         F.when(F.col("jt") > 0, F.lit(1000000).cast("long")).alias(
             "share_ppm"
         ),
@@ -753,13 +762,15 @@ def sql_join_cardinality_profile(
              (SELECT CAST(SUM(cb) AS BIGINT) FROM cb) AS lb)
     SELECT '__total__' AS key,
            COALESCE(la, 0) AS rows_left, COALESCE(lb, 0) AS rows_right,
-           CAST(jt AS BIGINT) AS join_rows,
+           CAST(LEAST(jt, CAST(9223372036854775807 AS HUGEINT)) AS BIGINT)
+             AS join_rows,
            CASE WHEN jt > 0 THEN CAST(1000000 AS BIGINT) END AS share_ppm
     FROM sides CROSS JOIN tot
     UNION ALL
     SELECT * FROM (
       SELECT CAST(k AS VARCHAR) AS key, ca AS rows_left, cb AS rows_right,
-             CAST(j AS BIGINT) AS join_rows,
+             CAST(LEAST(j, CAST(9223372036854775807 AS HUGEINT)) AS BIGINT)
+               AS join_rows,
              CASE WHEN jt > 0
                   THEN CAST(j * 1000000 // jt AS BIGINT) END AS share_ppm
       FROM contrib CROSS JOIN tot
