@@ -1141,3 +1141,61 @@ from kinesis_stream_spark.operators.temporal import (  # noqa: E402
 )
 
 ORACLE["events_runs_test"] = sql_runs_test() + " ORDER BY key"
+
+
+@_q("join_asof_error_before_purchase", None)  # assigned below
+def join_asof_error_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time enrichment via the first-class AS-OF join: each
+    purchase event picks the user's most recent 'error' event at or
+    before it, within a 6-hour tolerance, left-outer (purchases with
+    no recent error keep NULLs) — the union-window single-exchange
+    plan, not a candidate-pair join
+    (operators/asof.py:asof_join)."""
+    from kinesis_stream_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        right_vals=("value",),
+        direction="backward",
+        tolerance_us=6 * 3600 * 1_000_000,
+    ).orderBy("event_id")
+
+
+from kinesis_stream_spark.operators.asof import sql_asof_join  # noqa: E402
+
+ORACLE["join_asof_error_before_purchase"] = (
+    sql_asof_join(
+        left_sql=(
+            "SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'purchase'"
+        ),
+        right_sql=(
+            "SELECT user_id, event_id, ts, value FROM events"
+            " WHERE event_type = 'error'"
+        ),
+        on="user_id",
+        left_id="event_id",
+        left_cols=("event_id", "user_id", "ts"),
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        right_vals=("value",),
+        direction="backward",
+        tolerance_us=6 * 3600 * 1_000_000,
+    )
+    + " ORDER BY event_id"
+)
