@@ -49,11 +49,22 @@ def main() -> None:
     # Warm the session before timing: JVM/codegen/parquet-reader init and
     # the noop-sink committer otherwise land entirely on whichever query
     # happens to sort first (~5s attributed to a 0.5s query).
-    from kinesis_stream_spark.sources.batch import load_table
+    from kinesis_stream_spark.sources.batch import TABLE_NAMES, load_table
 
-    # lineitem, not region: the alphabetically-first query scans lineitem,
-    # and a cold parquet reader + codegen init otherwise bills ~4s to it
-    load_table(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
+    # ALL tables, not just lineitem (round-11 change): the round-11
+    # adjudication measured the first heavy query in a fresh session
+    # absorbing ~12 s of reader/codegen warm-up even solo (modularity
+    # reps 23.9/12.3/11.9 — operators/graph.py:modularity bench note);
+    # warming every reader keeps rep 1 representative so min-of-N
+    # measures steady state, uniformly across families. Execution
+    # order stays FIXED (sorted by name) so per-query context is
+    # comparable round over round as long as the inventory before a
+    # query doesn't change; heavy-tail numbers still carry ±30-50%
+    # session-context noise (predecessor checkpoint/broadcast residue
+    # reaps asynchronously) — adjudicate regressions with solo
+    # fresh-process min-of-3, never from one suite number.
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Each query is timed as the min over SPARK_GRAFT_BENCH_REPS runs.
@@ -97,6 +108,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "reps": reps,
+        # measurement protocol, recorded so round-over-round diffs are
+        # interpretable: fixed sorted execution order, all table
+        # readers warmed untimed before the first measurement
+        "exec_order": "sorted(name)",
+        "warmup": "all-table noop scan, untimed",
     }
     if failures:
         detail["failures"] = failures

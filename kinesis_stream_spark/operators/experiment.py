@@ -1095,3 +1095,636 @@ def sql_ab_delta_ratio(
                 THEN (rfx_t - rfx_c) / SQRT(var_c + var_t) END AS z_delta
     FROM pivoted
     """
+
+
+def ab_srm_check(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-health gate that
+    must pass BEFORE any A/B readout is trusted (Fabijan et al.,
+    "Diagnosing Sample Ratio Mismatch", KDD 2019): under the
+    deterministic md5 50/50 split (the family convention shared with
+    the z/Welch/Mann-Whitney/delta tests — ONE split definition, so
+    the health check audits exactly the assignment the readouts use),
+    the UNIT counts per arm follow Binomial(N, 1/2), and a χ²(1)
+    goodness-of-fit statistic against the 1:1 expectation
+
+        χ² = (n_c − n_t)² / (n_c + n_t)
+
+    flags an implementation bug (redirect loss, bot filtering skew,
+    logging drop) when it exceeds the 95% critical value 3.841. The
+    closed form is the 2-cell Pearson χ² for equal expectations —
+    exact integer numerator (DECIMAL(38,0) — counts can be 10^10 at
+    100 TB and the squared difference must not overflow BIGINT),
+    VARCHAR-routed to double, ONE pinned divide; no per-arm float
+    sums whose order could differ.
+
+    The unit of analysis is the UNIT (distinct non-NULL ids), not the
+    event — event-weighted counts would confound traffic imbalance
+    with assignment imbalance.
+
+    Output: ONE row (n_control, n_treatment, n_units, imbalance_ppm =
+    ⌊|n_c−n_t|·10⁶ / N⌋, chi2_stat, srm_detected). Zero units yield
+    NULL statistic/flag by contract (no experiment to audit).
+
+    Scale shape: one DISTINCT-unit pass (map-side combinable
+    aggregate on the unit key), then a 2-value fold on one row —
+    nothing else."""
+    units = (
+        events.where(F.col(unit_col).isNotNull())
+        .select(F.col(unit_col).alias("unit"))
+        .distinct()
+        .select((md5_int64(F.col("unit").cast("string")) % 2).alias("variant"))
+    )
+    d38 = "decimal(38,0)"
+    mom = units.groupBy().agg(
+        F.coalesce(F.sum(F.when(F.col("variant") == 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_control"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_treatment"),
+    )
+    diff = F.col("n_control").cast(d38) - F.col("n_treatment").cast(d38)
+    n = F.col("n_control") + F.col("n_treatment")
+    chi2 = F.when(
+        n > 0,
+        (diff * diff).cast(d38).cast("string").cast("double")
+        / n.cast("double"),
+    )
+    return mom.select(
+        "n_control",
+        "n_treatment",
+        n.cast("long").alias("n_units"),
+        F.when(n > 0, F.expr(
+            "abs(n_control - n_treatment) * 1000000"
+            " div (n_control + n_treatment)"
+        )).alias("imbalance_ppm"),
+        chi2.alias("chi2_stat"),
+        F.when(n > 0, chi2 > F.lit(3.841)).alias("srm_detected"),
+    )
+
+
+def sql_ab_srm_check(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+) -> str:
+    """DuckDB oracle twin of :func:`ab_srm_check` — identical split,
+    integer numerator, and pinned divide."""
+    h = sql_md5_int64(f"CAST(unit AS VARCHAR)")
+    return f"""
+    WITH units AS (
+      SELECT DISTINCT {unit_col} AS unit FROM {table}
+      WHERE {unit_col} IS NOT NULL),
+    arms AS (
+      SELECT
+        COALESCE(CAST(SUM(CASE WHEN {h} % 2 = 0 THEN 1 END) AS BIGINT), 0)
+          AS n_control,
+        COALESCE(CAST(SUM(CASE WHEN {h} % 2 = 1 THEN 1 END) AS BIGINT), 0)
+          AS n_treatment
+      FROM units),
+    stat AS (
+      SELECT n_control, n_treatment,
+             CAST(n_control + n_treatment AS BIGINT) AS n_units,
+             CASE WHEN n_control + n_treatment > 0 THEN
+               CAST(CAST((CAST(n_control AS HUGEINT) - n_treatment)
+                    * (CAST(n_control AS HUGEINT) - n_treatment)
+                    AS VARCHAR) AS DOUBLE)
+               / CAST(n_control + n_treatment AS DOUBLE)
+             END AS chi2_stat
+      FROM arms)
+    SELECT n_control, n_treatment, n_units,
+           CASE WHEN n_units > 0 THEN
+             CAST(ABS(n_control - n_treatment) * 1000000 // n_units
+                  AS BIGINT) END AS imbalance_ppm,
+           chi2_stat,
+           CASE WHEN n_units > 0 THEN chi2_stat > 3.841 END AS srm_detected
+    FROM stat
+    """
+
+
+def ab_cuped(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_us: int = 0,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): adjust each unit's experiment-period metric Y by its
+    pre-period covariate X,
+
+        Ycv_i = Y_i − θ·(X_i − X̄),   θ = cov(X, Y) / var(X) (pooled)
+
+    which preserves the treatment effect (assignment is independent
+    of X) while removing the variance X explains — the industry-
+    standard way to reach significance with less traffic. Same
+    deterministic md5 50/50 unit split as the rest of the A/B family.
+
+    X = the unit's exact DECIMAL value total strictly BEFORE
+    ``split_us`` (epoch µs), Y = its total at-or-after; units missing
+    a side total 0 there (absence of spend is signal — the Welch
+    convention), NULL unit ids and NULL timestamps are excluded.
+
+    Exactness: per-unit totals quantize to 2^20 fx BIGINTs; the five
+    arm moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    DECIMAL(38,0); every centered second moment is the exact integer
+    identity n·Σab − Σa·Σb, VARCHAR-routed to double; θ, the adjusted
+    means/variances, and
+
+        z = (m̄cv_t − m̄cv_c) / √(s²cv_c/n_c + s²cv_t/n_t)
+
+    are pinned IEEE chains (the fx scale cancels in θ and z; the
+    REPORTED means divide by 2^20 once). Contracts: pooled var(X) = 0
+    ⇒ θ = 0 (no covariate signal — CUPED degenerates to the plain
+    difference, stated not hidden); an arm with < 2 units ⇒ NULL
+    z/variances; pooled var(Y) = 0 ⇒ NULL variance-reduction ratio.
+
+    Output: ONE row (n_control, n_treatment, theta, mean_control_cv,
+    mean_treatment_cv, z_stat, var_reduction_ppm =
+    ⌊10⁶·var(Ycv)/var(Y)⌋ pooled — e.g. 600000 means CUPED needs 40%
+    less traffic for the same power).
+
+    Scale shape: one combinable per-unit conditional aggregate over
+    the corpus, a units→2-row moment reduction, a 1-row fold. No
+    window, no join, no skew surface — Welch's shape exactly."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    s = float(WELCH_SCALE)
+    per = (
+        events.where(F.col(unit_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            *[
+                F.floor(
+                    F.coalesce(
+                        F.sum(
+                            F.when(cond, F.col(value_col)).cast(
+                                "decimal(27,6)"
+                            )
+                        ),
+                        F.lit(0).cast("decimal(27,6)"),
+                    ).cast("double")
+                    * F.lit(s)
+                )
+                .cast("long")
+                .alias(alias)
+                for alias, cond in (
+                    (
+                        "xfx",
+                        F.expr(
+                            f"unix_micros(cast({ts_col} as timestamp))"
+                        ) < F.lit(int(split_us)),
+                    ),
+                    (
+                        "yfx",
+                        F.expr(
+                            f"unix_micros(cast({ts_col} as timestamp))"
+                        ) >= F.lit(int(split_us)),
+                    ),
+                )
+            ],
+        )
+        .select(
+            "xfx",
+            "yfx",
+            (md5_int64(F.col("unit").cast("string")) % 2).alias("variant"),
+        )
+    )
+    aggs = []
+    for v, tag in ((0, "c"), (1, "t")):
+        arm = F.col("variant") == v
+        aggs.append(
+            F.coalesce(F.sum(F.when(arm, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"n_{tag}")
+        )
+        for mname, expr in (
+            ("sx", F.col("xfx").cast(d38)),
+            ("sy", F.col("yfx").cast(d38)),
+            (
+                "sxy",
+                (F.col("xfx").cast(d19) * F.col("yfx").cast(d19)).cast(d38),
+            ),
+            (
+                "sxx",
+                (F.col("xfx").cast(d19) * F.col("xfx").cast(d19)).cast(d38),
+            ),
+            (
+                "syy",
+                (F.col("yfx").cast(d19) * F.col("yfx").cast(d19)).cast(d38),
+            ),
+        ):
+            aggs.append(
+                F.coalesce(F.sum(F.when(arm, expr)), F.lit(0).cast(d38))
+                .cast(d38)
+                .alias(f"{mname}_{tag}")
+            )
+    mom = per.groupBy().agg(*aggs)
+
+    def dbl(expr: str):
+        return F.expr(f"cast(cast({expr} as string) as double)")
+
+    pooled = {
+        "N": "(n_c + n_t)",
+        "SX": "(sx_c + sx_t)",
+        "SY": "(sy_c + sy_t)",
+        "SXY": "(sxy_c + sxy_t)",
+        "SXX": "(sxx_c + sxx_t)",
+        "SYY": "(syy_c + syy_t)",
+    }
+    N, SX, SY = pooled["N"], pooled["SX"], pooled["SY"]
+    SXY, SXX, SYY = pooled["SXY"], pooled["SXX"], pooled["SYY"]
+    cN = f"cast({N} as decimal(38,0))"
+    sxx_p = dbl(f"{cN} * {SXX} - {SX} * {SX}")
+    sxy_p = dbl(f"{cN} * {SXY} - {SX} * {SY}")
+    syy_p = dbl(f"{cN} * {SYY} - {SY} * {SY}")
+    theta = F.when(sxx_p > 0, sxy_p / sxx_p).otherwise(F.lit(0.0))
+    stage1 = mom.select(
+        "*",
+        theta.alias("theta"),
+        F.when(
+            F.expr(N) > 0, dbl(SX) / F.expr(f"cast({N} as double)")
+        ).alias("xbar"),
+        sxx_p.alias("_sxx_p"),
+        sxy_p.alias("_sxy_p"),
+        syy_p.alias("_syy_p"),
+    )
+
+    def arm(tag):
+        n = F.col(f"n_{tag}")
+        n_d = n.cast("double")
+        mcv = F.when(
+            n > 0,
+            dbl(f"sy_{tag}") / n_d
+            - F.col("theta") * (dbl(f"sx_{tag}") / n_d - F.col("xbar")),
+        )
+        cn = f"cast(n_{tag} as decimal(38,0))"
+        scv = (
+            dbl(f"{cn} * syy_{tag} - sy_{tag} * sy_{tag}")
+            - F.lit(2.0)
+            * F.col("theta")
+            * dbl(f"{cn} * sxy_{tag} - sx_{tag} * sy_{tag}")
+            + F.col("theta")
+            * F.col("theta")
+            * dbl(f"{cn} * sxx_{tag} - sx_{tag} * sx_{tag}")
+        )
+        vcv = F.when(n > 1, scv / (n_d * (n_d - F.lit(1.0))))
+        return mcv, vcv
+
+    mcv_c, vcv_c = arm("c")
+    mcv_t, vcv_t = arm("t")
+    stage2 = stage1.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        "theta",
+        mcv_c.alias("_mcv_c"),
+        mcv_t.alias("_mcv_t"),
+        vcv_c.alias("_vcv_c"),
+        vcv_t.alias("_vcv_t"),
+        "_sxx_p",
+        "_sxy_p",
+        "_syy_p",
+    )
+    se2 = (
+        F.col("_vcv_c") / F.col("n_control").cast("double")
+        + F.col("_vcv_t") / F.col("n_treatment").cast("double")
+    )
+    scorable = (
+        (F.col("n_control") > 1)
+        & (F.col("n_treatment") > 1)
+        & F.col("_vcv_c").isNotNull()
+        & F.col("_vcv_t").isNotNull()
+    )
+    scv_p = (
+        F.col("_syy_p")
+        - F.lit(2.0) * F.col("theta") * F.col("_sxy_p")
+        + F.col("theta") * F.col("theta") * F.col("_sxx_p")
+    )
+    return stage2.select(
+        "n_control",
+        "n_treatment",
+        "theta",
+        (F.col("_mcv_c") / F.lit(s)).alias("mean_control_cv"),
+        (F.col("_mcv_t") / F.lit(s)).alias("mean_treatment_cv"),
+        F.when(
+            scorable & (se2 > 0),
+            (F.col("_mcv_t") - F.col("_mcv_c")) / F.sqrt(se2),
+        ).alias("z_stat"),
+        F.when(
+            F.col("_syy_p") > 0,
+            F.floor(F.lit(1_000_000.0) * scv_p / F.col("_syy_p")).cast(
+                "long"
+            ),
+        ).alias("var_reduction_ppm"),
+    )
+
+
+def sql_ab_cuped(
+    *,
+    table: str = "events",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_us: int = 0,
+) -> str:
+    """DuckDB oracle twin of :func:`ab_cuped` — identical split,
+    conditional per-unit totals, HUGEINT moments, and pinned double
+    chains (VARCHAR-routed casts, explicit multiplies, same
+    expression order)."""
+    s = float(WELCH_SCALE)
+    h = sql_md5_int64("CAST(unit AS VARCHAR)")
+    d = lambda e: f"CAST(CAST(({e}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+    def m(v, expr, alias):
+        return (
+            f"COALESCE(CAST(SUM(CASE WHEN variant = {v} THEN {expr} END)"
+            f" AS HUGEINT), 0) AS {alias}"
+        )
+
+    moments = ",\n        ".join(
+        [
+            f"COALESCE(CAST(SUM(CASE WHEN variant = {v} THEN 1 END)"
+            f" AS BIGINT), 0) AS n_{tag},\n        "
+            + ",\n        ".join(
+                [
+                    m(v, "CAST(xfx AS HUGEINT)", f"sx_{tag}"),
+                    m(v, "CAST(yfx AS HUGEINT)", f"sy_{tag}"),
+                    m(v, "CAST(xfx AS HUGEINT) * yfx", f"sxy_{tag}"),
+                    m(v, "CAST(xfx AS HUGEINT) * xfx", f"sxx_{tag}"),
+                    m(v, "CAST(yfx AS HUGEINT) * yfx", f"syy_{tag}"),
+                ]
+            )
+            for v, tag in ((0, "c"), (1, "t"))
+        ]
+    )
+    arm_cols = []
+    for tag in ("c", "t"):
+        cn = f"CAST(n_{tag} AS HUGEINT)"
+        mcv = (
+            f"CASE WHEN n_{tag} > 0 THEN {d(f'sy_{tag}')}"
+            f" / CAST(n_{tag} AS DOUBLE)"
+            f" - theta * ({d(f'sx_{tag}')} / CAST(n_{tag} AS DOUBLE)"
+            f" - xbar) END"
+        )
+        scv = (
+            f"{d(f'{cn} * syy_{tag} - sy_{tag} * sy_{tag}')}"
+            f" - 2.0 * theta * {d(f'{cn} * sxy_{tag} - sx_{tag} * sy_{tag}')}"
+            f" + theta * theta"
+            f" * {d(f'{cn} * sxx_{tag} - sx_{tag} * sx_{tag}')}"
+        )
+        vcv = (
+            f"CASE WHEN n_{tag} > 1 THEN ({scv})"
+            f" / (CAST(n_{tag} AS DOUBLE) * (CAST(n_{tag} AS DOUBLE) - 1.0))"
+            f" END"
+        )
+        arm_cols.append(f"{mcv} AS _mcv_{tag}, {vcv} AS _vcv_{tag}")
+    return f"""
+    WITH per AS (
+      SELECT
+        CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN EPOCH_US({ts_col})
+                 < {int(split_us)} THEN CAST({value_col} AS DECIMAL(27,6))
+                 END), 0) AS DOUBLE) * {s!r}) AS BIGINT) AS xfx,
+        CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN EPOCH_US({ts_col})
+                 >= {int(split_us)} THEN CAST({value_col} AS DECIMAL(27,6))
+                 END), 0) AS DOUBLE) * {s!r}) AS BIGINT) AS yfx,
+        {h} % 2 AS variant
+      FROM (SELECT {unit_col} AS unit, {ts_col}, {value_col} FROM {table}
+            WHERE {unit_col} IS NOT NULL AND {ts_col} IS NOT NULL)
+      GROUP BY unit),
+    mom AS (
+      SELECT
+        {moments}
+      FROM per),
+    pool AS (
+      SELECT *,
+        CASE WHEN {d('CAST(n_c + n_t AS HUGEINT) * (sxx_c + sxx_t)'
+                     ' - (sx_c + sx_t) * (sx_c + sx_t)')} > 0
+             THEN {d('CAST(n_c + n_t AS HUGEINT) * (sxy_c + sxy_t)'
+                     ' - (sx_c + sx_t) * (sy_c + sy_t)')}
+                  / {d('CAST(n_c + n_t AS HUGEINT) * (sxx_c + sxx_t)'
+                       ' - (sx_c + sx_t) * (sx_c + sx_t)')}
+             ELSE 0.0 END AS theta,
+        CASE WHEN n_c + n_t > 0
+             THEN {d('sx_c + sx_t')} / CAST(n_c + n_t AS DOUBLE) END AS xbar,
+        {d('CAST(n_c + n_t AS HUGEINT) * (sxx_c + sxx_t)'
+           ' - (sx_c + sx_t) * (sx_c + sx_t)')} AS _sxx_p,
+        {d('CAST(n_c + n_t AS HUGEINT) * (sxy_c + sxy_t)'
+           ' - (sx_c + sx_t) * (sy_c + sy_t)')} AS _sxy_p,
+        {d('CAST(n_c + n_t AS HUGEINT) * (syy_c + syy_t)'
+           ' - (sy_c + sy_t) * (sy_c + sy_t)')} AS _syy_p
+      FROM mom),
+    arms AS (
+      SELECT *, {', '.join(arm_cols)}
+      FROM pool)
+    SELECT
+      n_c AS n_control, n_t AS n_treatment, theta,
+      _mcv_c / {s!r} AS mean_control_cv,
+      _mcv_t / {s!r} AS mean_treatment_cv,
+      CASE WHEN n_c > 1 AND n_t > 1 AND _vcv_c IS NOT NULL
+                AND _vcv_t IS NOT NULL
+                AND _vcv_c / CAST(n_c AS DOUBLE)
+                    + _vcv_t / CAST(n_t AS DOUBLE) > 0
+           THEN (_mcv_t - _mcv_c)
+                / SQRT(_vcv_c / CAST(n_c AS DOUBLE)
+                       + _vcv_t / CAST(n_t AS DOUBLE)) END AS z_stat,
+      CASE WHEN _syy_p > 0 THEN
+        CAST(FLOOR(1000000.0 * (_syy_p - 2.0 * theta * _sxy_p
+                   + theta * theta * _sxx_p) / _syy_p) AS BIGINT)
+      END AS var_reduction_ppm
+    FROM arms
+    """
+
+
+#: Poisson(1) inverse-CDF thresholds on the 60-bit hash scale:
+#: a draw u ∈ [0, 2^60) maps to weight w = #{k : u ≥ T_k}, k = 0..7
+#: (weights cap at 8 — tail mass 1.1e-7, capped identically on both
+#: engines). The constants are Python-float CDF values floored onto
+#: the integer scale ONCE here and embedded as literals in both
+#: engines, so the draw→weight map is bit-identical by construction.
+import math as _math
+
+POISSON_T = tuple(
+    min(
+        _math.floor(
+            (sum(1.0 / _math.factorial(i) for i in range(k + 1)) / _math.e)
+            * (1 << 60)
+        ),
+        (1 << 60) - 1,
+    )
+    for k in range(8)
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    b_replicates: int = 64,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Poisson-bootstrap percentile CI for the mean — the
+    distribution-free uncertainty readout for ANY metric (Efron 1979;
+    the Poisson(1) resampling form is the standard distributed
+    variant — Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012 — because it needs no global n at draw
+    time: each row independently draws a Poisson(1) replication count
+    per replicate, so the whole resample is one map-side expression).
+
+    Determinism: the per-(row, replicate) draw is the md5 hash of
+    ``'b|id'`` (the engine-wide seeded-hash convention), mapped
+    through the fixed integer thresholds ``POISSON_T`` — re-runs,
+    retries, and the oracle produce identical replicates. Replicate
+    means are ONE pinned divide over exact integer sums; the CI is
+    the nearest-rank order statistic over the B means — lo rank
+    ⌊α/2·(B−1)⌋+1, hi its mirror — never an interpolated percentile
+    (two engines interpolating is two roundings).
+
+    NULL ids/values are excluded by contract (no identity to hash /
+    nothing to resample). Output: ONE row (n_rows, b_replicates,
+    mean_value — the full-data mean of the SAME 2^20-fx-quantized
+    variable the replicates resample, from an exact integer sum —
+    ci_lo, ci_hi). Empty input: one row, n_rows = 0, NULL mean/CI.
+
+    Scale shape: the ×B explode is map-side (sequence + explode feed
+    straight into a partial aggregate — each partition emits ≤ B
+    rows), ONE exchange carries B partial rows per partition, the
+    order statistic sorts a B-length array on one row. Replicate sums
+    accumulate as DECIMAL(38,0) (BIGINT would overflow near 10^19 fx
+    at 100 TB); B bounds memory, not the corpus."""
+    if b_replicates < 4:
+        raise ValueError(f"b_replicates must be >= 4, got {b_replicates}")
+    if not 0 < alpha_ppm < 1_000_000:
+        raise ValueError(f"alpha_ppm must be in (0, 1e6), got {alpha_ppm}")
+    b = int(b_replicates)
+    lo_rank = (alpha_ppm * (b - 1)) // 2_000_000 + 1
+    hi_rank = b - lo_rank + 1
+    s = float(WELCH_SCALE)
+    d38 = "decimal(38,0)"
+
+    rows = df.where(
+        F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.floor(F.col(value_col) * F.lit(s)).cast("long").alias("xfx"),
+    )
+    repl = rows.select(
+        "_id",
+        "xfx",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("b").cast("string"), F.lit("|"), F.col("_id"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = None
+    for t in POISSON_T:
+        term = (u >= F.lit(t)).cast("int")
+        w = term if w is None else w + term
+    per_b = (
+        repl.select("b", "xfx", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_b"),
+            F.sum((F.col("w") * F.col("xfx")).cast(d38)).cast(d38).alias("s_b"),
+        )
+    )
+    means = per_b.select(
+        F.when(
+            F.col("n_b") > 0,
+            F.expr("cast(cast(s_b as string) as double)")
+            / F.col("n_b").cast("double")
+            / F.lit(s),
+        ).alias("m")
+    ).where(F.col("m").isNotNull())
+    summary = means.groupBy().agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    # full-data mean of the SAME fx-quantized variable the replicates
+    # resample: exact DECIMAL(38,0) Σxfx, VARCHAR-routed, two pinned
+    # divides (never a dense-double→DECIMAL cast — tie semantics)
+    base = rows.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.expr(
+                "cast(cast(sum(cast(xfx as decimal(38,0))) as string)"
+                " as double)"
+            )
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(s),
+        ).alias("mean_value"),
+    )
+    # try_element_at, not element_at: replicates whose total weight is
+    # 0 (tiny inputs) produce no mean, so the rank can exceed the list
+    # — NULL CI then (honest undersampling), matching DuckDB's
+    # out-of-range list index semantics instead of raising
+    return base.crossJoin(F.broadcast(summary)).select(
+        "n_rows",
+        F.lit(b).cast("long").alias("b_replicates"),
+        "mean_value",
+        F.try_element_at(F.col("ms"), F.lit(lo_rank)).alias("ci_lo"),
+        F.try_element_at(F.col("ms"), F.lit(hi_rank)).alias("ci_hi"),
+    )
+
+
+def sql_bootstrap_ci(
+    *,
+    table: str = "events",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    b_replicates: int = 64,
+    alpha_ppm: int = 50_000,
+) -> str:
+    """DuckDB oracle twin of :func:`bootstrap_ci` — identical hash
+    draws, threshold ladder, replicate sums, and nearest-rank
+    selection."""
+    b = int(b_replicates)
+    lo_rank = (alpha_ppm * (b - 1)) // 2_000_000 + 1
+    hi_rank = b - lo_rank + 1
+    s = float(WELCH_SCALE)
+    u = (
+        "CAST(('0x' || SUBSTR(MD5(CAST(b AS VARCHAR) || '|' || _id), 1, 15))"
+        " AS BIGINT)"
+    )
+    w = " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in POISSON_T
+    )
+    return f"""
+    WITH rows_t AS (
+      SELECT CAST({id_col} AS VARCHAR) AS _id,
+             CAST(FLOOR({value_col} * {s!r}) AS BIGINT) AS xfx
+      FROM {table}
+      WHERE {id_col} IS NOT NULL AND {value_col} IS NOT NULL),
+    repl AS (
+      SELECT _id, xfx, b, ({w}) AS w
+      FROM rows_t, (SELECT UNNEST(RANGE(0, {b})) AS b)),
+    per_b AS (
+      SELECT b, CAST(SUM(w) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(w * xfx AS HUGEINT)) AS HUGEINT) AS s_b
+      FROM repl GROUP BY b),
+    means AS (
+      SELECT CAST(CAST(s_b AS VARCHAR) AS DOUBLE)
+             / CAST(n_b AS DOUBLE) / {s!r} AS m
+      FROM per_b WHERE n_b > 0),
+    summary AS (SELECT LIST(m ORDER BY m) AS ms FROM means),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CASE WHEN COUNT(*) > 0 THEN
+               CAST(CAST(SUM(CAST(xfx AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / {s!r}
+             END AS mean_value
+      FROM rows_t)
+    SELECT n_rows, CAST({b} AS BIGINT) AS b_replicates, mean_value,
+           ms[{lo_rank}] AS ci_lo, ms[{hi_rank}] AS ci_hi
+    FROM base CROSS JOIN summary
+    """

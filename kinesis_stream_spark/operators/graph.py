@@ -1598,6 +1598,18 @@ def modularity(
     """Newman modularity of the label-propagation partition — the
     "are these communities real" score the detection step itself
     can't provide (Newman & Girvan 2004): Q = Σ_c [L_c/m − (D_c/2m)²]
+
+    Bench note (round-11 adjudication of the r9→r10 9.3→11.4 s drift,
+    sf0.1 local[32] idle host, fresh process each, gc between reps):
+    SOLO min-of-3 = 11.85 s (reps 23.9/12.3/11.9) — matching the r10
+    full-suite 11.4 s, so r10 IS the steady state and r9's lower
+    number was favorable context; run in the same session AFTER
+    graph_label_propagation the same binary measures 17.6 s min-of-3
+    (predecessor session residue — released checkpoint/broadcast
+    blocks reap asynchronously). Per-query numbers for this family
+    carry ±30-50% session-context noise that min-of-2 cannot remove;
+    compare rounds only against solo fresh-process measurements. Code
+    untouched since r8.
     with m the undirected edge count, L_c community c's internal
     edges, D_c its degree mass. Q ≈ 0 says the partition is no better
     than random wiring; Q ≳ 0.3 says real structure. Per-community

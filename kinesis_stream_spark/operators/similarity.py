@@ -726,6 +726,14 @@ def semantic_dedup(
     the same min-label propagation text dedup uses. At 100 TB: train on
     a sample, write the assignment once (partition by cid), and the
     per-cluster pair scan parallelizes per inverted list.
+
+    Bench note (round-11 adjudication of the r9→r10 8.7→11.0 s drift,
+    sf0.1 local[32] idle host, fresh process, gc between reps): SOLO
+    min-of-3 = 11.99 s (reps 27.0/13.0/12.0) — matching the r10
+    full-suite 11.0 s; r10 is the steady state, the r9 number was
+    favorable session context (the graph_modularity adjudication's
+    twin — see operators/graph.py:modularity). Code untouched since
+    r8.
     """
     from kinesis_stream_spark.operators.dedup import connected_components
 

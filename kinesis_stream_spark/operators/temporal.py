@@ -4127,3 +4127,302 @@ def sql_linear_interpolation(
                      / CAST(nxt.b - prev.b AS DOUBLE) END AS interp_sum
     FROM filled
     """
+
+
+def seasonal_naive(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    season: int = 7,
+) -> DataFrame:
+    """Per-key seasonal-naive forecast skill — the missing member of
+    the forecasting fold family (EWMA / Holt / CUSUM): the forecast
+    for period t is simply the value one SEASON earlier, v(t −
+    season), the baseline every fancier seasonal model must beat
+    (Hyndman & Athanasopoulos, *Forecasting: Principles and
+    Practice*, §5.2). The operator scores that baseline in-sample
+    against the plain naive v(t − 1) and emits the next-period
+    forecast:
+
+    - per evaluable period (both v(t) and the lagged value observed
+      on the calendar grid — gaps don't fake a lag), the absolute
+      error accumulates as exact 2^20-fx BIGINTs;
+    - mae_*_fx = ⌊Σ|e| / n_eval⌋ (non-negative integer division —
+      truncate == floor on both engines);
+    - mase_ppm = ⌊mae_snaive·10⁶ / mae_naive⌋ — the integer MASE
+      twin (< 10⁶ ⟺ the seasonal baseline beats naive ⟺ the key
+      actually has weekly structure worth modeling);
+    - forecast_next_fx = v(max_bucket + 1 − season), NULL when that
+      calendar slot was never observed (an honest gap, not a LOCF).
+
+    Lags are CALENDAR joins (bucket = t − season on the bucketed
+    grid), not array offsets — a key with missing days lags to the
+    true calendar slot or not at all. NULL timestamps and NULL
+    values are excluded by contract (no place on the grid / no
+    measurable error). Keys need no minimum history: n_eval_* = 0
+    yields NULL MAEs (nothing evaluable), NULL mase_ppm when the
+    naive MAE is 0 or unevaluable.
+
+    Output per key: (key, n_periods, n_eval_snaive, n_eval_naive,
+    mae_snaive_fx, mae_naive_fx, mase_ppm, forecast_next_fx,
+    forecast_next).
+
+    Scale shape: ONE combinable (key, bucket) aggregate over the
+    corpus, then everything runs on the keys×periods grid frame —
+    two self-equi-joins of that frame (hash, grid-sized), one grouped
+    reduction, one keys-sized max join. No window over raw events,
+    no skew surface beyond the grid."""
+    if season < 1:
+        raise ValueError(f"season must be >= 1, got {season}")
+    daily = (
+        events.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+        )
+        .agg(dsum(value_col, "v"))
+        .select(
+            "key",
+            "bucket",
+            F.floor(F.col("v") * F.lit(float(EWMA_SCALE)))
+            .cast("long")
+            .alias("vfx"),
+        )
+    )
+    sn = daily.select(
+        "key",
+        (F.col("bucket") + season).alias("bucket"),
+        F.col("vfx").alias("sn_fx"),
+    )
+    nv = daily.select(
+        "key",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("vfx").alias("nv_fx"),
+    )
+    j = daily.join(sn, ["key", "bucket"], "left").join(
+        nv, ["key", "bucket"], "left"
+    )
+    stats = j.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.count("sn_fx").cast("long").alias("n_eval_snaive"),
+        F.count("nv_fx").cast("long").alias("n_eval_naive"),
+        F.sum(F.abs(F.col("vfx") - F.col("sn_fx"))).alias("_ae_sn"),
+        F.sum(F.abs(F.col("vfx") - F.col("nv_fx"))).alias("_ae_nv"),
+        F.max("bucket").alias("_maxb"),
+    )
+    fc = daily.select(
+        "key",
+        (F.col("bucket") - 1 + season).alias("_maxb"),
+        F.col("vfx").alias("forecast_next_fx"),
+    )
+    mae_sn = F.when(
+        F.col("n_eval_snaive") > 0,
+        F.expr("_ae_sn div n_eval_snaive"),
+    )
+    mae_nv = F.when(
+        F.col("n_eval_naive") > 0,
+        F.expr("_ae_nv div n_eval_naive"),
+    )
+    out = stats.join(fc, ["key", "_maxb"], "left").select(
+        "key",
+        "n_periods",
+        "n_eval_snaive",
+        "n_eval_naive",
+        mae_sn.alias("mae_snaive_fx"),
+        mae_nv.alias("mae_naive_fx"),
+        F.when(
+            mae_nv > 0, (mae_sn * F.lit(1_000_000)).cast("long")
+        ).alias("_num"),
+        "forecast_next_fx",
+    )
+    return out.select(
+        "key",
+        "n_periods",
+        "n_eval_snaive",
+        "n_eval_naive",
+        "mae_snaive_fx",
+        "mae_naive_fx",
+        F.expr("_num div mae_naive_fx").alias("mase_ppm"),
+        "forecast_next_fx",
+        (F.col("forecast_next_fx").cast("double") / EWMA_SCALE).alias(
+            "forecast_next"
+        ),
+    )
+
+
+def sql_seasonal_naive(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_us: int = DAY_US,
+    season: int = 7,
+) -> str:
+    """DuckDB oracle twin of :func:`seasonal_naive` — identical grid,
+    calendar lags, fx floors, and integer divisions."""
+    s = float(EWMA_SCALE)
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+             CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
+                             AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+      GROUP BY 1, 2),
+    j AS (
+      SELECT d.key, d.bucket, d.vfx, sn.vfx AS sn_fx, nv.vfx AS nv_fx
+      FROM daily d
+      LEFT JOIN daily sn
+        ON sn.key = d.key AND sn.bucket + {season} = d.bucket
+      LEFT JOIN daily nv
+        ON nv.key = d.key AND nv.bucket + 1 = d.bucket),
+    stats AS (
+      SELECT key,
+             CAST(COUNT(*) AS BIGINT) AS n_periods,
+             CAST(COUNT(sn_fx) AS BIGINT) AS n_eval_snaive,
+             CAST(COUNT(nv_fx) AS BIGINT) AS n_eval_naive,
+             SUM(ABS(vfx - sn_fx)) AS _ae_sn,
+             SUM(ABS(vfx - nv_fx)) AS _ae_nv,
+             MAX(bucket) AS _maxb
+      FROM j GROUP BY key),
+    mae AS (
+      SELECT key, n_periods, n_eval_snaive, n_eval_naive, _maxb,
+             CASE WHEN n_eval_snaive > 0
+                  THEN _ae_sn // n_eval_snaive END AS mae_snaive_fx,
+             CASE WHEN n_eval_naive > 0
+                  THEN _ae_nv // n_eval_naive END AS mae_naive_fx
+      FROM stats)
+    SELECT * FROM (
+      SELECT m.key AS key, m.n_periods, m.n_eval_snaive, m.n_eval_naive,
+             CAST(m.mae_snaive_fx AS BIGINT) AS mae_snaive_fx,
+             CAST(m.mae_naive_fx AS BIGINT) AS mae_naive_fx,
+             CAST(CASE WHEN m.mae_naive_fx > 0
+                  THEN (m.mae_snaive_fx * 1000000) // m.mae_naive_fx
+                  END AS BIGINT) AS mase_ppm,
+             f.vfx AS forecast_next_fx,
+             CAST(f.vfx AS DOUBLE) / {EWMA_SCALE} AS forecast_next
+      FROM mae m
+      LEFT JOIN daily f
+        ON f.key = m.key AND f.bucket = m._maxb + 1 - {season})
+    """
+
+
+def rolling_distinct(
+    events: DataFrame,
+    *,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = DAY_US,
+    window: int = 7,
+) -> DataFrame:
+    """Exact rolling distinct-count engagement curve — per grid day d:
+    DAU (distinct ids active on d), WAU (distinct ids active in
+    [d−window+1, d]), and the DAU/WAU stickiness ratio — the
+    retention dashboard readout that naive SQL writes as a per-day
+    range self-join (O(days·corpus)) and this operator as a bounded
+    CONTRIBUTION EXPLODE: each distinct (id, day) pair contributes to
+    the ``window`` target days it can see, so the cost is
+    window × |distinct pairs|, never days × corpus — the standard
+    scalable form of a sliding COUNT DISTINCT (no sketch, exact).
+
+    Output: one row per day in [min_day, max_day] (the full observed
+    grid — quiet days report dau = 0 and whatever WAU the trailing
+    window still holds; a gap longer than the window reports both 0):
+    (day_bucket, dau, wau, stickiness_ppm = ⌊dau·10⁶/wau⌋, NULL when
+    wau = 0). Day buckets are epoch-µs floor divisions (the grid
+    convention). NULL ids/timestamps are excluded by contract.
+
+    Scale shape: ONE distinct pass on (id, day) (map-side
+    combinable), a ×window explode feeding a distinct count keyed by
+    target day (the second exchange), a days-sized grid from one
+    broadcast 1-row span. Nothing is ever days × corpus; the grid
+    frame is KB-sized at any corpus size."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    pairs = (
+        events.where(F.col(ts_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            _bucket(ts_col, unit_us).alias("bucket"),
+        )
+        .distinct()
+    )
+    dau = pairs.groupBy(F.col("bucket").alias("day_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wau = (
+        pairs.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("bucket"), F.col("bucket") + (window - 1))
+            ).alias("day_bucket"),
+        )
+        .groupBy("day_bucket")
+        .agg(F.count_distinct(F.col("id")).cast("long").alias("wau"))
+    )
+    span = pairs.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.where(F.col("lo").isNotNull()).select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_bucket")
+    )
+    out = (
+        grid.join(dau, "day_bucket", "left")
+        .join(wau, "day_bucket", "left")
+        .select(
+            "day_bucket",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau"),
+        )
+    )
+    return out.select(
+        "day_bucket",
+        "dau",
+        "wau",
+        F.when(
+            F.col("wau") > 0, F.expr("dau * 1000000 div wau")
+        ).alias("stickiness_ppm"),
+    )
+
+
+def sql_rolling_distinct(
+    *,
+    table: str = "events",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = DAY_US,
+    window: int = 7,
+) -> str:
+    """DuckDB oracle twin of :func:`rolling_distinct` — identical
+    grid, contribution explode, and integer ratio."""
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT {id_col} AS id,
+             EPOCH_US({ts_col}) // {unit_us} AS bucket
+      FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {id_col} IS NOT NULL),
+    dau AS (
+      SELECT bucket AS day_bucket, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM pairs GROUP BY 1),
+    wau AS (
+      SELECT bucket + off AS day_bucket,
+             CAST(COUNT(DISTINCT id) AS BIGINT) AS wau
+      FROM pairs, (SELECT UNNEST(RANGE(0, {window})) AS off)
+      GROUP BY 1),
+    grid AS (
+      SELECT UNNEST(RANGE(MIN(bucket), MAX(bucket) + 1)) AS day_bucket
+      FROM pairs)
+    SELECT g.day_bucket,
+           COALESCE(d.dau, 0) AS dau,
+           COALESCE(w.wau, 0) AS wau,
+           CASE WHEN COALESCE(w.wau, 0) > 0
+                THEN CAST(COALESCE(d.dau, 0) * 1000000 // w.wau AS BIGINT)
+           END AS stickiness_ppm
+    FROM grid g
+    LEFT JOIN dau d USING (day_bucket)
+    LEFT JOIN wau w USING (day_bucket)
+    """

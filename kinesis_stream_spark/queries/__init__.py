@@ -57,6 +57,10 @@ _PRIORITY = (
     # never driver-verified: round-11 registrations land HERE, at
     # most eight (each inserted in the commit that registers it)
     "join_asof_error_before_purchase",
+    "events_seasonal_naive_forecast",
+    "events_ab_srm_check",
+    "events_ab_cuped",
+    "events_bootstrap_ci",
     # edited in round 11 (ADVICE-r10 semantic fixes: floor-safe
     # hellinger midpoint, join-cardinality overflow clamp, sampler
     # weight-ceiling clamp, scorecard literal escaping) — code newer

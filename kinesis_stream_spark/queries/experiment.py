@@ -132,3 +132,58 @@ def events_ab_delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     finals (operators/experiment.py:ab_delta_ratio)."""
     ev = load_table(spark, sf_dir, "events")
     return ab_delta_ratio(ev)
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    ab_srm_check,
+    sql_ab_srm_check,
+)
+
+
+@_q("events_ab_srm_check", sql_ab_srm_check())
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch health gate for the shared md5 50/50
+    split: χ²(1) on distinct-unit arm counts vs the 1:1 expectation,
+    integer-exact numerator, 3.841 critical flag — run it BEFORE
+    trusting any A/B readout (operators/experiment.py:ab_srm_check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ab_srm_check(ev)
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    ab_cuped,
+    sql_ab_cuped,
+)
+
+#: pre/post boundary for the CUPED covariate: 2024-01-11 00:00 UTC —
+#: the events table spans January 2024, so the first ten days form
+#: the pre-period X and the rest the experiment metric Y.
+_CUPED_SPLIT_US = 1_704_931_200_000_000
+
+
+@_q("events_ab_cuped", sql_ab_cuped(split_us=_CUPED_SPLIT_US))
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng-Xu-Kohavi-Walker WSDM
+    2013) under the shared md5 50/50 split: per-unit pre-period value
+    totals as the covariate, exact DECIMAL(38,0) arm moments, pinned
+    θ / adjusted-z chain, and the variance-reduction ratio that prices
+    the traffic saved (operators/experiment.py:ab_cuped)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ab_cuped(ev, split_us=_CUPED_SPLIT_US)
+
+
+from kinesis_stream_spark.operators.experiment import (  # noqa: E402
+    bootstrap_ci,
+    sql_bootstrap_ci,
+)
+
+
+@_q("events_bootstrap_ci", sql_bootstrap_ci())
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% percentile CI for the mean event value —
+    the distribution-free uncertainty readout (Efron 1979, Chamandy
+    2012): 64 deterministic md5-hash replicates, exact integer
+    replicate sums, nearest-rank order-statistic bounds
+    (operators/experiment.py:bootstrap_ci)."""
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_ci(ev, id_col="event_id", value_col="value")

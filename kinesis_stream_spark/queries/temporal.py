@@ -1199,3 +1199,27 @@ ORACLE["join_asof_error_before_purchase"] = (
     )
     + " ORDER BY event_id"
 )
+
+
+@_q("events_seasonal_naive_forecast", None)  # assigned below
+def events_seasonal_naive_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type seasonal-naive (weekly) forecast skill: exact
+    fx MAE of the v(t−7) baseline vs the v(t−1) naive, the integer
+    MASE twin, and the next-day forecast — the baseline every
+    seasonal model must beat
+    (operators/temporal.py:seasonal_naive)."""
+    from kinesis_stream_spark.operators.temporal import seasonal_naive
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_naive(ev, unit_us=DAY_US, season=7).orderBy("key")
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_seasonal_naive,
+)
+
+ORACLE["events_seasonal_naive_forecast"] = (
+    sql_seasonal_naive(unit_us=DAY_US, season=7) + " ORDER BY key"
+)
