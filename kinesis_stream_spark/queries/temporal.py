@@ -1223,3 +1223,27 @@ from kinesis_stream_spark.operators.temporal import (  # noqa: E402
 ORACLE["events_seasonal_naive_forecast"] = (
     sql_seasonal_naive(unit_us=DAY_US, season=7) + " ORDER BY key"
 )
+
+
+@_q("events_rolling_distinct", None)  # assigned below
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / trailing-7-day WAU / stickiness curve over the full
+    observed day grid — the sliding COUNT DISTINCT engagement readout,
+    computed as a bounded contribution explode (window × distinct
+    pairs), never a per-day range self-join
+    (operators/temporal.py:rolling_distinct)."""
+    from kinesis_stream_spark.operators.temporal import rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct(ev, unit_us=DAY_US, window=7).orderBy(
+        "day_bucket"
+    )
+
+
+from kinesis_stream_spark.operators.temporal import (  # noqa: E402
+    sql_rolling_distinct,
+)
+
+ORACLE["events_rolling_distinct"] = (
+    sql_rolling_distinct(unit_us=DAY_US, window=7) + " ORDER BY day_bucket"
+)
