@@ -62,6 +62,7 @@ _PRIORITY = (
     "events_ab_cuped",
     "events_bootstrap_ci",
     "events_rolling_distinct",
+    "feature_target_encoding",
     # edited in round 11 (ADVICE-r10 semantic fixes: floor-safe
     # hellinger midpoint, join-cardinality overflow clamp, sampler
     # weight-ceiling clamp, scorecard literal escaping) — code newer

@@ -3294,3 +3294,38 @@ ORACLE["sample_weighted_per_type"] = (
     )
     + " ORDER BY group_key, sample_rank"
 )
+
+
+@_q("feature_target_encoding", None)  # assigned below
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of order priority by
+    total price (Micci-Barreca 2001): each order's feature is the mean
+    price of the OTHER orders sharing its priority, shrunk toward the
+    global mean — the leakage-guarded categorical encoding a training
+    pipeline feeds the model (operators/encoding.py:target_encoding)."""
+    from kinesis_stream_spark.operators.encoding import target_encoding
+
+    orders = load_table(spark, sf_dir, "orders")
+    return target_encoding(
+        orders,
+        id_col="o_orderkey",
+        category_col="o_orderpriority",
+        target_col="o_totalprice",
+        smoothing=10,
+    ).orderBy("id")
+
+
+from kinesis_stream_spark.operators.encoding import (  # noqa: E402
+    sql_target_encoding,
+)
+
+ORACLE["feature_target_encoding"] = (
+    sql_target_encoding(
+        table="orders",
+        id_col="o_orderkey",
+        category_col="o_orderpriority",
+        target_col="o_totalprice",
+        smoothing=10,
+    )
+    + " ORDER BY id"
+)
