@@ -1760,3 +1760,141 @@ def sql_quality_scorecard(
            n_violations = 0 AS passed
     FROM scored
     """
+
+
+def total_reconciliation(
+    parent: DataFrame,
+    children: DataFrame,
+    *,
+    parent_key: str,
+    total_col: str,
+    child_key: str,
+    contribution_col: str,
+    tolerance_fx: int = 0,
+) -> DataFrame:
+    """Cross-table aggregate reconciliation — the ledger audit every
+    warehouse runs before trusting a denormalized total: recompute
+    each parent's stored total from its children's contributions and
+    bucket the population by outcome
+
+        match              |stored − recomputed| ≤ tolerance
+        mismatch           both sides present, off by more
+        missing_children   a parent with no child rows
+        orphan_children    child rows whose parent doesn't exist
+
+    The caller supplies the contribution EXPRESSION as a column (the
+    per-row double product chain, e.g. extprice·(1−disc)·(1+tax),
+    written identically in the oracle — per-row IEEE arithmetic is
+    deterministic); the operator owns everything order-sensitive:
+    each contribution floors to a 2^20-fx BIGINT PER ROW and the
+    per-key total is an exact integer sum (floor-then-sum, never a
+    dense-double→DECIMAL cast, whose tie semantics differ across
+    engines — the _util.py nuance). The stored total quantizes onto
+    the same grid; the ≤ n_children·2^-20 floor bias is shared by
+    construction and absorbed by the tolerance. One-sided keys diff
+    against 0.
+
+    Output: one row per non-empty bucket — (bucket, n_keys,
+    total_abs_diff_fx, max_abs_diff_fx); total_abs_diff_fx saturates
+    at BIGINT max via LEAST on both engines (the
+    join_cardinality_profile clamp convention). Parents with a NULL
+    key or NULL stored total and children with a NULL key or NULL
+    contribution are excluded by contract.
+
+    Scale shape: ONE map-side-combinable per-key child aggregate, a
+    keys-sized FULL OUTER hash join against the parent's (key, total)
+    projection, then a ≤4-row bucket reduction. The raw child table
+    is scanned once; nothing beyond the keys frame shuffles."""
+    if tolerance_fx < 0:
+        raise ValueError(f"tolerance_fx must be >= 0, got {tolerance_fx}")
+    s = float(HELLINGER_SCALE)
+    d38 = "decimal(38,0)"
+    p = parent.where(
+        F.col(parent_key).isNotNull() & F.col(total_col).isNotNull()
+    ).select(
+        F.col(parent_key).alias("key"),
+        F.floor(F.col(total_col) * F.lit(s)).cast("long").alias("sfx"),
+    )
+    c = (
+        children.where(
+            F.col(child_key).isNotNull()
+            & F.col(contribution_col).isNotNull()
+        )
+        .groupBy(F.col(child_key).alias("key"))
+        .agg(
+            F.sum(F.floor(F.col(contribution_col) * F.lit(s)).cast("long"))
+            .cast("long")
+            .alias("rfx")
+        )
+    )
+    j = p.join(c, "key", "full")
+    bucket = (
+        F.when(F.col("sfx").isNull(), F.lit("orphan_children"))
+        .when(F.col("rfx").isNull(), F.lit("missing_children"))
+        .when(
+            F.abs(F.col("sfx") - F.col("rfx")) <= F.lit(int(tolerance_fx)),
+            F.lit("match"),
+        )
+        .otherwise(F.lit("mismatch"))
+    )
+    diff = F.abs(
+        F.coalesce(F.col("sfx"), F.lit(0)) - F.coalesce(F.col("rfx"), F.lit(0))
+    )
+    return (
+        j.select(bucket.alias("bucket"), diff.alias("d"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.least(
+                F.coalesce(F.sum(F.col("d").cast(d38)), F.lit(0).cast(d38)),
+                F.lit(2**63 - 1).cast(d38),
+            )
+            .cast("long")
+            .alias("total_abs_diff_fx"),
+            F.max("d").cast("long").alias("max_abs_diff_fx"),
+        )
+    )
+
+
+def sql_total_reconciliation(
+    *,
+    parent_table: str,
+    child_table: str,
+    parent_key: str,
+    total_col: str,
+    child_key: str,
+    contribution_expr: str,
+    tolerance_fx: int = 0,
+) -> str:
+    """DuckDB oracle twin of :func:`total_reconciliation` — identical
+    fx quantization, full-outer bucket logic, and saturation clamp.
+    ``contribution_expr`` must be the same per-row expression the
+    Spark caller passes (per-row IEEE arithmetic is deterministic)."""
+    s = float(HELLINGER_SCALE)
+    return f"""
+    WITH p AS (
+      SELECT {parent_key} AS key,
+             CAST(FLOOR({total_col} * {s!r}) AS BIGINT) AS sfx
+      FROM {parent_table}
+      WHERE {parent_key} IS NOT NULL AND {total_col} IS NOT NULL),
+    c AS (
+      SELECT {child_key} AS key,
+             CAST(SUM(CAST(FLOOR(({contribution_expr}) * {s!r})
+                  AS BIGINT)) AS BIGINT) AS rfx
+      FROM {child_table}
+      WHERE {child_key} IS NOT NULL AND ({contribution_expr}) IS NOT NULL
+      GROUP BY 1),
+    j AS (
+      SELECT CASE WHEN p.sfx IS NULL THEN 'orphan_children'
+                  WHEN c.rfx IS NULL THEN 'missing_children'
+                  WHEN ABS(p.sfx - c.rfx) <= {int(tolerance_fx)} THEN 'match'
+                  ELSE 'mismatch' END AS bucket,
+             ABS(COALESCE(p.sfx, 0) - COALESCE(c.rfx, 0)) AS d
+      FROM p FULL OUTER JOIN c USING (key))
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(LEAST(COALESCE(CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT), 0),
+                      CAST(9223372036854775807 AS HUGEINT)) AS BIGINT)
+             AS total_abs_diff_fx,
+           CAST(MAX(d) AS BIGINT) AS max_abs_diff_fx
+    FROM j GROUP BY bucket
+    """

@@ -63,6 +63,7 @@ _PRIORITY = (
     "events_bootstrap_ci",
     "events_rolling_distinct",
     "feature_target_encoding",
+    "integrity_total_reconciliation",
     # edited in round 11 (ADVICE-r10 semantic fixes: floor-safe
     # hellinger midpoint, join-cardinality overflow clamp, sampler
     # weight-ceiling clamp, scorecard literal escaping) — code newer

@@ -3329,3 +3329,53 @@ ORACLE["feature_target_encoding"] = (
     )
     + " ORDER BY id"
 )
+
+
+@_q("integrity_total_reconciliation", None)  # assigned below
+def integrity_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ledger audit of the denormalized order total: recompute each
+    order from its lineitems (extprice·(1−disc)·(1+tax), the TPC-H
+    invariant), quantize both sides to the 2^20-fx grid, and bucket
+    the population into match / mismatch / missing_children /
+    orphan_children with exact diff totals
+    (operators/profile.py:total_reconciliation)."""
+    from kinesis_stream_spark.operators.profile import total_reconciliation
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "contribution",
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+    )
+    return total_reconciliation(
+        orders,
+        li,
+        parent_key="o_orderkey",
+        total_col="o_totalprice",
+        child_key="l_orderkey",
+        contribution_col="contribution",
+        tolerance_fx=10485,  # floor(0.01 * 2^20) — one cent
+    ).orderBy("bucket")
+
+
+from kinesis_stream_spark.operators.profile import (  # noqa: E402
+    sql_total_reconciliation,
+)
+
+ORACLE["integrity_total_reconciliation"] = (
+    sql_total_reconciliation(
+        parent_table="orders",
+        child_table="lineitem",
+        parent_key="o_orderkey",
+        total_col="o_totalprice",
+        child_key="l_orderkey",
+        contribution_expr=(
+            "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+        ),
+        tolerance_fx=10485,
+    )
+    + " ORDER BY bucket"
+)
