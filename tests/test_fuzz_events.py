@@ -40,6 +40,22 @@ EVENT_QUERIES = [
     # NULL/zero/negative weights excluded; 1e6 weight exercises the
     # wfx headroom; NULL ids carry no draw
     "sample_weighted_per_type",
+    # round 11: calendar-gap lags (sparse fuzz days), negative/extreme
+    # value MAEs, NULL next-forecast slots
+    "events_seasonal_naive_forecast",
+    # round 11: distinct-unit counting under duplicate/NULL ids
+    "events_ab_srm_check",
+    # round 11: all fuzz events are post-split -> var(X)=0 -> theta=0
+    # degenerate path, identically on both engines
+    "events_ab_cuped",
+    # round 11: NULL ids/values drop from the resample; negative and
+    # 1e6 values ride the fx floor through the replicate sums
+    "events_bootstrap_ci",
+    # round 11: over-window gaps and quiet days on the sparse grid
+    "events_rolling_distinct",
+    # round 11: the fuzz corpus has no 'purchase' events -> empty left
+    # side must yield an empty frame on BOTH engines
+    "join_asof_error_before_purchase",
 ]
 
 

@@ -1107,3 +1107,88 @@ def test_linear_interpolation_windows_keyed(spark, sf_dir):
         if "Window [" in line:
             assert "key" in line
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Round-11 operators: plan-shape pins
+# --------------------------------------------------------------------------
+
+
+def _tree(df) -> str:
+    """The node-tree section of the formatted plan (each node listed
+    once — the details section repeats names)."""
+    return _explain(df).split("\n\n")[0]
+
+
+def test_bootstrap_plan_is_one_explode_no_join(spark, sf_dir):
+    """The x64 resample must stay a map-side explode feeding partial
+    aggregates — never a row join; the only join is the broadcast of
+    the 1-row replicate summary onto the 1-row base."""
+    from kinesis_stream_spark.queries.experiment import QUERIES
+
+    df = QUERIES["events_bootstrap_ci"](spark, sf_dir)
+    plan, tree = _explain(df), _tree(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert tree.count("Generate") == 1          # the sequence explode
+    assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row x 1-row
+
+
+def test_srm_and_cuped_are_single_scan_aggregates(spark, sf_dir):
+    """The A/B health gate and CUPED are one combinable pass over the
+    corpus — no join, no window, one parquet scan."""
+    from kinesis_stream_spark.queries.experiment import QUERIES
+
+    for name in ("events_ab_srm_check", "events_ab_cuped"):
+        df = QUERIES[name](spark, sf_dir)
+        plan, tree = _explain(df), _tree(df)
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert tree.count("Scan parquet") == 1, name
+
+
+def test_rolling_distinct_bounded_explodes_no_cartesian(spark, sf_dir):
+    """Contribution explode (x window) + grid explode only; the grid
+    joins stay hash/broadcast — a per-day range self-join (cartesian)
+    must never appear."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    df = QUERIES["events_rolling_distinct"](spark, sf_dir)
+    plan, tree = _explain(df), _tree(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert tree.count("Generate") == 2
+
+
+def test_seasonal_naive_joins_grid_frames_only(spark, sf_dir):
+    """Calendar lags are equi-joins of the aggregated (key, bucket)
+    grid — no cartesian, no window over raw events."""
+    from kinesis_stream_spark.queries.temporal import QUERIES
+
+    df = QUERIES["events_seasonal_naive_forecast"](spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_reconciliation_full_outer_on_keys_frames(spark, sf_dir):
+    """The audit joins two keys-sized fx frames FULL OUTER (both
+    sides' absences are findings) and scans each raw table once."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    df = QUERIES["integrity_total_reconciliation"](spark, sf_dir)
+    plan, tree = _explain(df), _tree(df)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert tree.count("Scan parquet") == 2
+
+
+def test_target_encoding_no_cartesian_single_row_global(spark, sf_dir):
+    """Category stats join back by hash/broadcast; the only nested
+    loop is the broadcast 1-row global mean."""
+    from kinesis_stream_spark.queries.relational import QUERIES
+
+    df = QUERIES["feature_target_encoding"](spark, sf_dir)
+    plan, tree = _explain(df), _tree(df)
+    assert "CartesianProduct" not in plan
+    assert tree.count("BroadcastNestedLoopJoin") == 1
