@@ -48,6 +48,9 @@ def asof_join(
     Determinism contract: among right rows tied on (key, right_ts)
     the LARGEST ``right_id`` wins, both directions — a total order,
     so re-runs, retries, and the DuckDB oracle pick the same row.
+    ``right_id`` must be a type whose ordering agrees across engines
+    (integers, ASCII strings); it is compared in its NATIVE type,
+    never cast.
     Left/right rows with a NULL key or timestamp are excluded (an
     equi-join key carries no NULL matches; a row without event time
     has no place on the timeline); NULL ``right_id`` rows are
@@ -72,21 +75,30 @@ def asof_join(
         raise ValueError(f"direction must be one of {_DIRECTIONS}")
     if tolerance_us is not None and tolerance_us < 0:
         raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
-    overlap = {f"asof_{right_id}", f"asof_{right_ts}"} | {
+    out_names = [f"asof_{right_id}", f"asof_{right_ts}"] + [
         f"asof_{v}" for v in right_vals
-    }
-    clash = overlap & set(left.columns)
+    ]
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate asof output columns: {dupes}")
+    clash = set(out_names) & set(left.columns)
     if clash:
         raise ValueError(f"left already has asof output columns: {clash}")
 
     lcols = left.columns
+    # the tie-break column keeps right_id's NATIVE type (casting to
+    # long would NULL string ids non-ANSI / raise under ANSI and break
+    # the documented total order); the ordering must agree with the
+    # oracle's — integers and ASCII strings do (byte-wise both
+    # engines), which the contract requires of right_id
+    rid_type = right.schema[right_id].dataType
     lhs = left.where(
         F.col(on).isNotNull() & F.col(left_ts).isNotNull()
     ).select(
         F.col(on).alias("_k"),
         F.expr(f"unix_micros(cast({left_ts} as timestamp))").alias("_us"),
         F.lit(0).alias("_r"),
-        F.lit(None).cast("long").alias("_rid"),
+        F.lit(None).cast(rid_type).alias("_rid"),
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
     )
     rhs = right.where(
@@ -97,7 +109,7 @@ def asof_join(
         F.col(on).alias("_k"),
         F.expr(f"unix_micros(cast({right_ts} as timestamp))").alias("_us"),
         F.lit(1).alias("_r"),
-        F.col(right_id).cast("long").alias("_rid"),
+        F.col(right_id).alias("_rid"),
         F.struct(
             F.expr(f"unix_micros(cast({right_ts} as timestamp))").alias(
                 "_rus"

@@ -57,7 +57,8 @@ def target_encoding(
     encoded).
 
     Scale shape: ONE map-side-combinable per-category count/sum pass,
-    a broadcast 1-row global, and one hash join of the keys-sized
+    a broadcast 1-row global REDUCED FROM that keys-sized frame (the
+    corpus is never aggregated twice), and one hash join of the
     category frame back to the rows (Catalyst broadcasts it when
     small). No window, no per-row UDF; skew rides the category join
     key exactly like any group-by — the usual salting recipe applies
@@ -82,9 +83,11 @@ def target_encoding(
         F.count(F.lit(1)).cast("long").alias("n_cat"),
         F.sum(F.col("yfx").cast(d38)).cast(d38).alias("scat"),
     )
-    glob = rows.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.coalesce(F.sum(F.col("yfx").cast(d38)), F.lit(0).cast(d38))
+    # global moments reduce from the keys-sized category frame (exact
+    # integer sums — bit-identical), never a second corpus aggregate
+    glob = cat.groupBy().agg(
+        F.coalesce(F.sum("n_cat"), F.lit(0)).cast("long").alias("n_all"),
+        F.coalesce(F.sum("scat"), F.lit(0).cast(d38))
         .cast(d38)
         .alias("sall"),
     )
@@ -134,9 +137,9 @@ def sql_target_encoding(
              CAST(SUM(CAST(yfx AS HUGEINT)) AS HUGEINT) AS scat
       FROM rows_t GROUP BY category),
     gl AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
-             COALESCE(CAST(SUM(CAST(yfx AS HUGEINT)) AS HUGEINT), 0) AS sall
-      FROM rows_t)
+      SELECT COALESCE(CAST(SUM(n_cat) AS BIGINT), 0) AS n_all,
+             COALESCE(CAST(SUM(scat) AS HUGEINT), 0) AS sall
+      FROM cat)
     SELECT r.id, r.category, r.target,
            CASE WHEN c.n_cat - 1 + {m} > 0 THEN
              CAST(CAST(CAST(g.n_all AS HUGEINT) * (c.scat - r.yfx)

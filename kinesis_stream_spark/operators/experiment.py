@@ -1635,7 +1635,11 @@ def bootstrap_ci(
         .groupBy("b")
         .agg(
             F.sum("w").cast("long").alias("n_b"),
-            F.sum((F.col("w") * F.col("xfx")).cast(d38)).cast(d38).alias("s_b"),
+            # widen xfx BEFORE the multiply: w·xfx in 64-bit would wrap
+            # for xfx > 2^63/8 where the oracle's HUGEINT stays exact
+            F.sum(F.col("xfx").cast(d38) * F.col("w"))
+            .cast(d38)
+            .alias("s_b"),
         )
     )
     means = per_b.select(
@@ -1710,7 +1714,7 @@ def sql_bootstrap_ci(
       FROM rows_t, (SELECT UNNEST(RANGE(0, {b})) AS b)),
     per_b AS (
       SELECT b, CAST(SUM(w) AS BIGINT) AS n_b,
-             CAST(SUM(CAST(w * xfx AS HUGEINT)) AS HUGEINT) AS s_b
+             CAST(SUM(CAST(xfx AS HUGEINT) * w) AS HUGEINT) AS s_b
       FROM repl GROUP BY b),
     means AS (
       SELECT CAST(CAST(s_b AS VARCHAR) AS DOUBLE)

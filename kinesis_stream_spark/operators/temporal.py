@@ -986,7 +986,12 @@ def sql_linear_trend(
     s = float(EWMA_SCALE)
     return f"""
     WITH daily AS (
-      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
+      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
+      -- where floor and truncate disagree by one bucket
+      SELECT {key_col} AS key,
+             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
+               // {unit_us} AS bucket,
              CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
       FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
     per AS (
@@ -2240,7 +2245,12 @@ def sql_autocorrelation(
     body = " UNION ALL ".join(selects)
     return f"""
     WITH daily AS (
-      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
+      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
+      -- where floor and truncate disagree by one bucket
+      SELECT {key_col} AS key,
+             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
+               // {unit_us} AS bucket,
              CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
                              AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
       FROM {table}
@@ -3666,7 +3676,12 @@ def sql_rolling_regression(
     the profiler's int128→double note)."""
     return f"""
     WITH daily AS (
-      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
+      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
+      -- where floor and truncate disagree by one bucket
+      SELECT {key_col} AS key,
+             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
+               // {unit_us} AS bucket,
              CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
       FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
     per AS (
@@ -3933,7 +3948,12 @@ def sql_runs_test(
     """DuckDB oracle twin of :func:`runs_test`."""
     return f"""
     WITH daily AS (
-      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
+      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
+      -- where floor and truncate disagree by one bucket
+      SELECT {key_col} AS key,
+             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
+               // {unit_us} AS bucket,
              CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
       FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
     fx AS (
@@ -4205,12 +4225,21 @@ def seasonal_naive(
     j = daily.join(sn, ["key", "bucket"], "left").join(
         nv, ["key", "bucket"], "left"
     )
+    # error sums ride DECIMAL(38,0) (the family discipline): per-period
+    # |errors| are BIGINT-safe but their SUM is not at corpus horizons,
+    # and the oracle's SUM promotes to HUGEINT — 64-bit here would
+    # silently wrap where DuckDB stays exact
+    d38 = "decimal(38,0)"
     stats = j.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n_periods"),
         F.count("sn_fx").cast("long").alias("n_eval_snaive"),
         F.count("nv_fx").cast("long").alias("n_eval_naive"),
-        F.sum(F.abs(F.col("vfx") - F.col("sn_fx"))).alias("_ae_sn"),
-        F.sum(F.abs(F.col("vfx") - F.col("nv_fx"))).alias("_ae_nv"),
+        F.sum(F.abs(F.col("vfx") - F.col("sn_fx")).cast(d38))
+        .cast(d38)
+        .alias("_ae_sn"),
+        F.sum(F.abs(F.col("vfx") - F.col("nv_fx")).cast(d38))
+        .cast(d38)
+        .alias("_ae_nv"),
         F.max("bucket").alias("_maxb"),
     )
     fc = daily.select(
@@ -4233,11 +4262,10 @@ def seasonal_naive(
         "n_eval_naive",
         mae_sn.alias("mae_snaive_fx"),
         mae_nv.alias("mae_naive_fx"),
-        F.when(
-            mae_nv > 0, (mae_sn * F.lit(1_000_000)).cast("long")
-        ).alias("_num"),
         "forecast_next_fx",
     )
+    # mase numerator in DECIMAL(38,0): a BIGINT mae·10^6 would wrap
+    # past mae ≈ 9.2e12 fx where the oracle's HUGEINT stays exact
     return out.select(
         "key",
         "n_periods",
@@ -4245,7 +4273,13 @@ def seasonal_naive(
         "n_eval_naive",
         "mae_snaive_fx",
         "mae_naive_fx",
-        F.expr("_num div mae_naive_fx").alias("mase_ppm"),
+        F.when(
+            F.col("mae_naive_fx") > 0,
+            F.expr(
+                "cast(mae_snaive_fx as decimal(38,0)) * 1000000"
+                " div mae_naive_fx"
+            ),
+        ).alias("mase_ppm"),
         "forecast_next_fx",
         (F.col("forecast_next_fx").cast("double") / EWMA_SCALE).alias(
             "forecast_next"
@@ -4267,7 +4301,12 @@ def sql_seasonal_naive(
     s = float(EWMA_SCALE)
     return f"""
     WITH daily AS (
-      SELECT {key_col} AS key, EPOCH_US({ts_col}) // {unit_us} AS bucket,
+      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
+      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
+      -- where floor and truncate disagree by one bucket
+      SELECT {key_col} AS key,
+             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
+               // {unit_us} AS bucket,
              CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
                              AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
       FROM {table}
@@ -4401,8 +4440,10 @@ def sql_rolling_distinct(
     grid, contribution explode, and integer ratio."""
     return f"""
     WITH pairs AS (
+      -- trunc-division bucket: see sql_seasonal_naive's note
       SELECT DISTINCT {id_col} AS id,
-             EPOCH_US({ts_col}) // {unit_us} AS bucket
+             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
+               // {unit_us} AS bucket
       FROM {table}
       WHERE {ts_col} IS NOT NULL AND {id_col} IS NOT NULL),
     dau AS (
