@@ -90,8 +90,10 @@ def asof_join(
     # long would NULL string ids non-ANSI / raise under ANSI and break
     # the documented total order); the ordering must agree with the
     # oracle's — integers and ASCII strings do (byte-wise both
-    # engines), which the contract requires of right_id
-    rid_type = right.schema[right_id].dataType
+    # engines), which the contract requires of right_id. Resolve the
+    # type through the analyzer (select), not StructType[...] — the
+    # latter is case-sensitive while column resolution is not.
+    rid_type = right.select(right_id).schema[0].dataType
     lhs = left.where(
         F.col(on).isNotNull() & F.col(left_ts).isNotNull()
     ).select(

@@ -1391,11 +1391,13 @@ def hellinger_drift(
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
         F.col(value_col).alias("v"),
     )
-    # min + (max-min) div 2, NOT (min+max) div 2: the dividend max-min
-    # is always >= 0, so Spark's truncating `div` and DuckDB's flooring
-    # `//` agree even for pre-1970 (negative-us) timestamps — the
-    # (min+max) form diverges by 1µs there and can flip a boundary
-    # event between halves (ADVICE r10). Same form in the SQL twin.
+    # min + (max-min) div 2 (ADVICE r10): the dividend max-min is
+    # always >= 0, so the midpoint is identical under ANY integer
+    # division semantics — truncating or flooring — on either engine.
+    # (Empirically DuckDB 1.0.0's integer `//` also truncates like
+    # Spark's `div`, so the old (min+max) form happened to agree too;
+    # the non-negative-span form removes the dependence on that
+    # version-specific behavior.) Same form in the SQL twin.
     span = ev.agg(
         F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid_us")
     )

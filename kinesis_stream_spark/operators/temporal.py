@@ -986,12 +986,12 @@ def sql_linear_trend(
     s = float(EWMA_SCALE)
     return f"""
     WITH daily AS (
-      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
-      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
-      -- where floor and truncate disagree by one bucket
+      -- DuckDB integer `//` truncates toward zero exactly like Spark's
+      -- `div` (verified on 1.0.0: -7 // 2 = -3), so the bucket grids
+      -- agree even for pre-epoch timestamps; pinned by
+      -- tests/test_round11_review_fixes.py::TestPreEpochBucketParity
       SELECT {key_col} AS key,
-             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
-               // {unit_us} AS bucket,
+             EPOCH_US({ts_col}) // {unit_us} AS bucket,
              CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
       FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
     per AS (
@@ -2245,12 +2245,12 @@ def sql_autocorrelation(
     body = " UNION ALL ".join(selects)
     return f"""
     WITH daily AS (
-      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
-      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
-      -- where floor and truncate disagree by one bucket
+      -- DuckDB integer `//` truncates toward zero exactly like Spark's
+      -- `div` (verified on 1.0.0: -7 // 2 = -3), so the bucket grids
+      -- agree even for pre-epoch timestamps; pinned by
+      -- tests/test_round11_review_fixes.py::TestPreEpochBucketParity
       SELECT {key_col} AS key,
-             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
-               // {unit_us} AS bucket,
+             EPOCH_US({ts_col}) // {unit_us} AS bucket,
              CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
                              AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
       FROM {table}
@@ -3676,12 +3676,12 @@ def sql_rolling_regression(
     the profiler's int128→double note)."""
     return f"""
     WITH daily AS (
-      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
-      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
-      -- where floor and truncate disagree by one bucket
+      -- DuckDB integer `//` truncates toward zero exactly like Spark's
+      -- `div` (verified on 1.0.0: -7 // 2 = -3), so the bucket grids
+      -- agree even for pre-epoch timestamps; pinned by
+      -- tests/test_round11_review_fixes.py::TestPreEpochBucketParity
       SELECT {key_col} AS key,
-             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
-               // {unit_us} AS bucket,
+             EPOCH_US({ts_col}) // {unit_us} AS bucket,
              CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
       FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
     per AS (
@@ -3948,12 +3948,12 @@ def sql_runs_test(
     """DuckDB oracle twin of :func:`runs_test`."""
     return f"""
     WITH daily AS (
-      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
-      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
-      -- where floor and truncate disagree by one bucket
+      -- DuckDB integer `//` truncates toward zero exactly like Spark's
+      -- `div` (verified on 1.0.0: -7 // 2 = -3), so the bucket grids
+      -- agree even for pre-epoch timestamps; pinned by
+      -- tests/test_round11_review_fixes.py::TestPreEpochBucketParity
       SELECT {key_col} AS key,
-             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
-               // {unit_us} AS bucket,
+             EPOCH_US({ts_col}) // {unit_us} AS bucket,
              CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS v
       FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2),
     fx AS (
@@ -4225,19 +4225,19 @@ def seasonal_naive(
     j = daily.join(sn, ["key", "bucket"], "left").join(
         nv, ["key", "bucket"], "left"
     )
-    # error sums ride DECIMAL(38,0) (the family discipline): per-period
-    # |errors| are BIGINT-safe but their SUM is not at corpus horizons,
-    # and the oracle's SUM promotes to HUGEINT — 64-bit here would
-    # silently wrap where DuckDB stays exact
+    # the DIFFERENCE widens to DECIMAL(38,0) before |·| and the sum
+    # (vfx and sn_fx can sit near ±2^62 — a 64-bit subtract would wrap
+    # silently where the oracle's HUGEINT subtraction stays exact), and
+    # the sums stay DECIMAL(38,0) for corpus-horizon headroom
     d38 = "decimal(38,0)"
     stats = j.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n_periods"),
         F.count("sn_fx").cast("long").alias("n_eval_snaive"),
         F.count("nv_fx").cast("long").alias("n_eval_naive"),
-        F.sum(F.abs(F.col("vfx") - F.col("sn_fx")).cast(d38))
+        F.sum(F.abs(F.col("vfx").cast(d38) - F.col("sn_fx")))
         .cast(d38)
         .alias("_ae_sn"),
-        F.sum(F.abs(F.col("vfx") - F.col("nv_fx")).cast(d38))
+        F.sum(F.abs(F.col("vfx").cast(d38) - F.col("nv_fx")))
         .cast(d38)
         .alias("_ae_nv"),
         F.max("bucket").alias("_maxb"),
@@ -4301,12 +4301,12 @@ def sql_seasonal_naive(
     s = float(EWMA_SCALE)
     return f"""
     WITH daily AS (
-      -- trunc-division bucket (us - us%unit)//unit, NOT a bare //:
-      -- matches Spark's `div` for pre-epoch (negative-us) timestamps
-      -- where floor and truncate disagree by one bucket
+      -- DuckDB integer `//` truncates toward zero exactly like Spark's
+      -- `div` (verified on 1.0.0: -7 // 2 = -3), so the bucket grids
+      -- agree even for pre-epoch timestamps; pinned by
+      -- tests/test_round11_review_fixes.py::TestPreEpochBucketParity
       SELECT {key_col} AS key,
-             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
-               // {unit_us} AS bucket,
+             EPOCH_US({ts_col}) // {unit_us} AS bucket,
              CAST(FLOOR(CAST(SUM(CAST({value_col} AS DECIMAL(27,6)))
                              AS DOUBLE) * {s!r}) AS BIGINT) AS vfx
       FROM {table}
@@ -4324,8 +4324,8 @@ def sql_seasonal_naive(
              CAST(COUNT(*) AS BIGINT) AS n_periods,
              CAST(COUNT(sn_fx) AS BIGINT) AS n_eval_snaive,
              CAST(COUNT(nv_fx) AS BIGINT) AS n_eval_naive,
-             SUM(ABS(vfx - sn_fx)) AS _ae_sn,
-             SUM(ABS(vfx - nv_fx)) AS _ae_nv,
+             SUM(ABS(CAST(vfx AS HUGEINT) - sn_fx)) AS _ae_sn,
+             SUM(ABS(CAST(vfx AS HUGEINT) - nv_fx)) AS _ae_nv,
              MAX(bucket) AS _maxb
       FROM j GROUP BY key),
     mae AS (
@@ -4440,10 +4440,9 @@ def sql_rolling_distinct(
     grid, contribution explode, and integer ratio."""
     return f"""
     WITH pairs AS (
-      -- trunc-division bucket: see sql_seasonal_naive's note
+      -- integer // truncates like Spark div: sql_seasonal_naive's note
       SELECT DISTINCT {id_col} AS id,
-             (EPOCH_US({ts_col}) - EPOCH_US({ts_col}) % {unit_us})
-               // {unit_us} AS bucket
+             EPOCH_US({ts_col}) // {unit_us} AS bucket
       FROM {table}
       WHERE {ts_col} IS NOT NULL AND {id_col} IS NOT NULL),
     dau AS (

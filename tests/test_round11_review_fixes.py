@@ -72,7 +72,10 @@ class TestWideSumHeadroom:
             bootstrap_ci,
         )
 
-        rows = [(i, 2.0e12) for i in range(8)]
+        # 2.5e12 -> xfx = 2.62e18: weight 4 (the max this draw set
+        # produces) gives 1.05e19 > 2^63 — the pre-fix 64-bit product
+        # verifiably wraps here (2.0e12 would NOT: 4·2.1e18 < 2^63)
+        rows = [(i, 2.5e12) for i in range(8)]
         got = bootstrap_ci(
             spark.createDataFrame(rows, "event_id long, value double"),
             id_col="event_id",
@@ -117,9 +120,11 @@ class TestWideSumHeadroom:
 
 
 class TestPreEpochBucketParity:
-    """The new grid twins bucket with (us - us%unit)//unit — the
-    truncation form matching Spark's `div` — so pre-1970 events land
-    in the same bucket on both engines."""
+    """DuckDB's integer `//` truncates toward zero exactly like
+    Spark's `div` (verified: -7 // 2 = -3 on the pinned 1.0.0), so the
+    bare-`//` grid twins agree with Spark even for pre-1970 events —
+    these tests PIN that semantic equivalence on real pre-epoch
+    rows."""
 
     ROWS = [
         (1, dt.datetime(1969, 12, 31, 23, 59), 5.0),
@@ -169,15 +174,23 @@ class TestPreEpochBucketParity:
             [("e", ts, v) for _, ts, v in self.ROWS],
             "event_type string, ts timestamp, value double",
         )
-        got = sorted(map(str, seasonal_naive(sdf, season=1).collect()))
+        got = seasonal_naive(sdf, season=1).collect()
         con = duckdb.connect()
         con.register("events_t", self._pdf())
         oracle = con.execute(
             sql_seasonal_naive(table="events_t", season=1)
         ).fetchdf()
         assert len(got) == len(oracle) == 1
-        g = seasonal_naive(sdf, season=1).collect()[0]
-        o = oracle.iloc[0]
-        assert g.n_periods == o.n_periods
-        assert g.mae_naive_fx == o.mae_naive_fx
-        assert g.n_eval_naive == o.n_eval_naive
+        g, o = got[0], oracle.iloc[0]
+        # every output field, so a bucket divergence anywhere (incl.
+        # the forecast slot _maxb + 1 - season) breaks the pin
+        for f in (
+            "n_periods", "n_eval_snaive", "n_eval_naive",
+            "mae_snaive_fx", "mae_naive_fx", "mase_ppm",
+            "forecast_next_fx", "forecast_next",
+        ):
+            gv, ov = getattr(g, f), o[f]
+            if gv is None:
+                assert pd.isna(ov), (f, gv, ov)
+            else:
+                assert gv == ov, (f, gv, ov)
