@@ -23,6 +23,17 @@ and 6.48 s in consecutive driver rounds on identical code). Treat any
 delta under ~30% on a single run as noise; confirm regressions with
 SPARK_GRAFT_BENCH_REPS>=3 (min-of-N) and nothing else running on the
 host (concurrent pytest inflates timings 1.3-2x — measured in round 4).
+
+Round-11 calibration of the HARDENED protocol (fixed sorted order,
+all-table warm-up, min-of-2, idle host): two back-to-back full runs on
+the identical commit measured 467.1 s and 515.7 s (suite ±10%, heavy-
+tail median ratio 1.065) with individual mid-tail queries swinging up
+to 1.5x (similarity_rrpq_adc_topk 5.97 -> 9.11 s, graph_hits_scores
+5.68 -> 8.11 s — same binary, minutes apart). Round-over-round
+PER-QUERY deltas below ~1.5x are therefore not evidence of a plan
+change; judge regressions on the suite total and on solo fresh-process
+min-of-3 with gc between reps (the adjudication protocol documented at
+operators/graph.py:modularity).
 """
 
 from __future__ import annotations
