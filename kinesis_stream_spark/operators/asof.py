@@ -50,7 +50,13 @@ def asof_join(
     so re-runs, retries, and the DuckDB oracle pick the same row.
     ``right_id`` must be a type whose ordering agrees across engines
     (integers, ASCII strings); it is compared in its NATIVE type,
-    never cast.
+    never cast. For "largest right_id" to name ONE row, ``right_id``
+    must be UNIQUE within each (key, right_ts) group (a globally
+    unique row id trivially satisfies this): with duplicates, Spark's
+    running last() and the oracle's ROW_NUMBER each pick an
+    engine-arbitrary row among the tied-id duplicates, whose
+    ``right_vals`` may differ — the contract, not the engines,
+    guarantees determinism (ADVICE r11).
     Left/right rows with a NULL key or timestamp are excluded (an
     equi-join key carries no NULL matches; a row without event time
     has no place on the timeline); NULL ``right_id`` rows are
@@ -182,9 +188,15 @@ def sql_asof_join(
     ROW_NUMBER form (fine at oracle scale, exactly the shape the
     operator's union-window plan exists to avoid at 100 TB).
     ``left_sql`` / ``right_sql`` are subqueries producing the two
-    sides; ``left_id`` is a unique left row key for the rn partition.
-    Identical match set, inclusive bounds, tolerance, and
-    largest-right-id tie-break."""
+    sides; ``left_id`` is a left row key that must be UNIQUE and
+    NON-NULL among qualifying left rows — it is both the rn
+    partition and the re-join key, and a NULL ``left_id`` row would
+    silently lose its match through the equi-join (ADVICE r11). The
+    lq CTE filters ``left_id IS NOT NULL`` so a contract violation
+    surfaces as a LOUD row-count mismatch against the Spark operator
+    (which has no left_id concept) instead of a silent NULL-columns
+    hash divergence. Identical match set, inclusive bounds,
+    tolerance, and largest-right-id tie-break."""
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}")
     cmp_op = "<=" if direction == "backward" else ">="
@@ -213,7 +225,8 @@ def sql_asof_join(
     )
     return f"""
     WITH lq AS (SELECT * FROM ({left_sql})
-                WHERE {on} IS NOT NULL AND {left_ts} IS NOT NULL),
+                WHERE {on} IS NOT NULL AND {left_ts} IS NOT NULL
+                  AND {left_id} IS NOT NULL),
     rq AS (SELECT * FROM ({right_sql})
            WHERE {on} IS NOT NULL AND {right_ts} IS NOT NULL
              AND {right_id} IS NOT NULL),

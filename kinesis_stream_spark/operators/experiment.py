@@ -268,6 +268,16 @@ WELCH_SCALE = 1 << 20
 #: every 2^20 / 2^40 literal from one constant)
 ANOVA_SCALE = 1 << 20
 
+#: max usable |value| entering a WELCH_SCALE fx floor: inputs clamp to
+#: LEAST(GREATEST(v, -2^40), 2^40) BEFORE the ×2^20 multiply on BOTH
+#: engines (the sampling.py W_MAX convention, ADVICE r11). Without the
+#: clamp a per-unit total beyond ~2^63/2^20 ≈ 8.8e12 hits Spark's
+#: non-ANSI double→long saturation while DuckDB's CAST(FLOOR(..) AS
+#: BIGINT) raises — an engine divergence instead of a defined result.
+#: 2^40 also bounds the fx at 2^60, so every d19·d19→d38 square stays
+#: ≤ 2^120 ≈ 1.3e36 with ~76× DECIMAL(38,0) summation headroom.
+FX_V_CAP = float(1 << 40)
+
 
 def _per_unit_fx(
     events: DataFrame,
@@ -1230,7 +1240,10 @@ def ab_cuped(
     a side total 0 there (absence of spend is signal — the Welch
     convention), NULL unit ids and NULL timestamps are excluded.
 
-    Exactness: per-unit totals quantize to 2^20 fx BIGINTs; the five
+    Exactness: per-unit totals clamp to ±``FX_V_CAP`` (the sampling.py
+    W_MAX convention — Spark's saturating double→long cast and
+    DuckDB's raising one never see an out-of-range fx product) and
+    quantize to 2^20 fx BIGINTs; the five
     arm moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
     DECIMAL(38,0); every centered second moment is the exact integer
     identity n·Σab − Σa·Σb, VARCHAR-routed to double; θ, the adjusted
@@ -1260,14 +1273,20 @@ def ab_cuped(
         .agg(
             *[
                 F.floor(
-                    F.coalesce(
-                        F.sum(
-                            F.when(cond, F.col(value_col)).cast(
-                                "decimal(27,6)"
-                            )
+                    F.least(
+                        F.greatest(
+                            F.coalesce(
+                                F.sum(
+                                    F.when(cond, F.col(value_col)).cast(
+                                        "decimal(27,6)"
+                                    )
+                                ),
+                                F.lit(0).cast("decimal(27,6)"),
+                            ).cast("double"),
+                            F.lit(-FX_V_CAP),
                         ),
-                        F.lit(0).cast("decimal(27,6)"),
-                    ).cast("double")
+                        F.lit(FX_V_CAP),
+                    )
                     * F.lit(s)
                 )
                 .cast("long")
@@ -1485,12 +1504,16 @@ def sql_ab_cuped(
     return f"""
     WITH per AS (
       SELECT
-        CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN EPOCH_US({ts_col})
+        CAST(FLOOR(LEAST(GREATEST(
+                 CAST(COALESCE(SUM(CASE WHEN EPOCH_US({ts_col})
                  < {int(split_us)} THEN CAST({value_col} AS DECIMAL(27,6))
-                 END), 0) AS DOUBLE) * {s!r}) AS BIGINT) AS xfx,
-        CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN EPOCH_US({ts_col})
+                 END), 0) AS DOUBLE), {-FX_V_CAP!r}), {FX_V_CAP!r})
+                 * {s!r}) AS BIGINT) AS xfx,
+        CAST(FLOOR(LEAST(GREATEST(
+                 CAST(COALESCE(SUM(CASE WHEN EPOCH_US({ts_col})
                  >= {int(split_us)} THEN CAST({value_col} AS DECIMAL(27,6))
-                 END), 0) AS DOUBLE) * {s!r}) AS BIGINT) AS yfx,
+                 END), 0) AS DOUBLE), {-FX_V_CAP!r}), {FX_V_CAP!r})
+                 * {s!r}) AS BIGINT) AS yfx,
         {h} % 2 AS variant
       FROM (SELECT {unit_col} AS unit, {ts_col}, {value_col} FROM {table}
             WHERE {unit_col} IS NOT NULL AND {ts_col} IS NOT NULL)
@@ -1585,7 +1608,10 @@ def bootstrap_ci(
     (two engines interpolating is two roundings).
 
     NULL ids/values are excluded by contract (no identity to hash /
-    nothing to resample). Output: ONE row (n_rows, b_replicates,
+    nothing to resample); values clamp to ±``FX_V_CAP`` before the fx
+    floor on both engines (ADVICE r11 — the sampling.py W_MAX
+    convention, so Spark's saturating cast and DuckDB's raising one
+    never disagree). Output: ONE row (n_rows, b_replicates,
     mean_value — the full-data mean of the SAME 2^20-fx-quantized
     variable the replicates resample, from an exact integer sum —
     ci_lo, ci_hi). Empty input: one row, n_rows = 0, NULL mean/CI.
@@ -1610,7 +1636,15 @@ def bootstrap_ci(
         F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(id_col).cast("string").alias("_id"),
-        F.floor(F.col(value_col) * F.lit(s)).cast("long").alias("xfx"),
+        F.floor(
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), F.lit(-FX_V_CAP)),
+                F.lit(FX_V_CAP),
+            )
+            * F.lit(s)
+        )
+        .cast("long")
+        .alias("xfx"),
     )
     repl = rows.select(
         "_id",
@@ -1706,7 +1740,8 @@ def sql_bootstrap_ci(
     return f"""
     WITH rows_t AS (
       SELECT CAST({id_col} AS VARCHAR) AS _id,
-             CAST(FLOOR({value_col} * {s!r}) AS BIGINT) AS xfx
+             CAST(FLOOR(LEAST(GREATEST(CAST({value_col} AS DOUBLE),
+                  {-FX_V_CAP!r}), {FX_V_CAP!r}) * {s!r}) AS BIGINT) AS xfx
       FROM {table}
       WHERE {id_col} IS NOT NULL AND {value_col} IS NOT NULL),
     repl AS (

@@ -1331,6 +1331,14 @@ def sql_spearman_correlation(
 
 HELLINGER_SCALE = 1 << 20
 
+#: max usable |value| entering a HELLINGER_SCALE fx floor: inputs
+#: clamp to LEAST(GREATEST(v, -2^40), 2^40) BEFORE the ×2^20 multiply
+#: on BOTH engines (the sampling.py W_MAX / experiment.py FX_V_CAP
+#: convention, ADVICE r11) — beyond ~2^63/2^20 Spark's non-ANSI
+#: double→long cast saturates where DuckDB's CAST(FLOOR(..) AS
+#: BIGINT) raises, an engine divergence instead of a defined result.
+FX_V_CAP = float(1 << 40)
+
 
 def hellinger_drift(
     df: DataFrame,
@@ -1788,7 +1796,10 @@ def total_reconciliation(
     per-row double product chain, e.g. extprice·(1−disc)·(1+tax),
     written identically in the oracle — per-row IEEE arithmetic is
     deterministic); the operator owns everything order-sensitive:
-    each contribution floors to a 2^20-fx BIGINT PER ROW and the
+    each contribution (and each stored total) clamps to ±``FX_V_CAP``
+    (ADVICE r11 — Spark's saturating double→long cast and DuckDB's
+    raising one never see an out-of-range fx product), then
+    floors to a 2^20-fx BIGINT PER ROW and the
     per-key total is an exact integer sum (floor-then-sum, never a
     dense-double→DECIMAL cast, whose tie semantics differ across
     engines — the _util.py nuance). The stored total quantizes onto
@@ -1815,7 +1826,15 @@ def total_reconciliation(
         F.col(parent_key).isNotNull() & F.col(total_col).isNotNull()
     ).select(
         F.col(parent_key).alias("key"),
-        F.floor(F.col(total_col) * F.lit(s)).cast("long").alias("sfx"),
+        F.floor(
+            F.least(
+                F.greatest(F.col(total_col).cast("double"), F.lit(-FX_V_CAP)),
+                F.lit(FX_V_CAP),
+            )
+            * F.lit(s)
+        )
+        .cast("long")
+        .alias("sfx"),
     )
     c = (
         children.where(
@@ -1824,7 +1843,18 @@ def total_reconciliation(
         )
         .groupBy(F.col(child_key).alias("key"))
         .agg(
-            F.sum(F.floor(F.col(contribution_col) * F.lit(s)).cast("long"))
+            F.sum(
+                F.floor(
+                    F.least(
+                        F.greatest(
+                            F.col(contribution_col).cast("double"),
+                            F.lit(-FX_V_CAP),
+                        ),
+                        F.lit(FX_V_CAP),
+                    )
+                    * F.lit(s)
+                ).cast("long")
+            )
             .cast("long")
             .alias("rfx")
         )
@@ -1876,12 +1906,15 @@ def sql_total_reconciliation(
     return f"""
     WITH p AS (
       SELECT {parent_key} AS key,
-             CAST(FLOOR({total_col} * {s!r}) AS BIGINT) AS sfx
+             CAST(FLOOR(LEAST(GREATEST(CAST({total_col} AS DOUBLE),
+                  {-FX_V_CAP!r}), {FX_V_CAP!r}) * {s!r}) AS BIGINT) AS sfx
       FROM {parent_table}
       WHERE {parent_key} IS NOT NULL AND {total_col} IS NOT NULL),
     c AS (
       SELECT {child_key} AS key,
-             CAST(SUM(CAST(FLOOR(({contribution_expr}) * {s!r})
+             CAST(SUM(CAST(FLOOR(LEAST(GREATEST(
+                  CAST(({contribution_expr}) AS DOUBLE),
+                  {-FX_V_CAP!r}), {FX_V_CAP!r}) * {s!r})
                   AS BIGINT)) AS BIGINT) AS rfx
       FROM {child_table}
       WHERE {child_key} IS NOT NULL AND ({contribution_expr}) IS NOT NULL

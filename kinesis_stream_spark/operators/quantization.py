@@ -51,6 +51,18 @@ topk/census was measurement context (29% more co-resident queries +
 alphabetical ordering placing different family members first), not a
 plan change; the family's code and explain output are untouched since
 r8 except the +91-line pruned variant.
+
+Round-12 adjudication of the round-11 `pruned_topk` drift (14.96 →
+25.81 s in the r11 suite run, the one mover above the calibrated 1.5×
+band): solo fresh-process min-of-3 with gc between reps (all-table
+warm-up, sf0.1 local[32] idle host) measured reps 24.57 / 14.55 /
+15.40 — min 14.55 s, matching the r10 full-suite 14.96 s on code and
+plan untouched since r8. Rep 1's 24.6 s shows the ~10 s family
+warm-up landing on the first member even solo; in r11's sorted suite
+order `pruned_topk` ran after `nprobe_sweep` had already absorbed it,
+so the +10.8 s there was session-context (predecessor checkpoint /
+broadcast residue), not code. Verdict: NO regression — steady-state
+cost is unchanged.
 """
 
 from __future__ import annotations
