@@ -25,22 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 11 window (first 50), executing the r10-documented plan:
-# HEAD: round-11 registrations, inserted in their landing commits
-# (never driver-verified; budget: at most EIGHT, sized so the window
-# still reaches every r5-latest name — the r9 overflow lesson). NEXT:
-# the FOUR queries whose operators take ADVICE-r10 semantic fixes
-# this round (code newer than their r10 driver rows). THEN: the
-# THIRTY-EIGHT r5-latest names from the documented plan
-# (multimodal/scalar/stream/udf/text families — 37 r5-latest plus
-# text_top_terms_per_lang, r6-latest, riding along rather than
-# splitting the block). 8 + 4 + 38 = 50. The TWELVE r6-latest
-# relational names the r10 plan used as filler sit just past the
-# window: while fewer than eight r11 registrations have landed they
-# top the window up to 50, and whatever stays displaced heads the
-# r12 window (r12 then takes the remaining r6-latest and starts on
-# the r7 block; ledger-union counts outside this window:
-# r6:43, r7:45, r8:44, r9:47, r10:50).
+# Round 12 window (first 50), executing the r11-documented plan:
+# HEAD: round-12 registrations, inserted in their landing commits
+# (never driver-verified; budget: at most FOUR — the r6-latest block
+# is 42 names and all of it must clear this window). NEXT: the FOUR
+# queries whose operators take ADVICE-r11 semantic fixes this round
+# (asof oracle non-NULL left_id contract; ±FX_V_CAP fx saturation
+# clamps on CUPED / bootstrap-CI / total-reconciliation) — code
+# newer than their r11 driver rows. THEN: all FORTY-TWO r6-latest
+# names (the twelve displaced relational names first, then the
+# remaining thirty). 4 + 4 + 42 = 50. While fewer than four r12
+# registrations exist the r7 block just past the cut tops the window
+# up to 50; whatever stays displaced heads the r13 window (r13 then
+# continues down the r7 block; ledger-union counts past this window:
+# r7:45, r8:44, r9:47, r10:46, r11:46).
 
 #: names registered WITHOUT a DuckDB oracle by design. EMPTY since
 #: round 10: the approx-percentile sketch twins that filled this set
@@ -53,34 +51,272 @@ from pyspark.sql import DataFrame, SparkSession
 ROWS_ONLY = frozenset()
 
 _PRIORITY = (
-    # --- round-11 window (first 50 = the driver's check set) --------
-    # never driver-verified: round-11 registrations land HERE, at
-    # most eight (each inserted in the commit that registers it)
+    # --- round-12 window (first 50 = the driver's check set) --------
+    # never driver-verified: round-12 registrations land HERE, at
+    # most FOUR (each inserted in the commit that registers it) —
+    # sized so 4 new + 4 ADVICE-edited + the 42 r6-latest names fill
+    # the window exactly and every r6-latest name clears it
+    "join_asof_next_purchase_after_error",
+    # edited in round 12 (ADVICE-r11 semantic fixes: asof oracle
+    # non-NULL left_id contract, ±FX_V_CAP saturation clamps on the
+    # CUPED / bootstrap-CI / reconciliation fx floors) — code newer
+    # than their r11 driver rows
     "join_asof_error_before_purchase",
-    "events_seasonal_naive_forecast",
-    "events_ab_srm_check",
     "events_ab_cuped",
     "events_bootstrap_ci",
-    "events_rolling_distinct",
-    "feature_target_encoding",
     "integrity_total_reconciliation",
-    # edited in round 11 (ADVICE-r10 semantic fixes: floor-safe
-    # hellinger midpoint, join-cardinality overflow clamp, sampler
-    # weight-ceiling clamp, scorecard literal escaping) — code newer
-    # than their r10 driver rows. similarity_range_search's ADVICE
-    # item is a docstring-only reword (no semantic change), so it
-    # keeps its r10-latest slot in the tail.
-    "profile_hellinger_drift",
-    "join_cardinality_estimate",
-    "sample_weighted_per_type",
+    # the 42 r6-latest names (oldest driver rows in the inventory):
+    # the twelve relational names the r11 plan displaced head the
+    # block, then the remaining thirty r6-latest names
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q04_priority_late_items",
+    "q06_forecast_revenue",
+    "q10_returned_revenue",
+    "q11_top_suppliers",
+    "q14_promo_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_predicates",
+    "join_inner_orders_customer",
+    "join_left_customer_orders",
+    "agg_cube_flag_status",
+    "agg_distinct_counts",
+    "agg_exact_percentiles",
+    "agg_grouping_sets",
+    "agg_rollup_status_priority",
+    "join_anti_customers_without_orders",
+    "join_asof_last_click_before_purchase",
+    "join_full_nation_activity",
+    "join_range_events_orders_window",
+    "join_right_lineitem_part",
+    "join_semi_customers_with_urgent",
+    "pivot_status_by_flag",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "sample_hash_deterministic",
+    "set_bag_semantics",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_all_keys",
+    "similarity_embedding_drift",
+    "similarity_ivfpq_nprobe_sweep",
+    "similarity_rank_quality",
+    "sort_limit_top_orders",
+    "sql_in_subquery_parts_in_asia_orders",
+    "sql_scalar_subquery_above_avg",
+    "topk_parts_per_brand",
+    "window_lag_lead_orders",
+    "window_ntile_nth_value",
+    "window_rank_suppliers",
+    "window_running_sum",
+    # --- past the window: the r13 plan starts here ------------------
+    # r7-latest block (45 names — tops the r12 window up to 50 while
+    # fewer than four r12 registrations exist, then heads the r13
+    # window; ledger counts outside this window after r12:
+    # r8:44, r9:47, r10:46, r11:46-ish minus this round's re-greens)
+    "dedup_bloom_prefilter",
+    "dedup_clusters_bigstar",
+    "dedup_connected_components",
+    "dedup_containment_prefix_copies",
+    "dedup_duplicate_chunks",
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact_hash",
+    "dedup_exact_incremental",
+    "dedup_lsh_recall",
+    "dedup_minhash_band_agreement",
+    "dedup_minhash_lsh_exact_copies",
+    "dedup_minhash_lsh_near_copies",
+    "dedup_ngram_jaccard_grouped",
+    "dedup_pair_distance_histogram",
+    "dedup_pipeline_survivors",
+    "dedup_prefix_filter_exact_pairs",
+    "dedup_simhash_blocks",
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_quantity_revenue",
+    "q20_excess_shipping_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "similarity_ann_recall",
+    "similarity_cluster_balance",
+    "similarity_ivf_nprobe_sweep",
+    "similarity_ivfpq_rerank",
+    "similarity_ivfpq_route_census",
+    "similarity_ivfpq_topk",
+    "similarity_kmeans_fit",
+    "similarity_pq_adc_topk",
+    "similarity_pq_reconstruction_mse",
+    "similarity_rrpq_adc_topk",
+    "similarity_semantic_dedup",
+    "similarity_subspace_variance",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_lsh",
+    "similarity_topk_sq8",
+    "text_leakage_safe_split",
+    # r8-latest block
+    "agg_equidepth_price",
+    "agg_histogram_quantiles",
+    "agg_hll_distinct",
+    "agg_hll_set_ops",
+    "agg_supplier_skew_deciles",
+    "basket_association_rules",
+    "events_ab_test_zscore",
+    "events_active_user_windows",
+    "events_cusum_drift",
+    "events_ewma_daily",
+    "events_gap_fill_hourly",
+    "events_holt_forecast",
+    "events_lead_lag_correlation",
+    "events_linear_trend",
+    "events_multires_rollup",
+    "events_ohlc_daily",
+    "events_peak_concurrency",
+    "events_scd2_status_history",
+    "events_seasonal_profile",
+    "events_strict_funnel",
+    "events_survival_curve",
+    "events_top_paths",
+    "events_transition_matrix",
+    "feature_quantile_normalize",
+    "fuzzy_part_name_histogram",
+    "graph_kcore_purchases",
+    "graph_label_propagation",
+    "graph_pagerank_purchases",
+    "graph_ppr_seed_cohort",
+    "graph_triangles_copurchase",
+    "integrity_cdc_merge",
+    "profile_benford_prices",
+    "profile_lineitem_correlations",
+    "profile_orders_chisq",
+    "profile_orders_fds",
+    "retrieval_hybrid_rrf",
+    "skyline_parts_price_size",
+    "text_bigram_novelty",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    "text_keyword_extraction",
+    "text_phrase_search",
+    "text_rsj_topk",
+    "text_vocab_coverage",
+    # r9-latest block
+    "agg_abc_classification",
+    "agg_gini_concentration",
+    "agg_kmv_distinct",
+    "agg_weighted_median",
+    "basket_item_cosine",
+    "basket_item_jaccard",
+    "dedup_rare_term_cosine",
+    "events_anomaly_episodes",
+    "events_apdex_score",
+    "events_autocorrelation",
+    "events_burstiness",
+    "events_changepoint",
+    "events_cohort_ltv",
+    "events_conversion_lag",
+    "events_daily_percentile_bands",
+    "events_markov_stationary",
+    "events_mix_shift",
+    "events_rfm_segments",
+    "events_rolling_regression",
+    "events_session_stats",
+    "events_state_durations",
+    "events_theil_sen_trend",
+    "events_time_weighted_avg",
+    "events_touch_attribution",
+    "graph_assortativity",
+    "graph_degree_profile",
+    "graph_hits_scores",
+    "graph_link_prediction",
+    "graph_reciprocity",
+    "integrity_sequence_gaps",
+    "integrity_uniqueness_profile",
+    "join_shipping_lag_percentiles",
+    "layout_compaction_bins",
+    "layout_zonemap_skipping",
+    "layout_zorder_census_parts",
+    "profile_category_balance",
+    "profile_cramers_v",
+    "profile_ks_value_drift",
+    "reshape_pivot_priority_year",
+    "retrieval_prf_expansion",
+    "similarity_centroid_confusion",
+    "similarity_ivfpq_pruned_topk",
+    "similarity_label_inertia",
+    "similarity_silhouette",
+    "text_lexical_diversity",
+    "text_vocab_drift",
+    "text_zipf_profile",
+    # r10-latest block
+    "agg_histogram_price",
+    "agg_kmv_set_ops",
+    "agg_salted_skew_safe",
+    "events_ab_delta_ratio",
+    "events_ab_mann_whitney",
+    "events_ab_welch_ttest",
+    "events_anova_value_by_type",
+    "events_cohort_retention",
+    "events_growth_accounting",
+    "events_linear_interpolation",
+    "events_mad_outliers",
+    "events_mann_kendall_trend",
+    "events_runs_test",
+    "events_seasonal_outliers",
+    "graph_bfs_hops",
+    "graph_cheapest_path",
+    "graph_modularity",
+    "integrity_referential_audit",
+    "integrity_snapshot_diff",
+    "integrity_table_checksum",
+    "join_lateral_top2_orders",
+    "join_salted_skew_segments",
+    "multimodal_exact_dedup",
+    "profile_orders_columns",
+    "profile_spearman_corr",
+    "reshape_unpivot_part_dims",
+    "scalar_bitwise_funcs",
+    "scalar_map_funcs",
+    "similarity_range_search",
+    "stream_capped_sessions",
+    "stream_interval_join",
+    "stream_rate_anomaly",
+    "stream_session_funnel",
+    "stream_static_enrich",
+    "stream_time_range_rolling",
+    "text_boilerplate_fraction",
+    "text_cms_heavy_hitters",
+    "text_domain_cap",
+    "text_lm_plausibility",
+    "text_normalize_summary",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_token_rarity",
+    "text_weighted_mixture",
+    "udf_map_in_arrow_char_stats",
+    "window_percent_rank_cume",
+    # r11-latest block (freshest rows)
+    "agg_approx_sketches",
+    "events_ab_srm_check",
+    "events_rolling_distinct",
+    "events_seasonal_naive_forecast",
+    "events_user_diversity",
+    "events_winsorized_stats",
+    "feature_target_encoding",
     "integrity_quality_scorecard",
-    # r5-latest rows (oldest driver rows in the inventory): the 38
-    # names the r10 plan pinned for this window
+    "join_cardinality_estimate",
     "multimodal_byte_stats",
     "multimodal_catalog_stats",
     "multimodal_decode_features",
     "multimodal_frame_sampling",
     "multimodal_payload_near_dup",
+    "profile_hellinger_drift",
+    "sample_weighted_per_type",
     "scalar_array_funcs",
     "scalar_conditional_funcs",
     "scalar_date_funcs",
@@ -95,138 +331,22 @@ _PRIORITY = (
     "stream_sliding_window",
     "stream_tumbling_window",
     "stream_watermarked_tumbling",
-    "agg_approx_sketches",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint_rolling",
-    "text_fingerprint_winnowed",
+    "text_collocation_lift",
     "text_curation_pipeline",
     "text_decontaminate_overlap",
-    "text_stratified_sample",
+    "text_fingerprint_rolling",
+    "text_fingerprint_winnowed",
+    "text_language_id",
     "text_pack_sequences",
+    "text_quality_score",
+    "text_stratified_sample",
     "text_substring_decontaminate",
-    "text_collocation_lift",
+    "text_token_stats",
     "text_top_terms_per_lang",
     "udf_apply_in_pandas_zscore",
     "udf_grouped_agg_mean_quantity",
     "udf_map_in_pandas_tokenize",
     "udf_scalar_price_band",
-    "events_user_diversity",
-    "events_winsorized_stats",
-    # --- past the window: the r12 plan starts here ------------------
-    # r6-latest relational (the r10 plan's filler — tops the window
-    # up to 50 while fewer than eight r11 registrations exist, then
-    # heads the r12 window)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_regional_revenue",
-    "q04_priority_late_items",
-    "q06_forecast_revenue",
-    "q10_returned_revenue",
-    "q11_top_suppliers",
-    "q14_promo_revenue",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_predicates",
-    "join_inner_orders_customer",
-    "join_left_customer_orders",
-    # r10-latest rows (the r10 driver window minus the four edited
-    # names above — freshest large block)
-    "agg_kmv_set_ops",
-    "join_salted_skew_segments",
-    "events_ab_welch_ttest",
-    "events_growth_accounting",
-    "events_anova_value_by_type",
-    "events_runs_test",
-    "events_ab_mann_whitney",
-    "graph_modularity",
-    "events_linear_interpolation",
-    "profile_spearman_corr",
-    "text_lm_plausibility",
-    "events_ab_delta_ratio",
-    "similarity_range_search",
-    "events_seasonal_outliers",
-    "events_mad_outliers",
-    "events_mann_kendall_trend",
-    "graph_bfs_hops",
-    "graph_cheapest_path",
-    "text_cms_heavy_hitters",
-    "agg_histogram_price",
-    "agg_salted_skew_safe",
-    "events_cohort_retention",
-    "integrity_referential_audit",
-    "integrity_snapshot_diff",
-    "integrity_table_checksum",
-    "join_lateral_top2_orders",
-    "multimodal_exact_dedup",
-    "profile_orders_columns",
-    "reshape_unpivot_part_dims",
-    "scalar_bitwise_funcs",
-    "scalar_map_funcs",
-    "stream_capped_sessions",
-    "stream_interval_join",
-    "stream_rate_anomaly",
-    "stream_session_funnel",
-    "stream_static_enrich",
-    "stream_time_range_rolling",
-    "text_boilerplate_fraction",
-    "text_domain_cap",
-    "text_normalize_summary",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_token_rarity",
-    "text_weighted_mixture",
-    "udf_map_in_arrow_char_stats",
-    "window_percent_rank_cume",
-    # r9-latest rows (pinned only so the full rotation plan lives in
-    # one list)
-    "similarity_ivfpq_pruned_topk",
-    "events_time_weighted_avg",
-    "events_state_durations",
-    "events_touch_attribution",
-    "basket_item_jaccard",
-    "reshape_pivot_priority_year",
-    "events_autocorrelation",
-    "events_burstiness",
-    "layout_zorder_census_parts",
-    "text_vocab_drift",
-    "integrity_sequence_gaps",
-    "events_daily_percentile_bands",
-    "agg_abc_classification",
-    "events_rfm_segments",
-    "events_conversion_lag",
-    "agg_gini_concentration",
-    "events_theil_sen_trend",
-    "events_mix_shift",
-    "events_markov_stationary",
-    "events_apdex_score",
-    "graph_link_prediction",
-    "basket_item_cosine",
-    "layout_zonemap_skipping",
-    "profile_category_balance",
-    "integrity_uniqueness_profile",
-    "events_changepoint",
-    "agg_weighted_median",
-    "text_zipf_profile",
-    "dedup_rare_term_cosine",
-    "graph_degree_profile",
-    "join_shipping_lag_percentiles",
-    "events_anomaly_episodes",
-    "events_cohort_ltv",
-    "text_lexical_diversity",
-    "graph_assortativity",
-    "retrieval_prf_expansion",
-    "events_session_stats",
-    "similarity_label_inertia",
-    "graph_reciprocity",
-    "similarity_silhouette",
-    "similarity_centroid_confusion",
-    "profile_cramers_v",
-    "profile_ks_value_drift",
-    "graph_hits_scores",
-    "events_rolling_regression",
-    "agg_kmv_distinct",
-    "layout_compaction_bins",
 )
 
 

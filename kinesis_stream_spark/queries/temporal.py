@@ -1201,6 +1201,63 @@ ORACLE["join_asof_error_before_purchase"] = (
 )
 
 
+@_q("join_asof_next_purchase_after_error", None)  # assigned below
+def join_asof_next_purchase_after_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD-direction as-of join under the oracle (VERDICT r11
+    item 5 — the backward registration left the forward/tolerance
+    path pytest-only): each error event picks the user's NEXT
+    purchase at or after it, within a 24-hour tolerance — the
+    time-to-recovery readout. Same union-window single-exchange
+    plan; only the timeline walk direction flips
+    (operators/asof.py:asof_join)."""
+    from kinesis_stream_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        right_vals=("value",),
+        direction="forward",
+        tolerance_us=24 * 3600 * 1_000_000,
+    ).orderBy("event_id")
+
+
+ORACLE["join_asof_next_purchase_after_error"] = (
+    sql_asof_join(
+        left_sql=(
+            "SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'error'"
+        ),
+        right_sql=(
+            "SELECT user_id, event_id, ts, value FROM events"
+            " WHERE event_type = 'purchase'"
+        ),
+        on="user_id",
+        left_id="event_id",
+        left_cols=("event_id", "user_id", "ts"),
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        right_vals=("value",),
+        direction="forward",
+        tolerance_us=24 * 3600 * 1_000_000,
+    )
+    + " ORDER BY event_id"
+)
+
+
 @_q("events_seasonal_naive_forecast", None)  # assigned below
 def events_seasonal_naive_forecast(
     spark: SparkSession, sf_dir: str
