@@ -57,6 +57,7 @@ _PRIORITY = (
     # sized so 4 new + 4 ADVICE-edited + the 42 r6-latest names fill
     # the window exactly and every r6-latest name clears it
     "join_asof_next_purchase_after_error",
+    "stream_asof_enrich",
     # edited in round 12 (ADVICE-r11 semantic fixes: asof oracle
     # non-NULL left_id contract, ±FX_V_CAP saturation clamps on the
     # CUPED / bootstrap-CI / reconciliation fx floors) — code newer

@@ -431,3 +431,47 @@ def stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_sessions_batch(
         ev, gap_us=600_000_000, cap=5, tiebreak_col="event_id"
     ).orderBy("key", "start_us")
+
+
+from kinesis_stream_spark.operators.asof import sql_asof_join  # noqa: E402
+
+_ASOF_ENRICH_ORACLE = (
+    sql_asof_join(
+        left_sql=(
+            "SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'click'"
+        ),
+        right_sql=(
+            "SELECT user_id, event_id, ts, value FROM events"
+            " WHERE event_type = 'purchase'"
+        ),
+        on="user_id",
+        left_id="event_id",
+        left_cols=("event_id", "user_id", "ts"),
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        right_vals=("value",),
+        direction="backward",
+        tolerance_us=None,
+    )
+    + " ORDER BY event_id"
+)
+
+
+@_q("stream_asof_enrich", _ASOF_ENRICH_ORACLE)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment, batch-checkable twin: each click
+    enriched with the same user's most recent purchase at-or-before
+    it (backward, inclusive, no tolerance — the third oracle-checked
+    as-of configuration). The streaming side is ONE fixed-width state
+    row per key updated by a vectorized merge_asof per micro-batch
+    under the reference's per-shard ordered-arrival guarantee
+    (streaming/stateful.py:asof_enrich_stream);
+    tests/test_stateful.py asserts stream == batch on a multi-batch
+    drain. The batch twin runs the union-window asof_join — the plan
+    the oracle checks here."""
+    from kinesis_stream_spark.streaming.stateful import asof_enrich_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return asof_enrich_batch(ev).orderBy("event_id")
