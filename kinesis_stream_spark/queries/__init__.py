@@ -58,6 +58,8 @@ _PRIORITY = (
     # the window exactly and every r6-latest name clears it
     "join_asof_next_purchase_after_error",
     "stream_asof_enrich",
+    "eval_roc_auc_per_class",
+    "events_calibration_bins",
     # edited in round 12 (ADVICE-r11 semantic fixes: asof oracle
     # non-NULL left_id contract, ±FX_V_CAP saturation clamps on the
     # CUPED / bootstrap-CI / reconciliation fx floors) — code newer

@@ -187,3 +187,64 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/experiment.py:bootstrap_ci)."""
     ev = load_table(spark, sf_dir, "events")
     return bootstrap_ci(ev, id_col="event_id", value_col="value")
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kinesis_stream_spark.operators.modeleval import (  # noqa: E402
+    calibration_bins,
+    roc_auc_per_class,
+    sql_calibration_bins,
+    sql_roc_auc_per_class,
+)
+
+
+@_q(
+    "eval_roc_auc_per_class",
+    sql_roc_auc_per_class(
+        table=(
+            "(SELECT label, embedding[1] AS score FROM embeddings)"
+        ),
+        label_col="label",
+        score_col="score",
+    ),
+)
+def eval_roc_auc_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest exact ROC AUC per embedding class, scored by the
+    first embedding coordinate — the discrimination readout every
+    model-assisted curation filter ships with (Hanley-McNeil 1982 via
+    the Mann-Whitney U identity): tie-corrected integer 2U over
+    distinct-fx-score groups, one pinned divide per class
+    (operators/modeleval.py:roc_auc_per_class)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "label", F.try_element_at("embedding", F.lit(1)).alias("score")
+    )
+    return roc_auc_per_class(scored, label_col="label", score_col="score")
+
+
+@_q(
+    "events_calibration_bins",
+    sql_calibration_bins(
+        table=(
+            "(SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            " AS y, value / (value + 100.0) AS p FROM events"
+            " WHERE value IS NOT NULL)"
+        ),
+        label_col="y",
+        pred_col="p",
+        n_bins=10,
+    ),
+)
+def events_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (Murphy 1973;
+    Naeini 2015) of a value-derived purchase propensity p =
+    value/(value+100) — per-bin mean prediction vs observed rate on
+    the 2^20 fx grid with integer gap numerators, and the exact-ECE
+    '__total__' row (operators/modeleval.py:calibration_bins)."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.where(F.col("value").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("p"),
+    )
+    return calibration_bins(scored, label_col="y", pred_col="p", n_bins=10)
