@@ -271,9 +271,12 @@ ANOVA_SCALE = 1 << 20
 #: max usable |value| entering a WELCH_SCALE fx floor: inputs clamp to
 #: LEAST(GREATEST(v, -2^40), 2^40) BEFORE the ×2^20 multiply on BOTH
 #: engines (the sampling.py W_MAX convention, ADVICE r11). Without the
-#: clamp a per-unit total beyond ~2^63/2^20 ≈ 8.8e12 hits Spark's
-#: non-ANSI double→long saturation while DuckDB's CAST(FLOOR(..) AS
-#: BIGINT) raises — an engine divergence instead of a defined result.
+#: clamp a per-unit total beyond ~2^63/2^20 ≈ 8.8e12 reaches the
+#: engines' long-overflow edge: under ANSI mode (this repo's session
+#: default — verified r12: Spark raises ARITHMETIC_OVERFLOW exactly
+#: like DuckDB's CAST) both engines crash, and under non-ANSI Spark
+#: would saturate where DuckDB raises. The clamp replaces that edge
+#: with one defined result BOTH engines agree on.
 #: 2^40 also bounds the fx at 2^60, so every d19·d19→d38 square stays
 #: ≤ 2^120 ≈ 1.3e36 with ~76× DECIMAL(38,0) summation headroom.
 FX_V_CAP = float(1 << 40)
@@ -1241,8 +1244,8 @@ def ab_cuped(
     convention), NULL unit ids and NULL timestamps are excluded.
 
     Exactness: per-unit totals clamp to ±``FX_V_CAP`` (the sampling.py
-    W_MAX convention — Spark's saturating double→long cast and
-    DuckDB's raising one never see an out-of-range fx product) and
+    W_MAX convention — no cast ever sees an out-of-range fx product,
+    so neither engine reaches its overflow edge) and
     quantize to 2^20 fx BIGINTs; the five
     arm moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
     DECIMAL(38,0); every centered second moment is the exact integer
@@ -1610,8 +1613,9 @@ def bootstrap_ci(
     NULL ids/values are excluded by contract (no identity to hash /
     nothing to resample); values clamp to ±``FX_V_CAP`` before the fx
     floor on both engines (ADVICE r11 — the sampling.py W_MAX
-    convention, so Spark's saturating cast and DuckDB's raising one
-    never disagree). Output: ONE row (n_rows, b_replicates,
+    convention: no cast ever sees an out-of-range fx product, so
+    neither engine reaches its overflow edge). Output: ONE row
+    (n_rows, b_replicates,
     mean_value — the full-data mean of the SAME 2^20-fx-quantized
     variable the replicates resample, from an exact integer sum —
     ci_lo, ci_hi). Empty input: one row, n_rows = 0, NULL mean/CI.

@@ -83,7 +83,10 @@ def roc_auc_per_class(
     NULL scores are excluded by contract.
 
     Output: one row per class — (class_label, n_pos, n_neg, u2 — the
-    exact 2U BIGINT — auc, gini_ppm as above).
+    2U diagnostic, exact up to BIGINT max then saturated via LEAST on
+    both engines (the join-cardinality clamp convention; auc/gini
+    always compute from the unclamped DECIMAL) — auc, gini_ppm as
+    above).
 
     Scale shape: ONE (class, score) counting pass over the ×C
     one-vs-rest explode (C = |classes|, a bounded small multiplier —
@@ -145,7 +148,13 @@ def roc_auc_per_class(
         "class_label",
         "n_pos",
         "n_neg",
-        F.col("_u2").cast("long").alias("u2"),
+        # the DIAGNOSTIC u2 column saturates at BIGINT max (the
+        # join-cardinality clamp convention — 2U > 2^63 needs
+        # n_pos·n_neg > 2^62, reachable at corpus scale; auc/gini
+        # compute from the unclamped DECIMAL _u2 either way)
+        F.least(F.col("_u2"), F.lit(2**63 - 1).cast(d38))
+        .cast("long")
+        .alias("u2"),
         F.when(
             both,
             F.expr("cast(cast(_u2 as string) as double)")
@@ -208,7 +217,8 @@ def sql_roc_auc_per_class(
                   * (2 * cum_neg_g + n_neg_g)) AS HUGEINT) AS _u2
       FROM contrib GROUP BY 1)
     SELECT class_label, n_pos, n_neg,
-           CAST(_u2 AS BIGINT) AS u2,
+           CAST(LEAST(_u2, CAST(9223372036854775807 AS HUGEINT))
+                AS BIGINT) AS u2,
            CASE WHEN n_pos > 0 AND n_neg > 0 THEN
              CAST(CAST(_u2 AS VARCHAR) AS DOUBLE)
              / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
@@ -254,7 +264,10 @@ def calibration_bins(
     frac_pos are each one pinned divide over exact integers.
 
     Output: one row per NON-EMPTY bin — (bin_label = '[lo,hi)'
-    string, n, n_pos, mean_pred, frac_pos, abs_gap) — plus a
+    string; edges print with ⌈log10 B⌉ digits from INTEGER
+    arithmetic (truncated k·10^d div B — 10^d ≥ B keeps labels
+    distinct at any B, and no engine float-formatter rounding can
+    ever disagree), n, n_pos, mean_pred, frac_pos, abs_gap) — plus a
     '__total__' row (the join-cardinality convention) where n/n_pos
     are corpus totals, mean_pred/frac_pos the overall means, and
     abs_gap IS the ECE. Empty input: just the '__total__' row with
@@ -304,13 +317,26 @@ def calibration_bins(
     )
     dbl = "cast(cast(_spfx as string) as double)"
     gdbl = "cast(cast(_gap_num as string) as double)"
+    # bin edges rendered from INTEGER arithmetic, never an engine's
+    # float formatter (format_number rounds HALF_UP, fmt half-even —
+    # a cross-engine tie break at edges like 1/40; r12 review): with
+    # d = ⌈log10 B⌉ digits, edge k/B prints as the truncated
+    # (k·10^d div B) — 10^d ≥ B keeps every bin's label distinct
+    dgt = 1
+    while 10**dgt < b:
+        dgt += 1
+    p10 = 10**dgt
+
+    def _edge(kexpr: str):
+        return (
+            f"concat(cast((({kexpr}) * {p10}) div {b} div {p10} as string),"
+            f" '.', lpad(cast((({kexpr}) * {p10}) div {b} % {p10}"
+            f" as string), {dgt}, '0'))"
+        )
+
     bins_out = per2.select(
-        F.concat(
-            F.lit("["),
-            F.format_number(F.col("_bin").cast("double") / b, 1),
-            F.lit(","),
-            F.format_number((F.col("_bin") + 1).cast("double") / b, 1),
-            F.lit(")"),
+        F.expr(
+            f"concat('[', {_edge('_bin')}, ',', {_edge('_bin + 1')}, ')')"
         ).alias("bin_label"),
         "n",
         "n_pos",
@@ -359,6 +385,10 @@ def sql_calibration_bins(
     b = int(n_bins)
     s = float(EVAL_SCALE)
     scale_i = int(EVAL_SCALE)
+    d_lbl = 1
+    while 10**d_lbl < b:
+        d_lbl += 1
+    p10 = 10**d_lbl
     return f"""
     WITH rows_t AS (
       SELECT CAST(FLOOR(LEAST(GREATEST(CAST({pred_col} AS DOUBLE), 0.0),
@@ -377,9 +407,13 @@ def sql_calibration_bins(
                  - CAST(SUM(_y) AS HUGEINT) * {scale_i}) AS _gap_num
       FROM binned GROUP BY 1),
     bins_out AS (
-      SELECT '[' || FORMAT('{{:.1f}}', CAST(_bin AS DOUBLE) / {b}) || ','
-             || FORMAT('{{:.1f}}', CAST(_bin + 1 AS DOUBLE) / {b}) || ')'
-               AS bin_label,
+      SELECT '[' || CAST(((_bin) * {p10}) // {b} // {p10} AS VARCHAR)
+             || '.' || LPAD(CAST(((_bin) * {p10}) // {b} % {p10}
+                AS VARCHAR), {d_lbl}, '0')
+             || ',' || CAST(((_bin + 1) * {p10}) // {b} // {p10} AS VARCHAR)
+             || '.' || LPAD(CAST(((_bin + 1) * {p10}) // {b} % {p10}
+                AS VARCHAR), {d_lbl}, '0')
+             || ')' AS bin_label,
              n, n_pos,
              CAST(CAST(_spfx AS VARCHAR) AS DOUBLE)
                / (CAST(n AS DOUBLE) * {s!r}) AS mean_pred,

@@ -1331,13 +1331,15 @@ def sql_spearman_correlation(
 
 HELLINGER_SCALE = 1 << 20
 
-#: max usable |value| entering a HELLINGER_SCALE fx floor: inputs
-#: clamp to LEAST(GREATEST(v, -2^40), 2^40) BEFORE the ×2^20 multiply
-#: on BOTH engines (the sampling.py W_MAX / experiment.py FX_V_CAP
-#: convention, ADVICE r11) — beyond ~2^63/2^20 Spark's non-ANSI
-#: double→long cast saturates where DuckDB's CAST(FLOOR(..) AS
-#: BIGINT) raises, an engine divergence instead of a defined result.
-FX_V_CAP = float(1 << 40)
+# the engine-wide ±2^40 value clamp before any 2^20 fx floor (ONE
+# definition, experiment.py — ADVICE r11; a second copy here could
+# silently drift from the convention it claims to share)
+from kinesis_stream_spark.operators.experiment import FX_V_CAP  # noqa: E402
+
+#: saturation point for AGGREGATED fx totals: a sum beyond the value
+#: cap clamps onto the same grid point a single out-of-range value
+#: does (±FX_V_CAP·2^20 = ±2^60), keeping every diff within BIGINT
+_FX_GRID_CAP = int(FX_V_CAP) * HELLINGER_SCALE
 
 
 def hellinger_drift(
@@ -1797,12 +1799,18 @@ def total_reconciliation(
     written identically in the oracle — per-row IEEE arithmetic is
     deterministic); the operator owns everything order-sensitive:
     each contribution (and each stored total) clamps to ±``FX_V_CAP``
-    (ADVICE r11 — Spark's saturating double→long cast and DuckDB's
-    raising one never see an out-of-range fx product), then
-    floors to a 2^20-fx BIGINT PER ROW and the
-    per-key total is an exact integer sum (floor-then-sum, never a
+    (ADVICE r11 — no cast ever sees an out-of-range fx product, so
+    neither engine reaches its overflow edge: under ANSI both raise,
+    non-ANSI Spark would saturate where DuckDB raises; the clamp
+    replaces that edge with one defined, agreeing result), then
+    floors to a 2^20-fx BIGINT PER ROW; the per-key total is an
+    exact DECIMAL(38,0) integer sum (floor-then-sum, never a
     dense-double→DECIMAL cast, whose tie semantics differ across
-    engines — the _util.py nuance). The stored total quantizes onto
+    engines — the _util.py nuance) whose AGGREGATE then clamps onto
+    the same ±FX_V_CAP·2^20 grid point a single out-of-range value
+    lands on (a key's child SUM outgrows BIGINT long before any one
+    row trips the row clamp — r12 review), keeping |sfx − rfx| ≤
+    2^61. The stored total quantizes onto
     the same grid; the ≤ n_children·2^-20 floor bias is shared by
     construction and absorbed by the tolerance. One-sided keys diff
     against 0.
@@ -1843,17 +1851,29 @@ def total_reconciliation(
         )
         .groupBy(F.col(child_key).alias("key"))
         .agg(
-            F.sum(
-                F.floor(
-                    F.least(
-                        F.greatest(
-                            F.col(contribution_col).cast("double"),
-                            F.lit(-FX_V_CAP),
-                        ),
-                        F.lit(FX_V_CAP),
-                    )
-                    * F.lit(s)
-                ).cast("long")
+            # per-row fx sums accumulate as DECIMAL(38,0) (a key's
+            # child SUM outgrows BIGINT long before any single row
+            # trips the row clamp), then the AGGREGATE clamps onto
+            # the same ±FX_V_CAP·2^20 grid point a stored total
+            # beyond the cap lands on — both engines, so diffs stay
+            # in BIGINT range (|sfx − rfx| ≤ 2^61)
+            F.least(
+                F.greatest(
+                    F.sum(
+                        F.floor(
+                            F.least(
+                                F.greatest(
+                                    F.col(contribution_col).cast("double"),
+                                    F.lit(-FX_V_CAP),
+                                ),
+                                F.lit(FX_V_CAP),
+                            )
+                            * F.lit(s)
+                        ).cast(d38)
+                    ).cast(d38),
+                    F.lit(-_FX_GRID_CAP).cast(d38),
+                ),
+                F.lit(_FX_GRID_CAP).cast(d38),
             )
             .cast("long")
             .alias("rfx")
@@ -1912,10 +1932,13 @@ def sql_total_reconciliation(
       WHERE {parent_key} IS NOT NULL AND {total_col} IS NOT NULL),
     c AS (
       SELECT {child_key} AS key,
-             CAST(SUM(CAST(FLOOR(LEAST(GREATEST(
-                  CAST(({contribution_expr}) AS DOUBLE),
-                  {-FX_V_CAP!r}), {FX_V_CAP!r}) * {s!r})
-                  AS BIGINT)) AS BIGINT) AS rfx
+             CAST(LEAST(GREATEST(
+                  CAST(SUM(CAST(FLOOR(LEAST(GREATEST(
+                       CAST(({contribution_expr}) AS DOUBLE),
+                       {-FX_V_CAP!r}), {FX_V_CAP!r}) * {s!r})
+                       AS BIGINT)) AS HUGEINT),
+                  CAST(-{_FX_GRID_CAP} AS HUGEINT)),
+                  CAST({_FX_GRID_CAP} AS HUGEINT)) AS BIGINT) AS rfx
       FROM {child_table}
       WHERE {child_key} IS NOT NULL AND ({contribution_expr}) IS NOT NULL
       GROUP BY 1),

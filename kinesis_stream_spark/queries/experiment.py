@@ -226,10 +226,16 @@ def eval_roc_auc_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "events_calibration_bins",
     sql_calibration_bins(
+        # qualifying set matches the Spark twin EXACTLY (r12 review):
+        # NULL event_type excluded (Spark's equality yields NULL ->
+        # operator contract excludes), and value = -100 excluded on
+        # both engines (DuckDB NULLs the zero-denominator divide and
+        # would drop the row where Spark's IEEE double keeps ±Inf)
         table=(
             "(SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
             " AS y, value / (value + 100.0) AS p FROM events"
-            " WHERE value IS NOT NULL)"
+            " WHERE value IS NOT NULL AND event_type IS NOT NULL"
+            " AND value <> -100.0)"
         ),
         label_col="y",
         pred_col="p",
@@ -243,7 +249,11 @@ def events_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2^20 fx grid with integer gap numerators, and the exact-ECE
     '__total__' row (operators/modeleval.py:calibration_bins)."""
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.where(F.col("value").isNotNull()).select(
+    scored = ev.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("value") != -100.0)
+    ).select(
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         (F.col("value") / (F.col("value") + F.lit(100.0))).alias("p"),
     )

@@ -371,6 +371,7 @@ def asof_enrich_stream(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    type_col: str = "event_type",
     tolerance_us: int | None = None,
 ) -> DataFrame:
     """Streaming AS-OF enrichment (VERDICT r11 item 6a — the
@@ -406,7 +407,13 @@ def asof_enrich_stream(
     Scale shape: the one shuffle is the groupBy key per micro-batch;
     state is O(keys) fixed-width rows (RocksDB provider on a real
     cluster); each Arrow batch does two sorts and one merge_asof —
-    O(b log b) per key-batch, no candidate-pair materialization."""
+    O(b log b) per key-batch, no candidate-pair materialization.
+
+    Input column names are fully configurable (key/ts/id/value/type);
+    OUTPUT column names are the FIXED ``ASOF_ENRICH_SCHEMA``
+    (event_id/user_id/ts/asof_*) — ``applyInPandasWithState`` takes a
+    static StructType, so a device-keyed stream still labels its key
+    column ``user_id`` on the way out (rename downstream)."""
     if tolerance_us is not None and tolerance_us < 0:
         raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
     from pyspark.sql import functions as F
@@ -480,11 +487,11 @@ def asof_enrich_stream(
         F.col(key_col).isNotNull()
         & F.col(ts_col).isNotNull()
         & F.col(id_col).isNotNull()
-        & F.col("event_type").isin(left_type, right_type)
+        & F.col(type_col).isin(left_type, right_type)
     ).select(
         F.col(key_col).cast("long").alias("user_id"),
         F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
-        (F.col("event_type") == right_type).cast("int").alias("is_right"),
+        (F.col(type_col) == right_type).cast("int").alias("is_right"),
         F.col(id_col).cast("long").alias("eid"),
         F.col(value_col).cast("double").alias("value"),
     )
@@ -506,6 +513,7 @@ def asof_enrich_batch(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    type_col: str = "event_type",
     tolerance_us: int | None = None,
 ) -> DataFrame:
     """Batch twin of :func:`asof_enrich_stream`: the union-window
@@ -516,12 +524,12 @@ def asof_enrich_batch(
 
     from kinesis_stream_spark.operators.asof import asof_join
 
-    lefts = events.where(F.col("event_type") == left_type).select(
+    lefts = events.where(F.col(type_col) == left_type).select(
         F.col(id_col).alias("event_id"),
         F.col(key_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
     )
-    rights = events.where(F.col("event_type") == right_type).select(
+    rights = events.where(F.col(type_col) == right_type).select(
         F.col(key_col).alias("user_id"),
         F.col(id_col).alias("event_id"),
         F.col(ts_col).alias("ts"),
