@@ -53,6 +53,17 @@ def _fx(col, *, scale: float) -> F.Column:
     ).cast("long")
 
 
+def _label_digits(n_bins: int) -> tuple[int, int]:
+    """Bin-label digit rule, ONE definition for BOTH engine twins so
+    the exact string parity cannot drift (r12 second review): d =
+    ⌈log10 B⌉ (≥ 1) digits and their power of ten — 10^d ≥ B keeps
+    every truncated edge (k·10^d div B) distinct."""
+    d = 1
+    while 10**d < n_bins:
+        d += 1
+    return d, 10**d
+
+
 def roc_auc_per_class(
     df: DataFrame,
     *,
@@ -319,13 +330,8 @@ def calibration_bins(
     gdbl = "cast(cast(_gap_num as string) as double)"
     # bin edges rendered from INTEGER arithmetic, never an engine's
     # float formatter (format_number rounds HALF_UP, fmt half-even —
-    # a cross-engine tie break at edges like 1/40; r12 review): with
-    # d = ⌈log10 B⌉ digits, edge k/B prints as the truncated
-    # (k·10^d div B) — 10^d ≥ B keeps every bin's label distinct
-    dgt = 1
-    while 10**dgt < b:
-        dgt += 1
-    p10 = 10**dgt
+    # a cross-engine tie break at edges like 1/40; r12 review)
+    dgt, p10 = _label_digits(b)
 
     def _edge(kexpr: str):
         return (
@@ -385,10 +391,7 @@ def sql_calibration_bins(
     b = int(n_bins)
     s = float(EVAL_SCALE)
     scale_i = int(EVAL_SCALE)
-    d_lbl = 1
-    while 10**d_lbl < b:
-        d_lbl += 1
-    p10 = 10**d_lbl
+    d_lbl, p10 = _label_digits(b)
     return f"""
     WITH rows_t AS (
       SELECT CAST(FLOOR(LEAST(GREATEST(CAST({pred_col} AS DOUBLE), 0.0),

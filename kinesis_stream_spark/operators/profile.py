@@ -1791,6 +1791,10 @@ def total_reconciliation(
 
         match              |stored − recomputed| ≤ tolerance
         mismatch           both sides present, off by more
+        saturated          a side hit the ±FX_V_CAP·2^20 clamp — its
+                           magnitude is no longer comparable, so the
+                           audit reports it instead of vacuously
+                           matching two capped values (r12 review)
         missing_children   a parent with no child rows
         orphan_children    child rows whose parent doesn't exist
 
@@ -1824,7 +1828,7 @@ def total_reconciliation(
 
     Scale shape: ONE map-side-combinable per-key child aggregate, a
     keys-sized FULL OUTER hash join against the parent's (key, total)
-    projection, then a ≤4-row bucket reduction. The raw child table
+    projection, then a ≤5-row bucket reduction. The raw child table
     is scanned once; nothing beyond the keys frame shuffles."""
     if tolerance_fx < 0:
         raise ValueError(f"tolerance_fx must be >= 0, got {tolerance_fx}")
@@ -1880,9 +1884,18 @@ def total_reconciliation(
         )
     )
     j = p.join(c, "key", "full")
+    # a side that HIT its clamp carries no comparable magnitude — a
+    # 'match' of two saturated values would vacuously green the audit
+    # exactly where discrepancies are largest (r12 second review), so
+    # cap-valued sides bucket as 'saturated' instead (|v| exactly at
+    # the cap without clamping is the measure-zero sentinel cost)
+    at_cap = (F.abs(F.col("sfx")) == F.lit(_FX_GRID_CAP)) | (
+        F.abs(F.col("rfx")) == F.lit(_FX_GRID_CAP)
+    )
     bucket = (
         F.when(F.col("sfx").isNull(), F.lit("orphan_children"))
         .when(F.col("rfx").isNull(), F.lit("missing_children"))
+        .when(at_cap, F.lit("saturated"))
         .when(
             F.abs(F.col("sfx") - F.col("rfx")) <= F.lit(int(tolerance_fx)),
             F.lit("match"),
@@ -1945,6 +1958,8 @@ def sql_total_reconciliation(
     j AS (
       SELECT CASE WHEN p.sfx IS NULL THEN 'orphan_children'
                   WHEN c.rfx IS NULL THEN 'missing_children'
+                  WHEN ABS(p.sfx) = {_FX_GRID_CAP}
+                    OR ABS(c.rfx) = {_FX_GRID_CAP} THEN 'saturated'
                   WHEN ABS(p.sfx - c.rfx) <= {int(tolerance_fx)} THEN 'match'
                   ELSE 'mismatch' END AS bucket,
              ABS(COALESCE(p.sfx, 0) - COALESCE(c.rfx, 0)) AS d

@@ -412,10 +412,23 @@ def asof_enrich_stream(
     Input column names are fully configurable (key/ts/id/value/type);
     OUTPUT column names are the FIXED ``ASOF_ENRICH_SCHEMA``
     (event_id/user_id/ts/asof_*) — ``applyInPandasWithState`` takes a
-    static StructType, so a device-keyed stream still labels its key
-    column ``user_id`` on the way out (rename downstream)."""
+    static StructType, so an integer-keyed device stream still labels
+    its key column ``user_id`` on the way out (rename downstream).
+    Key and id columns must be INTEGRAL (validated up front — the
+    fixed schema carries them as longs, and a string key would raise
+    CAST_INVALID_INPUT mid-micro-batch under ANSI instead of here;
+    r12 second review)."""
     if tolerance_us is not None and tolerance_us < 0:
         raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    for role, c in (("key_col", key_col), ("id_col", id_col)):
+        t = events.select(c).schema[0].dataType.simpleString()
+        if t not in _INTEGRAL:
+            raise ValueError(
+                f"{role} {c!r} must be an integral type (the fixed "
+                f"output schema carries it as long), got {t!r} — use "
+                f"asof_enrich_batch for native-typed keys"
+            )
     from pyspark.sql import functions as F
 
     def _fn(
@@ -519,12 +532,21 @@ def asof_enrich_batch(
     """Batch twin of :func:`asof_enrich_stream`: the union-window
     :func:`~kinesis_stream_spark.operators.asof.asof_join` over the
     same left/right split — identical match set, tie-break, and
-    left-outer semantics; the DuckDB-oracle-checked surface."""
+    left-outer semantics; the DuckDB-oracle-checked surface.
+
+    The left side additionally filters NULL ``id_col`` rows (r12
+    second review): the stream excludes them at tagging time (a row
+    without an id cannot land in the fixed output schema), while
+    asof_join's own contract only drops NULL key/ts lefts — without
+    this filter a NULL-id click would appear in batch output only,
+    breaking the stream == batch assertion."""
     from pyspark.sql import functions as F
 
     from kinesis_stream_spark.operators.asof import asof_join
 
-    lefts = events.where(F.col(type_col) == left_type).select(
+    lefts = events.where(
+        (F.col(type_col) == left_type) & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col).alias("event_id"),
         F.col(key_col).alias("user_id"),
         F.col(ts_col).alias("ts"),

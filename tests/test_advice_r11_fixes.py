@@ -164,8 +164,14 @@ class TestReconciliationFxSaturationClamp:
             ).collect()
         }
         # key 1's stored total and single contribution both clamp to
-        # the SAME +FX_V_CAP grid point -> a match, not a raise
-        assert set(got) == {"match"} and got["match"].n_keys == 2
+        # the SAME +FX_V_CAP grid point — no raise on either engine;
+        # the r12 second review buckets cap-hits as 'saturated'
+        # instead of vacuously matching them, so key 1 reports
+        # saturated and key 2 (in-range) matches
+        assert {k: v.n_keys for k, v in got.items()} == {
+            "saturated": 1,
+            "match": 1,
+        }
 
         con = duckdb.connect()
         con.register("pt", pd.DataFrame(parent, columns=["pk", "total"]))
@@ -180,5 +186,7 @@ class TestReconciliationFxSaturationClamp:
                 contribution_expr="contrib",
             )
         ).fetchall()
-        assert len(o) == 1
-        assert o[0][0] == "match" and o[0][1] == 2
+        assert sorted((r[0], r[1]) for r in o) == [
+            ("match", 1),
+            ("saturated", 1),
+        ]

@@ -38,8 +38,9 @@ class TestReconciliationChildSumClamp:
         ).collect()
         assert len(got) == 1
         row = got[0]
-        # both sides saturate at the SAME grid point -> a match
-        assert row.bucket == "match" and row.n_keys == 1
+        # both sides hit the clamp -> reported as 'saturated', never
+        # a vacuous 'match' of two capped values (second-review fix)
+        assert row.bucket == "saturated" and row.n_keys == 1
         assert row.max_abs_diff_fx == 0
 
         con = duckdb.connect()
@@ -57,7 +58,7 @@ class TestReconciliationChildSumClamp:
                 contribution_expr="contrib",
             )
         ).fetchall()
-        assert o == [("match", 1, 0, 0)]
+        assert o == [("saturated", 1, 0, 0)]
         assert _FX_GRID_CAP == (1 << 60)
 
     def test_negative_aggregate_clamps_symmetrically(self, spark):
@@ -77,7 +78,7 @@ class TestReconciliationChildSumClamp:
             child_key="ck",
             contribution_col="contrib",
         ).collect()
-        assert [(r.bucket, r.max_abs_diff_fx) for r in got] == [("match", 0)]
+        assert [(r.bucket, r.max_abs_diff_fx) for r in got] == [("saturated", 0)]
 
 
 class TestCalibrationLabelPrecision:
