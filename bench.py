@@ -34,6 +34,22 @@ PER-QUERY deltas below ~1.5x are therefore not evidence of a plan
 change; judge regressions on the suite total and on solo fresh-process
 min-of-3 with gc between reps (the adjudication protocol documented at
 operators/graph.py:modularity).
+
+Round-12 calibration extends the band to the HOST dimension: the SAME
+binary, SOLO fresh-process min-of-3 protocol, run twice in one
+session ~100 minutes apart, measured similarity_ivfpq_pruned_topk at
+14.55 s (22:38, matching its r10 full-suite 14.96) and 19.67 s
+(00:15), with graph_modularity at 14.66 s vs its r11 solo steady
+~9.7-11.9 — a uniform ~1.35x host-throughput swing that no
+within-process discipline can remove (shared-infrastructure
+variance). Consequence: even SUITE totals carry up to ~1.4x
+host-state inflation between sessions; a suite-total regression is
+only actionable when a same-session solo min-of-3 on an untouched
+anchor query (modularity / pruned_topk, both plan-pinned since r8)
+does NOT show the same uniform inflation. The r12 full run (657.6 s,
+278 queries) was measured inside exactly such a slow-host window —
+its anchor solos were 1.35x their same-day fast-window values on
+identical code.
 """
 
 from __future__ import annotations
