@@ -65,17 +65,20 @@ class TestAsofStringIdTieBreak:
 
 class TestWideSumHeadroom:
     def test_bootstrap_huge_values_stay_exact(self, spark):
-        """xfx ≈ 2.1e18: a 64-bit w·xfx product would wrap for w ≥ 5;
-        the widened DECIMAL path must match the python replay."""
+        """The widened DECIMAL w·xfx path must match the python
+        replay at the top of the fx range. Since ADVICE-r12 landed
+        the ±FX_V_CAP input clamp, the largest reachable xfx is
+        exactly 2^40·2^20 = 2^60 — and a 64-bit w·xfx product still
+        wraps there (w = 8 gives 8·2^60 = 2^63), so the DECIMAL
+        widening this r11 fix added remains load-bearing. The replay
+        applies the same clamp the engines do."""
         from kinesis_stream_spark.operators.experiment import (
+            FX_V_CAP,
             POISSON_T,
             bootstrap_ci,
         )
 
-        # 2.5e12 -> xfx = 2.62e18: weight 4 (the max this draw set
-        # produces) gives 1.05e19 > 2^63 — the pre-fix 64-bit product
-        # verifiably wraps here (2.0e12 would NOT: 4·2.1e18 < 2^63)
-        rows = [(i, 2.5e12) for i in range(8)]
+        rows = [(i, 2.5e12) for i in range(8)]  # beyond the cap
         got = bootstrap_ci(
             spark.createDataFrame(rows, "event_id long, value double"),
             id_col="event_id",
@@ -91,10 +94,12 @@ class TestWideSumHeadroom:
                 )
                 w = sum(1 for t in POISSON_T if u >= t)
                 n += w
-                s += w * math.floor(v * FX)
+                vc = min(max(v, -FX_V_CAP), FX_V_CAP)
+                s += w * math.floor(vc * FX)
             if n:
                 means.append(s / n / FX)
         means.sort()
+        assert math.floor(min(2.5e12, FX_V_CAP) * FX) == 1 << 60
         assert got.ci_lo == pytest.approx(means[0], rel=1e-12)
 
     def test_seasonal_huge_errors_stay_exact(self, spark):
