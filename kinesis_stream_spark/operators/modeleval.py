@@ -44,7 +44,11 @@ EVAL_SCALE = WELCH_SCALE
 
 def _fx(col, *, scale: float) -> F.Column:
     """±FX_V_CAP clamp then 2^20 fx floor — the engine-wide saturation
-    convention (experiment.py FX_V_CAP)."""
+    convention (experiment.py FX_V_CAP). The clamp also absorbs
+    non-finite scores deterministically: BOTH engines order NaN and
+    +Inf greatest (probed r12 — least(greatest(NaN,−c),c) = c on
+    Spark 4.1 and DuckDB alike), so corrupt scores pin to the cap
+    instead of feeding NaN through the fx floor engine-dependently."""
     return F.floor(
         F.least(
             F.greatest(col.cast("double"), F.lit(-FX_V_CAP)), F.lit(FX_V_CAP)

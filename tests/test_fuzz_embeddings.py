@@ -42,6 +42,11 @@ EMB_QUERIES = [
     # guard (corrupt vectors filtered before the rotate map)
     "similarity_rrpq_adc_topk",
     "similarity_subspace_variance",
+    # round 12: scored by embedding[1] — NULL embeddings/elements drop
+    # as NULL scores, NaN/Inf scores pin to +FX_V_CAP identically on
+    # both engines (the clamp doubles as the non-finite guard), and
+    # short vectors still carry a coordinate 1
+    "eval_roc_auc_per_class",
 ]
 
 

@@ -56,6 +56,17 @@ EVENT_QUERIES = [
     # round 11: the fuzz corpus has no 'purchase' events -> empty left
     # side must yield an empty frame on BOTH engines
     "join_asof_error_before_purchase",
+    # round 12: forward direction with an EMPTY right side (no
+    # purchases) — every error must survive left-outer with NULL
+    # asof columns, identically
+    "join_asof_next_purchase_after_error",
+    # round 12: batch twin of the streaming as-of enrichment — clicks
+    # with no matchable purchases + NULL id/ts exclusions
+    "stream_asof_enrich",
+    # round 12: NULL values/event types excluded; negative values
+    # clamp to p=0, 1e6 rides the [0,1] clamp into the last bin; no
+    # 'purchase' -> frac_pos = 0 in every bin and ECE = mean_pred
+    "events_calibration_bins",
 ]
 
 
