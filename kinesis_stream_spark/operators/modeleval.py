@@ -107,7 +107,11 @@ def roc_auc_per_class(
     one-vs-rest explode (C = |classes|, a bounded small multiplier —
     the bootstrap-×B convention), a per-class ordered window over the
     DISTINCT-SCORE frame (|distinct fx scores| rows per class, not
-    corpus rows), a C-row reduction. The global single-class form at
+    corpus rows), a C-row reduction. Plus one column-pruned
+    dictionary scan building the broadcast class frame (inherent to
+    one-vs-rest over an unknown class set — it must see the same
+    qualifying rows, so it shares the score-not-null filter; stated,
+    not hidden). The global single-class form at
     an unbounded score cardinality swaps the window for the
     distributed prefix sum (``operators/skew.py``) — same integers.
     DECIMAL(38,0) products guard n_pos·n_neg up to 10^19 each."""
@@ -290,8 +294,11 @@ def calibration_bins(
 
     Scale shape: ONE map-side-combinable (bin) counting pass over the
     corpus — the ≤B-row bin frame is the only thing that crosses the
-    exchange — then a ≤B-row total fold unioned back. No window, no
-    join, no skew surface."""
+    exchange — then the '__total__' fold runs over that frame via a
+    tag-explode (≤2B rows + a literal seed) and one label groupBy,
+    never a second corpus branch (plan-pinned: exactly one FileScan;
+    the union-of-two-aggregates form re-scanned the corpus — r12 plan
+    audit). No window, no join, no skew surface."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     b = int(n_bins)
@@ -344,30 +351,50 @@ def calibration_bins(
             f" as string), {dgt}, '0'))"
         )
 
-    bins_out = per2.select(
-        F.expr(
-            f"concat('[', {_edge('_bin')}, ',', {_edge('_bin + 1')}, ')')"
-        ).alias("bin_label"),
+    # ONE corpus pass (r12 plan audit): deriving the '__total__' row
+    # from a second aggregate over per2 re-executed per2's whole
+    # lineage — two FileScans, no ReusedExchange — so the fold runs
+    # over the ≤B-row bin frame instead: each bin row explodes into
+    # itself + a '__total__'-tagged copy (≤2B rows) and ONE label
+    # groupBy folds both. A literal zero seed row (no corpus scan)
+    # keeps the empty-input contract: the '__total__' row survives
+    # with n = 0 and NULL means.
+    tagged = per2.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("_tot")
+    ).select(
+        F.when(F.col("_tot") == 1, F.lit("__total__"))
+        .otherwise(
+            F.expr(
+                f"concat('[', {_edge('_bin')}, ',', {_edge('_bin + 1')}, ')')"
+            )
+        )
+        .alias("bin_label"),
         "n",
         "n_pos",
-        F.expr(f"{dbl} / (cast(n as double) * {s!r})").alias("mean_pred"),
-        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
-            "frac_pos"
-        ),
-        F.expr(f"{gdbl} / (cast(n as double) * {s!r})").alias("abs_gap"),
+        "_spfx",
+        "_gap_num",
     )
-    tot = per2.groupBy().agg(
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
-        F.coalesce(F.sum("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
-        F.coalesce(F.sum("_spfx"), F.lit(0).cast(d38)).cast(d38).alias(
-            "_spfx"
-        ),
-        F.coalesce(F.sum("_gap_num"), F.lit(0).cast(d38))
-        .cast(d38)
-        .alias("_gap_num"),
+    seed = (
+        tagged.sparkSession.range(1).select(
+            F.lit("__total__").alias("bin_label"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("n_pos"),
+            F.lit(0).cast(d38).alias("_spfx"),
+            F.lit(0).cast(d38).alias("_gap_num"),
+        )
     )
-    tot_out = tot.select(
-        F.lit("__total__").alias("bin_label"),
+    folded = (
+        tagged.unionByName(seed)
+        .groupBy("bin_label")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("_spfx").cast(d38).alias("_spfx"),
+            F.sum("_gap_num").cast(d38).alias("_gap_num"),
+        )
+    )
+    return folded.select(
+        "bin_label",
         "n",
         "n_pos",
         F.when(F.col("n") > 0, F.expr(f"{dbl} / (cast(n as double) * {s!r})"))
@@ -379,8 +406,7 @@ def calibration_bins(
         F.when(
             F.col("n") > 0, F.expr(f"{gdbl} / (cast(n as double) * {s!r})")
         ).alias("abs_gap"),
-    )
-    return bins_out.unionByName(tot_out).orderBy("bin_label")
+    ).orderBy("bin_label")
 
 
 def sql_calibration_bins(

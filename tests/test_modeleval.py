@@ -8,6 +8,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.modeleval import (
     calibration_bins,
@@ -195,6 +196,24 @@ class TestCalibrationBins:
         )
         for node in ("Join", "CartesianProduct", "Window"):
             assert node not in plan
+
+    def test_plan_scans_corpus_once(self, spark, sf_dir):
+        """The '__total__' fold must ride the ≤B-row bin frame, not a
+        second corpus branch (r12 plan audit: the union-of-two-
+        aggregates form produced TWO FileScans with no reuse)."""
+        from kinesis_stream_spark.sources.batch import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+            (F.col("value") / (F.col("value") + F.lit(100.0))).alias("p"),
+        )
+        plan = (
+            calibration_bins(ev, label_col="y", pred_col="p", n_bins=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("FileScan") == 1
 
     def test_partition_invariance(self, spark):
         rows = [(i % 2, ((i * 53) % 101) / 100.0) for i in range(300)]
