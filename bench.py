@@ -49,7 +49,12 @@ anchor query (modularity / pruned_topk, both plan-pinned since r8)
 does NOT show the same uniform inflation. The r12 full run (657.6 s,
 278 queries) was measured inside exactly such a slow-host window —
 its anchor solos were 1.35x their same-day fast-window values on
-identical code.
+identical code. A third same-session probe ~1 h later measured the
+anchors at 19.5 s (modularity) / 17.4 s (pruned_topk) — the host
+kept degrading through the session (fast-window values: ~10 / 14.6),
+so any bench recorded near the r12 round boundary carries up to
+~1.9x host inflation on the heavy tail; the committed BENCH_DETAIL
+is from the best window available that session.
 """
 
 from __future__ import annotations
