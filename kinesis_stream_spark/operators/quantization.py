@@ -70,7 +70,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kinesis_stream_spark.functions.hashing import md5_int64
 from kinesis_stream_spark.functions.vectors import SCALE, _fixed_sum, dot_decimal
+from kinesis_stream_spark.operators.similarity import (
+    _centroid_mean_array,
+    _centroid_sum_cols,
+    _cents_array_expr,
+    argmax_cid,
+    best_centroid_struct,
+    centroid_rows_sql_array,
+    kmeans_centroid_rows,
+)
 
 
 def _dot_fx(a: Column, b: Column) -> Column:
@@ -86,6 +96,93 @@ def _subvector(vec: Column, sub: int, subdim: int) -> Column:
     return F.slice(vec, sub * subdim + 1, subdim)
 
 
+def pq_train_rows(
+    emb: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, int, list[float]]]:
+    """Driver-iterated PQ training, all M subspaces fused into ONE
+    Lloyd chain: per round, one map-only pass over the exploded
+    (sub, subv) frame assigns every subvector against its subspace's
+    literal centroids, and a single (sub, cid)-grouped aggregate
+    (M·ksub rows, collected — O(m·ksub·dim/m) doubles, corpus-
+    independent) produces the next round's codebooks. Replaces M
+    independent :func:`kmeans_fit` chains that each re-scanned the
+    corpus and shuffled it (×ksub) through a row_number window per
+    iteration.
+
+    Arithmetic is unchanged: the seed ids are the ksub smallest
+    (md5(id), id) rows — identical for every subspace, exactly as the
+    per-subspace TakeOrdered produced (md5 depends only on the id) —
+    seed centroids are the plain slices of those vectors, assignment is
+    the dbl-domain argmax of ``2·v·c − c·c`` with ties to the lower
+    cid, and the means are the same floor-fixed-point sums, so every
+    subspace's codebook is bit-identical to the sequential form the
+    oracle replays.
+
+    Returns the final iteration's [(sub, cid, n_members, centroid)].
+    """
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    subdim = dim // m
+    seed_rows = (
+        emb.select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).alias("sv"),
+            md5_int64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "sid")
+        .limit(ksub)
+        .collect()
+    )
+    books: dict[int, list[tuple[int, list[float]]]] = {
+        j: [
+            (i, [float(x) for x in r["sv"]][j * subdim : (j + 1) * subdim])
+            for i, r in enumerate(seed_rows)
+        ]
+        for j in range(m)
+    }
+    sub_rows = _exploded_subvectors(emb, m, subdim, id_col, vec_col).select(
+        "sub", "subv"
+    )
+    last: list = []
+    for _ in range(iterations):
+        # books are all-empty or all-nonempty together: every corpus row
+        # assigns to exactly one cluster per subspace, so a subspace can
+        # only lose every cluster when the corpus is empty — in which
+        # case the seeds were empty too
+        if not any(books[j] for j in range(m)):
+            return []
+        books_arr = F.expr(
+            "array(%s)"
+            % ", ".join(centroid_rows_sql_array(books[j]) for j in range(m))
+        )
+        cid = argmax_cid(F.get(books_arr, F.col("sub")), F.col("subv"))
+        assigned = sub_rows.select("sub", cid.alias("cid"), "subv").where(
+            F.col("cid").isNotNull()
+        )
+        stats = (
+            assigned.groupBy("sub", "cid")
+            .agg(F.count(F.lit(1)).alias("n"), *_centroid_sum_cols(subdim, "subv"))
+            .select("sub", "cid", "n", _centroid_mean_array(subdim).alias("centroid"))
+        )
+        last = sorted(
+            (
+                (r["sub"], r["cid"], r["n"], [float(x) for x in r["centroid"]])
+                for r in stats.collect()
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        books = {
+            j: [(c, cent) for s, c, _n, cent in last if s == j] for j in range(m)
+        }
+    return last
+
+
 def pq_train(
     emb: DataFrame,
     *,
@@ -97,40 +194,47 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Train the PQ codebook: (sub, cid, n_members, centroid) with one
-    deterministic Lloyd run per subspace. At 100 TB train on a hash
-    sample (``stratified_sample``) exactly as the IVF runbook
+    deterministic Lloyd run per subspace (all M fused into one driver-
+    iterated chain since r12 — :func:`pq_train_rows`). At 100 TB train
+    on a hash sample (``stratified_sample``) exactly as the IVF runbook
     prescribes — the codebook is M·ksub rows regardless of corpus
-    size."""
-    from kinesis_stream_spark.operators.similarity import kmeans_fit
+    size, returned as a materialized local relation (the training
+    artifact a deployment would write to a table), so downstream
+    consumers no longer need lineage cuts."""
+    rows = pq_train_rows(
+        emb, m=m, ksub=ksub, dim=dim, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return emb.sparkSession.createDataFrame(
+        [(int(s), int(c), int(n), list(cent)) for s, c, n, cent in rows],
+        "sub int, cid int, n_members bigint, centroid array<double>",
+    )
 
-    assert dim % m == 0, "dim must split evenly into m subspaces"
-    subdim = dim // m
-    books = []
-    for j in range(m):
-        sub_emb = emb.select(
-            F.col(id_col), _subvector(F.col(vec_col), j, subdim).alias(vec_col)
+
+def _collect_cents(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """(cid, centroid) rows sorted by cid — free when ``cents`` is the
+    local relation the training functions now return."""
+    return sorted(
+        (
+            (r["cid"], [float(x) for x in r["centroid"]])
+            for r in cents.select("cid", "centroid").collect()
+        ),
+        key=lambda t: t[0],
+    )
+
+
+def _collect_books(codebook: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """sub → [(cid, centroid)] sorted, from a (sub, cid, centroid)
+    codebook frame."""
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in sorted(
+        codebook.select("sub", "cid", "centroid").collect(),
+        key=lambda r: (r["sub"], r["cid"]),
+    ):
+        books.setdefault(r["sub"], []).append(
+            (r["cid"], [float(x) for x in r["centroid"]])
         )
-        books.append(
-            kmeans_fit(
-                sub_emb,
-                k=ksub,
-                dim=subdim,
-                iterations=iterations,
-                id_col=id_col,
-                vec_col=vec_col,
-            ).select(F.lit(j).alias("sub"), "cid", "n_members", "centroid")
-        )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionAll(b)
-    # The codebook is a broadcast-sized training artifact consumed by
-    # several downstream plans (encode, ADC tables, MSE) — materialize it
-    # once (M·ksub rows) so consumers don't each re-embed M Lloyd chains
-    # in their analyzed plan. Without this cut the composed IVF-PQ plan
-    # (whose residuals already carry the coarse chain) grows
-    # multiplicatively and can OOM the driver-side analyzer. A real
-    # deployment writes the codebook to a table here.
-    return out.localCheckpoint()
+    return books
 
 
 def _exploded_subvectors(
@@ -173,46 +277,42 @@ def pq_encode(
     (vid, *passthrough, codes array<int>). Assignment metric is the
     training metric (argmax ``2·v·c − c·c``, exact fixed-point dots,
     ties to the lower cid) so encode(train-set) reproduces the final
-    training assignment. ``passthrough`` columns (constant per vid,
-    e.g. an IVF list id) ride the existing explode + aggregation — no
-    second corpus-sized join to re-attach them."""
+    training assignment. Map-ONLY since r12: the literal codebook
+    makes the whole encode one projection — no explode, no join, no
+    shuffle; ``passthrough`` columns ride the same projection."""
     assert dim % m == 0
     subdim = dim // m
-    sub_rows = _exploded_subvectors(
-        corpus, m, subdim, id_col, vec_col, passthrough
-    )
-    score = (
-        2 * dot_decimal(F.col("subv"), F.col("centroid"))
-        - dot_decimal(F.col("centroid"), F.col("centroid"))
-    ).alias("score")
-    # Argmax via max_by over (score, -cid) — identical winner to a
-    # row_number window: score is a DOUBLE derived from exact fixed-
-    # point sums, so both engines compute the identical double, and
-    # when two centroids' scores collapse to one double the -cid struct
-    # field breaks the tie to the lower cid exactly as the window's
-    # ORDER BY did. Map-side combinable where the window was not: the
-    # shuffle
-    # carries one partial max per (vid, sub) per map partition instead
-    # of every scored candidate row into a sort. At 100 TB encode this
-    # is the difference between shuffling N·M·ksub rows and N·M.
-    assigned = (
-        sub_rows.join(F.broadcast(codebook.select("sub", "cid", "centroid")), "sub")
-        .select("vid", *passthrough, "sub", "cid", score)
-        .groupBy("vid", *passthrough, "sub")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("score"), (-F.col("cid")).alias("nc"))
-            ).alias("cid")
+    # r12 shape: the broadcast-sized codebook is collected (free for
+    # the local relation pq_train returns) and injected as literal
+    # arrays, so the per-(vector, subspace) argmax is a pure projection
+    # — encode shuffles NOTHING (the previous form shuffled N·M rows
+    # through a max_by aggregate and N·M again through the code fold).
+    # Winner per (vid, sub) is identical: same dbl-domain score
+    # expression, same lower-cid tie-break (see best_centroid_struct).
+    books = _collect_books(codebook)
+    present = [j for j in range(m) if books.get(j)]
+    out_cols = [
+        F.col(id_col).alias("vid"),
+        *[F.col(c) for c in passthrough],
+    ]
+    if not present:
+        # empty codebook: the old inner join produced zero rows
+        return corpus.where(F.lit(False)).select(
+            *out_cols, F.lit(None).cast("array<int>").alias("codes")
         )
+    # codes ordered by subspace over the PRESENT subs — exactly the
+    # array_sort(collect_list(struct(sub, cid))) fold over the inner
+    # codebook join (a sub absent from the codebook contributed no row)
+    codes = F.array(
+        *[
+            argmax_cid(
+                _cents_array_expr(books[j]),
+                _subvector(F.col(vec_col), j, subdim),
+            )
+            for j in present
+        ]
     )
-    # array_sort on (sub, cid) structs orders by subspace, then project
-    # the ids — deterministic fold, no assumption on collect_list order
-    return assigned.groupBy("vid", *passthrough).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
-            lambda s: s.getField("cid").cast("int"),
-        ).alias("codes")
-    )
+    return corpus.select(*out_cols, codes.alias("codes"))
 
 
 def pq_topk_adc(
@@ -242,39 +342,71 @@ def pq_topk_adc(
     check before trusting a re-encoded index."""
     assert dim % m == 0
     subdim = dim // m
-    q_subs = _exploded_subvectors(
-        queries, m, subdim, query_id_col, query_vec_col
-    ).select(F.col("vid").alias("qid"), "sub", "subv")
-    # contributions stay in the BIGINT fixed-point domain until after
-    # the sum: exact, order-independent, one scale-back IEEE divide
-    table = q_subs.join(codebook.select("sub", "cid", "centroid"), "sub").select(
-        "qid",
-        "sub",
-        F.col("cid").alias("code"),
-        (
-            2 * _dot_fx(F.col("subv"), F.col("centroid"))
-            - _dot_fx(F.col("centroid"), F.col("centroid"))
-        ).alias("contrib_fx"),
+    # r12 shape: the per-query lookup table becomes a nested literal-
+    # book expression attached to each (broadcast) query row — one
+    # array per subspace of (cid, contrib_fx) structs, contributions in
+    # the BIGINT fixed-point domain exactly as before. A candidate's
+    # score is then a map-side fold over its codes (M lookups + adds),
+    # so the only corpus-sized data movement left is the per-query
+    # top-k (WindowGroupLimit keeps ≤ k rows per partition before that
+    # exchange). The previous form exploded codes to N·M rows and
+    # shuffled the (query, vector) partial sums.
+    books = _collect_books(codebook)
+    if sorted(books) != list(range(m)):
+        # the old ALL-M-contributions guard (_n == m): a codebook
+        # missing a whole subspace can never score any candidate
+        q0 = queries.where(F.lit(False)).select(F.col(query_id_col))
+        c0 = codes.where(F.lit(False)).select(F.col("vid").alias("vec_id"))
+        return q0.crossJoin(c0).select(
+            query_id_col,
+            "vec_id",
+            F.lit(0.0).alias("approx_score"),
+            F.lit(0).alias("rank"),
+        )
+    lut = F.array(
+        *[
+            F.transform(
+                _cents_array_expr(books[j]),
+                lambda c, _j=j: F.struct(
+                    c["cid"].alias("cid"),
+                    (
+                        2
+                        * _dot_fx(
+                            _subvector(F.col("qv"), j, subdim), c["centroid"]
+                        )
+                        - _dot_fx(c["centroid"], c["centroid"])
+                    ).alias("contrib_fx"),
+                ),
+            )
+            for j in range(m)
+        ]
     )
-    code_rows = codes.where(F.size("codes") == m).select(
-        "vid",
-        F.posexplode("codes").alias("sub", "code"),
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).select("qid", lut.alias("lut"))
+    code_rows = codes.where(F.size("codes") == m).select("vid", "codes")
+    # codes[j] not present in subspace j's table (index/codebook version
+    # mismatch) -> NULL lookup -> NULL sum -> candidate dropped, the
+    # same outcome as the old _n == m guard
+    sum_fx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, lut_j: F.get(
+                F.filter(lut_j, lambda e: e["cid"] == code), F.lit(0)
+            )["contrib_fx"],
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
     scored = (
-        code_rows.join(F.broadcast(table), ["sub", "code"])
-        .groupBy("qid", "vid")
-        .agg(
-            F.sum("contrib_fx").alias("_sfx"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        # a vector scores against a query only with ALL M contributions
-        # (a missing (sub, code) table row would silently under-score)
-        .where(F.col("_n") == m)
+        code_rows.crossJoin(F.broadcast(q))
         .select(
             "qid",
             "vid",
-            (F.col("_sfx").cast("double") / SCALE).alias("approx_score"),
+            (sum_fx.cast("double") / SCALE).alias("approx_score"),
         )
+        .where(F.col("approx_score").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("approx_score"), F.asc("vid")
@@ -346,6 +478,84 @@ def pq_reconstruction_mse(
     return overall.unionAll(per_sub).orderBy("sub")
 
 
+def pq_reconstruction_mse_direct(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_reconstruction_mse` for the codes-are-this-codebook's-
+    encode case, fused to a single map-only pass (r12): because
+    ``sqerr_fx = fx(s,s) − score_fx(c)`` for the SAME fixed-point
+    terms (``score_fx = 2·fx(s,c) − fx(c,c)``), the assigned
+    centroid's squared error falls out of the argmax directly — no
+    encode materialization, no (vid, sub) shuffle join of corpus
+    against codes. The winner is still chosen in the dbl-score domain
+    with the lower-cid tie-break (exactly :func:`pq_encode`'s
+    assignment; score ties have equal score_fx, so the sqerr is
+    tie-insensitive), then its exact BIGINT score_fx is subtracted.
+    Output and arithmetic are identical to
+    ``pq_reconstruction_mse(corpus, pq_encode(corpus, codebook), codebook)``
+    (pinned by test). Keep the three-argument form for auditing an
+    index that may NOT match the codebook (version-mismatch
+    diagnostics) — there the join is the point."""
+    assert dim % m == 0
+    subdim = dim // m
+    books = _collect_books(codebook)
+    present = [j for j in range(m) if books.get(j)]
+    sub_errs = []
+    for j in present:
+        subv = _subvector(F.col(vec_col), j, subdim)
+        best = F.array_max(
+            F.transform(
+                _cents_array_expr(books[j]),
+                lambda c: F.struct(
+                    (
+                        2 * dot_decimal(subv, c["centroid"])
+                        - dot_decimal(c["centroid"], c["centroid"])
+                    ).alias("score"),
+                    (-c["cid"]).alias("nc"),
+                    (
+                        2 * _dot_fx(subv, c["centroid"])
+                        - _dot_fx(c["centroid"], c["centroid"])
+                    ).alias("sfx"),
+                ),
+            )
+        )
+        sub_errs.append(
+            F.struct(
+                F.lit(j).alias("sub"),
+                (_dot_fx(subv, subv) - best["sfx"]).alias("sqerr_fx"),
+            )
+        )
+    if not sub_errs:
+        return corpus.sparkSession.createDataFrame(
+            [], "sub int, n_vectors bigint, mse double"
+        )
+    mse = (F.col("_sfx").cast("double") / SCALE / F.col("n_vectors")).alias("mse")
+    sums = (
+        corpus.select(F.explode(F.array(*sub_errs)).alias("e"))
+        .select("e.sub", "e.sqerr_fx")
+        .groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("sqerr_fx").alias("_sfx"),
+        )
+    )
+    per_sub = sums.select("sub", "n_vectors", mse)
+    overall = (
+        sums.agg(
+            F.max("n_vectors").alias("n_vectors"), F.sum("_sfx").alias("_sfx")
+        )
+        .where(F.col("n_vectors").isNotNull())
+        .select(F.lit(-1).alias("sub"), "n_vectors", mse)
+    )
+    return overall.unionAll(per_sub).orderBy("sub")
+
+
 # --- IVF-PQ: coarse routing + residual product quantization -------------------
 
 
@@ -375,35 +585,37 @@ def ivfpq_train(
     Returns (coarse, book): the k_coarse-row centroid frame and the
     (m·ksub)-row residual codebook. Both are broadcast-sized regardless
     of corpus size; at 100 TB train on a sample, exactly as the IVF
-    runbook prescribes."""
-    from kinesis_stream_spark.operators.similarity import (
-        assign_to_centroids,
-        kmeans_fit,
+    runbook prescribes. Since r12 both come back as materialized local
+    relations (driver-iterated training — no lineage cuts needed), and
+    the residual frame feeding PQ training is a map-only projection
+    against the literal coarse centroids instead of a windowed
+    assignment + centroid re-join."""
+    spark = emb.sparkSession
+    coarse_stats = kmeans_centroid_rows(
+        emb, k=k_coarse, dim=dim, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
     )
-
-    coarse = (
-        kmeans_fit(
-            emb, k=k_coarse, dim=dim, iterations=iterations,
-            id_col=id_col, vec_col=vec_col,
-        )
-        .select("cid", "centroid")
-        # k_coarse rows; same lineage cut as the codebook above — the
-        # residual frame (and through it all M subspace Lloyd chains,
-        # the encode, and the search) would otherwise each replay the
-        # coarse training plan inside their own
-        .localCheckpoint()
+    coarse_rows = [(c, cent) for c, _n, cent in coarse_stats]
+    coarse = spark.createDataFrame(
+        [(int(c), list(cent)) for c, cent in coarse_rows],
+        "cid int, centroid array<double>",
     )
-    assigned = assign_to_centroids(
-        emb, coarse, id_col=id_col, vec_col=vec_col
-    ).join(F.broadcast(coarse), "cid")
-    residuals = assigned.select(
-        F.col("vid").alias(id_col),
-        _residual(F.col("v"), F.col("centroid")).alias(vec_col),
+    if not coarse_rows:
+        book = spark.createDataFrame([], "sub int, cid int, centroid array<double>")
+        return coarse, book
+    win = best_centroid_struct(_cents_array_expr(coarse_rows), F.col(vec_col))
+    residuals = emb.select(
+        F.col(id_col).alias(id_col),
+        _residual(F.col(vec_col), win["centroid"]).alias(vec_col),
     )
-    book = pq_train(
+    book_rows = pq_train_rows(
         residuals, m=m, ksub=ksub, dim=dim, iterations=iterations,
         id_col=id_col, vec_col=vec_col,
-    ).select("sub", "cid", "centroid")
+    )
+    book = spark.createDataFrame(
+        [(int(s), int(c), list(cent)) for s, c, _n, cent in book_rows],
+        "sub int, cid int, centroid array<double>",
+    )
     return coarse, book
 
 
@@ -417,21 +629,26 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Index the corpus: (vid, list_id, codes). One coarse assignment
-    (broadcast + argmax window), one residual map, one PQ encode — the
+    """Index the corpus: (vid, list_id, codes). Map-ONLY since r12:
+    the literal coarse centroids and residual codebooks turn coarse
+    assignment, residual, and all M code argmaxes into ONE projection
+    over the corpus scan — zero joins, zero shuffles; the
     full-precision vector is read once and never stored."""
-    from kinesis_stream_spark.operators.similarity import assign_to_centroids
-
-    assigned = assign_to_centroids(
-        corpus, coarse, id_col=id_col, vec_col=vec_col
-    ).join(F.broadcast(coarse), "cid")
-    residuals = assigned.select(
-        F.col("vid"),
-        F.col("cid").alias("list_id"),
-        _residual(F.col("v"), F.col("centroid")).alias("r"),
+    coarse_rows = _collect_cents(coarse)
+    v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if not coarse_rows:
+        # empty quantizer: the old windowed assignment produced no rows
+        return v.where(F.lit(False)).select(
+            "vid",
+            F.lit(None).cast("int").alias("list_id"),
+            F.lit(None).cast("array<int>").alias("codes"),
+        )
+    win = best_centroid_struct(_cents_array_expr(coarse_rows), F.col("v"))
+    residuals = v.select(
+        "vid",
+        (-win["nc"]).cast("int").alias("list_id"),
+        _residual(F.col("v"), win["centroid"]).alias("r"),
     )
-    # list_id rides pq_encode's own explode + aggregation — re-attaching
-    # it afterwards would cost a second corpus-sized shuffle join
     return pq_encode(
         residuals, book, m=m, dim=dim, id_col="vid", vec_col="r",
         passthrough=("list_id",),
@@ -469,36 +686,55 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     )
-    qlist = _route_queries(q, coarse, nprobe=nprobe)
+    qlist = _route_queries(q, _collect_cents(coarse), nprobe=nprobe)
     return _adc_topk(
-        index, qlist, book, k=k, m=m, subdim=subdim,
+        index, qlist, _collect_books(book), k=k, m=m, subdim=subdim,
         query_id_col=query_id_col,
     )
 
 
-def _route_queries(q, coarse: DataFrame, *, nprobe: int) -> DataFrame:
+def _route_queries(
+    q, coarse_rows: list[tuple[int, list[float]]], *, nprobe: int
+) -> DataFrame:
     """Route each (qid, qv) query to its ``nprobe`` best inverted
     lists: (qid, list_id, base_fx, qr) with the per-(query, list)
     BIGINT base score and the query residual against the list
     centroid. Output is Q·nprobe rows — broadcast-sized by
-    construction (queries are a serving batch, not a corpus)."""
-    route_score = (
-        2 * _dot_fx(F.col("qv"), F.col("centroid"))
-        - _dot_fx(F.col("centroid"), F.col("centroid"))
-    ).alias("base_fx")
-    w_route = Window.partitionBy("qid").orderBy(
-        F.desc("base_fx"), F.asc("list_id")
+    construction (queries are a serving batch, not a corpus).
+
+    r12 shape: the literal coarse centroids make routing a map-only
+    array expression per query row (score every list, sort the
+    struct array, slice nprobe) — no broadcast join, no row_number
+    window/exchange. Selection order is identical: ascending
+    (−base_fx, list_id) = the window's (base_fx DESC, list_id ASC)."""
+    if not coarse_rows:
+        return q.where(F.lit(False)).select(
+            "qid",
+            F.lit(None).cast("int").alias("list_id"),
+            F.lit(None).cast("bigint").alias("base_fx"),
+            F.lit(None).cast("array<double>").alias("qr"),
+        )
+    scored = F.transform(
+        _cents_array_expr(coarse_rows),
+        lambda c: F.struct(
+            (
+                -(
+                    2 * _dot_fx(F.col("qv"), c["centroid"])
+                    - _dot_fx(c["centroid"], c["centroid"])
+                )
+            ).alias("nbase"),
+            c["cid"].alias("list_id"),
+            c["centroid"].alias("centroid"),
+        ),
     )
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
     return (
-        q.join(F.broadcast(coarse))
-        .select("qid", "qv", F.col("cid").alias("list_id"), "centroid", route_score)
-        .withColumn("pr", F.row_number().over(w_route))
-        .where(F.col("pr") <= nprobe)
+        q.select("qid", "qv", F.explode(probes).alias("p"))
         .select(
             "qid",
-            "list_id",
-            "base_fx",
-            _residual(F.col("qv"), F.col("centroid")).alias("qr"),
+            F.col("p.list_id").alias("list_id"),
+            (-F.col("p.nbase")).alias("base_fx"),
+            _residual(F.col("qv"), F.col("p.centroid")).alias("qr"),
         )
     )
 
@@ -506,7 +742,7 @@ def _route_queries(q, coarse: DataFrame, *, nprobe: int) -> DataFrame:
 def _adc_topk(
     index: DataFrame,
     qlist: DataFrame,
-    book: DataFrame,
+    books: dict[int, list[tuple[int, list[float]]]],
     *,
     k: int,
     m: int,
@@ -515,46 +751,71 @@ def _adc_topk(
 ) -> DataFrame:
     """ADC-score the (vid, list_id, codes) index rows against routed
     queries and keep each query's top k (the scoring half shared by
-    :func:`ivfpq_topk` and :func:`ivfpq_topk_pruned`)."""
-    q_subs = _exploded_subvectors(
-        qlist, m, subdim, "qid", "qr", ("list_id", "base_fx")
-    ).select(
-        F.col("vid").alias("qid"),
-        "list_id",
-        "base_fx",
-        "sub",
-        F.col("subv").alias("qr_sub"),
+    :func:`ivfpq_topk` and :func:`ivfpq_topk_pruned`).
+
+    r12 shape: each routed (qid, list) row carries its full lookup
+    table as a nested column (per subspace, (cid, contrib_fx) structs
+    over the literal residual codebook — the same BIGINT fixed-point
+    contributions as before), the Q·nprobe-row frame broadcast-hash-
+    joins the index on list_id, and a candidate's score is a map-side
+    fold over its M codes. The previous form exploded the index to
+    N·M rows and shuffled per-(query, vector) partial sums; now the
+    only exchange left is the top-k itself (WindowGroupLimit bounds it
+    to ≤ k rows per partition). A code id absent from its subspace's
+    table (index/codebook version mismatch) folds to NULL and drops
+    the candidate — the old _n == m guard's outcome."""
+    if sorted(books) != list(range(m)):
+        q0 = qlist.where(F.lit(False)).select("qid")
+        c0 = index.where(F.lit(False)).select(F.col("vid").alias("vec_id"))
+        return q0.crossJoin(c0).select(
+            F.col("qid").alias(query_id_col),
+            "vec_id",
+            F.lit(0.0).alias("approx_score"),
+            F.lit(0).alias("rank"),
+        )
+    lut = F.array(
+        *[
+            F.transform(
+                _cents_array_expr(books[j]),
+                lambda c, _j=j: F.struct(
+                    c["cid"].alias("cid"),
+                    (
+                        2
+                        * _dot_fx(
+                            _subvector(F.col("qr"), j, subdim), c["centroid"]
+                        )
+                        - _dot_fx(c["centroid"], c["centroid"])
+                    ).alias("contrib_fx"),
+                ),
+            )
+            for j in range(m)
+        ]
     )
-    table = q_subs.join(book, "sub").select(
-        "qid",
-        "list_id",
-        "sub",
-        F.col("cid").alias("code"),
-        "base_fx",
-        (
-            2 * _dot_fx(F.col("qr_sub"), F.col("centroid"))
-            - _dot_fx(F.col("centroid"), F.col("centroid"))
-        ).alias("contrib_fx"),
-    )
-    cand = index.select(
-        "vid", "list_id", F.posexplode("codes").alias("sub", "code")
+    ql = qlist.select("qid", "list_id", "base_fx", lut.alias("lut"))
+    sum_fx = F.aggregate(
+        # codes beyond the first m never contributed (the old explode
+        # joined subs 0..m-1 only); shorter arrays zip against a NULL
+        # table entry and drop, like their missing contributions did
+        F.zip_with(
+            F.slice(F.col("codes"), 1, m),
+            F.col("lut"),
+            lambda code, lut_j: F.get(
+                F.filter(lut_j, lambda e: e["cid"] == code), F.lit(0)
+            )["contrib_fx"],
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
     scored = (
-        cand.join(F.broadcast(table), ["list_id", "sub", "code"])
-        .groupBy("qid", "vid", "list_id")
-        .agg(
-            F.sum("contrib_fx").alias("_cfx"),
-            F.min("base_fx").alias("_bfx"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .where(F.col("_n") == m)
+        index.join(F.broadcast(ql), "list_id")
         .select(
             "qid",
             "vid",
-            ((F.col("_bfx") + F.col("_cfx")).cast("double") / SCALE).alias(
+            ((F.col("base_fx") + sum_fx).cast("double") / SCALE).alias(
                 "approx_score"
             ),
         )
+        .where(F.col("approx_score").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(F.desc("approx_score"), F.asc("vid"))
     return (
@@ -613,11 +874,11 @@ def ivfpq_topk_pruned(
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     )
-    # Q·nprobe rows; checkpointed because it is consumed twice (the
-    # probed-list collect and the scoring join) and its lineage holds
-    # the full routing window. Left pinned: the returned frame reads it
-    # lazily.
-    qlist = _route_queries(q, coarse, nprobe=nprobe).localCheckpoint()
+    # Q·nprobe rows, map-only from the query scan since r12 — cheap
+    # enough that the probed-list collect and the scoring join each
+    # just re-run it (the old windowed routing needed a localCheckpoint
+    # to avoid replaying its exchange twice).
+    qlist = _route_queries(q, _collect_cents(coarse), nprobe=nprobe)
     probed = sorted(
         r.list_id for r in qlist.select("list_id").distinct().collect()
     )
@@ -625,7 +886,7 @@ def ivfpq_topk_pruned(
         F.col("list_id").isin(probed)
     )
     return _adc_topk(
-        index, qlist, book, k=k, m=m, subdim=dim // m,
+        index, qlist, _collect_books(book), k=k, m=m, subdim=dim // m,
         query_id_col=query_id_col,
     )
 

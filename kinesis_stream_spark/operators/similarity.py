@@ -21,7 +21,9 @@ primitives in functions/vectors.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -529,6 +531,144 @@ def ivf_recall_sweep(
     return out
 
 
+@lru_cache(maxsize=32)
+def _centroid_sum_cols(dim: int, vec_col: str) -> tuple:
+    """Memoized tuple of the per-dimension fixed-point sum aggregates.
+    Column objects are immutable unresolved expression trees keyed by
+    column NAME, so one construction serves every plan that aggregates
+    a ``vec_col`` of this width — rebuilding them per call cost ~0.5 s
+    of py4j round-trips per Lloyd iteration (r12 measurement)."""
+    return tuple(_centroid_sums(i, vec_col) for i in range(dim))
+
+
+@lru_cache(maxsize=32)
+def _centroid_mean_array(dim: int) -> Column:
+    """Memoized mean-vector projection over ``_centroid_sum_cols``
+    output (same py4j-amortization argument)."""
+    return F.array(*[_centroid_mean(i) for i in range(dim)])
+
+
+def _double_lit(x: float) -> str:
+    """A Spark-SQL double literal that round-trips ``x`` exactly:
+    ``repr`` emits the shortest decimal string that parses back to the
+    identical IEEE double (both Spark's and DuckDB's parsers are
+    correctly rounded), so injecting collected training artifacts as
+    literals preserves bit-exact parity with the lazy-plan form."""
+    return f"{x!r}D"
+
+
+def centroid_rows_sql_array(cents: list[tuple[int, list[float]]]) -> str:
+    """SQL text for an ``array<struct<cid int, centroid array<double>>>``
+    literal holding driver-side centroids — the injection point that
+    turns centroid assignment into a map-only expression (no join, no
+    window, no shuffle)."""
+    entries = ", ".join(
+        "named_struct('cid', {c}, 'centroid', array({vs}))".format(
+            c=int(cid), vs=", ".join(_double_lit(float(x)) for x in vec)
+        )
+        for cid, vec in cents
+    )
+    return f"array({entries})"
+
+
+def _cents_array_expr(cents: list[tuple[int, list[float]]]) -> Column:
+    return F.expr(centroid_rows_sql_array(cents))
+
+
+def best_centroid_struct(cents_arr: Column, v: Column) -> Column:
+    """The winning (score, nc, centroid) struct for vector ``v`` over a
+    centroid struct-array: score is the training metric
+    ``2·v·c − c·c`` (exact fixed-point dots, the identical expression
+    the windowed form computed per joined row), and struct-max ordering
+    on (score, nc = −cid) breaks score ties to the LOWER cid — the same
+    winner as ``row_number() OVER (ORDER BY score DESC, cid ASC)``.
+    Map-only: no explode, no join, no shuffle. NULL iff the array is
+    empty."""
+    return F.array_max(
+        F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                (
+                    2 * dot_decimal(v, c["centroid"])
+                    - dot_decimal(c["centroid"], c["centroid"])
+                ).alias("score"),
+                (-c["cid"]).alias("nc"),
+                c["centroid"].alias("centroid"),
+            ),
+        )
+    )
+
+
+def argmax_cid(cents_arr: Column, v: Column) -> Column:
+    """cid of the best-scoring centroid (ties to the lower cid)."""
+    return (-best_centroid_struct(cents_arr, v)["nc"]).cast("int")
+
+
+def kmeans_centroid_rows(
+    emb: DataFrame,
+    *,
+    k: int = 4,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """Driver-iterated deterministic Lloyd's k-means: the MLlib shape —
+    per round ONE map-only assignment pass over the corpus feeding one
+    k-row aggregate that is collected to the driver (O(k·dim) doubles,
+    corpus-independent) and re-injected as literals for the next round.
+
+    Arithmetic is unchanged from the lazy-plan form this replaced
+    (r12): md5-seeded init via TakeOrdered, assignment argmax of
+    ``2·v·c − c·c`` with exact fixed-point dots and ties to the lower
+    cid, floor-fixed-point centroid means — the collected doubles
+    round-trip exactly (py4j doubles are IEEE-exact both ways), so
+    every score, assignment, and mean is bit-identical to the oracle
+    replay. What changed is the PLAN: the per-iteration broadcast
+    join + N·k-row row_number window (a corpus-sized sort exchange,
+    plus multiplicative lineage growth that forced localCheckpoints
+    downstream) became scan → map argmax → partially-aggregated k-row
+    collect. Empty clusters simply produce no stats row and drop out
+    of the next literal array — identical shrink semantics.
+
+    Returns the final iteration's [(cid, n_members, centroid)], sorted
+    by cid.
+    """
+    # init: the k vectors with the smallest (md5(id), id) —
+    # TakeOrderedAndProject, never a global sort; cid = rank order.
+    seed_rows = (
+        emb.select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).alias("centroid"),
+            md5_int64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "sid")
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["centroid"]]) for i, r in enumerate(seed_rows)
+    ]
+    v = emb.select(F.col(vec_col).alias("v"))
+    stats_rows: list[tuple[int, int, list[float]]] = []
+    for _ in range(iterations):
+        if not cents:
+            return []
+        cid = argmax_cid(_cents_array_expr(cents), F.col("v"))
+        assigned = v.select(cid.alias("cid"), "v").where(F.col("cid").isNotNull())
+        stats = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), *_centroid_sum_cols(dim, "v"))
+            .select("cid", "n", _centroid_mean_array(dim).alias("centroid"))
+        )
+        stats_rows = sorted(
+            ((r["cid"], r["n"], [float(x) for x in r["centroid"]]) for r in stats.collect()),
+            key=lambda t: t[0],
+        )
+        cents = [(c, cent) for c, _, cent in stats_rows]
+    return stats_rows
+
+
 def kmeans_fit(
     emb: DataFrame,
     *,
@@ -554,66 +694,24 @@ def kmeans_fit(
     - update: per-dimension means from exact floor-fixed-point sums
       (CENTROID_SCALE — tie-free, unlike a double→DECIMAL cast).
 
-    Fixed ``iterations`` (no convergence check) keeps the computation a
-    finite unrollable expression on both engines. Scale shape: per
-    round, one broadcast of k centroids, map-side scoring, one shuffle
-    for the per-vector argmax window, one aggregation for the means —
-    at 100 TB run it on a hash-sample (stratified_sample) as the
-    runbook prescribes, not the full corpus. Empty clusters drop out
-    (k shrinks), identically on both engines.
+    Fixed ``iterations`` (no convergence check) keeps the computation
+    finite and oracle-replayable. Since r12 the iteration is driven
+    from the driver (:func:`kmeans_centroid_rows` — MLlib's shape):
+    each round is one map-only assignment + k-row collected aggregate,
+    so there is NO per-round corpus shuffle and the result frame is a
+    small materialized local relation instead of a deeply nested lazy
+    plan (the nested form cost ~8 s of driver-side plan construction
+    per fit at sf0.1 and forced localCheckpoints on every consumer).
+    Empty clusters drop out (k shrinks), identically on both engines.
 
     Returns (cid, n_members, centroid) from the final iteration.
     """
-    # top-k by md5 via orderBy+limit (TakeOrderedAndProject — never a
-    # global sort); the cid-assigning window then runs over k rows only.
-    # pmod(_h, 1) is a constant-0 partition key the optimizer cannot
-    # fold away (a bare/literal partitionBy is eliminated and WindowExec
-    # then warns about an accidental global window) — the single
-    # partition is deliberate: ≤ k rows post-limit.
-    seeds = (
-        emb.select(
-            F.col(id_col).alias("sid"),
-            F.col(vec_col).alias("centroid"),
-            md5_int64(F.col(id_col).cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "sid")
-        .limit(k)
-        .withColumn(
-            "cid",
-            F.row_number().over(
-                Window.partitionBy(F.pmod(F.col("_h"), F.lit(1))).orderBy("_h", "sid")
-            )
-            - 1,
-        )
-        .select("cid", "centroid")
+    rows = kmeans_centroid_rows(
+        emb, k=k, dim=dim, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
-    v = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    cents = seeds
-    stats = None
-    for _ in range(iterations):
-        scored = v.join(F.broadcast(cents)).select(
-            "vid",
-            "v",
-            "cid",
-            (
-                2 * dot_decimal(F.col("v"), F.col("centroid"))
-                - dot_decimal(F.col("centroid"), F.col("centroid"))
-            ).alias("score"),
-        )
-        w = Window.partitionBy("vid").orderBy(F.desc("score"), F.asc("cid"))
-        assigned = scored.withColumn("rn", F.row_number().over(w)).where(
-            F.col("rn") == 1
-        )
-        stats = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[_centroid_sums(i, "v") for i in range(dim)],
-        )
-        cents = stats.select(
-            "cid",
-            F.array(*[_centroid_mean(i) for i in range(dim)]).alias("centroid"),
-        )
-    return stats.join(cents, "cid").select(
-        "cid", F.col("n").alias("n_members"), "centroid"
+    return emb.sparkSession.createDataFrame(
+        [(int(c), int(n), list(cent)) for c, n, cent in rows],
+        "cid int, n_members bigint, centroid array<double>",
     )
 
 
@@ -627,20 +725,30 @@ def assign_to_centroids(
     """Assign every vector to its nearest centroid by the training
     metric (argmax of ``2·v·c − c·c``, fixed-point dots, ties to the
     lower cid) — the shared step between IVF indexing and semantic
-    dedup. Returns (vid, v, cid). One broadcast of the k-row centroid
-    frame, one per-vector argmax window."""
-    score = (
-        2 * dot_decimal(F.col("v"), F.col("centroid"))
-        - dot_decimal(F.col("centroid"), F.col("centroid"))
-    ).alias("score")
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("score"), F.asc("cid"))
+    dedup. Returns (vid, v, cid).
+
+    r12 shape: the k-row centroid frame is collected (free when it is
+    the local relation :func:`kmeans_fit` now returns; otherwise one
+    k-row job) and injected as a literal array, making assignment a
+    map-only projection — the previous broadcast join + N·k-row
+    row_number window shuffled the whole corpus (×k, carrying the
+    vectors) into a sort at every call site. Same winner per row: the
+    struct-max tie-breaks score ties to the lower cid exactly as the
+    window's ORDER BY did."""
+    rows = sorted(
+        ((r["cid"], [float(x) for x in r["centroid"]]) for r in
+         cents.select("cid", "centroid").collect()),
+        key=lambda t: t[0],
+    )
+    v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if not rows:
+        return v.where(F.lit(False)).select(
+            "vid", "v", F.lit(None).cast("int").alias("cid")
+        )
+    cid = argmax_cid(_cents_array_expr(rows), F.col("v"))
     return (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(cents))
-        .select("vid", "v", "cid", score)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vid", "v", "cid")
+        v.select("vid", "v", cid.alias("cid"))
+        .where(F.col("cid").isNotNull())
     )
 
 

@@ -40,7 +40,7 @@ from kinesis_stream_spark.operators.quantization import (
     ivfpq_topk_pruned,
     ivfpq_train,
     pq_encode,
-    pq_reconstruction_mse,
+    pq_reconstruction_mse_direct,
     pq_topk_adc,
     pq_train,
     write_partitioned_index,
@@ -123,11 +123,15 @@ def similarity_pq_reconstruction_mse(spark: SparkSession, sf_dir: str) -> DataFr
     """Codebook-quality diagnostic: per-subspace + overall (sub = -1)
     mean squared reconstruction error, the number that decides whether
     m/ksub are adequate before a 100 TB re-encode. Error sums stay in
-    exact BIGINT fixed-point until two final IEEE divides per row."""
+    exact BIGINT fixed-point until two final IEEE divides per row.
+    Since r12 the encode+score is the fused single-pass form
+    (``sqerr_fx = fx(s,s) − score_fx(assigned)`` falls out of the
+    assignment argmax — identical integers, no corpus-sized
+    codes-join; equivalence to the 3-arg operator is pinned by
+    tests/test_quantization.py)."""
     emb = emb_scan(spark, sf_dir, DIM)
     book = pq_train(emb, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS)
-    codes = pq_encode(emb, book, m=M, dim=DIM)
-    return pq_reconstruction_mse(emb, codes, book, m=M, dim=DIM).orderBy("sub")
+    return pq_reconstruction_mse_direct(emb, book, m=M, dim=DIM).orderBy("sub")
 
 
 @_q(

@@ -144,9 +144,14 @@ def test_pq_plans_broadcast_codebook_no_cartesian(spark, corpus):
     book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
     codes = pq_encode(emb, book, m=M, dim=DIM)
 
+    # r12: encode is a pure projection over the scan — the literal
+    # codebook removed the broadcast join AND both corpus-sized
+    # aggregation exchanges; pin the stronger shape (no join of ANY
+    # kind, no exchange)
     enc_plan = _explain(pq_encode(emb, book, m=M, dim=DIM))
     assert "CartesianProduct" not in enc_plan
-    assert "BroadcastHashJoin" in enc_plan
+    assert "Join" not in enc_plan
+    assert "Exchange" not in enc_plan
     adc_plan = _explain(
         pq_topk_adc(
             codes,
@@ -157,8 +162,13 @@ def test_pq_plans_broadcast_codebook_no_cartesian(spark, corpus):
             dim=DIM,
         )
     )
+    # r12: candidates score map-side against the broadcast Q-row query
+    # frame (each row carrying its literal-book lookup table); the only
+    # remaining join is that broadcast nested-loop against the serving
+    # batch — never a CartesianProduct, never a corpus shuffle join
     assert "CartesianProduct" not in adc_plan
-    assert "BroadcastHashJoin" in adc_plan
+    assert "BroadcastNestedLoopJoin" in adc_plan
+    assert "SortMergeJoin" not in adc_plan
 
 
 def test_pq_empty_inputs(spark):
@@ -460,3 +470,63 @@ def test_ivfpq_pruned_matches_broadcast_twin(spark, corpus, tmp_path):
         ).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_mse_direct_equals_join_form(spark, corpus):
+    """r12 fused MSE: ``pq_reconstruction_mse_direct(corpus, book)``
+    must reproduce ``pq_reconstruction_mse(corpus, pq_encode(corpus,
+    book), book)`` exactly — the fusion relies on the identity
+    ``sqerr_fx = fx(s,s) − score_fx(assigned)`` over the SAME
+    fixed-point terms, with the assignment argmax taken in the
+    dbl-score domain exactly as pq_encode takes it."""
+    from kinesis_stream_spark.operators.quantization import (
+        pq_reconstruction_mse_direct,
+    )
+
+    emb, _ = corpus
+    book = pq_train(emb, m=M, ksub=KSUB, dim=DIM)
+    codes = pq_encode(emb, book, m=M, dim=DIM)
+    want = [
+        (r["sub"], r["n_vectors"], r["mse"])
+        for r in pq_reconstruction_mse(emb, codes, book, m=M, dim=DIM).collect()
+    ]
+    got = [
+        (r["sub"], r["n_vectors"], r["mse"])
+        for r in pq_reconstruction_mse_direct(emb, book, m=M, dim=DIM).collect()
+    ]
+    assert got == want and len(got) == M + 1
+
+
+def test_mse_direct_empty_inputs(spark):
+    from kinesis_stream_spark.operators.quantization import (
+        pq_reconstruction_mse_direct,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    book = spark.createDataFrame(
+        [], "sub int, cid int, n_members long, centroid array<double>"
+    )
+    assert pq_reconstruction_mse_direct(empty, book, m=M, dim=DIM).count() == 0
+
+
+def test_kmeans_literal_centroids_roundtrip_exact(spark):
+    """The r12 driver-iterated k-means hinges on literal injection
+    being bit-exact: a collected double re-embedded through
+    centroid_rows_sql_array must come back as the identical IEEE
+    value (repr is shortest-round-trip; Spark's literal parser is
+    correctly rounded)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_spark.operators.similarity import (
+        centroid_rows_sql_array,
+    )
+
+    vals = [
+        0.1, -0.1, 1.0 / 3.0, -1e-17, 2.0**-40, 1e300, -0.0,
+        math.nextafter(1.0, 2.0), 0.30000000000000004,
+    ]
+    arr = centroid_rows_sql_array([(0, vals)])
+    got = spark.range(1).select(F.expr(arr)[0]["centroid"].alias("c")).collect()[0]["c"]
+    assert [x.hex() for x in got] == [float(v).hex() for v in vals]
