@@ -45,21 +45,42 @@ def sql_tokens(expr: str) -> str:
     return f"REGEXP_SPLIT_TO_ARRAY({expr}, '{WS_RUN}')"
 
 
+def bind_once(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per
+    row and pass the materialized result to ``body``.
+
+    Higher-order-function lambdas are interpreted (no whole-stage
+    codegen), and an outer expression referenced inside a lambda is
+    RE-EVALUATED at every lambda invocation — ``slice(split(text), i,
+    n)`` re-runs the regex split once per shingle position, turning a
+    T-token document into O(T) full splits (measured 2.7 s vs 0.41 s
+    for one shingle pass over 20k docs at sf0.1). Wrapping the value
+    in a 1-element array and applying ``body`` through ``transform``
+    makes it a lambda ARGUMENT — lambda arguments are computed values,
+    so every use site reads the same materialized array. Pure JVM,
+    bit-identical results."""
+    return F.get(F.transform(F.array(value), body), F.lit(0))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a text column (distinct, order-free set).
 
     ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(toks, i, n)))``
-    — pure JVM array ops, no explode until the caller wants one.
+    — pure JVM array ops, no explode until the caller wants one. The
+    token array is let-bound (:func:`bind_once`) so the regex split
+    runs once per row, not once per shingle position.
     """
-    toks = tokens(col)
-    sh = F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+    sh = bind_once(
+        tokens(col),
+        lambda toks: F.array_distinct(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(toks, " ")))
+        ),
     )
     # NULL text → EMPTY shingle set (matching DuckDB's comprehension over
     # a NULL list), not [NULL]: a phantom NULL gram would survive the

@@ -58,11 +58,18 @@ def _undirected_edges(
     e = (
         edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
         .where(F.col(src_col) != F.col(dst_col))
-        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        # canonicalize BEFORE the dedup (r12): distinct runs over |E|
+        # canonical pairs instead of 2|E| doubled rows — half the
+        # dedup shuffle — and doubling afterwards cannot re-introduce
+        # duplicates (self-loops are gone, so (u,v) != (v,u))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .distinct()
     )
     return (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
 

@@ -206,6 +206,33 @@ def rrpq_topk_adc(
     )
 
 
+@lru_cache(maxsize=8)
+def _variance_sum_cols(dim: int, vec_col: str) -> tuple[tuple, tuple]:
+    """Memoized (second-moment, first-moment) fixed-point sum aggregate
+    Columns — unresolved name-keyed expression trees, reusable across
+    plans; rebuilding the 2·dim expressions per call cost ~1 s of py4j
+    round-trips per aggregate (the variance query builds two)."""
+    sq = tuple(
+        F.sum(
+            F.floor(
+                F.element_at(vec_col, i + 1).cast("double")
+                * F.element_at(vec_col, i + 1).cast("double")
+                * F.lit(float(SCALE))
+            ).cast("decimal(38,0)")
+        ).alias(f"q{i}")
+        for i in range(dim)
+    )
+    sm = tuple(
+        F.sum(
+            F.floor(
+                F.element_at(vec_col, i + 1).cast("double") * F.lit(float(SCALE))
+            ).cast("decimal(38,0)")
+        ).alias(f"s{i}")
+        for i in range(dim)
+    )
+    return sq, sm
+
+
 def subspace_variance(
     emb: DataFrame,
     *,
@@ -228,24 +255,7 @@ def subspace_variance(
     HUGEINT sum exactly."""
     subdim = dim // m
     assert subdim * m == dim
-    sq = [
-        F.sum(
-            F.floor(
-                F.element_at(vec_col, i + 1).cast("double")
-                * F.element_at(vec_col, i + 1).cast("double")
-                * F.lit(float(SCALE))
-            ).cast("decimal(38,0)")
-        ).alias(f"q{i}")
-        for i in range(dim)
-    ]
-    sm = [
-        F.sum(
-            F.floor(
-                F.element_at(vec_col, i + 1).cast("double") * F.lit(float(SCALE))
-            ).cast("decimal(38,0)")
-        ).alias(f"s{i}")
-        for i in range(dim)
-    ]
+    sq, sm = _variance_sum_cols(dim, vec_col)
     # empty corpus: the global agg emits one n=0 row whose divides
     # would NaN — the empty-input contract is zero rows out
     stats = emb.agg(F.count(F.lit(1)).alias("n"), *sq, *sm).where(F.col("n") > 0)

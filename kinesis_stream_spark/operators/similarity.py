@@ -392,10 +392,9 @@ def label_centroids(emb: DataFrame, *, dim: int = 64) -> DataFrame:
     the corpus."""
     sums = emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        *[_centroid_sums(i) for i in range(dim)],
+        *_centroid_sum_cols(dim, "embedding"),
     )
-    centroid = F.array(*[_centroid_mean(i) for i in range(dim)])
-    return sums.select("label", centroid.alias("centroid"))
+    return sums.select("label", _centroid_mean_array(dim).alias("centroid"))
 
 
 def topk_ivf(
