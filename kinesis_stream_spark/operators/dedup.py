@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.functions.hashing import (
+    bind_once,
     md5_int64,
     shingles,
     sql_tokens,
@@ -797,12 +798,18 @@ def duplicate_chunk_removal(
     Returns one row per document: n_chunks, n_dropped, kept_fraction,
     clean_text (empty string when every chunk was dropped).
     """
-    toks = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens)))
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+    # token array let-bound (bind_once) so the regex split runs once
+    # per row, not once per chunk (r12)
+    chunks = bind_once(
+        tokens(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int") - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
         ),
     )
     occ = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
@@ -1161,15 +1168,19 @@ def rare_term_cosine_pairs(
             f"min_cosine_ppm must be in (0, 1000000], got {min_cosine_ppm}"
         )
     d38 = "decimal(38,0)"
-    toks = tokens(F.col(text_col))
-    # the shingles() helper minus its array_distinct: multiset counts
-    grams = F.when(
-        F.size(toks) >= ngram,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
-            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    # the shingles() helper minus its array_distinct: multiset counts;
+    # token array let-bound (bind_once) so the regex split runs once
+    # per row, not once per shingle position (r12)
+    grams = bind_once(
+        tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " "))),
+    )
     tf = (
         docs.where(F.col(text_col).isNotNull())
         .select(

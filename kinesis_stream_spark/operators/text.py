@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from kinesis_stream_spark.functions.hashing import (
     WS_RUN,
+    bind_once,
     md5_int64,
     shingles,
     sql_md5_int64,
@@ -996,13 +997,18 @@ def collocations(
     input is the interesting vocabulary, not the corpus.
     """
     toks = tokens(F.col(text_col))
-    bg = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.array(F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
+    # let-bound (bind_once) so the regex split runs once per row, not
+    # once per bigram position (r12)
+    bg = bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.array(F.element_at(t, i), F.element_at(t, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>")),
+    )
     base = spread(docs.select(text_col), None)
     uni = (
         base.select(F.explode(toks).alias("tok"))
@@ -1560,14 +1566,19 @@ def lm_plausibility(
     one broadcast 1-row vocabulary size; the per-doc reduce is
     combinable. Nothing corpus-sized in one partition; the model
     never materializes on the driver."""
-    toks = tokens(F.col(text_col))
-    bigrams = F.when(
-        F.col(text_col).isNotNull() & (F.size(toks) >= 2),
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # token array let-bound (bind_once) so the regex split runs once
+    # per row, not once per bigram position (r12: the split inside the
+    # index lambda re-evaluated per element)
+    bigrams = bind_once(
+        tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.col(text_col).isNotNull() & (F.size(toks) >= 2),
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     base = docs.select(
         F.col(id_col).alias("doc"),
         (F.col(id_col) % 2 == 0).alias("is_train"),
