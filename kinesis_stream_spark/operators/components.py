@@ -28,7 +28,7 @@ long-chain round-count case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.dedup import _release_local_checkpoint
@@ -99,12 +99,26 @@ def connected_components_bigstar(
     clusters — wrong components mean wrong keep-decisions downstream.
     """
     raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    cur = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
-    cur_count = cur.count()
+    obs0 = Observation()
+    cur = (
+        raw.where(F.col("u") != F.col("v"))
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    cur_count = int(obs0.get["n"] or 0)
     converged = False
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
-        nxt_count = nxt.count()
+        # row count rides the checkpoint materialization (r12): the
+        # former nxt.count() job per round is gone; the subtract still
+        # runs only on count-equality (normally just the final round)
+        obs = Observation()
+        nxt = (
+            _small_star(_large_star(cur))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        nxt_count = int(obs.get["n"] or 0)
         # fixpoint ⇔ equal edge SETS; both sides are distinct, so two
         # one-sided subtracts reduce to count-equality plus one subtract
         # (counts are carried on the driver — no recount of cur's frame)

@@ -30,7 +30,7 @@ the pipeline end-to-end, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.functions.hashing import (
@@ -516,7 +516,16 @@ def connected_components(
         .select("v", F.col("v").alias("comp"))
         .localCheckpoint()
     )
-    interval = max(1, convergence_check_interval)
+    # convergence is read from an Observation riding the round's own
+    # checkpoint materialization (r12): a label changes iff its
+    # neighbor-min undercuts it, so SUM(ncomp < comp) over the round's
+    # join IS the changed-count — the former join+count job per check
+    # (an extra V-sized join) is gone, the metric costs nothing, and
+    # the loop can now afford to check EVERY round (earlier exit, same
+    # labels — post-convergence rounds were no-ops).
+    # convergence_check_interval is retained for API compatibility but
+    # no longer skips checks; it never affected results.
+    del convergence_check_interval
     done = False
     for i in range(max_iterations):
         neighbor_min = (
@@ -524,23 +533,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .observe(
+                obs,
+                F.sum(
+                    (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
+                    .cast("long")
+                ).alias("changed"),
+            )
             .select(
                 "v",
                 F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
             )
             .localCheckpoint()  # truncate lineage: plan must not grow per round
         )
-        check_now = (i + 1) % interval == 0 or i == max_iterations - 1
-        if check_now:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            done = changed == 0
+        done = int(obs.get["changed"] or 0) == 0
         # localCheckpoint() is eager, so the superseded round's blocks are
         # fully consumed once new_labels materializes — release them, or the
         # block manager holds O(iterations) label copies for the session.

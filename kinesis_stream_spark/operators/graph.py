@@ -38,7 +38,7 @@ bounded and known.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.operators.dedup import _release_local_checkpoint
@@ -581,6 +581,16 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     dist = frontier
+    # r12 loop shape: ONE job per hop instead of three. The frontier
+    # row count rides the checkpoint materialization as an Observation
+    # metric (the former frontier.count() job is gone), and `dist`
+    # stays a LAZY union of the per-hop frontier checkpoints —
+    # frontiers are disjoint, so the union holds each node exactly
+    # once and the per-hop anti join reads the same bytes a
+    # re-checkpointed dist would have held, without paying a V-sized
+    # materialization per hop. One final checkpoint makes the result
+    # self-contained so every per-hop block can be released.
+    frontiers = [frontier]
     if frontier_sizes is not None:
         frontier_sizes.append(frontier.count())
     for hop in range(1, rounds + 1):
@@ -589,26 +599,26 @@ def bfs_hops(
             .select(F.col("b").alias("node"))
             .distinct()
         )
+        obs = Observation()
         new_frontier = (
             candidates.join(dist, "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        prev_dist, prev_frontier = dist, frontier
-        dist = dist.unionAll(new_frontier).localCheckpoint(eager=True)
-        if prev_dist is not prev_frontier:
-            _release_local_checkpoint(prev_dist)
-        _release_local_checkpoint(prev_frontier)
+        frontiers.append(new_frontier)
+        dist = dist.unionAll(new_frontier)
         frontier = new_frontier
-        n_new = frontier.count()
+        n_new = int(obs.get["n"] or 0)
         if frontier_sizes is not None:
             frontier_sizes.append(n_new)
         if n_new == 0:
             break
-    if frontier is not dist:
-        _release_local_checkpoint(frontier)
+    out = dist.localCheckpoint(eager=True)
+    for f in frontiers:
+        _release_local_checkpoint(f)
     _release_local_checkpoint(und)
-    return dist
+    return out
 
 
 def sql_bfs_hops(
@@ -920,6 +930,10 @@ def cheapest_path(
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
+        # improved-count rides the checkpoint materialization as an
+        # Observation metric (r12) — the former frontier.count() job
+        # per round is gone
+        obs = Observation()
         improved = (
             candidates.join(
                 cost.select("node", F.col("cost").alias("old")),
@@ -928,9 +942,22 @@ def cheapest_path(
             )
             .where(F.col("old").isNull() | (F.col("cand") < F.col("old")))
             .select("node", F.col("cand").alias("cost"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_improved = int(obs.get["n"] or 0)
         prev_cost, prev_frontier = cost, frontier
+        frontier = improved
+        if frontier_sizes is not None:
+            frontier_sizes.append(n_improved)
+        if n_improved == 0:
+            # nothing improved: cost is already the fixpoint — skip
+            # rebuilding (and re-materializing) an identical frame
+            _release_local_checkpoint(improved)
+            if prev_cost is not prev_frontier:
+                _release_local_checkpoint(prev_frontier)
+            frontier = prev_cost
+            break
         cost = (
             cost.join(improved, "node", "left_anti")
             .unionAll(improved)
@@ -939,12 +966,6 @@ def cheapest_path(
         if prev_cost is not prev_frontier:
             _release_local_checkpoint(prev_cost)
         _release_local_checkpoint(prev_frontier)
-        frontier = improved
-        n_improved = frontier.count()
-        if frontier_sizes is not None:
-            frontier_sizes.append(n_improved)
-        if n_improved == 0:
-            break
     if frontier is not cost:
         _release_local_checkpoint(frontier)
     _release_local_checkpoint(und)
