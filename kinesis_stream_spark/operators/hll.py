@@ -197,8 +197,15 @@ def hll_set_ops(
     ≤ m-row full-outer register merge, three 1-row reductions; exact
     counts are one distinct + one semi-join distinct (dropped at
     deployment scale — they exist to grade the sketch)."""
-    ra = _hll_registers(a, col_a)
-    rb = _hll_registers(b, col_b)
+    # each register frame feeds TWO branches (the full-outer merge and
+    # its own sketch row) and each distinct-value frame FOUR (own
+    # count, union, semi-join probe/build) — without a cut every
+    # branch re-runs the input scan + aggregate (measured: 166
+    # Exchanges / 224 HashAggregates in the composed plan, r12). The
+    # checkpointed frames are sketch-sized (≤ HLL_M registers) or
+    # distinct-key-sized; the kmv_set_ops twin set this precedent.
+    ra = _hll_registers(a, col_a).localCheckpoint()
+    rb = _hll_registers(b, col_b).localCheckpoint()
     merged = (
         ra.select("j", F.col("m").alias("ma"))
         .join(rb.select("j", F.col("m").alias("mb")), "j", "full")
@@ -218,8 +225,18 @@ def hll_set_ops(
     _, _, _, est_a = _hll_estimate("_a")
     _, _, _, est_b = _hll_estimate("_b")
     _, _, _, est_u = _hll_estimate("_u")
-    av = a.where(F.col(col_a).isNotNull()).select(F.col(col_a).alias("v")).distinct()
-    bv = b.where(F.col(col_b).isNotNull()).select(F.col(col_b).alias("v")).distinct()
+    av = (
+        a.where(F.col(col_a).isNotNull())
+        .select(F.col(col_a).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    bv = (
+        b.where(F.col(col_b).isNotNull())
+        .select(F.col(col_b).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     exact = (
         av.agg(F.count(F.lit(1)).cast("long").alias("x_a"))
         .crossJoin(bv.agg(F.count(F.lit(1)).cast("long").alias("x_b")))
