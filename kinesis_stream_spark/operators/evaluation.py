@@ -210,11 +210,14 @@ def ivfpq_recall_sweep(
     self included — IVF-PQ ranks the query's own row too, so both sides
     see the same candidate universe). The index is trained and encoded
     ONCE and localCheckpointed — the artifact a deployment would have
-    persisted as a table; each sweep point reuses it and pays only
-    routing + ADC."""
+    persisted as a table; since r12 the sweep points also share ONE
+    routing + ADC-scoring pass at max(nprobe)
+    (:func:`~kinesis_stream_spark.operators.quantization.ivfpq_topk_sweep`
+    — bit-identical per-point results, but the index is scanned and
+    scored once instead of once per sweep point)."""
     from kinesis_stream_spark.operators.quantization import (
         ivfpq_encode,
-        ivfpq_topk,
+        ivfpq_topk_sweep,
         ivfpq_train,
     )
 
@@ -235,11 +238,12 @@ def ivfpq_recall_sweep(
         .localCheckpoint()
     )
     totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    topks = ivfpq_topk_sweep(
+        index, coarse, book, queries, k=k, nprobes=nprobes, m=m, dim=dim
+    )
     parts = []
     for nprobe in nprobes:
-        approx = ivfpq_topk(
-            index, coarse, book, queries, k=k, nprobe=nprobe, m=m, dim=dim
-        ).select("query_id", "vec_id")
+        approx = topks[nprobe].select("query_id", "vec_id")
         hits = approx.join(exact, ["query_id", "vec_id"]).agg(
             F.count(F.lit(1)).alias("n_hits")
         )

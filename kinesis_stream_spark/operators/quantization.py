@@ -694,7 +694,8 @@ def ivfpq_topk(
 
 
 def _route_queries(
-    q, coarse_rows: list[tuple[int, list[float]]], *, nprobe: int
+    q, coarse_rows: list[tuple[int, list[float]]], *, nprobe: int,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Route each (qid, qv) query to its ``nprobe`` best inverted
     lists: (qid, list_id, base_fx, qr) with the per-(query, list)
@@ -706,14 +707,25 @@ def _route_queries(
     array expression per query row (score every list, sort the
     struct array, slice nprobe) — no broadcast join, no row_number
     window/exchange. Selection order is identical: ascending
-    (−base_fx, list_id) = the window's (base_fx DESC, list_id ASC)."""
+    (−base_fx, list_id) = the window's (base_fx DESC, list_id ASC).
+
+    ``with_rank=True`` additionally emits ``probe_rank`` (1-based
+    position of the list in the query's probe order) — because the
+    probe order for any smaller budget ``p`` is a PREFIX of the
+    order at ``nprobe``, filtering ``probe_rank <= p`` reproduces
+    the exact routing of a ``nprobe=p`` call; the sweep path derives
+    every budget from one routing (posexplode instead of explode,
+    otherwise the identical expression)."""
     if not coarse_rows:
-        return q.where(F.lit(False)).select(
+        out = q.where(F.lit(False)).select(
             "qid",
             F.lit(None).cast("int").alias("list_id"),
             F.lit(None).cast("bigint").alias("base_fx"),
             F.lit(None).cast("array<double>").alias("qr"),
         )
+        if with_rank:
+            out = out.withColumn("probe_rank", F.lit(None).cast("int"))
+        return out
     scored = F.transform(
         _cents_array_expr(coarse_rows),
         lambda c: F.struct(
@@ -728,6 +740,17 @@ def _route_queries(
         ),
     )
     probes = F.slice(F.array_sort(scored), 1, nprobe)
+    if with_rank:
+        return (
+            q.select("qid", "qv", F.posexplode(probes).alias("pos", "p"))
+            .select(
+                "qid",
+                F.col("p.list_id").alias("list_id"),
+                (-F.col("p.nbase")).alias("base_fx"),
+                _residual(F.col("qv"), F.col("p.centroid")).alias("qr"),
+                (F.col("pos") + 1).cast("int").alias("probe_rank"),
+            )
+        )
     return (
         q.select("qid", "qv", F.explode(probes).alias("p"))
         .select(
@@ -764,14 +787,33 @@ def _adc_topk(
     to ≤ k rows per partition). A code id absent from its subspace's
     table (index/codebook version mismatch) folds to NULL and drops
     the candidate — the old _n == m guard's outcome."""
+    return _topk_from_scored(
+        _adc_scored(index, qlist, books, m=m, subdim=subdim),
+        k=k,
+        query_id_col=query_id_col,
+    )
+
+
+def _adc_scored(
+    index: DataFrame,
+    qlist: DataFrame,
+    books: dict[int, list[tuple[int, list[float]]]],
+    *,
+    m: int,
+    subdim: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The scoring half of :func:`_adc_topk`: every candidate's exact
+    fixed-point ADC score as (qid, vid, approx_score[, extra_cols]) —
+    ``extra_cols`` are qlist columns carried through unchanged (the
+    sweep path rides ``probe_rank`` on them). Shared so the recall
+    sweep can score each candidate ONCE and derive every probe budget
+    from the same frame."""
     if sorted(books) != list(range(m)):
-        q0 = qlist.where(F.lit(False)).select("qid")
-        c0 = index.where(F.lit(False)).select(F.col("vid").alias("vec_id"))
+        q0 = qlist.where(F.lit(False)).select("qid", *extra_cols)
+        c0 = index.where(F.lit(False)).select("vid")
         return q0.crossJoin(c0).select(
-            F.col("qid").alias(query_id_col),
-            "vec_id",
-            F.lit(0.0).alias("approx_score"),
-            F.lit(0).alias("rank"),
+            "qid", "vid", F.lit(0.0).alias("approx_score"), *extra_cols
         )
     lut = F.array(
         *[
@@ -791,7 +833,7 @@ def _adc_topk(
             for j in range(m)
         ]
     )
-    ql = qlist.select("qid", "list_id", "base_fx", lut.alias("lut"))
+    ql = qlist.select("qid", "list_id", "base_fx", *extra_cols, lut.alias("lut"))
     sum_fx = F.aggregate(
         # codes beyond the first m never contributed (the old explode
         # joined subs 0..m-1 only); shorter arrays zip against a NULL
@@ -806,7 +848,7 @@ def _adc_topk(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    scored = (
+    return (
         index.join(F.broadcast(ql), "list_id")
         .select(
             "qid",
@@ -814,9 +856,17 @@ def _adc_topk(
             ((F.col("base_fx") + sum_fx).cast("double") / SCALE).alias(
                 "approx_score"
             ),
+            *extra_cols,
         )
         .where(F.col("approx_score").isNotNull())
     )
+
+
+def _topk_from_scored(scored: DataFrame, *, k: int, query_id_col: str) -> DataFrame:
+    """Per-query top-k over an ADC-scored candidate frame — the window
+    half of :func:`_adc_topk` (same ordering and tie-break:
+    approx_score DESC, vid ASC; WindowGroupLimit bounds the exchange
+    to ≤ k rows per partition)."""
     w = Window.partitionBy("qid").orderBy(F.desc("approx_score"), F.asc("vid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -828,6 +878,65 @@ def _adc_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk_sweep(
+    index: DataFrame,
+    coarse: DataFrame,
+    book: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    m: int = 4,
+    dim: int = 64,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> dict[int, DataFrame]:
+    """Top-k per query for EVERY probe budget in ``nprobes`` from ONE
+    routing + scoring pass — bit-identical to calling
+    :func:`ivfpq_topk` once per budget (proven by the equivalence test
+    in tests/test_evaluation.py), but the index is scanned and
+    ADC-scored once at ``max(nprobes)`` instead of once per sweep
+    point.
+
+    Why it is exact: a candidate's score depends only on its (query,
+    list) pair — never on the probe budget — and the probe order at
+    budget ``p`` is a prefix of the order at ``max(nprobes)``
+    (identical sorted-slice routing, see :func:`_route_queries`
+    ``with_rank``). So filtering the scored frame to
+    ``probe_rank <= p`` reproduces a ``nprobe=p`` call's candidate
+    set exactly, and the shared top-k window applies the identical
+    (approx_score DESC, vid ASC) tie-break.
+
+    The scored frame is localCheckpointed: Q·(max nprobe/k_coarse)
+    of the corpus — the per-sweep-point working set the old form
+    re-scored per budget; at 100 TB persist it to a table instead
+    (the same discipline as the sweep's index/truth checkpoints)."""
+    assert dim % m == 0
+    assert nprobes, "ivfpq_topk_sweep needs at least one nprobe setting"
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    )
+    qlist = _route_queries(
+        q, _collect_cents(coarse), nprobe=max(nprobes), with_rank=True
+    )
+    scored = _adc_scored(
+        index,
+        qlist,
+        _collect_books(book),
+        m=m,
+        subdim=dim // m,
+        extra_cols=("probe_rank",),
+    ).localCheckpoint()
+    return {
+        p: _topk_from_scored(
+            scored.where(F.col("probe_rank") <= p).drop("probe_rank"),
+            k=k,
+            query_id_col=query_id_col,
+        )
+        for p in nprobes
+    }
 
 
 def write_partitioned_index(index: DataFrame, path: str) -> None:

@@ -162,6 +162,60 @@ def test_ivfpq_recall_sweep_shape_and_bounds(spark, corpus):
     assert by_np[2] >= by_np[1]
 
 
+def test_ivfpq_topk_sweep_matches_per_nprobe_calls(spark, corpus):
+    """r12 shared-scan sweep: ivfpq_topk_sweep derives every probe
+    budget from ONE routing+scoring pass; every sweep point must be
+    row-identical (ids, scores, ranks) to an independent ivfpq_topk
+    call at that nprobe — the exactness contract the recall sweep
+    rides on."""
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_topk_sweep,
+        ivfpq_train,
+    )
+
+    emb, _ = corpus
+    q = emb.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    coarse, book = ivfpq_train(emb, k_coarse=3, m=2, ksub=2, dim=DIM)
+    index = ivfpq_encode(emb, coarse, book, m=2, dim=DIM).localCheckpoint()
+    nprobes = (1, 2, 3)
+    swept = ivfpq_topk_sweep(
+        index, coarse, book, q, k=5, nprobes=nprobes, m=2, dim=DIM
+    )
+    assert sorted(swept) == list(nprobes)
+    for p in nprobes:
+        solo = sorted(
+            map(
+                tuple,
+                ivfpq_topk(
+                    index, coarse, book, q, k=5, nprobe=p, m=2, dim=DIM
+                ).collect(),
+            )
+        )
+        multi = sorted(map(tuple, swept[p].collect()))
+        assert multi == solo, f"nprobe={p} diverged from the solo call"
+
+
+def test_ivfpq_topk_sweep_empty_inputs(spark):
+    """Empty corpus (no coarse centroids) and empty query batch both
+    yield empty per-point frames, not errors."""
+    from kinesis_stream_spark.operators.quantization import (
+        ivfpq_encode,
+        ivfpq_topk_sweep,
+        ivfpq_train,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    empty_q = empty.withColumnRenamed("vec_id", "query_id")
+    coarse, book = ivfpq_train(empty, k_coarse=2, m=2, ksub=2, dim=DIM)
+    index = ivfpq_encode(empty, coarse, book, m=2, dim=DIM)
+    swept = ivfpq_topk_sweep(
+        index, coarse, book, empty_q, k=3, nprobes=(1, 2), m=2, dim=DIM
+    )
+    assert all(swept[p].count() == 0 for p in (1, 2))
+
+
 def test_embedding_drift_detects_known_shift(spark):
     """Two tight clusters; snapshot B = A shifted by +delta on cluster 0
     only, with doubled share. shift_sq must reflect delta²·dim for the
