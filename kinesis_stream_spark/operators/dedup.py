@@ -466,6 +466,14 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _label_sum() -> Column:
+    """The monotone convergence metric of :func:`connected_components`:
+    SUM of all labels in DECIMAL(38,0) (min-label propagation only ever
+    lowers a label, so a round is a no-op iff this sum is unchanged;
+    BIGINT would overflow the id-sum at 100 TB vertex counts)."""
+    return F.sum(F.col("comp").cast("decimal(38,0)")).alias("label_sum")
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -485,20 +493,17 @@ def connected_components(
     converges in O(graph diameter) rounds — duplicate clusters are
     shallow (near-clique), so typically 2–4.
 
-    Scale shape: each round is one shuffle join on vertex id over the
-    EDGE list (never materializes components as rows-per-pair);
-    ``localCheckpoint`` truncates the lineage each round so the plan
-    doesn't grow with iterations (at 100 TB use a checkpoint dir on
-    durable storage instead). Convergence check is a driver-side count
-    of changed labels — one scalar, not a collect — and runs only every
-    ``convergence_check_interval`` rounds: the check is an extra
-    join+count job per round, and label propagation is monotone, so a
-    late detection costs one cheap no-op round while checking every
-    round costs a scheduler round-trip at every step of a 100 TB run
-    (25 iterations → 25 extra jobs). ``max_iterations`` stays the hard
-    bound. Propagation itself is unconditional each round, so a skipped
-    check never changes the result, only when the loop notices it is
-    done.
+    Scale shape: each round is ONE shuffle join on vertex id over the
+    EDGE list (never materializes components as rows-per-pair) — the
+    joined neighbor stream unions the current labels and feeds a single
+    min aggregate, so a round costs one join + one aggregation, not a
+    neighbor-min groupBy plus a V-sized join-back; ``localCheckpoint``
+    truncates the lineage each round so the plan doesn't grow with
+    iterations (at 100 TB use a checkpoint dir on durable storage
+    instead). Convergence is a driver-side scalar read from an
+    Observation riding the round's own materialization (labels only
+    ever decrease, so an unchanged label-sum means the round was a
+    no-op); ``max_iterations`` stays the hard bound.
 
     Returns (v, component) — component = min id of the vertex's cluster.
     """
@@ -510,53 +515,53 @@ def connected_components(
         .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .localCheckpoint()
     )
+    obs0 = Observation()
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
         .select("v", F.col("v").alias("comp"))
+        .observe(obs0, _label_sum())
         .localCheckpoint()
     )
     # convergence is read from an Observation riding the round's own
-    # checkpoint materialization (r12): a label changes iff its
-    # neighbor-min undercuts it, so SUM(ncomp < comp) over the round's
-    # join IS the changed-count — the former join+count job per check
-    # (an extra V-sized join) is gone, the metric costs nothing, and
-    # the loop can now afford to check EVERY round (earlier exit, same
-    # labels — post-convergence rounds were no-ops).
+    # checkpoint materialization (r12): labels only ever DECREASE
+    # (comp' = min(comp, neighbor min) ≤ comp), so a round changed
+    # nothing iff SUM(comp) is unchanged — one monotone scalar
+    # (DECIMAL(38,0): a BIGINT id-sum can overflow at 100 TB vertex
+    # counts) compared on the driver, no extra job, and the loop can
+    # afford to check EVERY round (earlier exit, same labels —
+    # post-convergence rounds were no-ops).
     # convergence_check_interval is retained for API compatibility but
     # no longer skips checks; it never affected results.
     del convergence_check_interval
-    done = False
+    prev_sum = obs0.get["label_sum"]
     for i in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.v)
-            .groupBy("src")
-            .agg(F.min("comp").alias("ncomp"))
-        )
+        # One round = min(own, neighbor min) per vertex, as ONE
+        # shuffle-joined neighbor stream UNIONed with the vertex's own
+        # (v, comp) row feeding a single min aggregate — the former
+        # neighbor_min groupBy + V-sized left-join-back (two extra
+        # exchanges per round) computed the identical values: every
+        # vertex appears in `labels`, so the union branch supplies the
+        # own-label operand coalesce/least used to.
         obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
-            .observe(
-                obs,
-                F.sum(
-                    (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
-                    .cast("long")
-                ).alias("changed"),
-            )
-            .select(
-                "v",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-            )
+            sym.join(labels, sym.dst == labels.v)
+            .select(F.col("src").alias("v"), "comp")
+            .unionAll(labels.select("v", "comp"))
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+            .observe(obs, _label_sum())
             .localCheckpoint()  # truncate lineage: plan must not grow per round
         )
-        done = int(obs.get["changed"] or 0) == 0
+        new_sum = obs.get["label_sum"]
         # localCheckpoint() is eager, so the superseded round's blocks are
         # fully consumed once new_labels materializes — release them, or the
         # block manager holds O(iterations) label copies for the session.
         _release_local_checkpoint(labels)
         labels = new_labels
-        if done:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     # returned labels are self-contained (checkpointed); edge blocks are dead
     _release_local_checkpoint(sym)
     return labels
