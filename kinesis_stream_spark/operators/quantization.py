@@ -77,8 +77,10 @@ from kinesis_stream_spark.operators.similarity import (
     _centroid_sum_cols,
     _cents_array_expr,
     argmax_cid,
+    attach_cent_rows,
     best_centroid_struct,
     centroid_rows_sql_array,
+    collect_cent_rows,
     kmeans_centroid_rows,
 )
 
@@ -205,27 +207,44 @@ def pq_train(
         emb, m=m, ksub=ksub, dim=dim, iterations=iterations,
         id_col=id_col, vec_col=vec_col,
     )
-    return emb.sparkSession.createDataFrame(
-        [(int(s), int(c), int(n), list(cent)) for s, c, n, cent in rows],
-        "sub int, cid int, n_members bigint, centroid array<double>",
+    return _attach_book_rows(
+        emb.sparkSession.createDataFrame(
+            [(int(s), int(c), int(n), list(cent)) for s, c, n, cent in rows],
+            "sub int, cid int, n_members bigint, centroid array<double>",
+        ),
+        [(s, c, cent) for s, c, _n, cent in rows],
     )
 
 
 def _collect_cents(cents: DataFrame) -> list[tuple[int, list[float]]]:
-    """(cid, centroid) rows sorted by cid — free when ``cents`` is the
-    local relation the training functions now return."""
-    return sorted(
-        (
-            (r["cid"], [float(x) for x in r["centroid"]])
-            for r in cents.select("cid", "centroid").collect()
-        ),
-        key=lambda t: t[0],
-    )
+    """(cid, centroid) rows sorted by cid — free when ``cents`` carries
+    the rows the training functions memoize on their returned local
+    relation (attach_cent_rows), otherwise one k-row collect job."""
+    return collect_cent_rows(cents)
+
+
+def _attach_book_rows(
+    df: DataFrame, rows: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """The codebook twin of
+    :func:`~kinesis_stream_spark.operators.similarity.attach_cent_rows`:
+    memoize (sub, cid, centroid) rows, pre-shaped as the
+    :func:`_collect_books` dict, on the local-relation codebook frame a
+    training function returns, so consumers skip the collect job."""
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for s, c, cent in sorted(rows, key=lambda t: (t[0], t[1])):
+        books.setdefault(int(s), []).append((int(c), [float(x) for x in cent]))
+    df._ksp_book_rows = books
+    return df
 
 
 def _collect_books(codebook: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
     """sub → [(cid, centroid)] sorted, from a (sub, cid, centroid)
-    codebook frame."""
+    codebook frame — free when the frame carries the
+    :func:`_attach_book_rows` memo."""
+    memo = getattr(codebook, "_ksp_book_rows", None)
+    if memo is not None:
+        return memo
     books: dict[int, list[tuple[int, list[float]]]] = {}
     for r in sorted(
         codebook.select("sub", "cid", "centroid").collect(),
@@ -596,12 +615,18 @@ def ivfpq_train(
         id_col=id_col, vec_col=vec_col,
     )
     coarse_rows = [(c, cent) for c, _n, cent in coarse_stats]
-    coarse = spark.createDataFrame(
-        [(int(c), list(cent)) for c, cent in coarse_rows],
-        "cid int, centroid array<double>",
+    coarse = attach_cent_rows(
+        spark.createDataFrame(
+            [(int(c), list(cent)) for c, cent in coarse_rows],
+            "cid int, centroid array<double>",
+        ),
+        coarse_rows,
     )
     if not coarse_rows:
-        book = spark.createDataFrame([], "sub int, cid int, centroid array<double>")
+        book = _attach_book_rows(
+            spark.createDataFrame([], "sub int, cid int, centroid array<double>"),
+            [],
+        )
         return coarse, book
     win = best_centroid_struct(_cents_array_expr(coarse_rows), F.col(vec_col))
     residuals = emb.select(
@@ -612,9 +637,12 @@ def ivfpq_train(
         residuals, m=m, ksub=ksub, dim=dim, iterations=iterations,
         id_col=id_col, vec_col=vec_col,
     )
-    book = spark.createDataFrame(
-        [(int(s), int(c), list(cent)) for s, c, _n, cent in book_rows],
-        "sub int, cid int, centroid array<double>",
+    book = _attach_book_rows(
+        spark.createDataFrame(
+            [(int(s), int(c), list(cent)) for s, c, _n, cent in book_rows],
+            "sub int, cid int, centroid array<double>",
+        ),
+        [(s, c, cent) for s, c, _n, cent in book_rows],
     )
     return coarse, book
 

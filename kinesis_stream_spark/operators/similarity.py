@@ -708,9 +708,42 @@ def kmeans_fit(
     rows = kmeans_centroid_rows(
         emb, k=k, dim=dim, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
-    return emb.sparkSession.createDataFrame(
-        [(int(c), int(n), list(cent)) for c, n, cent in rows],
-        "cid int, n_members bigint, centroid array<double>",
+    return attach_cent_rows(
+        emb.sparkSession.createDataFrame(
+            [(int(c), int(n), list(cent)) for c, n, cent in rows],
+            "cid int, n_members bigint, centroid array<double>",
+        ),
+        [(c, cent) for c, _n, cent in rows],
+    )
+
+
+def attach_cent_rows(
+    df: DataFrame, rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Memoize the driver-side (cid, centroid) rows a training function
+    ALREADY holds onto the local-relation frame it returns, so
+    :func:`collect_cent_rows` reads them back without a collect job.
+    Pure overhead removal — the memo is by construction exactly what
+    collecting the frame yields, and it rides only the returned object:
+    any transformation produces a new DataFrame without the attribute
+    and falls back to the real collect."""
+    df._ksp_cent_rows = [(int(c), [float(x) for x in v]) for c, v in rows]
+    return df
+
+
+def collect_cent_rows(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """(cid, centroid) rows sorted by cid — free when ``cents`` carries
+    the :func:`attach_cent_rows` memo (the local relation the training
+    functions return), otherwise one k-row collect job."""
+    rows = getattr(cents, "_ksp_cent_rows", None)
+    if rows is not None:
+        return rows
+    return sorted(
+        (
+            (r["cid"], [float(x) for x in r["centroid"]])
+            for r in cents.select("cid", "centroid").collect()
+        ),
+        key=lambda t: t[0],
     )
 
 
@@ -734,11 +767,7 @@ def assign_to_centroids(
     vectors) into a sort at every call site. Same winner per row: the
     struct-max tie-breaks score ties to the lower cid exactly as the
     window's ORDER BY did."""
-    rows = sorted(
-        ((r["cid"], [float(x) for x in r["centroid"]]) for r in
-         cents.select("cid", "centroid").collect()),
-        key=lambda t: t[0],
-    )
+    rows = collect_cent_rows(cents)
     v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     if not rows:
         return v.where(F.lit(False)).select(
