@@ -727,7 +727,10 @@ def attach_cent_rows(
     collecting the frame yields, and it rides only the returned object:
     any transformation produces a new DataFrame without the attribute
     and falls back to the real collect."""
-    df._ksp_cent_rows = [(int(c), [float(x) for x in v]) for c, v in rows]
+    df._ksp_cent_rows = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in rows),
+        key=lambda t: t[0],
+    )
     return df
 
 
