@@ -89,7 +89,11 @@ def dedup_pipeline(
     winners = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
         F.col("kept_id").alias(id_col)
     )
-    survivors = docs.join(winners, id_col).select(id_col, text_col)
+    # Materialize the exact-survivor frame ONCE (r12): it feeds the
+    # near-dup stage and the final keep-list anti-join, and without the
+    # cut each consumer re-runs the input union + digest aggregate +
+    # winners join. Intra-query lineage cut, recomputed every call.
+    survivors = docs.join(winners, id_col).select(id_col, text_col).localCheckpoint()
     edges = near_duplicates_minhash(
         survivors, threshold=threshold, text_col=text_col, id_col=id_col
     )
@@ -335,7 +339,13 @@ def _simhash_blocked_pairs(
     the full candidate stream (:func:`pair_distance_histogram`)."""
     width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
-    sims = simhash(docs, text_col=text_col, id_col=id_col)
+    # The fingerprint frame feeds both sides of the block self-join;
+    # without a lineage cut the token explode + 60 signed bit-count
+    # aggregates execute twice (the build side broadcasts, so there is
+    # no shuffle for ReuseExchange to dedupe). The checkpoint is two
+    # columns (id, bigint) per doc — the block explode recomputed per
+    # side is four shift-and-masks. Intra-query cut, recomputed per call.
+    sims = simhash(docs, text_col=text_col, id_col=id_col).localCheckpoint()
     blocked = sims.select(
         "id",
         "simhash",
@@ -643,13 +653,15 @@ def ngram_jaccard_pairs(
     AQE broadcasts them anyway, and at 100 TB the sizes table is
     O(n_docs) and must NOT be a driver-side broadcast (r1 finding).
     """
+    # base feeds four consumers (both gram self-join sides via `tok`,
+    # both size joins) — checkpoint so the regex tokenization runs once.
     base = spread(
         docs.select(*group_cols, F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select(
         *group_cols,
         "id",
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
-    )
+    ).localCheckpoint()
     sizes = base.select(*group_cols, "id", F.size("toks").alias("sz"))
     tok = _cap_gram_df(
         base.select(*group_cols, "id", F.explode("toks").alias("t")),
@@ -741,9 +753,13 @@ def containment_pairs(
     """
     from kinesis_stream_spark.functions.hashing import shingles
 
+    # base feeds four consumers (both gram self-join sides via `gram`,
+    # both size joins) — checkpoint so the shingle build runs once. The
+    # df-cap window stays OUTSIDE the cut (per-side) so the capped plan
+    # keeps the cap visibly before the self-join.
     base = spread(
         docs.select(*group_cols, F.col(id_col).alias("id"), F.col(text_col)), "id"
-    ).select(*group_cols, "id", shingles(F.col(text_col), n).alias("sh"))
+    ).select(*group_cols, "id", shingles(F.col(text_col), n).alias("sh")).localCheckpoint()
     sizes = base.select(*group_cols, "id", F.size("sh").alias("sz"))
     gram = _cap_gram_df(
         base.select(*group_cols, "id", F.explode("sh").alias("g")),
@@ -1204,11 +1220,17 @@ def rare_term_cosine_pairs(
         .where(F.col("tok") != "")
         .groupBy("doc", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # tf feeds the df aggregate and the rare-subspace join —
+        # checkpoint so the gram explode + tf aggregate runs once
+        .localCheckpoint(eager=True)
     )
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # rare feeds three consumers (norms + both pair-join sides) —
+    # checkpoint so the df prune join runs once (intra-query cuts,
+    # recomputed per call)
     rare = tf.join(
         dfc.where(F.col("df") <= max_df).select("tok"), "tok"
-    )
+    ).localCheckpoint(eager=True)
     norms = rare.groupBy("doc").agg(
         F.sum((F.col("tf").cast(d38) * F.col("tf")).cast(d38))
         .cast("long")

@@ -362,13 +362,23 @@ def label_propagation(
             lab.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
         cnts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        mx = cnts.groupBy("node").agg(F.max("c").alias("m"))
         prev = lab
+        # argmax-by-(count desc, label asc) as ONE combinable aggregate:
+        # min(struct(-c, label)) — struct order compares -c first
+        # (largest count wins), then takes the MIN label among ties.
+        # The former aggregate-join-aggregate (max count per node,
+        # join back, min label) computed the identical winner but
+        # re-executed the edge-sized cnts subtree on both join inputs
+        # — two neighbor joins + three exchanges per round instead of
+        # one join + two combinable aggregations (r12).
         lab = (
-            cnts.join(mx, "node")
-            .where(F.col("c") == F.col("m"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            cnts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("w")
+            )
+            .select("node", F.col("w.label").alias("label"))
             .localCheckpoint(eager=True)
         )
         _release_local_checkpoint(prev)
@@ -1054,10 +1064,15 @@ def link_prediction_ra(
         )
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
+    # two lineage cuts (triangle_stats precedent): e feeds the degree
+    # aggregate and the join, and the capped ew frame feeds BOTH sides
+    # of the src-keyed self-join — without them the upstream edge build
+    # runs 3× and the degree cap twice (intra-query, recomputed per call)
     e = (
         edges.select(F.col(src_col).alias("w"), F.col(dst_col).alias("v"))
         .where(F.col("w").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.groupBy("w")
@@ -1065,7 +1080,7 @@ def link_prediction_ra(
         .where(F.col("deg") <= max_intermediate_degree)
         .select("w", F.expr("1000000 div deg").alias("quantum"))
     )
-    ew = e.join(deg, "w")
+    ew = e.join(deg, "w").localCheckpoint(eager=True)
     l, r = ew.alias("l"), ew.alias("r")
     pairs = (
         l.join(
@@ -1143,10 +1158,13 @@ def degree_profile(
     Scale shape: one distinct edge pass, two combinable degree
     aggregates, a K-bucket reduce (K ≤ 63) with the role totals
     joined broadcast — no window, no iteration."""
+    # e feeds four consumers (per role: the degree bucketing and the
+    # role total) — checkpoint so the edge build + distinct runs once
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     d38 = "decimal(38,0)"
     out = []
@@ -1243,10 +1261,13 @@ def degree_assortativity(
     equi joins on the degree frames, broadcastable when the node set
     fits), one 1-row moment reduce. No window, no iteration."""
     d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    # e feeds both degree aggregates and the per-edge join — checkpoint
+    # so the upstream edge build + distinct runs once, not three times
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outd = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("x")
@@ -1386,6 +1407,12 @@ def reciprocity(
     join is the edge list against the edge list on a both-sides-keyed
     equi condition; AQE handles hub skew the usual way."""
     d38 = "decimal(38,0)"
+    # e feeds three consumers (semi-join probe, reversed build side,
+    # edge total); a lineage cut here was measured and REJECTED — at
+    # bench scale the three branches overlap as concurrent stages and
+    # the eager materialization serialized them (solo min-of-3 twice:
+    # 2.7→3.0 s and 3.2→3.9 s) — see degree_assortativity for the
+    # same-shape site where the cut DID win.
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .where(
@@ -1440,23 +1467,23 @@ def sql_reciprocity(edges_cte: str) -> str:
 HITS_SCALE = 1 << 20
 
 
-def _hits_l1_normalize(raw: DataFrame) -> DataFrame:
+def _hits_l1_normalize(raw_ck: DataFrame, t: int) -> DataFrame:
     """(v, raw) → (v, s) with Σs ≈ HITS_SCALE: s = raw·2^20 div Σraw —
-    exact integer floor division on both engines (all-zero frame ⇒ all
-    zeros by contract, never a divide by zero)."""
-    tot = raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("t"))
-    return raw.crossJoin(F.broadcast(tot)).select(
-        "v",
-        F.when(
-            F.col("t") > 0,
-            F.expr(
-                f"cast(cast(raw as decimal(38,0)) * {HITS_SCALE} div t"
-                " as long)"
-            ),
+    exact integer floor division on both engines (all-zero total ⇒ all
+    zeros by contract, never a divide by zero). ``t`` is the exact
+    BIGINT Σraw, read driver-side from an Observation riding the raw
+    frame's own checkpoint materialization (r12) — the former
+    1-row-aggregate + broadcast crossJoin form computed the identical
+    integers but re-executed the edge-join-plus-sum subtree on both
+    branches, doubling the per-half-round edge work."""
+    if t > 0:
+        s = F.expr(
+            f"cast(cast(raw as decimal(38,0)) * {HITS_SCALE} div {t}"
+            " as long)"
         )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("s"),
-    )
+    else:
+        s = F.lit(0).cast("long")
+    return raw_ck.select("v", s.alias("s"))
 
 
 def hits_scores(
@@ -1516,28 +1543,49 @@ def hits_scores(
         .distinct()
         .localCheckpoint()
     )
-    h = nodes.select(
+    h_ck = nodes.select(
         "v", F.lit(HITS_SCALE).cast("long").alias("s")
     ).localCheckpoint()
-    a = None
+    h = h_ck
+    a = a_ck = None
+    # per half-round the RAW edge sum is checkpointed with the L1 total
+    # riding the same materialization as an Observation; normalization
+    # is then a lazy projection over the checkpointed blocks with the
+    # total as a literal — one edge join per half-round instead of two
+    # (the former broadcast-total crossJoin re-ran the edge sum on its
+    # aggregate branch), and no extra job for the total (r12).
     for _ in range(iterations):
+        obs_a = Observation()
         araw = (
             e.join(h.select(F.col("v").alias("src"), "s"), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum("s").cast("long").alias("raw"))
+            .observe(
+                obs_a,
+                F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("t"),
+            )
+            .localCheckpoint()
         )
-        prev_a = a
-        a = _hits_l1_normalize(araw).localCheckpoint()
-        if prev_a is not None:
-            _release_local_checkpoint(prev_a)
+        prev_a_ck = a_ck
+        a_ck = araw
+        a = _hits_l1_normalize(araw, obs_a.get["t"])
+        if prev_a_ck is not None:
+            _release_local_checkpoint(prev_a_ck)
+        obs_h = Observation()
         hraw = (
             e.join(a.select(F.col("v").alias("dst"), "s"), "dst")
             .groupBy(F.col("src").alias("v"))
             .agg(F.sum("s").cast("long").alias("raw"))
+            .observe(
+                obs_h,
+                F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("t"),
+            )
+            .localCheckpoint()
         )
-        prev_h = h
-        h = _hits_l1_normalize(hraw).localCheckpoint()
-        _release_local_checkpoint(prev_h)
+        prev_h_ck = h_ck
+        h_ck = hraw
+        h = _hits_l1_normalize(hraw, obs_h.get["t"])
+        _release_local_checkpoint(prev_h_ck)
     out = (
         nodes.join(h.withColumnRenamed("s", "h"), "v", "left")
         .join(a.withColumnRenamed("s", "a"), "v", "left")
@@ -1548,7 +1596,7 @@ def hits_scores(
         )
         .localCheckpoint()
     )
-    for frame in (e, nodes, h, a):
+    for frame in (e, nodes, h_ck, a_ck):
         _release_local_checkpoint(frame)
     return out.select(
         "node",

@@ -88,6 +88,9 @@ def histogram_quantiles(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # cum is a ≤bins-row frame consumed once per requested quantile —
+    # checkpoint so the corpus histogram pass runs once, not once per
+    # quantile (intra-query cut, recomputed per call)
     cum = hist.select(
         "bin",
         "lo",
@@ -95,7 +98,7 @@ def histogram_quantiles(
         "n",
         "cnt",
         F.sum("cnt").over(w).cast("long").alias("cum"),
-    )
+    ).localCheckpoint(eager=True)
     # exact rank lookup frame: the k-th smallest x for each target k —
     # ONE pass with row_number is rank-exact on both engines
     outs = []
