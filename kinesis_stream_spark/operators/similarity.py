@@ -493,12 +493,19 @@ def ivf_recall_sweep(
     pruned); the recall joins are O(k·Q) — noise next to producing the
     rankings.
     """
+    # the exact truth, the quantizer, and the exact-total aggregate are
+    # sweep-invariant: materialize the k·Q-row truth and the nlist-row
+    # quantizer ONCE (r12 — the ivfpq_recall_sweep precedent; both
+    # frames are tiny and their subtrees contain their own shuffles:
+    # the corpus-scoring window sort and the centroid aggregate).
+    # Without the cuts the bruteforce scoring re-executes once per
+    # sweep point plus once for the totals, and each topk_ivf call
+    # re-aggregates the centroids for its broadcast. Intra-query
+    # lineage cuts, recomputed from parquet every call.
     exact = topk_bruteforce(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
-    ).select("query_id", "neighbor_id")
-    # the quantizer AND the exact-total aggregate are sweep-invariant:
-    # build each once; every probe setting reuses the same frames
-    cents = label_centroids(corpus, dim=dim)
+    ).select("query_id", "neighbor_id").localCheckpoint()
+    cents = label_centroids(corpus, dim=dim).localCheckpoint()
     totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     parts = []
     for nprobe in nprobes:
