@@ -218,12 +218,17 @@ def kmv_set_ops(
             .agg(F.count(F.lit(1)).cast("long").alias("m"))
         )
     )
+    # The distinct-value frames feed THREE branches each (own count,
+    # union, semi-join) — the hll_set_ops cut (§ the r12 report): each
+    # is distinct-key-sized with its own shuffle, so materialize once
+    # instead of re-running the corpus distinct per consumer. Intra-
+    # query lineage cuts, recomputed from parquet every call.
     av = a.where(F.col(col_a).isNotNull()).select(
         F.col(col_a).alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint()
     bv = b.where(F.col(col_b).isNotNull()).select(
         F.col(col_b).alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint()
     exact = (
         av.agg(F.count(F.lit(1)).cast("long").alias("x_a"))
         .crossJoin(bv.agg(F.count(F.lit(1)).cast("long").alias("x_b")))
@@ -238,7 +243,11 @@ def kmv_set_ops(
             )
         )
     )
-    base = sk.crossJoin(exact)
+    # ONE row × 8 columns — and the 5-row output union below re-executes
+    # its whole subtree once per row without this cut (5× every sketch
+    # and exact aggregate; 60 parquet scans in the composed query plan).
+    # The cheapest checkpoint in the repo buys the largest dedup factor.
+    base = sk.crossJoin(exact).localCheckpoint()
 
     def _est(n_col, h_col):
         return F.when(
