@@ -1636,8 +1636,16 @@ def bootstrap_ci(
     s = float(WELCH_SCALE)
     d38 = "decimal(38,0)"
 
-    rows = df.where(
-        F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    # spread (r13; guide §2.6/§6): the ×B explode and its 64 md5 draws
+    # per row are the expensive MAP stage, and a single-row-group
+    # parquet scan runs it all in ONE task — measured 5.9 s single-core
+    # for the md5 pass at sf0.1 vs 0.4 s spread across the cluster. A
+    # well-partitioned input at real scale makes this a no-op.
+    from kinesis_stream_spark.sources.batch import spread
+
+    rows = spread(
+        df.where(F.col(id_col).isNotNull() & F.col(value_col).isNotNull()),
+        id_col,
     ).select(
         F.col(id_col).cast("string").alias("_id"),
         F.floor(
@@ -1668,6 +1676,14 @@ def bootstrap_ci(
     for t in POISSON_T:
         term = (u >= F.lit(t)).cast("int")
         w = term if w is None else w + term
+    # The full-data (n_rows, Σxfx) ride the SAME aggregate (r13): every
+    # replicate group b contains each surviving input row exactly once
+    # (explode emits b = 0..B−1 per row), so per-group count = n_rows
+    # and per-group Σxfx = the full-data sum, exactly, in every group —
+    # the corpus scans ONCE instead of paying a second base-mean pass
+    # (guide §2.4). The B-row result is checkpointed because it feeds
+    # two branches (means → summary, base) that would otherwise each
+    # re-run the ×B explode + 64 md5 draws.
     per_b = (
         repl.select("b", "xfx", w.alias("w"))
         .groupBy("b")
@@ -1678,7 +1694,10 @@ def bootstrap_ci(
             F.sum(F.col("xfx").cast(d38) * F.col("w"))
             .cast(d38)
             .alias("s_b"),
+            F.count(F.lit(1)).cast("long").alias("c_b"),
+            F.sum(F.col("xfx").cast(d38)).cast(d38).alias("sx_b"),
         )
+        .localCheckpoint()
     )
     means = per_b.select(
         F.when(
@@ -1693,16 +1712,17 @@ def bootstrap_ci(
     )
     # full-data mean of the SAME fx-quantized variable the replicates
     # resample: exact DECIMAL(38,0) Σxfx, VARCHAR-routed, two pinned
-    # divides (never a dense-double→DECIMAL cast — tie semantics)
-    base = rows.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    # divides (never a dense-double→DECIMAL cast — tie semantics).
+    # Derived from the checkpointed replicate aggregate — every group
+    # carries the identical (c_b, sx_b) = (n_rows, Σxfx), so MAX just
+    # picks the shared value; empty input ⇒ empty per_b ⇒ n_rows 0,
+    # NULL mean, exactly the old two-scan form's contract.
+    base = per_b.groupBy().agg(
+        F.coalesce(F.max("c_b"), F.lit(0)).cast("long").alias("n_rows"),
         F.when(
-            F.count(F.lit(1)) > 0,
-            F.expr(
-                "cast(cast(sum(cast(xfx as decimal(38,0))) as string)"
-                " as double)"
-            )
-            / F.count(F.lit(1)).cast("double")
+            F.coalesce(F.max("c_b"), F.lit(0)) > 0,
+            F.expr("cast(cast(max(sx_b) as string) as double)")
+            / F.max("c_b").cast("double")
             / F.lit(s),
         ).alias("mean_value"),
     )

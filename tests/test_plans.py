@@ -1123,13 +1123,18 @@ def _tree(df) -> str:
 def test_bootstrap_plan_is_one_explode_no_join(spark, sf_dir):
     """The x64 resample must stay a map-side explode feeding partial
     aggregates — never a row join; the only join is the broadcast of
-    the 1-row replicate summary onto the 1-row base."""
+    the 1-row replicate summary onto the 1-row base. Since the r13
+    fold, the explode runs exactly ONCE inside the eager checkpoint
+    job on the B-row replicate aggregate, and BOTH branches (summary
+    and base) ride that checkpoint: the final plan must show zero
+    parquet scans and two reads of the same checkpointed RDD."""
     from kinesis_stream_spark.queries.experiment import QUERIES
 
     df = QUERIES["events_bootstrap_ci"](spark, sf_dir)
     plan, tree = _explain(df), _tree(df)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert tree.count("Generate") == 1          # the sequence explode
+    assert tree.count("Scan parquet") == 0      # corpus read in ckpt job
+    assert tree.count("Scan ExistingRDD") == 2  # both branches share it
     assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row x 1-row
 
 
