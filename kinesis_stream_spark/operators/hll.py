@@ -134,42 +134,105 @@ def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("cols must be non-empty")
-    outs = []
-    for c in cols:
-        sketch = _hll_sketch_row(_hll_registers(df, c), "")
-        exact = df.agg(
-            F.count(F.col(c)).cast("long").alias("n_rows"),
-            F.count_distinct(F.col(c)).cast("long").alias("exact_distinct"),
-        )
-        # small-range correction: the V-indexed m·ln(m/V) literal table
-        # (1-based element_at; V ≤ m by construction)
-        s_fx, v_zero, raw, est = _hll_estimate("")
-        outs.append(
-            sketch.crossJoin(exact).select(
-                F.lit(c).alias("column_name"),
-                "n_rows",
-                "exact_distinct",
-                F.col("n_hit").alias("n_registers_hit"),
-                v_zero.alias("zero_registers"),
-                s_fx.alias("harmonic_sum_fx"),
-                raw.alias("raw_estimate"),
-                est.alias("hll_estimate"),
-                # empty/all-NULL column: exact = 0 -> NULL rel_err by
-                # contract (ANSI Spark raises on the bare divide)
-                F.when(
-                    F.col("exact_distinct") == 0, F.lit(None).cast("double")
+    # ONE corpus pass for ALL columns (r13; guide §2.3/§2.4): the old
+    # shape ran 2 branches per column (register aggregate + exact
+    # count_distinct), each re-scanning the input — 6 scans for the
+    # 3-column query. Now every row explodes to its (column, value)
+    # pairs once, reduces to the distinct (column, value, multiplicity)
+    # frame — ONE shuffle, map-side partial — and that checkpointed
+    # frame feeds both the register build (MAX rho over distinct values
+    # ≡ MAX over all values) and the exact counts (count = distinct,
+    # Σ multiplicity = n_rows). The checkpoint is the kmv_set_ops
+    # precedent: distinct-key-sized, recomputed from the input on every
+    # invocation; without it each consumer branch re-runs the corpus
+    # explode.
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in cols
+                    ]
                 )
-                .otherwise(
-                    (est - F.col("exact_distinct").cast("double"))
-                    / F.col("exact_distinct").cast("double")
-                )
-                .alias("rel_err"),
-            )
+            ).alias("p")
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        .select("p.c", "p.v")
+        .where(F.col("v").isNotNull())
+    )
+    dv = (
+        pairs.groupBy("c", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    h = md5_int64(F.col("v"))
+    w = F.expr(f"shiftright(h, {HLL_P})")
+    rho = (
+        F.when(w == 0, F.lit(HLL_W + 1))
+        .otherwise(
+            F.lit(HLL_W + 1) - F.length(F.expr(f"bin(shiftright(h, {HLL_P}))"))
+        )
+        .cast("int")
+    )
+    sketch = (
+        dv.select("c", h.alias("h"))
+        .select("c", (F.col("h") % HLL_M).alias("j"), rho.alias("rho"))
+        .groupBy("c", "j")
+        .agg(F.max("rho").alias("m"))
+        .groupBy("c")
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m)")
+            ).alias("s_hit"),
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+        )
+    )
+    exact = dv.groupBy("c").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("exact_distinct"),
+    )
+    # all-NULL/empty columns vanish from the exploded frame; the
+    # literal column list re-seeds them so the old per-column union's
+    # guaranteed one-row-per-column contract holds (n_rows = 0, zero
+    # sketch -> linear-counting 0.0 estimate, NULL rel_err)
+    base = df.sparkSession.createDataFrame([(c,) for c in cols], "c string")
+    joined = (
+        base.join(sketch, "c", "left")
+        .join(exact, "c", "left")
+        .select(
+            "c",
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+            F.coalesce(F.col("exact_distinct"), F.lit(0).cast("long")).alias(
+                "exact_distinct"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.col("s_hit"),
+        )
+    )
+    # small-range correction: the V-indexed m·ln(m/V) literal table
+    # (1-based element_at; V ≤ m by construction)
+    s_fx, v_zero, raw, est = _hll_estimate("")
+    return joined.select(
+        F.col("c").alias("column_name"),
+        "n_rows",
+        "exact_distinct",
+        F.col("n_hit").alias("n_registers_hit"),
+        v_zero.alias("zero_registers"),
+        s_fx.alias("harmonic_sum_fx"),
+        raw.alias("raw_estimate"),
+        est.alias("hll_estimate"),
+        # empty/all-NULL column: exact = 0 -> NULL rel_err by
+        # contract (ANSI Spark raises on the bare divide)
+        F.when(F.col("exact_distinct") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        )
+        .alias("rel_err"),
+    )
 
 
 def hll_set_ops(

@@ -84,15 +84,53 @@ def kmv_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    # ONE corpus pass for ALL columns (r13; guide §2.3/§2.4): the old
+    # shape ran 2 branches per column (bottom-k dedup + exact
+    # count_distinct), each re-scanning the input AND each shuffling
+    # the column's distinct hash set — 6 scans / 6 distinct shuffles
+    # for the 3-column query. Now every row explodes to its
+    # (column, hash) pairs once and reduces to ONE distinct frame (one
+    # shuffle, map-side partial dedup); the checkpointed result feeds
+    # every per-column bottom-k and exact count. Distinct values map to
+    # distinct 60-bit hashes (module docstring), so counting distinct
+    # hashes IS the exact distinct count — the same identity the old
+    # per-column count_distinct relied on for the sketch side.
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.c", "p.v")
+        .where(F.col("v").isNotNull())
+    )
+    hv = pairs.distinct().localCheckpoint()
     outs = []
     for c in cols:
-        bottom = _bottom_k(df, c)
+        mine = hv.where(F.col("c") == c)
+        # distinct on the HASHES (not just the values) so the rare
+        # 60-bit collision keeps one row, exactly like the old
+        # per-column ``_bottom_k`` and the oracle's DISTINCT h
+        bottom = (
+            mine.select(md5_int64(F.col("v")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
         sketch = bottom.agg(
             F.count(F.lit(1)).cast("long").alias("n_sketch"),
             F.max("h").alias("kth_min_hash"),
         )
-        exact = df.agg(
-            F.count_distinct(F.col(c)).cast("long").alias("exact_distinct")
+        exact = mine.agg(
+            F.count(F.lit(1)).cast("long").alias("exact_distinct")
         )
         est = F.when(
             F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
