@@ -2459,11 +2459,26 @@ def integrity_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for fk, child, ck, parent, pk in edges:
         c = tables[child].select(F.col(ck).alias("k"))
-        p = tables[parent].select(F.col(pk).alias("k")).distinct()
-        orphans = c.join(p, "k", "left_anti")
+        # fused pass (r13; guide §2.4): ONE left join yields both the
+        # child count and the orphan count — the old shape paid a
+        # second child scan for the count branch (2 scans per edge).
+        # The parent side is key-distinct, so the left join preserves
+        # child cardinality exactly; a NULL marker = no parent = the
+        # anti-join's survivor set. NULL child keys: left_anti kept
+        # them as orphans (null never equi-matches), and here the
+        # marker stays NULL for them identically.
+        p = (
+            tables[parent]
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         parts.append(
-            c.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            c.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_orphans"),
+            )
             .select(
                 F.lit(fk).alias("fk"),
                 "n_child",
