@@ -94,8 +94,16 @@ def dedup_pipeline(
     # cut each consumer re-runs the input union + digest aggregate +
     # winners join. Intra-query lineage cut, recomputed every call.
     survivors = docs.join(winners, id_col).select(id_col, text_col).localCheckpoint()
-    edges = near_duplicates_minhash(
-        survivors, threshold=threshold, text_col=text_col, id_col=id_col
+    # ONE tokenization pass (r13; guide §2.4): the composed near-dup
+    # stage shingled the survivors three times — once for signatures,
+    # twice for the Jaccard verify's sh_a/sh_b join sides. The shared
+    # (id, sh) frame is checkpointed because it feeds all three
+    # consumer branches; like the survivors cut above it is derived
+    # data recomputed from the input on every call.
+    sh = _shingle_frame(survivors, text_col=text_col, id_col=id_col).localCheckpoint()
+    cands = _candidates_from_sigs(_signatures_from_shingles(sh))
+    edges = _jaccard_from_shingles(cands, sh).where(
+        F.col("jaccard") >= threshold
     )
     comp = connected_components(edges.select("id_a", "id_b"))
     dropped = comp.where(F.col("v") != F.col("comp")).select(
@@ -122,6 +130,39 @@ def minhash_perm_coeffs(num_hashes: int = DEFAULT_NUM_HASHES) -> list[tuple[int,
     ]
 
 
+def _shingle_frame(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh array<string>) — the tokenization pass every MinHash
+    stage derives from. ``spread``: shingling is the expensive map
+    stage; a single-row-group scan would run it all in one task."""
+    return spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select("id", shingles(F.col(text_col), shingle_n).alias("sh"))
+
+
+def _signatures_from_shingles(
+    sh_df: DataFrame, *, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Signatures from an (id, sh) frame (see :func:`minhash_signatures`)."""
+    sh = sh_df.select("id", F.explode("sh").alias("s")).select(
+        "id", (md5_int64(F.col("s")) % MINHASH_MOD).alias("h")
+    )
+    aggs = [
+        F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"m{j}")
+        for j, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -139,20 +180,9 @@ def minhash_signatures(
     composed under Catalyst's project collapsing, recomputes the whole
     shingle pipeline per signature element — measured 50× slower.
     """
-    # spread: the shingle explode + per-shingle md5 is the expensive map
-    # stage; a single-row-group scan would run it all in one task
-    sh = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
-        "id",
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).select("id", (md5_int64(F.col("s")) % MINHASH_MOD).alias("h"))
-    aggs = [
-        F.min((F.col("h") * a + b) % MINHASH_MOD).alias(f"m{j}")
-        for j, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig"))
+    return _signatures_from_shingles(
+        _shingle_frame(docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n),
+        num_hashes=num_hashes,
     )
 
 
@@ -190,6 +220,17 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
+    return _candidates_from_sigs(sigs, num_hashes=num_hashes, bands=bands)
+
+
+def _candidates_from_sigs(
+    sigs: DataFrame,
+    *,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH band join over an (id, sig) frame (see
+    :func:`minhash_lsh_candidates`)."""
     banded = sigs.select(
         "id",
         F.explode(
@@ -216,9 +257,13 @@ def jaccard_on_shingles(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (integer set sizes →
     one double division: engine-independent)."""
-    sh = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
-        "id", shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    sh = _shingle_frame(docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    return _jaccard_from_shingles(pairs, sh)
+
+
+def _jaccard_from_shingles(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Jaccard verify over an (id, sh) frame (see
+    :func:`jaccard_on_shingles`)."""
     return (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
