@@ -66,6 +66,7 @@ def test_bigstar_matches_truth_and_twin(spark, name):
     assert got == _labels(connected_components(df))
 
 
+@pytest.mark.slow  # fuzz tier (conftest.py)
 def test_bigstar_fuzz_random_graphs(spark):
     rng = random.Random(7)
     for trial in range(5):

@@ -15,6 +15,11 @@ import duckdb
 import pandas as pd
 import pytest
 
+# Slow tier (conftest.py): fuzz suites are opt-in regression armor
+# (SPARK_GRAFT_SLOW_TESTS=1); the driver-window verify runs the
+# default tier, which keeps the deterministic parity backstop.
+pytestmark = pytest.mark.slow
+
 EMB_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",

@@ -17,6 +17,11 @@ import duckdb
 import pandas as pd
 import pytest
 
+# Slow tier (conftest.py): fuzz suites are opt-in regression armor
+# (SPARK_GRAFT_SLOW_TESTS=1); the driver-window verify runs the
+# default tier, which keeps the deterministic parity backstop.
+pytestmark = pytest.mark.slow
+
 from kinesis_stream_spark.queries.text import ORACLE, QUERIES
 
 FUZZ_QUERIES = [

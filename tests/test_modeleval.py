@@ -87,6 +87,7 @@ class TestRocAuc:
         ).fetchall()
         assert got == [tuple(w) for w in want]
 
+    @pytest.mark.slow  # invariance dup of the shared fx path (conftest.py)
     def test_partition_invariance(self, spark):
         rows = [(f"c{i % 3}", float((i * 37) % 11) / 7.0) for i in range(60)]
         sdf = spark.createDataFrame(rows, "label string, score double")
@@ -215,6 +216,7 @@ class TestCalibrationBins:
         )
         assert plan.count("FileScan") == 1
 
+    @pytest.mark.slow  # invariance dup of the shared fx path (conftest.py)
     def test_partition_invariance(self, spark):
         rows = [(i % 2, ((i * 53) % 101) / 100.0) for i in range(300)]
         sdf = spark.createDataFrame(rows, "y int, p double")

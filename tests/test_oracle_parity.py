@@ -17,7 +17,49 @@ def test_every_oracle_key_has_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+# Slow tier (conftest.py): the parity replays that each cost >= ~3 s
+# (measured r13 durations run; together 216 s of the file's 390 s) —
+# the heavy ANN/dedup/graph composites whose cost is the per-query
+# training/loop constants, not the sf0.001 data. Every name here is
+# covered by its dedicated operator suite AND (for the dedup/similarity
+# block) heads the r13 driver window's sf0.01 verification; the default
+# tier keeps the other ~250 parity params as the rotation backstop.
+SLOW_PARITY = {
+    "agg_hll_set_ops",
+    "dedup_clusters_bigstar",
+    "dedup_connected_components",
+    "dedup_lsh_recall",
+    "dedup_pair_distance_histogram",
+    "dedup_pipeline_survivors",
+    "dedup_prefix_filter_exact_pairs",
+    "events_markov_stationary",
+    "graph_hits_scores",
+    "graph_modularity",
+    "multimodal_payload_near_dup",
+    "similarity_cluster_balance",
+    "similarity_embedding_drift",
+    "similarity_ivfpq_nprobe_sweep",
+    "similarity_ivfpq_pruned_topk",
+    "similarity_ivfpq_rerank",
+    "similarity_ivfpq_route_census",
+    "similarity_ivfpq_topk",
+    "similarity_pq_adc_topk",
+    "similarity_pq_reconstruction_mse",
+    "similarity_rank_quality",
+    "similarity_rrpq_adc_topk",
+    "similarity_semantic_dedup",
+    "similarity_subspace_variance",
+    "similarity_topk_ivf_trained",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_PARITY else n
+        for n in sorted(ORACLE)
+    ],
+)
 def test_parity(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     odf = run_oracle(ORACLE[name], sf_dir)

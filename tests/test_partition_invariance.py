@@ -84,7 +84,37 @@ def _rows(spark, sf_dir, name):
     )
 
 
-@pytest.mark.parametrize("name", SENSITIVE)
+# Slow tier (conftest.py): the >= ~3 s invariance replays (~101 s of
+# the file's 159 s), all exercising the SAME shared fixed-point
+# accumulation path (functions/vectors + quantization fx sums) that the
+# default tier still covers via the cheaper family members; their cost
+# is the per-query training replay, not the invariance property.
+SLOW_INVARIANCE = {
+    "dedup_lsh_recall",
+    "retrieval_hybrid_rrf",
+    "similarity_cluster_balance",
+    "similarity_embedding_drift",
+    "similarity_ivfpq_nprobe_sweep",
+    "similarity_ivfpq_route_census",
+    "similarity_ivfpq_topk",
+    "similarity_pq_adc_topk",
+    "similarity_pq_reconstruction_mse",
+    "similarity_rank_quality",
+    "similarity_rrpq_adc_topk",
+    "similarity_semantic_dedup",
+    "similarity_subspace_variance",
+    "similarity_topk_sq8",
+    "text_bm25_topk",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_INVARIANCE else n
+        for n in SENSITIVE
+    ],
+)
 def test_results_invariant_to_shuffle_partitions(spark, sf_dir, name):
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
