@@ -134,6 +134,130 @@ def fuzzy_pairs(
     )
 
 
+def fuzzy_pair_histogram(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    block: Column | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """(block_key, dist, n_pairs, sample_id_a, sample_id_b) — the
+    per-(block, distance) aggregate of :func:`fuzzy_pairs`, computed at
+    DISTINCT-STRING granularity (r13; guide §8 "decide with small
+    rows"): strings repeat, and the id-level join re-ran the banded DP
+    once per ID pair — cnt_u·cnt_v times per distinct string pair
+    (measured 129 s at sf1 where each name repeats ~10×; the DP bill
+    grows quadratically in corpus size while the distinct-pair bill is
+    constant in it). Equivalence, contribution by contribution:
+
+    - cross (u ≠ v, same block, lev ≤ d): the id-level pairs are all
+      (ia ∈ ids(u)) × (ib ∈ ids(v)) ordered by id, so the bucket gains
+      n = cnt_u·cnt_v pairs; min id_a over them is the globally
+      smallest id of either group (it pairs with everything opposite
+      and is always the smaller) = min(mn_u, mn_v), and min id_b is
+      minimized by pairing the two group minima = max(mn_u, mn_v).
+    - intra (u = u, lev = 0, cnt ≥ 2): n = cnt·(cnt−1)/2,
+      min id_a = mn, min id_b = the group's SECOND-smallest id (pair
+      (mn, mn2); any other pair's max is ≥ mn2).
+    - rows with NULL block/id/string produce no pair in the id-level
+      join (equi-join and comparisons reject NULLs), so they are
+      filtered before grouping — otherwise a NULL-string group would
+      manufacture phantom intra pairs.
+
+    The (block, dist) aggregate then sums the n's and mins the mins —
+    identical to aggregating the full pair stream. Distance values,
+    blocking, length band, salting and conjunct order all mirror
+    :func:`fuzzy_pairs`; the string-level pair ordering uses s_u < s_v
+    (strings within a group are equal, across groups distinct, so each
+    unordered string pair is enumerated exactly once)."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    blk = block if block is not None else default_block(F.col(text_col))
+    side = df.select(
+        blk.alias("block_key"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("s"),
+        F.length(text_col).alias("slen"),
+    ).where(
+        F.col("block_key").isNotNull()
+        & F.col("id").isNotNull()
+        & F.col("s").isNotNull()
+    )
+    # distinct-string frame: checkpointed because it feeds three
+    # consumers (intra, both cross join sides) that would each re-run
+    # the corpus aggregate; string-distinct-sized, recomputed from the
+    # input on every invocation (kmv_set_ops precedent)
+    names = (
+        side.groupBy("block_key", "s", "slen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("id").alias("mn"),
+        )
+        .localCheckpoint()
+    )
+    # second-smallest id per duplicated string — needed only for the
+    # intra (dist 0) sample_id_b; one corpus-keyed equi-join, partial
+    # aggregation map-side, nothing quadratic
+    mn2 = (
+        side.join(names.select("block_key", "s", "mn"), ["block_key", "s"])
+        .where(F.col("id") > F.col("mn"))
+        .groupBy("block_key", "s")
+        .agg(F.min("id").alias("mn2"))
+    )
+    intra = (
+        names.where(F.col("cnt") >= 2)
+        .join(mn2, ["block_key", "s"])
+        .select(
+            "block_key",
+            F.lit(0).alias("dist"),
+            F.expr("(cnt * (cnt - 1)) div 2").alias("w"),
+            F.col("mn").alias("ida"),
+            F.col("mn2").alias("idb"),
+        )
+    )
+    n_spread = max(salt_buckets, df.sparkSession.sparkContext.defaultParallelism)
+    a = (
+        names.withColumn(
+            "_salt", F.pmod(F.hash(F.col("s")), F.lit(salt_buckets))
+        )
+        .repartition(n_spread)
+        .alias("a")
+    )
+    b = names.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    ).alias("b")
+    dist = F.levenshtein(F.col("a.s"), F.col("b.s"), max_dist)
+    cross = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a._salt") == F.col("b._salt"))
+        & (F.col("a.s") < F.col("b.s"))
+        & (F.abs(F.col("a.slen") - F.col("b.slen")) <= max_dist)
+        # the DP conjunct stays LAST (cheap-first short-circuit)
+        & (dist >= 0),
+    ).select(
+        F.col("a.block_key").alias("block_key"),
+        dist.alias("dist"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
+        F.least(F.col("a.mn"), F.col("b.mn")).alias("ida"),
+        F.greatest(F.col("a.mn"), F.col("b.mn")).alias("idb"),
+    )
+    return (
+        intra.unionAll(cross)
+        .groupBy("block_key", "dist")
+        .agg(
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.min("ida").alias("sample_id_a"),
+            F.min("idb").alias("sample_id_b"),
+        )
+    )
+
+
 def sql_fuzzy_pair_histogram(
     *,
     table: str,

@@ -137,6 +137,59 @@ def test_fuzzy_pairs_matches_bruteforce(spark, salt):
     assert not any(5 in (a, b) for a, b, _ in got)  # cross-block never compared
 
 
+HIST_NAMES = NAMES + [
+    (7, "red apple pie"),       # third copy of the dup group (cnt=3)
+    (8, "red apple pint"),      # second copy — two dup groups
+    (9, "blue apple pie"),      # dup in the other block
+    (10, "blue apple pix"),     # dist 2 within blue block
+    (11, "red apple piex"),     # dist 1 from pie copies (len band edge)
+]
+
+
+@pytest.mark.parametrize("salt", [1, 4])
+def test_fuzzy_pair_histogram_matches_pair_aggregate(spark, salt):
+    """The distinct-string histogram must equal the brute aggregate of
+    the full id-level pair stream — including the intra-group dist-0
+    bucket (count = cnt*(cnt-1)/2, sample_id_b = the group's SECOND
+    smallest id) and min-sample semantics across mixed contributions."""
+    from collections import defaultdict
+
+    from kinesis_stream_spark.operators.fuzzy import fuzzy_pair_histogram
+
+    truth = defaultdict(lambda: [0, None, None])
+    for ia, ib, d in _fuzzy_truth(HIST_NAMES, 2):
+        blk = dict(HIST_NAMES)[ia].split(" ")[0]
+        t = truth[(blk, d)]
+        t[0] += 1
+        t[1] = ia if t[1] is None else min(t[1], ia)
+        t[2] = ib if t[2] is None else min(t[2], ib)
+    df = spark.createDataFrame(HIST_NAMES, "id long, name string")
+    got = {
+        (r.block_key, r.dist): [r.n_pairs, r.sample_id_a, r.sample_id_b]
+        for r in fuzzy_pair_histogram(
+            df, id_col="id", text_col="name", max_dist=2, salt_buckets=salt
+        ).collect()
+    }
+    assert got == dict(truth)
+    # the dup-group invariants this rewrite depends on, explicitly:
+    assert got[("red", 0)][0] == 3 + 1  # C(3,2) pie copies + pint pair
+    assert got[("red", 0)][1:] == [1, 6]  # min id, second-min of its group
+
+
+def test_fuzzy_pair_histogram_null_rows_produce_no_pairs(spark):
+    """NULL name/id rows never pair in the id-level join; the grouped
+    rewrite must not manufacture phantom intra pairs from them."""
+    from kinesis_stream_spark.operators.fuzzy import fuzzy_pair_histogram
+
+    df = spark.createDataFrame(
+        [(1, "red apple pie"), (2, None), (3, None), (None, "red apple pie")],
+        "id long, name string",
+    )
+    assert fuzzy_pair_histogram(
+        df, id_col="id", text_col="name", max_dist=2
+    ).count() == 0
+
+
 def test_fuzzy_pairs_rejects_bad_params(spark):
     df = spark.createDataFrame(NAMES, "id long, name string")
     with pytest.raises(ValueError):
