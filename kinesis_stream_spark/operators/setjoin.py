@@ -47,11 +47,19 @@ where local[32] contention from neighboring queries inflates
 wall-clock ~2× — the r8 full-suite figure to compare against is the
 r7 full-suite 36.6 s, the solo figure against solo 35.4 s.)
 
-Determinism: the prefix order is (df, md5(token), token) — the md5 key
+Round 13: tokens are their 60-bit md5 hashes end-to-end — identity is
+all any stage needs, and longs shuffle/compare/intersect far cheaper
+than shingle strings; plus a ``spread`` on the corpus scan (the
+tokenize+hash map stage must not serialize on a single-row-group
+file). 28.7 → 7.2 s at sf1 solo interleaved, output bit-identical at
+sf0.01/0.1/1 (the inline comment carries the collision contract).
+
+Determinism: the prefix order is (df, hash) — the md5 key
 (``functions/hashing.py``) avoids relying on cross-engine string
-collation; the trailing token tiebreak makes the order formally total
-(unreachable below a 60-bit collision). Counts are integers end-to-end;
-the single IEEE divide per output row is the Jaccard itself.
+collation and is unique wherever the old trailing-token tiebreak was
+reachable (distinct below a 60-bit collision). Counts are integers
+end-to-end; the single IEEE divide per output row is the Jaccard
+itself.
 """
 
 from __future__ import annotations
@@ -79,20 +87,42 @@ def prefix_filter_jaccard_pairs(
     LSH false negatives): (id_a, id_b, jaccard), id_a < id_b."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # the shingle-ARRAY frame is the reuse point: one compact row per
-    # document (10k array rows, not ~10M exploded token rows), feeding
-    # the explode lineage AND both verification sides. Checkpointing
-    # here instead of on the exploded frame measured 27.4 s → 8.6 s at
-    # sf0.1 solo — 17.0 s in the contended full-suite bench; the
-    # module docstring reconciles the two contexts. (The exploded
-    # checkpoint materialized the wide token store; rebuilding arrays
-    # from it with collect_list added a full
-    # token shuffle on top.) Lazy localCheckpoints; at 100 TB a
-    # durable checkpoint dir, as everywhere else in the repo.
+    from kinesis_stream_spark.sources.batch import spread
+
+    # TOKENS ARE 60-BIT HASHES end-to-end (r13): every downstream
+    # consumer — df counts, the global rarity order, the prefix
+    # equi-join, the verify intersection — only needs token IDENTITY,
+    # never the string, so each shingle maps once (a map-side
+    # ``transform``) to its md5 60-bit key and the pipeline carries
+    # 8-byte longs instead of ~25-char strings: smaller explode store,
+    # narrower df shuffle, a long equi-join key, and a hash-array
+    # verify. Distinct shingles map to distinct hashes — the SAME
+    # unreachable-collision contract kmv.py's exact counts and the
+    # minhash signatures already stake exactness on (functions/
+    # hashing.py); the rarity order (df, h) stays formally total
+    # because hashes are unique exactly where the old (df, md5(tok),
+    # tok) tiebreak was reachable. Measured at sf1: 28.7 → 7.2 s solo
+    # interleaved (with the spread below); output bit-identical at
+    # sf0.01/0.1/1.
+    #
+    # the hash-ARRAY frame is the reuse point: one compact row per
+    # document, feeding the explode lineage AND both verification
+    # sides (r8: checkpointing here instead of on the exploded frame
+    # measured 27.4 s → 8.6 s at sf0.1 solo). Lazy localCheckpoints;
+    # at 100 TB a durable checkpoint dir, as everywhere else in the
+    # repo.
+    #
+    # spread: the tokenize+shingle+hash regex pass is the expensive
+    # map stage, and a single-row-group corpus file would run it in
+    # a handful of tasks (measured: 7.6 s on 4 tasks at sf1); no-op
+    # on well-partitioned inputs.
     sh_sets = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            shingles(F.col(text_col), shingle_n).alias("sh"),
+        spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select(
+            "id",
+            F.transform(
+                shingles(F.col(text_col), shingle_n), lambda s: md5_int64(s)
+            ).alias("sh"),
         )
         .where(F.size("sh") > 0)
         .localCheckpoint(eager=False)
@@ -106,7 +136,7 @@ def prefix_filter_jaccard_pairs(
     # whose tokenize+shingle regex would otherwise run a second full
     # corpus pass
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    w = Window.partitionBy("id").orderBy("df", md5_int64(F.col("tok")), "tok")
+    w = Window.partitionBy("id").orderBy("df", "tok")
     ordered = ex.join(dfc, "tok").withColumn("pos", F.row_number().over(w))
     prefix = (
         ordered.join(sizes, "id")
