@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_stream_spark.functions.vectors import sql_valid_vector, valid_vector
-from kinesis_stream_spark.sources.batch import load_table
+from kinesis_stream_spark.sources.batch import load_table, spread
 
 DIM = 64
 
@@ -44,9 +44,22 @@ def make_q(queries: dict, oracle: dict) -> Callable:
 
 def emb_scan(spark: SparkSession, sf_dir: str, dim: int = DIM) -> DataFrame:
     """Embeddings scan behind the validity guard: corrupt vectors
-    (NULL / NaN / wrong-dim / zero-norm) are excluded at the edge."""
-    return load_table(spark, sf_dir, "embeddings").where(
-        valid_vector(F.col("embedding"), dim)
+    (NULL / NaN / wrong-dim / zero-norm) are excluded at the edge.
+
+    ``spread`` (r13; guide §2.6/§6): the family's per-row expression
+    work — fixed-point argmax routing, per-sub ADC dots, decode
+    kernels — is the expensive MAP stage on every corpus pass
+    (training iterations, encode, scoring), and the single-row-group
+    fixture file scans as 1–2 tasks, serializing all of it regardless
+    of core count (measured at sf1: the whole ivfpq family's c8/c32
+    ratio sat at ≈1, train+encode 51 s on 2 cores →
+    route_census 47 → 6 s after). No-op on well-partitioned inputs,
+    i.e. always at real scale."""
+    return spread(
+        load_table(spark, sf_dir, "embeddings").where(
+            valid_vector(F.col("embedding"), dim)
+        ),
+        "vec_id",
     )
 
 

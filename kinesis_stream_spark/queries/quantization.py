@@ -218,7 +218,16 @@ def similarity_ivfpq_route_census(spark: SparkSession, sf_dir: str) -> DataFrame
     coarse, book = ivfpq_train(
         emb, k_coarse=K_COARSE, m=M, ksub=KSUB, dim=DIM, iterations=ITERATIONS
     )
-    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM)
+    # materialization barrier (r13): the census explode+aggregate
+    # stage re-evaluates the giant literal-table encode expressions
+    # instead of reading the projected columns (measured 19.5 s for an
+    # aggregate whose input computes in 1.2 s; an Exchange barrier did
+    # NOT stop it). The lazy checkpoint evaluates the encode projection
+    # exactly once per invocation and the census reads concrete rows:
+    # 19.5 → 0.6 s at sf1. Index-sized, rebuilt from parquet every call.
+    index = ivfpq_encode(emb, coarse, book, m=M, dim=DIM).localCheckpoint(
+        eager=False
+    )
     return (
         index.select("list_id", F.posexplode("codes").alias("sub", "code"))
         .groupBy("list_id", "sub", "code")
