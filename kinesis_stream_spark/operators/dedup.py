@@ -94,16 +94,11 @@ def dedup_pipeline(
     # cut each consumer re-runs the input union + digest aggregate +
     # winners join. Intra-query lineage cut, recomputed every call.
     survivors = docs.join(winners, id_col).select(id_col, text_col).localCheckpoint()
-    # ONE tokenization pass (r13; guide §2.4): the composed near-dup
-    # stage shingled the survivors three times — once for signatures,
-    # twice for the Jaccard verify's sh_a/sh_b join sides. The shared
-    # (id, sh) frame is checkpointed because it feeds all three
-    # consumer branches; like the survivors cut above it is derived
-    # data recomputed from the input on every call.
-    sh = _shingle_frame(survivors, text_col=text_col, id_col=id_col).localCheckpoint()
-    cands = _candidates_from_sigs(_signatures_from_shingles(sh))
-    edges = _jaccard_from_shingles(cands, sh).where(
-        F.col("jaccard") >= threshold
+    # near_duplicates_minhash shares ONE checkpointed tokenization pass
+    # across signatures and both verify sides since r13 (guide §2.4 —
+    # see its docstring; 1.7× on this composed query when it landed)
+    edges = near_duplicates_minhash(
+        survivors, threshold=threshold, text_col=text_col, id_col=id_col
     )
     comp = connected_components(edges.select("id_a", "id_b"))
     dropped = comp.where(F.col("v") != F.col("comp")).select(
@@ -287,14 +282,25 @@ def near_duplicates_minhash(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
-    join → exact-Jaccard verify ≥ threshold."""
-    cands = minhash_lsh_candidates(
-        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-        bands=bands, shingle_n=shingle_n,
+    join → exact-Jaccard verify ≥ threshold.
+
+    ONE tokenization pass (r13; guide §2.4): the composed pipeline
+    shingled the corpus three times — signature build plus both
+    Jaccard-verify join sides (measured 22.2 → 3.5 s at sf1 for the
+    connected-components edge source). The shared ``(id, sh)`` frame is
+    lazily checkpointed because it feeds all three consumers; derived
+    data, recomputed from the input on every invocation."""
+    sh = _shingle_frame(
+        docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).localCheckpoint(eager=False)
+    cands = _candidates_from_sigs(
+        _signatures_from_shingles(sh, num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
     )
-    return jaccard_on_shingles(
-        cands, docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
-    ).where(F.col("jaccard") >= threshold)
+    return _jaccard_from_shingles(cands, sh).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
