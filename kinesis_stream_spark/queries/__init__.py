@@ -25,20 +25,18 @@ from pyspark.sql import DataFrame, SparkSession
 # every session, and the builder's driver_sim sweeps re-verify the
 # full inventory at sf0.01 (and sf0.1 when code changes warrant).
 #
-# Round 12 window (first 50), executing the r11-documented plan:
-# HEAD: round-12 registrations, inserted in their landing commits
-# (never driver-verified; budget: at most FOUR — the r6-latest block
-# is 42 names and all of it must clear this window). NEXT: the FOUR
-# queries whose operators take ADVICE-r11 semantic fixes this round
-# (asof oracle non-NULL left_id contract; ±FX_V_CAP fx saturation
-# clamps on CUPED / bootstrap-CI / total-reconciliation) — code
-# newer than their r11 driver rows. THEN: all FORTY-TWO r6-latest
-# names (the twelve displaced relational names first, then the
-# remaining thirty). 4 + 4 + 42 = 50. While fewer than four r12
-# registrations exist the r7 block just past the cut tops the window
-# up to 50; whatever stays displaced heads the r13 window (r13 then
-# continues down the r7 block; ledger-union counts past this window:
-# r7:45, r8:44, r9:47, r10:46, r11:46).
+# Round 13 window (first 50), an OPTIMIZATION round: no new
+# registrations, so the window is entirely (a) the 39 names whose
+# CODE CHANGED under this round's optimizations — the bootstrap
+# fold+spread, one-pass sketches, fused FK audit, distinct-name
+# fuzzy histogram, hash-token prefix-filter join, shared minhash
+# tokenization (near_duplicates_minhash and every consumer), the
+# spread bigram LM, and the emb_scan spread touching EVERY
+# embedding-family query — then (b) 11 names continuing down the
+# r7-latest block per the documented ledger plan. The r7 remainder
+# heads the r14 window; ledger-union counts past this window:
+# r7:34, r8:44, r9:47, r10:46, r11:46, r12:46-ish minus this
+# round's re-greens.
 
 #: names registered WITHOUT a DuckDB oracle by design. EMPTY since
 #: round 10: the approx-percentile sketch twins that filled this set
@@ -51,26 +49,79 @@ from pyspark.sql import DataFrame, SparkSession
 ROWS_ONLY = frozenset()
 
 _PRIORITY = (
-    # --- round-12 window (first 50 = the driver's check set) --------
-    # never driver-verified: round-12 registrations land HERE, at
-    # most FOUR (each inserted in the commit that registers it) —
-    # sized so 4 new + 4 ADVICE-edited + the 42 r6-latest names fill
-    # the window exactly and every r6-latest name clears it
+    # --- round-13 window (first 50 = the driver's check set) --------
+    # Rotation policy (see module comment): never-driver-verified
+    # first (NONE this round — optimization round, no new
+    # registrations), then names whose CODE CHANGED since their last
+    # driver row, then the oldest-ledger continuation. 39 changed +
+    # 11 r7-block continuation = 50.
+    #
+    # Changed in round 13: the bootstrap fold+spread, the one-pass
+    # multi-column sketches, the fused FK audit, the distinct-name
+    # fuzzy histogram, the 60-bit-hash prefix-filter join, the shared
+    # minhash tokenization pass (near_duplicates_minhash and every
+    # consumer), the spread+checkpointed bigram LM, and the emb_scan
+    # spread that touches EVERY embedding-family query.
+    "events_bootstrap_ci",
+    "agg_hll_distinct",
+    "agg_kmv_distinct",
+    "integrity_referential_audit",
+    "fuzzy_part_name_histogram",
+    "dedup_prefix_filter_exact_pairs",
+    "dedup_pipeline_survivors",
+    "dedup_embedding_cosine_pairs",
+    "dedup_minhash_lsh_exact_copies",
+    "dedup_minhash_lsh_near_copies",
+    "dedup_connected_components",
+    "dedup_clusters_bigstar",
+    "dedup_minhash_band_agreement",
+    "text_lm_plausibility",
+    "similarity_ivfpq_route_census",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_pruned_topk",
+    "similarity_ivfpq_rerank",
+    "similarity_ivfpq_nprobe_sweep",
+    "similarity_semantic_dedup",
+    "similarity_subspace_variance",
+    "similarity_embedding_drift",
+    "similarity_pq_adc_topk",
+    "similarity_pq_reconstruction_mse",
+    "similarity_rrpq_adc_topk",
+    "similarity_rank_quality",
+    "similarity_label_inertia",
+    "similarity_silhouette",
+    "similarity_centroid_confusion",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_ann_recall",
+    "similarity_kmeans_fit",
+    "similarity_ivf_nprobe_sweep",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_sq8",
+    "similarity_cluster_balance",
+    "similarity_range_search",
+    "dedup_bloom_prefilter",
+    "dedup_containment_prefix_copies",
+    "dedup_duplicate_chunks",
+    "dedup_exact_hash",
+    "dedup_exact_incremental",
+    "dedup_lsh_recall",
+    "dedup_ngram_jaccard_grouped",
+    "dedup_pair_distance_histogram",
+    "dedup_simhash_blocks",
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    # --- past the window: r13 ballast, prior relative order kept —
+    # r7-block remainder first (heads the r14 window), then the
+    # r8/r9/r10/r11 blocks and the rest of the inventory
     "join_asof_next_purchase_after_error",
     "stream_asof_enrich",
     "eval_roc_auc_per_class",
     "events_calibration_bins",
-    # edited in round 12 (ADVICE-r11 semantic fixes: asof oracle
-    # non-NULL left_id contract, ±FX_V_CAP saturation clamps on the
-    # CUPED / bootstrap-CI / reconciliation fx floors) — code newer
-    # than their r11 driver rows
     "join_asof_error_before_purchase",
     "events_ab_cuped",
-    "events_bootstrap_ci",
     "integrity_total_reconciliation",
-    # the 42 r6-latest names (oldest driver rows in the inventory):
-    # the twelve relational names the r11 plan displaced head the
-    # block, then the remaining thirty r6-latest names
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_regional_revenue",
@@ -102,9 +153,6 @@ _PRIORITY = (
     "set_except_nations",
     "set_intersect_nations",
     "set_union_all_keys",
-    "similarity_embedding_drift",
-    "similarity_ivfpq_nprobe_sweep",
-    "similarity_rank_quality",
     "sort_limit_top_orders",
     "sql_in_subquery_parts_in_asia_orders",
     "sql_scalar_subquery_above_avg",
@@ -113,30 +161,6 @@ _PRIORITY = (
     "window_ntile_nth_value",
     "window_rank_suppliers",
     "window_running_sum",
-    # --- past the window: the r13 plan starts here ------------------
-    # r7-latest block (45 names — tops the r12 window up to 50 while
-    # fewer than four r12 registrations exist, then heads the r13
-    # window; ledger counts outside this window after r12:
-    # r8:44, r9:47, r10:46, r11:46-ish minus this round's re-greens)
-    "dedup_bloom_prefilter",
-    "dedup_clusters_bigstar",
-    "dedup_connected_components",
-    "dedup_containment_prefix_copies",
-    "dedup_duplicate_chunks",
-    "dedup_embedding_cosine_pairs",
-    "dedup_exact_hash",
-    "dedup_exact_incremental",
-    "dedup_lsh_recall",
-    "dedup_minhash_band_agreement",
-    "dedup_minhash_lsh_exact_copies",
-    "dedup_minhash_lsh_near_copies",
-    "dedup_ngram_jaccard_grouped",
-    "dedup_pair_distance_histogram",
-    "dedup_pipeline_survivors",
-    "dedup_prefix_filter_exact_pairs",
-    "dedup_simhash_blocks",
-    "q02_min_cost_supplier",
-    "q09_product_type_profit",
     "q12_late_shipment_priority",
     "q13_customer_order_distribution",
     "q15_top_supplier",
@@ -145,28 +169,9 @@ _PRIORITY = (
     "q20_excess_shipping_suppliers",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
-    "similarity_ann_recall",
-    "similarity_cluster_balance",
-    "similarity_ivf_nprobe_sweep",
-    "similarity_ivfpq_rerank",
-    "similarity_ivfpq_route_census",
-    "similarity_ivfpq_topk",
-    "similarity_kmeans_fit",
-    "similarity_pq_adc_topk",
-    "similarity_pq_reconstruction_mse",
-    "similarity_rrpq_adc_topk",
-    "similarity_semantic_dedup",
-    "similarity_subspace_variance",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_trained",
-    "similarity_topk_lsh",
-    "similarity_topk_sq8",
     "text_leakage_safe_split",
-    # r8-latest block
     "agg_equidepth_price",
     "agg_histogram_quantiles",
-    "agg_hll_distinct",
     "agg_hll_set_ops",
     "agg_supplier_skew_deciles",
     "basket_association_rules",
@@ -188,7 +193,6 @@ _PRIORITY = (
     "events_top_paths",
     "events_transition_matrix",
     "feature_quantile_normalize",
-    "fuzzy_part_name_histogram",
     "graph_kcore_purchases",
     "graph_label_propagation",
     "graph_pagerank_purchases",
@@ -208,10 +212,8 @@ _PRIORITY = (
     "text_phrase_search",
     "text_rsj_topk",
     "text_vocab_coverage",
-    # r9-latest block
     "agg_abc_classification",
     "agg_gini_concentration",
-    "agg_kmv_distinct",
     "agg_weighted_median",
     "basket_item_cosine",
     "basket_item_jaccard",
@@ -249,14 +251,9 @@ _PRIORITY = (
     "profile_ks_value_drift",
     "reshape_pivot_priority_year",
     "retrieval_prf_expansion",
-    "similarity_centroid_confusion",
-    "similarity_ivfpq_pruned_topk",
-    "similarity_label_inertia",
-    "similarity_silhouette",
     "text_lexical_diversity",
     "text_vocab_drift",
     "text_zipf_profile",
-    # r10-latest block
     "agg_histogram_price",
     "agg_kmv_set_ops",
     "agg_salted_skew_safe",
@@ -274,7 +271,6 @@ _PRIORITY = (
     "graph_bfs_hops",
     "graph_cheapest_path",
     "graph_modularity",
-    "integrity_referential_audit",
     "integrity_snapshot_diff",
     "integrity_table_checksum",
     "join_lateral_top2_orders",
@@ -285,7 +281,6 @@ _PRIORITY = (
     "reshape_unpivot_part_dims",
     "scalar_bitwise_funcs",
     "scalar_map_funcs",
-    "similarity_range_search",
     "stream_capped_sessions",
     "stream_interval_join",
     "stream_rate_anomaly",
@@ -295,7 +290,6 @@ _PRIORITY = (
     "text_boilerplate_fraction",
     "text_cms_heavy_hitters",
     "text_domain_cap",
-    "text_lm_plausibility",
     "text_normalize_summary",
     "text_pii_scrub",
     "text_repetition_stats",
@@ -303,7 +297,6 @@ _PRIORITY = (
     "text_weighted_mixture",
     "udf_map_in_arrow_char_stats",
     "window_percent_rank_cume",
-    # r11-latest block (freshest rows)
     "agg_approx_sketches",
     "events_ab_srm_check",
     "events_rolling_distinct",
