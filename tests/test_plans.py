@@ -1138,6 +1138,20 @@ def test_bootstrap_plan_is_one_explode_no_join(spark, sf_dir):
     assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row x 1-row
 
 
+def test_ivf_recall_sweep_scan_count_stays_shared(spark, sf_dir):
+    """ADVICE-r12: the r12 cut checkpointed the bruteforce truth and
+    quantizer once so the composed sweep reads SIX corpus scans in the
+    plan tree instead of re-deriving them per nprobe point — a
+    regression here (shared-subtree recompute creeping back) is
+    invisible to the bench at test SF, so pin the shape."""
+    from kinesis_stream_spark.queries.similarity import QUERIES
+
+    df = QUERIES["similarity_ivf_nprobe_sweep"](spark, sf_dir)
+    plan, tree = _explain(df), _tree(df)
+    assert tree.count("Scan parquet") <= 6
+    assert "CartesianProduct" not in plan
+
+
 def test_srm_and_cuped_are_single_scan_aggregates(spark, sf_dir):
     """The A/B health gate and CUPED are one combinable pass over the
     corpus — no join, no window, one parquet scan."""
